@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.JetFunctions
+
+/** J4/J5 — jet-drop prev/next linkage.
+  *
+  * Two flavours in the reference:
+  *  - by id (J4, `etl/storage/storage.go:496-531`): the drops at pulse±1
+  *    whose jet id is in {jet, jet+"0", jet+"1", parent(jet)}.
+  *  - by hash (J5, `api/handlers.go:207-297`): a drop's prev are the drops
+  *    whose `hash` equals one of my two prev hashes; its next are the drops
+  *    whose `first_prev_hash` equals my hash.
+  *
+  * Both are equi-joins against a page-sized left side, so the enrichment
+  * side is built from ONLY the adjacent pulses (partition-pruned scan) and
+  * the join broadcasts the page — no full-table shuffle at any scale.
+  */
+object JetLinkage {
+
+  /** J4 — point lookup of sibling drops around (pulse, jetId). */
+  def siblingsAround(jetDrops: DataFrame, pulse: Long, jetId: String): DataFrame = {
+    val cands = JetFunctions.jetLinkCandidates(jetId)
+    jetDrops.filter(
+      (col("pulse_number") === pulse - 10 || col("pulse_number") === pulse + 10) &&
+        col("jet_id").isin(cands: _*))
+  }
+
+  /** J5 — enrich a page of drops with prev/next counts via hash linkage.
+    * `page` and `neighbors` must both expose (pulse_number, jet_id, hash,
+    * first_prev_hash, second_prev_hash). Returns the page with
+    * `prev_count`/`next_count` columns (the API materializes ids; counts
+    * keep the shape testable without array columns).
+    */
+  def hashLinkCounts(page: DataFrame, neighbors: DataFrame): DataFrame = {
+    val nexts = neighbors.select(col("first_prev_hash").as("_nh")).filter(col("_nh").isNotNull)
+    val prevs = neighbors.select(col("hash").as("_ph")).filter(col("_ph").isNotNull)
+
+    val withNext = page.join(broadcast(nexts), col("hash") === col("_nh"), "left")
+      .groupBy(page.columns.map(col): _*)
+      .agg(count(col("_nh")).as("next_count"))
+    withNext
+      .join(broadcast(prevs),
+        col("first_prev_hash") === col("_ph") || col("second_prev_hash") === col("_ph"),
+        "left")
+      .groupBy(withNext.columns.map(col): _*)
+      .agg(count(col("_ph")).as("prev_count"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pulse-chain operators (J2, J3, W6, A4).
+  *
+  * The pulses table is a doubly-linked time series; the reference never
+  * trusts the stored prev/next pointers on reads — it recomputes them per
+  * page (`etl/storage/storage.go:326-379`), with `-1` as the "unknown"
+  * sentinel. In Spark this is pure `lag`/`lead` window algebra.
+  *
+  * Scale note: `Window.orderBy` without partitioning is a single-task sort —
+  * fine here because it is only ever applied to the pulses DIMENSION
+  * (≈3M rows/year, kilobytes per row), never to records. For the fact table
+  * all window use is partitioned (see ChainSort / W7).
+  */
+object PulseChain {
+
+  val Unknown: Long = -1L
+
+  /** J3/W6 — recompute prev/next pointers pairwise within an ordered set of
+    * pulses: neighbor pointers only count when the stored `prev_pulse_number`
+    * actually matches the adjacent pulse; otherwise the chain is broken and
+    * the pointer is `-1`. Page ends are `-1` (the reference patches them with
+    * point lookups J2, which callers can do against the full table).
+    * Mirrors `etl/storage/storage.go:326-356`.
+    */
+  def repairChain(
+      pulses: DataFrame,
+      pulseCol: String = "pulse_number",
+      prevCol: String = "prev_pulse_number"
+  ): DataFrame = {
+    val w = Window.orderBy(col(pulseCol))
+    pulses
+      .withColumn("_lag", lag(col(pulseCol), 1).over(w))
+      .withColumn("_lead", lead(col(pulseCol), 1).over(w))
+      .withColumn("_lead_prev", lead(col(prevCol), 1).over(w))
+      // prev link holds iff my stored prev equals the actual predecessor
+      .withColumn("prev_pulse_number",
+        when(col("_lag").isNotNull && col(prevCol) === col("_lag"), col("_lag"))
+          .otherwise(lit(Unknown)))
+      // next link holds iff the successor's stored prev points to me
+      .withColumn("next_pulse_number",
+        when(col("_lead").isNotNull && col("_lead_prev") === col(pulseCol), col("_lead"))
+          .otherwise(lit(Unknown)))
+      .drop("_lag", "_lead", "_lead_prev")
+  }
+
+  /** J2 — point lookups: the pulse after P is the row whose stored prev = P;
+    * the pulse before P is the row at P's stored prev. Misses → -1.
+    * reference: `etl/storage/storage.go:360-379`.
+    */
+  def nextPulse(pulses: DataFrame, p: Long): Long =
+    pulses.filter(col("prev_pulse_number") === p)
+      .select(min("pulse_number")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(Unknown)
+
+  /** A4 — greatest sequential pulse / first pulse after X.
+    * reference: `etl/storage/storage.go:430-463`.
+    */
+  def maxSequentialPulse(pulses: DataFrame): Option[Long] =
+    pulses.filter(col("is_sequential"))
+      .agg(max("pulse_number")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+
+  def nextSavedPulse(pulses: DataFrame, after: Long): Option[Long] =
+    pulses.filter(col("pulse_number") > after)
+      .agg(min("pulse_number")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+}

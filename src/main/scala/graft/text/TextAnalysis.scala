@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language id, document fingerprinting. All pure column
+  * algebra except the rolling-hash fingerprint (one scalar UDF); everything
+  * runs as a single codegen'd projection over the documents scan — no
+  * shuffle at all, which is the point at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (trimmed; empty text → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: alnum runs count ~1 token per 4 chars (ceil),
+    * punctuation runs 1 each — a cheap, deterministic estimator of
+    * tokenizer output length used for budget accounting.
+    */
+  def tokenEstimate(text: Column): Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    val wordToks = aggregate(words, lit(0L), (acc, w) => acc + ceil(length(w) / 4.0).cast("long"))
+    val punct = size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]")))
+    (wordToks + punct.cast("long")).as("token_estimate")
+  }
+
+  /** Quality signals: length, token count, mean word length, punctuation
+    * ratio, digit ratio, uppercase ratio, stopword ratio — the standard
+    * heuristic feature row (Gopher/C4-style rules are thresholds on these).
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val nonEmpty = len > 0
+    def ratio(pattern: String): Column =
+      when(!nonEmpty, lit(0.0))
+        .otherwise((len - length(regexp_replace(text, pattern, ""))) / len)
+    val toks = tokenCount(text)
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> toks.cast("long"),
+      "mean_word_len" -> when(toks === 0, lit(0.0)).otherwise(
+        length(regexp_replace(trim(text), "\\s+", "")).cast("double") / toks),
+      "punct_ratio" -> ratio("[\\p{Punct}]"),
+      "digit_ratio" -> ratio("[0-9]"),
+      "upper_ratio" -> ratio("[A-Z]"),
+      "stopword_ratio" -> stopwordRatio(text)
+    )
+  }
+
+  /** Composite quality score in [0,1]: fraction of heuristic rules passed. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val rules = Seq(
+      f("n_tokens") >= 5,
+      f("mean_word_len").between(2.0, 12.0),
+      f("punct_ratio") < 0.3,
+      f("digit_ratio") < 0.3,
+      f("upper_ratio") < 0.4
+    )
+    rules.map(r => when(r, 1.0).otherwise(0.0)).reduce(_ + _) / rules.size
+  }
+
+  private val EnStop = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+  private val StopSets: Map[String, Seq[String]] = Map(
+    "en" -> EnStop,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "del", "en", "que", "por")
+  )
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val toks = Dedup.tokens(text)
+    val stops = StopSets.getOrElse(lang, EnStop)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stops.map(lit): _*))).cast("double") / size(toks))
+  }
+
+  /** Language id by stopword voting: argmax over per-language stopword hit
+    * counts; "und" (undetermined) when nothing matches. An n-gram model
+    * would go the same way — per-row column algebra, no shuffle.
+    */
+  def languageId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val scores = StopSets.toSeq.map { case (lang, stops) =>
+      struct(
+        size(filter(toks, t => t.isin(stops.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling (polynomial) hash document fingerprint — stable across runs,
+    * usable as a cheap content id. One scalar UDF, no shuffle.
+    */
+  val rollingFingerprint: String => Long = { s =>
+    var h = 1469598103934665603L // FNV offset
+    if (s != null) {
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+    }
+    h
+  }
+
+  def fingerprint(text: Column): Column = udf(rollingFingerprint).apply(text)
+}
