@@ -1,0 +1,699 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Domain
+import graft.functions.{Codecs, JetFunctions}
+import graft.operators.{Pagination, Predicates, PulseChain}
+
+/** The engine's query surface: every SURVEY §2 operator expressed over the
+  * driver's testdata (block-explorer semantics via the [[Domain]] views
+  * derived from `events`), plus analytics anchors (TPC-H shapes) and the
+  * training-pipeline operators (dedup / similarity / text / multimodal).
+  *
+  * Each entry in [[catalog]] has a matching ANSI-SQL oracle in [[oracle]]
+  * (DuckDB-runnable, same parquet tables) unless the operator is not
+  * SQL-expressible (UDF hashes, typed flatMapGroups) — those are rows-only.
+  *
+  * Numeric discipline for oracle hash-equality:
+  *  - money aggregates: exact DECIMAL(18,2) sums, cast to DOUBLE at the end
+  *    (associative, engine-order-independent, exactly representable);
+  *  - counts/row_numbers cast to BIGINT on both sides;
+  *  - cosine: sequential index-ordered double folds on both sides, rounded
+  *    to 6 dp defensively.
+  */
+object Queries {
+
+  private val GapNs = 1800000000000L // 30 min session gap
+
+  // ----------------------------------------------------------------------
+  // Spark implementations
+  // ----------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Domain.table(s, dir, name)
+
+  private def decimal2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1 shape — scan-heavy grouped aggregation (A-family anchor). */
+  val q1Agg: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+    val discPrice = decimal2(col("l_extendedprice")) * decimal2(lit(1) - col("l_discount"))
+    val charge = discPrice.cast("decimal(18,4)") * decimal2(lit(1) + col("l_tax"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(decimal2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(decimal2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(decimal2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 shape — dim-filtered join + top-k (broadcast the dim side). */
+  val q3TopK: Q = (s, dir) => {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("2000-03-15"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("2000-03-15"))
+    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(decimal2(col("l_extendedprice")) * decimal2(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape — star join through region/nation with co-located
+    * customer/supplier nation equality; dims broadcast.
+    */
+  val q5Region: Q = (s, dir) => {
+    val dims = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val co = t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+    t(s, dir, "lineitem")
+      .join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(decimal2(col("l_extendedprice")) * decimal2(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** W-family anchor — top-3 orders per customer via ranked window. */
+  val wTopKPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Gap-based sessionization over the event stream (lag + running sum). */
+  val evSessions: Q = (s, dir) => {
+    val ev = Domain.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = ev.withColumn("new_s",
+      when(lag(col("ts"), 1).over(w).isNull ||
+        col("ts") - lag(col("ts"), 1).over(w) > GapNs, 1).otherwise(0))
+    flagged
+      .withColumn("session_idx", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(min(ts) DIV 1000000000 AS BIGINT)").as("start_sec"),
+        expr("CAST(max(ts) DIV 1000000000 AS BIGINT)").as("end_sec"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  // ---- block-explorer read surface over the Domain views ----
+
+  /** Records list endpoint: pulse range + descending keyset cursor + page
+    * (P4 + P5 + W1 + W5).
+    */
+  val beRecordsPage: Q = (s, dir) => {
+    val r = Domain.records(s, dir)
+      .filter(Predicates.range(col("pulse_number"), gte = Some(473500L), lte = Some(473900L)))
+      .filter(Predicates.keysetFrom(col("pulse_number"), col("order"), 473700L, 5L, asc = false))
+    Pagination.page(r,
+        Seq(col("pulse_number").desc, col("order").desc, col("reference").desc), 100)
+      .select(col("reference"), col("type"), col("object_reference"),
+        col("pulse_number"), col("order"),
+        Codecs.indexString(col("pulse_number"), col("order")).as("idx"))
+  }
+
+  /** Object lifeline: state records of one object, ascending keyset page
+    * (reference: `etl/storage/storage.go:258-283`).
+    */
+  val beLifeline: Q = (s, dir) => {
+    val r = Domain.records(s, dir)
+      .filter(col("object_reference") === 7L && col("type") === "state")
+      .filter(Predicates.keysetFrom(col("pulse_number"), col("order"), 473400L, 1L, asc = true))
+    Pagination.page(r,
+        Seq(col("pulse_number").asc, col("order").asc, col("reference").asc), 50)
+      .select(col("reference"), col("type"), col("object_reference"),
+        col("pulse_number"), col("order"),
+        Codecs.indexString(col("pulse_number"), col("order")).as("idx"))
+  }
+
+  /** Pulses list page: counters + recomputed prev/next links, newest first
+    * (J3 repair + A1 counters + W2/W5).
+    */
+  val bePulsesPage: Q = (s, dir) => {
+    val p = PulseChain.repairChain(Domain.pulses(Domain.records(s, dir)))
+    Pagination.page(p, Seq(col("pulse_number").desc), 20)
+      .select(col("pulse_number"), col("prev_pulse_number"), col("next_pulse_number"),
+        col("jet_drop_amount"), col("record_amount"), col("timestamp"),
+        col("is_complete"), col("is_sequential"))
+  }
+
+  /** Full pulse chain with `-1` sentinel repair (J2/J3/W6). */
+  val bePulseChain: Q = (s, dir) => {
+    PulseChain.repairChain(Domain.pulses(Domain.records(s, dir)))
+      .select(col("pulse_number"), col("prev_pulse_number"), col("next_pulse_number"),
+        col("is_sequential"))
+      .orderBy(col("pulse_number"))
+  }
+
+  /** Jet drops by pulse range with a jet-id cursor (W4 + A2). */
+  val beJetDropsPage: Q = (s, dir) => {
+    Domain.jetDrops(Domain.records(s, dir))
+      .filter(col("pulse_number").between(473600L, 473700L) && col("jet_id") >= "010")
+      .select(Codecs.jetDropIdString(col("jet_id"), col("pulse_number")).as("jet_drop_id"),
+        col("pulse_number"), col("jet_id"), col("record_amount"), col("timestamp"), col("hash"))
+      .orderBy(col("pulse_number"), col("jet_id"))
+      .limit(200)
+  }
+
+  /** Jet subtree + ancestors predicate with the mixed two-key sort
+    * (P6 + W3, reference: `etl/storage/storage.go:533-561`).
+    */
+  val beJetTree: Q = (s, dir) => {
+    Domain.jetDrops(Domain.records(s, dir))
+      .filter(col("pulse_number").between(473400L, 473800L))
+      .filter(JetFunctions.jetTreePredicate(col("jet_id"), "10"))
+      .select(col("pulse_number"), col("jet_id"), col("record_amount"))
+      .orderBy(col("pulse_number").asc, col("jet_id").desc)
+      .limit(300)
+  }
+
+  /** ST3 gap detection: hours with no 'result' record, bounded by the
+    * observed pulse range (anti-join of a generated dense range).
+    */
+  val beMissingPulses: Q = (s, dir) => {
+    val r = Domain.records(s, dir)
+    val expected = r.agg(min(col("pulse_number")).as("mn"), max(col("pulse_number")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("pulse_number"))
+    val present = r.filter(col("type") === "result").select(col("pulse_number")).distinct()
+    expected.join(present, Seq("pulse_number"), "left_anti").orderBy(col("pulse_number"))
+  }
+
+  /** ST2 completeness + sequence flags (jet-tree cover per pulse). */
+  val beCompleteness: Q = (s, dir) => {
+    Domain.pulses(Domain.records(s, dir))
+      .select(col("pulse_number"), col("is_complete"), col("is_sequential"))
+      .orderBy(col("pulse_number"))
+  }
+
+  /** ST5/J1/A5 exporter poll body: first complete pulse after the cursor
+    * containing matching records, with the filtered recount.
+    */
+  val beExporterNext: Q = (s, dir) => {
+    val r = Domain.records(s, dir)
+    val p = Domain.pulses(r).filter(col("is_complete") && col("pulse_number") > 473400L)
+    val matched = r.filter(col("event_type") === "purchase")
+      .groupBy(col("pulse_number")).agg(count(lit(1)).as("record_amount"))
+    p.select(col("pulse_number"), col("prev_pulse_number"))
+      .join(matched, Seq("pulse_number"))
+      .orderBy(col("pulse_number"))
+      .limit(1)
+  }
+
+  /** J4 sibling linkage over a variable-depth jet tree: per drop, how many
+    * drops at pulse±1 are its parent/self/children.
+    */
+  val beJetLinks: Q = (s, dir) => {
+    val drops = Domain.events(s, dir).select(
+        expr(s"CAST(ts DIV ${Domain.PulseNs} AS BIGINT)").as("pulse_number"),
+        expr("lpad(bin(user_id % (1 << (1 + user_id % 3))), CAST(1 + user_id % 3 AS INT), '0')").as("jet_id"))
+      .groupBy(col("pulse_number"), col("jet_id"))
+      .agg(count(lit(1)).cast("long").as("record_amount"))
+    val page = drops.filter(col("pulse_number").between(473500L, 473520L))
+    def linkCond(d: DataFrame, n: DataFrame, delta: Int): Column =
+      n("pulse_number") === d("pulse_number") + delta && (
+        n("jet_id") === d("jet_id") ||
+        n("jet_id") === JetFunctions.jetParent(d("jet_id")) ||
+        n("jet_id") === concat(d("jet_id"), lit("0")) ||
+        n("jet_id") === concat(d("jet_id"), lit("1")))
+    val prevN = drops.select(col("pulse_number").as("n_pn"), col("jet_id").as("n_jet"))
+    val withPrev = page.join(prevN,
+        col("n_pn") === col("pulse_number") - 1 && (col("n_jet") === col("jet_id") ||
+          col("n_jet") === JetFunctions.jetParent(col("jet_id")) ||
+          col("n_jet") === concat(col("jet_id"), lit("0")) ||
+          col("n_jet") === concat(col("jet_id"), lit("1"))), "left")
+      .groupBy(col("pulse_number"), col("jet_id"), col("record_amount"))
+      .agg(count(col("n_jet")).as("prev_count"))
+    val nextN = drops.select(col("pulse_number").as("m_pn"), col("jet_id").as("m_jet"))
+    withPrev.join(nextN,
+        col("m_pn") === col("pulse_number") + 1 && (col("m_jet") === col("jet_id") ||
+          col("m_jet") === JetFunctions.jetParent(col("jet_id")) ||
+          col("m_jet") === concat(col("jet_id"), lit("0")) ||
+          col("m_jet") === concat(col("jet_id"), lit("1"))), "left")
+      .groupBy(col("pulse_number"), col("jet_id"), col("record_amount"), col("prev_count"))
+      .agg(count(col("m_jet")).as("next_count"))
+      .orderBy(col("pulse_number"), col("jet_id"))
+  }
+
+  // ---- training-pipeline operators ----
+
+  /** Exact dedup classes by content hash (md5 for oracle parity). */
+  val ddExact: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs via an inverted shingle index —
+    * the relational (oracle-able) counterpart of MinHash: candidates come
+    * from the shingle join, similarity from |∩|/(|A|+|B|-|∩|).
+    */
+  val ddNgramJaccard: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val raw = docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = raw.withColumn("p", row_number().over(wd))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val sh = toks.withColumn("sh",
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(wp),
+          lit(" "), lead(col("tok"), 2).over(wp)))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("sh")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    val j = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.5)
+    j.select(col("a_id"), col("b_id"), col("jaccard")).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Per-document integer text statistics (oracle-exact counts). */
+  val txtStats: Q = (s, dir) => {
+    val txt = col("text")
+    def removed(pattern: String): Column =
+      (length(txt) - length(regexp_replace(txt, pattern, ""))).cast("long")
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        length(txt).cast("long").as("n_chars"),
+        size(filter(split(lower(txt), "[^a-z0-9]+"), t => length(t) > 0)).cast("long").as("n_tokens"),
+        removed("[A-Z]").as("n_upper"),
+        removed("[0-9]").as("n_digit"),
+        removed("[!-/:-@\\[-`{-~]").as("n_punct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language id by stopword voting (argmax with lexicographic-desc ties). */
+  val txtLangId: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force cosine top-10 against the vec_id=0 embedding. */
+  val annTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    import s.implicits._
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+    graft.vector.Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0L), q, 10)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** Multimodal frame-sampling plumbing (row explosion, integer shape). */
+  val mmFrames: Q = (s, dir) => {
+    val media = graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents"))
+    graft.multimodal.Multimodal.sampleFrames(media)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_bytes").cast("long").as("n_bytes"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  // ---- rows-only (not SQL-expressible: seeded hash families / UDFs) ----
+
+  val ddMinhash: Q = (s, dir) =>
+    graft.text.Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val ddSimhash: Q = (s, dir) =>
+    graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val annLsh: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    import s.implicits._
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+    graft.vector.Similarity.lshTopK(emb.filter(col("vec_id") =!= 0L), q, 10, bits = 8)
+  }
+
+  val mmFeatures: Q = (s, dir) => {
+    val media = graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents"))
+    graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  // ----------------------------------------------------------------------
+  // Catalog
+  // ----------------------------------------------------------------------
+
+  val catalog: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3TopK,
+    "q5_region" -> q5Region,
+    "w_topk_per_group" -> wTopKPerGroup,
+    "ev_sessions" -> evSessions,
+    "be_records_page" -> beRecordsPage,
+    "be_lifeline" -> beLifeline,
+    "be_pulses_page" -> bePulsesPage,
+    "be_pulse_chain" -> bePulseChain,
+    "be_jet_drops_page" -> beJetDropsPage,
+    "be_jet_tree" -> beJetTree,
+    "be_missing_pulses" -> beMissingPulses,
+    "be_completeness" -> beCompleteness,
+    "be_exporter_next" -> beExporterNext,
+    "be_jet_links" -> beJetLinks,
+    "dd_exact" -> ddExact,
+    "dd_ngram_jaccard" -> ddNgramJaccard,
+    "txt_stats" -> txtStats,
+    "txt_langid" -> txtLangId,
+    "ann_topk" -> annTopK,
+    "mm_frames" -> mmFrames,
+    "dd_minhash" -> ddMinhash,
+    "dd_simhash" -> ddSimhash,
+    "ann_lsh" -> annLsh,
+    "mm_features" -> mmFeatures
+  )
+
+  // ----------------------------------------------------------------------
+  // DuckDB oracle SQL
+  // ----------------------------------------------------------------------
+
+  /** records view: MUST mirror [[Domain.records]] bit-for-bit. */
+  private val R =
+    """records AS (
+      |  SELECT event_id AS reference,
+      |         CASE WHEN event_type IN ('view','click') THEN 'state'
+      |              WHEN event_type IN ('signup','purchase') THEN 'request'
+      |              ELSE 'result' END AS type,
+      |         user_id AS object_reference,
+      |         epoch_ns(ts) // 3600000000000 AS pulse_number,
+      |         epoch_ns(ts) // 1000000000 AS ts_sec,
+      |         lpad(bin(user_id % 8), 3, '0') AS jet_id,
+      |         event_type, value,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY epoch_ns(ts) // 3600000000000, lpad(bin(user_id % 8), 3, '0')
+      |           ORDER BY ts, event_id) AS BIGINT) AS "order"
+      |  FROM events)""".stripMargin
+
+  private val P =
+    """pulses AS (
+      |  SELECT pulse_number,
+      |         pulse_number - 1 AS prev_pulse_number,
+      |         pulse_number + 1 AS next_pulse_number,
+      |         count(DISTINCT jet_id) AS jet_drop_amount,
+      |         count(*) AS record_amount,
+      |         min(ts_sec) AS "timestamp",
+      |         count(DISTINCT jet_id) = 8 AS is_complete
+      |  FROM records GROUP BY pulse_number),
+      |pstat AS (
+      |  SELECT *,
+      |         min(CASE WHEN is_complete THEN 1 ELSE 0 END) OVER (
+      |           ORDER BY pulse_number
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS is_sequential
+      |  FROM pulses)""".stripMargin
+
+  private val D =
+    """drops AS (
+      |  SELECT pulse_number, jet_id, count(*) AS record_amount, min(ts_sec) AS "timestamp",
+      |         md5(jet_id || ':' || pulse_number) AS hash
+      |  FROM records GROUP BY pulse_number, jet_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "w_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(epoch_ns(ts)) // 1000000000 AS start_sec,
+        |       max(epoch_ns(ts)) // 1000000000 AS end_sec
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "be_records_page" ->
+      s"""WITH $R
+         |SELECT reference, type, object_reference, pulse_number, "order",
+         |       pulse_number || ':' || "order" AS idx
+         |FROM records
+         |WHERE pulse_number BETWEEN 473500 AND 473900
+         |  AND (pulse_number < 473700 OR (pulse_number = 473700 AND "order" <= 5))
+         |ORDER BY pulse_number DESC, "order" DESC, reference DESC LIMIT 100""".stripMargin,
+
+    "be_lifeline" ->
+      s"""WITH $R
+         |SELECT reference, type, object_reference, pulse_number, "order",
+         |       pulse_number || ':' || "order" AS idx
+         |FROM records
+         |WHERE object_reference = 7 AND type = 'state'
+         |  AND (pulse_number > 473400 OR (pulse_number = 473400 AND "order" >= 1))
+         |ORDER BY pulse_number, "order", reference LIMIT 50""".stripMargin,
+
+    "be_pulses_page" ->
+      s"""WITH $R, $P
+         |SELECT pulse_number,
+         |  CASE WHEN lag(pulse_number) OVER w = pulse_number - 1
+         |       THEN pulse_number - 1 ELSE -1 END AS prev_pulse_number,
+         |  CASE WHEN lead(pulse_number) OVER w = pulse_number + 1
+         |       THEN pulse_number + 1 ELSE -1 END AS next_pulse_number,
+         |  jet_drop_amount, record_amount, "timestamp", is_complete, is_sequential
+         |FROM pstat WINDOW w AS (ORDER BY pulse_number)
+         |ORDER BY pulse_number DESC LIMIT 20""".stripMargin,
+
+    "be_pulse_chain" ->
+      s"""WITH $R, $P
+         |SELECT pulse_number,
+         |  CASE WHEN lag(pulse_number) OVER w = pulse_number - 1
+         |       THEN pulse_number - 1 ELSE -1 END AS prev_pulse_number,
+         |  CASE WHEN lead(pulse_number) OVER w = pulse_number + 1
+         |       THEN pulse_number + 1 ELSE -1 END AS next_pulse_number,
+         |  is_sequential
+         |FROM pstat WINDOW w AS (ORDER BY pulse_number)
+         |ORDER BY pulse_number""".stripMargin,
+
+    "be_jet_drops_page" ->
+      s"""WITH $R, $D
+         |SELECT jet_id || ':' || pulse_number AS jet_drop_id,
+         |       pulse_number, jet_id, record_amount, "timestamp", hash
+         |FROM drops
+         |WHERE pulse_number BETWEEN 473600 AND 473700 AND jet_id >= '010'
+         |ORDER BY pulse_number, jet_id LIMIT 200""".stripMargin,
+
+    "be_jet_tree" ->
+      s"""WITH $R, $D
+         |SELECT pulse_number, jet_id, record_amount
+         |FROM drops
+         |WHERE pulse_number BETWEEN 473400 AND 473800
+         |  AND (jet_id LIKE '10%' OR jet_id IN ('1'))
+         |ORDER BY pulse_number ASC, jet_id DESC LIMIT 300""".stripMargin,
+
+    "be_missing_pulses" ->
+      s"""WITH $R,
+         |b AS (SELECT min(pulse_number) AS mn, max(pulse_number) AS mx FROM records),
+         |expected AS (SELECT unnest(generate_series(mn, mx)) AS pulse_number FROM b),
+         |present AS (SELECT DISTINCT pulse_number FROM records WHERE type = 'result')
+         |SELECT e.pulse_number FROM expected e
+         |LEFT JOIN present p USING (pulse_number)
+         |WHERE p.pulse_number IS NULL ORDER BY e.pulse_number""".stripMargin,
+
+    "be_completeness" ->
+      s"""WITH $R, $P
+         |SELECT pulse_number, is_complete, is_sequential FROM pstat
+         |ORDER BY pulse_number""".stripMargin,
+
+    "be_exporter_next" ->
+      s"""WITH $R, $P
+         |SELECT p.pulse_number, p.prev_pulse_number, c.record_amount
+         |FROM pstat p
+         |JOIN (SELECT pulse_number, count(*) AS record_amount FROM records
+         |      WHERE event_type = 'purchase' GROUP BY pulse_number) c USING (pulse_number)
+         |WHERE p.is_complete AND p.pulse_number > 473400
+         |ORDER BY p.pulse_number LIMIT 1""".stripMargin,
+
+    "be_jet_links" ->
+      """WITH vdrops AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS pulse_number,
+        |         lpad(bin(user_id % (1 << (1 + user_id % 3))), CAST(1 + user_id % 3 AS INT), '0') AS jet_id,
+        |         count(*) AS record_amount
+        |  FROM events GROUP BY 1, 2),
+        |page AS (SELECT * FROM vdrops WHERE pulse_number BETWEEN 473500 AND 473520),
+        |wp AS (
+        |  SELECT d.pulse_number, d.jet_id, d.record_amount, count(n.jet_id) AS prev_count
+        |  FROM page d LEFT JOIN vdrops n
+        |    ON n.pulse_number = d.pulse_number - 1
+        |   AND (n.jet_id = d.jet_id
+        |     OR n.jet_id = CASE WHEN length(d.jet_id) <= 1 THEN '' ELSE substring(d.jet_id, 1, length(d.jet_id) - 1) END
+        |     OR n.jet_id = d.jet_id || '0' OR n.jet_id = d.jet_id || '1')
+        |  GROUP BY d.pulse_number, d.jet_id, d.record_amount)
+        |SELECT w.pulse_number, w.jet_id, w.record_amount, w.prev_count,
+        |       count(m.jet_id) AS next_count
+        |FROM wp w LEFT JOIN vdrops m
+        |  ON m.pulse_number = w.pulse_number + 1
+        | AND (m.jet_id = w.jet_id
+        |   OR m.jet_id = CASE WHEN length(w.jet_id) <= 1 THEN '' ELSE substring(w.jet_id, 1, length(w.jet_id) - 1) END
+        |   OR m.jet_id = w.jet_id || '0' OR m.jet_id = w.jet_id || '1')
+        |GROUP BY w.pulse_number, w.jet_id, w.record_amount, w.prev_count
+        |ORDER BY w.pulse_number, w.jet_id""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        |  FROM raw WHERE tok <> ''),
+        |shn AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM shn WHERE sh IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "txt_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        | CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','that','it','for') THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |    CAST(sum(CASE WHEN tok IN ('der','die','das','und','ist','nicht','ein','mit','von','zu') THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |    CAST(sum(CASE WHEN tok IN ('le','la','les','et','est','une','des','dans','que','pour') THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |    CAST(sum(CASE WHEN tok IN ('el','la','los','y','es','una','del','en','que','por') THEN 1 ELSE 0 END) AS BIGINT) AS es
+        |  FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN coalesce(greatest(en, de, fr, es), 0) = 0 THEN 'und'
+        |       WHEN fr >= es AND fr >= en AND fr >= de THEN 'fr'
+        |       WHEN es >= en AND es >= de THEN 'es'
+        |       WHEN en >= de THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id <> 0),
+        |dots AS (
+        |  SELECT e.vec_id,
+        |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
+        |    SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i) AS na2,
+        |    SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY q.i) AS nb2
+        |  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+        |scored AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
+        |  FROM dots)
+        |SELECT vec_id, round(c, 6) AS cosine FROM scored
+        |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
+    "mm_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, encode(text) AS payload
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |m AS (
+        |  SELECT media_id, octet_length(payload) AS n_bytes,
+        |         least(16, greatest(1, octet_length(payload) // 10240)) AS n
+        |  FROM media)
+        |SELECT * FROM (
+        |  SELECT media_id, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS frame_idx,
+        |         CAST(n_bytes AS BIGINT) AS n_bytes
+        |  FROM m) ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.JetFunctions
+import graft.operators.Completeness
+
+/** Block-explorer domain views derived deterministically from the driver's
+  * testdata. The `events` stream plays the role of the ledger record feed
+  * (reference data model: `etl/models/models.go:31-75`):
+  *
+  *  - record reference  = event_id
+  *  - record type       = event_type mapped onto {state, request, result}
+  *  - object lifeline   = user_id
+  *  - pulse_number      = 1-hour bucket of the event time (the "~10s slot"
+  *                        of the reference, scaled so pulses hold ~14 rows)
+  *  - jet_id            = depth-3 bit prefix of user_id (8 leaf jets)
+  *  - order             = row_number within the (pulse, jet) drop (W7)
+  *
+  * Every derivation is integer-exact (`DIV`, `bin`, `lpad`) so a DuckDB
+  * oracle can reproduce it bit-for-bit. All views are lazy DataFrames over
+  * the parquet scan — filters/pruning push down through them.
+  */
+object Domain {
+
+  /** 1 pulse = 1 hour of event time, in nanoseconds. */
+  val PulseNs: Long = 3600000000000L
+  val SecNs: Long = 1000000000L
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP_NANOS which Spark reads as LongType
+    * nanos under the legacy flag (set defensively here — Verify/Bench set
+    * it at session build too).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  /** The `records` fact view (reference: `etl/models/models.go:31-44`). */
+  def records(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir).select(
+      col("event_id").as("reference"),
+      when(col("event_type").isin("view", "click"), "state")
+        .when(col("event_type").isin("signup", "purchase"), "request")
+        .otherwise("result").as("type"),
+      col("user_id").as("object_reference"),
+      expr(s"CAST(ts DIV $PulseNs AS BIGINT)").as("pulse_number"),
+      expr(s"CAST(ts DIV $SecNs AS BIGINT)").as("ts_sec"),
+      lpad(bin(col("user_id") % 8), 3, "0").as("jet_id"),
+      col("event_type"),
+      col("value"),
+      col("ts"),
+      col("event_id"))
+    // W7 — deterministic order within the (pulse, jet) drop.
+    val w = Window.partitionBy(col("pulse_number"), col("jet_id"))
+      .orderBy(col("ts"), col("event_id"))
+    base.withColumn("order", row_number().over(w)).drop("ts", "event_id")
+  }
+
+  /** The `jet_drops` view (A2): per-(pulse, jet) blocks with an md5 content
+    * hash used by the J4/J5 linkage queries.
+    */
+  def jetDrops(records: DataFrame): DataFrame =
+    records.groupBy(col("pulse_number"), col("jet_id"))
+      .agg(count(lit(1)).as("record_amount"), min(col("ts_sec")).as("timestamp"))
+      .withColumn("hash", md5(concat_ws(":", col("jet_id"), col("pulse_number"))))
+
+  /** The `pulses` dimension (A1 counters + ST2 completeness + sequence).
+    * Stored prev/next follow the hourly ledger contract (pulse ± 1); reads
+    * never trust them and re-derive links per page (J3).
+    */
+  def pulses(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    val cover = udf((jets: Seq[String]) => JetFunctions.jetTreeCover(jets.toSet))
+    val agg = records.groupBy(col("pulse_number")).agg(
+      countDistinct(col("jet_id")).as("jet_drop_amount"),
+      count(lit(1)).as("record_amount"),
+      min(col("ts_sec")).as("timestamp"),
+      collect_set(col("jet_id")).as("jets"))
+    val status = agg
+      .withColumn("is_complete", cover(col("jets")))
+      .drop("jets")
+      .withColumn("prev_pulse_number", col("pulse_number") - 1)
+      .withColumn("next_pulse_number", col("pulse_number") + 1)
+    Completeness.withSequential(status)
+  }
+}
