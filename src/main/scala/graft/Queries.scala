@@ -272,17 +272,8 @@ object Queries {
     */
   val ddNgramJaccard: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val raw = docs.select(col("doc_id"),
-        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = raw.withColumn("p", row_number().over(wd))
-    val wp = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val sh = toks.withColumn("sh",
-        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(wp),
-          lit(" "), lead(col("tok"), 2).over(wp)))
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), col("sh")).distinct()
+    val sh = graft.text.Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .withColumnRenamed("id", "doc_id")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

