@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 4
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, base),
+      (2L, base), // exact duplicate of 1
+      (3L, base.replace("lazy", "sleepy")), // near-duplicate
+      (4L, "completely different text about spark engines and columnar formats"),
+      (5L, "another unrelated document mentioning catalyst and tungsten at scale"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts and keeps the smallest id") {
+    val classes = Dedup.exact(docs)
+    assert(classes.count() == 4)
+    val dupClass = classes.filter(col("n_copies") === 2).collect()
+    assert(dupClass.length == 1 && dupClass(0).getAs[Long]("keep_id") == 1L)
+    val drops = Dedup.exactDropList(docs).collect()
+    assert(drops.length == 1 && drops(0).getAs[Long]("drop_id") == 2L)
+  }
+
+  test("shingleRows matches the array-form shingles") {
+    import spark.implicits._
+    val rel = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rel == arr)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
+  }
+
+  test("minhash exact-duplicate pair has jaccard 1.0") {
+    val j = Dedup.minhashPairs(docs, threshold = 0.5)
+      .filter(col("a_id") === 1L && col("b_id") === 2L)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical texts share fingerprints; near-dups within radius") {
+    val fps = Dedup.simhashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    val pairs = Dedup.simhashPairs(docs, radius = 8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard column function on known sets") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+}
