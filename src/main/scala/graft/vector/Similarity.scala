@@ -6,17 +6,25 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search.
   *
   * Baseline: brute-force cosine top-k — a single codegen'd projection over
-  * the embeddings scan (`aggregate`/`zip_with` dot products, no UDF) plus a
-  * global top-k (`orderBy.limit`, which Spark executes as per-partition
-  * top-k + driver merge — no full sort, no shuffle of the vectors).
+  * the embeddings scan plus a global top-k (`orderBy.limit`, which Spark
+  * executes as per-partition top-k + driver merge — no full sort, no
+  * shuffle of the vectors).
+  *
+  * All hot-path arithmetic uses FIXED-DIMENSION folds of `element_at`
+  * products: Spark's array higher-order functions (`aggregate`/`zip_with`)
+  * run interpreted, while an unrolled scalar fold stays inside whole-stage
+  * codegen. The fold is left-associated in ascending index order, so
+  * results are bit-identical to an index-ordered sequential sum (and to
+  * the HOF forms kept for dynamic-dimension callers).
   *
   * Scale path: LSH-bucketed ANN — random-hyperplane signatures prune the
-  * scan to matching buckets before the exact re-rank, turning a 100 TB
-  * full scan into a bucket-pruned one. An IVF variant would replace the
-  * random planes with k-means centroids; the plumbing is identical
-  * (assign → co-partition by cell → local exact search).
+  * scan to matching buckets before the exact re-rank. An IVF variant would
+  * replace the random planes with k-means centroids; the plumbing is
+  * identical (assign → co-partition by cell → local exact search).
   */
 object Similarity {
+
+  // ---- dynamic-dimension (interpreted HOF) forms ----
 
   /** Dot product of two float-array columns, computed in double. */
   def dot(a: Column, b: Column): Column =
@@ -34,8 +42,43 @@ object Similarity {
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }
 
+  // ---- fixed-dimension codegen'd forms ----
+
+  /** Codegen'd dot product for a known dimension (unrolled scalar fold). */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Codegen'd dot product against a constant query vector. */
+  def dotLit(vec: Column, q: Seq[Float]): Column =
+    q.zipWithIndex.map { case (v, i) =>
+      element_at(vec, i + 1).cast("double") * lit(v.toDouble)
+    }.reduce(_ + _)
+
+  /** Codegen'd L2 norm for a known dimension. */
+  def normFixed(a: Column, dim: Int): Column =
+    sqrt((1 to dim).map { i =>
+      val e = element_at(a, i).cast("double"); e * e
+    }.reduce(_ + _))
+
+  /** Driver-side norm of a constant vector, same op order as [[normFixed]]. */
+  def normLit(q: Seq[Float]): Double =
+    math.sqrt(q.map(v => v.toDouble * v.toDouble).reduce(_ + _))
+
+  /** Codegen'd cosine against a constant query vector. */
+  def cosineLit(vec: Column, q: Seq[Float]): Column = {
+    val nn = normFixed(vec, q.length) * lit(normLit(q))
+    when(nn === 0, lit(0.0)).otherwise(dotLit(vec, q) / nn)
+  }
+
+  /** Codegen'd cosine of two vector columns of a known dimension. */
+  def cosineFixed(a: Column, b: Column, dim: Int): Column = {
+    val nn = normFixed(a, dim) * normFixed(b, dim)
+    when(nn === 0, lit(0.0)).otherwise(dotFixed(a, b, dim) / nn)
+  }
+
   /** Brute-force top-k neighbours of `query` (a constant vector) over an
-    * embeddings frame. The query vector is a literal folded into codegen —
+    * embeddings frame. The query vector folds into codegen as literals —
     * no join, no broadcast needed for the single-query case.
     */
   def bruteForceTopK(
@@ -44,54 +87,80 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
+  ): DataFrame =
     embeddings
-      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** Batch top-k: neighbours for every query row. Broadcast the (small)
     * query set against the big corpus, then per-query top-k via window
     * row_number — the standard "broadcast probes, rank per key" kNN-join.
+    * Pass `dim` to use the codegen'd fixed-dimension kernel.
     */
   def topKJoin(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      dim: Int = -1
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sim =
+      if (dim > 0) cosineFixed(col(s"c.$vecCol"), col("qv"), dim)
+      else cosine(col(s"c.$vecCol"), col("qv"))
     val joined = corpus.alias("c")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))))
       .filter(col("query_id") =!= col(s"c.$idCol"))
-      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        cosine(col(s"c.$vecCol"), col("qv")).as("cosine"))
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"), sim.as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH signature: `planes` fixed pseudo-random vectors
-    * (seeded, dimension `dim`); bit i = sign(v · plane_i). Pure column
-    * algebra, deterministic across runs.
+  /** The seeded random hyperplanes shared by the column and driver-side
+    * signature paths.
+    */
+  private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rng.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · plane_i).
+    *
+    * Deliberately the compact HOF form, NOT an unrolled fold: signature
+    * assignment is an index-build pass (amortized once per corpus), and an
+    * unrolled bits×dim expression tree makes every query pay seconds of
+    * Catalyst analysis + codegen. The per-row interpreted cost is one
+    * array traversal per bit; the query-time re-rank path stays codegen'd.
     */
   def lshSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rng.nextGaussian())
-    val bitCols: Seq[Column] = planes.zipWithIndex.toSeq.map { case (p, i) =>
+    val ps = planes(dim, bits, seed)
+    val bitCols: Seq[Column] = ps.zipWithIndex.toSeq.map { case (p, i) =>
       val plane = array(p.map(lit).toSeq: _*)
-      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      val d = aggregate(zip_with(vec, plane, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
 
+  /** Driver-side signature of a constant vector — same op order as
+    * [[lshSignature]], so buckets agree bit-for-bit.
+    */
+  def lshSignatureLocal(q: Seq[Float], bits: Int = 16, seed: Long = 42L): Long = {
+    val ps = planes(q.length, bits, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val d = p.zipWithIndex.map { case (w, j) => q(j).toDouble * w }.reduce(_ + _)
+      if (d >= 0) 1L << i else 0L
+    }.sum
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket (or differ in
-    * at most `probeBits` of the signature via multi-probe on the query
-    * side), exact cosine re-rank inside. Falls back to fewer results when
-    * the bucket is sparse — standard recall/latency trade.
+    * at most `probeBits` signature bits via multi-probe on the query side),
+    * exact cosine re-rank inside. Falls back to fewer results when the
+    * bucket is sparse — standard recall/latency trade.
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -103,16 +172,14 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     val dim = query.length
-    val q = array(query.map(v => lit(v)): _*)
-    val qSigRow = embeddings.sparkSession.range(1)
-      .select(lshSignature(q, dim, bits).as("sig")).collect()(0)
-    val qSig = qSigRow.getLong(0)
+    val qSig = lshSignatureLocal(query, bits)
     // multi-probe: query bucket plus all buckets within `probeBits` flips
-    val probes = (0 until bits).combinations(probeBits).map(_.foldLeft(qSig)((s, b) => s ^ (1L << b))).toSeq :+ qSig
+    val probes = (0 until bits).combinations(probeBits)
+      .map(_.foldLeft(qSig)((s, b) => s ^ (1L << b))).toSeq :+ qSig
     embeddings
       .withColumn("sig", lshSignature(col(vecCol), dim, bits))
       .filter(col("sig").isin(probes: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
