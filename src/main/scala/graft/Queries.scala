@@ -189,6 +189,24 @@ object Queries {
       .limit(300)
   }
 
+  /** A3 — page plus total of the filtered set in ONE plan (count window
+    * over the filtered frame, then the sorted page).
+    */
+  val beRecordsTotal: Q = (s, dir) => {
+    val r = Domain.records(s, dir)
+      .filter(col("object_reference") === 7L)
+    Pagination.pageWithTotal(r,
+        Seq(col("pulse_number").desc, col("order").desc, col("reference").desc), 10)
+      .select(col("reference"), col("pulse_number"), col("order"), col("total"))
+  }
+
+  /** W5 — classic limit/offset page over the pulse dimension. */
+  val bePulsesOffset: Q = (s, dir) => {
+    Pagination.page(Domain.pulses(Domain.records(s, dir)),
+        Seq(col("pulse_number").asc), limit = 15, offset = 30)
+      .select(col("pulse_number"), col("record_amount"), col("jet_drop_amount"))
+  }
+
   /** ST3 gap detection: hours with no 'result' record, bounded by the
     * observed pulse range (anti-join of a generated dense range).
     */
@@ -368,6 +386,8 @@ object Queries {
     "be_pulse_chain" -> bePulseChain,
     "be_jet_drops_page" -> beJetDropsPage,
     "be_jet_tree" -> beJetTree,
+    "be_records_total" -> beRecordsTotal,
+    "be_pulses_offset" -> bePulsesOffset,
     "be_missing_pulses" -> beMissingPulses,
     "be_completeness" -> beCompleteness,
     "be_exporter_next" -> beExporterNext,
@@ -545,6 +565,18 @@ object Queries {
          |WHERE pulse_number BETWEEN 473400 AND 473800
          |  AND (jet_id LIKE '10%' OR jet_id IN ('1'))
          |ORDER BY pulse_number ASC, jet_id DESC LIMIT 300""".stripMargin,
+
+    "be_records_total" ->
+      s"""WITH $R
+         |SELECT reference, pulse_number, "order",
+         |       CAST(count(*) OVER () AS BIGINT) AS total
+         |FROM records WHERE object_reference = 7
+         |ORDER BY pulse_number DESC, "order" DESC, reference DESC LIMIT 10""".stripMargin,
+
+    "be_pulses_offset" ->
+      s"""WITH $R, $P
+         |SELECT pulse_number, record_amount, jet_drop_amount
+         |FROM pstat ORDER BY pulse_number LIMIT 15 OFFSET 30""".stripMargin,
 
     "be_missing_pulses" ->
       s"""WITH $R,

@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.functions.Codecs
+import org.apache.spark.sql.functions._
+
+class SearchMappersSpec extends SparkSpec {
+
+  test("search dispatch: pulse / jet drop / reference / garbage (J7)") {
+    assert(Search.dispatch("65537") == Search.PulseTarget(65537L))
+    assert(Search.dispatch(" 70010 ") == Search.PulseTarget(70010L))
+    assert(Search.dispatch("65535") == Search.NoMatch) // below MinTimePulse
+    assert(Search.dispatch("1010:70000") == Search.JetDropTarget("1010", 70000L))
+    assert(Search.dispatch("*:70000") == Search.JetDropTarget("", 70000L))
+    assert(Search.dispatch("012:70000") == Search.NoMatch) // not a bit string
+    assert(Search.dispatch("1010:5") == Search.NoMatch)    // pulse below minimum
+    assert(Search.dispatch("") == Search.NoMatch)
+    assert(Search.dispatch("!!garbage!!") == Search.NoMatch)
+  }
+
+  test("search dispatch: base58 references classify object vs record") {
+    val objectBytes = Array.fill[Byte](4)(0) ++ Array.tabulate[Byte](32)(i => (i + 1).toByte)
+    val recordBytes = Array.tabulate[Byte](36)(i => (i + 1).toByte)
+    val objTarget = Search.dispatch(Codecs.referenceToString(objectBytes))
+    val recTarget = Search.dispatch(Codecs.referenceToString(recordBytes))
+    assert(objTarget.isInstanceOf[Search.LifelineTarget])
+    assert(objTarget.asInstanceOf[Search.LifelineTarget].objectRef.toSeq == objectBytes.toSeq)
+    assert(recTarget.isInstanceOf[Search.RecordTarget])
+    // a 36-char-decoding but wrong-length reference is rejected
+    assert(Search.dispatch(Codecs.referenceToString(Array[Byte](1, 2, 3))) == Search.NoMatch)
+  }
+
+  test("record mapper renders base64, index strings, and null normalization") {
+    import spark.implicits._
+    val rec = Seq((
+      "ref1", "state", "obj1", "", "pay", "prev1", "h", "0101", 70000L, 3, 1234L))
+      .toDF("r", "type", "o", "proto", "p", "pr", "h", "jet_id", "pulse_number", "order", "timestamp")
+      .select(encode(col("r"), "UTF-8").as("reference"), col("type"),
+        encode(col("o"), "UTF-8").as("object_reference"),
+        encode(col("proto"), "UTF-8").as("prototype_reference"),
+        encode(col("p"), "UTF-8").as("payload"),
+        encode(col("pr"), "UTF-8").as("prev_record_reference"),
+        encode(col("h"), "UTF-8").as("hash"),
+        col("jet_id"), col("pulse_number"), col("order"), col("timestamp"))
+    val out = Mappers.recordToApi(rec).collect()(0)
+    assert(out.getAs[String]("reference") ==
+      java.util.Base64.getEncoder.encodeToString("ref1".getBytes("UTF-8")))
+    assert(out.getAs[String]("index") == "70000:3")
+    assert(out.isNullAt(out.fieldIndex("prototype_reference"))) // empty → null
+    assert(out.getAs[String]("payload") ==
+      java.util.Base64.getEncoder.encodeToString("pay".getBytes("UTF-8")))
+  }
+
+  test("jet drop mapper renders composite ids with root star") {
+    import spark.implicits._
+    val drops = Seq(("", 70000L, "h", 5, 999L), ("01", 70010L, "h2", 2, 998L))
+      .toDF("jet_id", "pulse_number", "hs", "record_amount", "timestamp")
+      .withColumn("hash", encode(col("hs"), "UTF-8"))
+    val out = Mappers.jetDropToApi(drops).orderBy("pulse_number").collect()
+    assert(out(0).getAs[String]("jet_drop_id") == "*:70000")
+    assert(out(1).getAs[String]("jet_drop_id") == "01:70010")
+  }
+
+  test("envelope returns total plus the collected page") {
+    import spark.implicits._
+    val page = Seq(1, 2, 3).toDF("x")
+    val (total, rows) = Mappers.envelope(page, 42L)
+    assert(total == 42L && rows.length == 3)
+  }
+}
