@@ -90,6 +90,17 @@ object Smoke {
       status.withColumn("prev_pulse_number", col("pulse_number") - 10),
       withOrder, 65526L, Seq.empty).count())
 
+    // ---- driver-loop pipeline on generated fixtures ----
+    val base = java.nio.file.Files.createTempDirectory("graft-smoke-pipe").toString
+    val wireAll = gen.Fixtures.multiPulseBatches(spark, 3, 8)
+    val pipe = new ingest.Pipeline(spark, base,
+      p => { val w = wireAll.filter(col("pulse_number") === p); if (w.isEmpty) None else Some(w) })
+    check("pipeline ingest+status") {
+      val r = pipe.run(65546L, 65566L)
+      s"ingested=${r.ingested.size} missing=${r.missing.size} status=${pipe.status().count()}"
+    }
+    check("spine end-to-end rows")(ingest.Spine(wireAll).count())
+
     check("entry rows>0")(SparkEntry.entry(spark).count())
     spark.stop()
     println("[smoke] done")

@@ -56,6 +56,9 @@ object Canonicalize {
         col("raw_data"),
         col("jet_id"),
         col("pulse_number"),
-        col("record_number").as("order_hint")
+        col("record_number").as("order_hint"),
+        // pulse numbers encode time (reference: `transformer.go:161-170`,
+        // `testutils/models.go:76-89`): genesis epoch + elapsed seconds
+        (col("pulse_number") - lit(MinTimePulse)).as("timestamp")
       )
 }

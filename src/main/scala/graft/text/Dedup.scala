@@ -124,7 +124,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3,
-      k: Int = 32,
+      k: Int = 16,
       bands: Int = 8,
       threshold: Double = 0.7
   ): DataFrame = {
