@@ -337,6 +337,50 @@ object Queries {
       .withColumn("cosine", round(col("cosine"), 6))
   }
 
+  /** Batch kNN join: top-3 cosine neighbors for each of the first 10
+    * vectors, broadcast-probe style (W-family rank + fixed-dim kernel).
+    */
+  val annKnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.vector.Similarity.topKJoin(
+        emb.filter(col("vec_id") >= 10L), emb.filter(col("vec_id") < 10L), k = 3, dim = 64)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token-budget estimate per doc: ceil(len/4) per alnum run plus ASCII
+    * punctuation count — relational (explode + sum) so it scales out.
+    */
+  val txtTokensEst: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val words = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(ceil(length(col("tok")) / 4.0).cast("long")).as("word_toks"))
+    docs.join(words, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("word_toks"), lit(0L)) +
+          (length(col("text")) - length(regexp_replace(col("text"), "[!-/:-@\\[-`{-~]", "")))
+            .cast("long")).as("token_estimate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON-edge surface: extract props.k and aggregate per event type. */
+  val evJsonAgg: Q = (s, dir) => {
+    Domain.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Rolling-hash fingerprint (UDF — rows-only check). */
+  val txtFingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
   /** Multimodal frame-sampling plumbing (row explosion, integer shape). */
   val mmFrames: Q = (s, dir) => {
     val media = graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents"))
@@ -397,6 +441,10 @@ object Queries {
     "txt_stats" -> txtStats,
     "txt_langid" -> txtLangId,
     "ann_topk" -> annTopK,
+    "ann_knn" -> annKnn,
+    "txt_tokens_est" -> txtTokensEst,
+    "ev_json_agg" -> evJsonAgg,
+    "txt_fingerprint" -> txtFingerprint,
     "mm_frames" -> mmFrames,
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
@@ -705,6 +753,49 @@ object Queries {
         |  FROM dots)
         |SELECT vec_id, round(c, 6) AS cosine FROM scored
         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id < 10),
+        |e AS (
+        |  SELECT vec_id AS neighbor_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id >= 10),
+        |dots AS (
+        |  SELECT q.query_id, e.neighbor_id,
+        |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
+        |    SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i) AS na2,
+        |    SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY q.i) AS nb2
+        |  FROM e JOIN q ON e.i = q.i GROUP BY q.query_id, e.neighbor_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
+        |  FROM dots),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "txt_tokens_est" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |wt AS (
+        |  SELECT doc_id, CAST(sum(CAST(ceil(length(tok) / 4.0) AS BIGINT)) AS BIGINT) AS word_toks
+        |  FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(word_toks, 0) + length(text)
+        |       - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS token_estimate
+        |FROM documents d LEFT JOIN wt USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "ev_json_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mm_frames" ->
       """WITH media AS (
