@@ -165,33 +165,15 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash of a token array: per-bit vote of per-token hashes. */
-  val simhash64: Seq[String] => Long = { toks =>
-    val votes = new Array[Int](64)
-    toks.foreach { t =>
-      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
-      // widen 32-bit murmur to 64 by mixing with a second seed
-      h |= (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xffffffffL) << 32
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
-      }
-    }
-    var out = 0L
-    var i = 0
-    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
-    out
-  }
-
   /** SimHash fingerprints: (id, simhash). Near-dups = small hamming
     * distance; group candidates by 16-bit prefix bands (4 rotations) so
     * pairs within hamming distance 3 share at least one band.
+    * The fingerprint is a native Catalyst expression (one-pass tokenize +
+    * per-bit vote inside whole-stage codegen — no token array, no UDF).
     */
-  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = udf(simhash64)
-    docs.select(col(idCol), sh(tokens(col(textCol))).as("simhash"))
-  }
+  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.expressions.TextExpressions.simhash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two long fingerprints (column expr). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -94,17 +94,22 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** Rolling (polynomial) hash document fingerprint — stable across runs,
-    * usable as a cheap content id. One scalar UDF, no shuffle.
+  /** Rolling FNV-1a document fingerprint — stable across runs, usable as
+    * a cheap content id. Driver-side Scala form (chars; equals the column
+    * form for ASCII text).
     */
   val rollingFingerprint: String => Long = { s =>
-    var h = 1469598103934665603L // FNV offset
+    var h = 0xcbf29ce484222325L // FNV-1a offset basis (hex: decimal overflows)
     if (s != null) {
       var i = 0
-      while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
     }
     h
   }
 
-  def fingerprint(text: Column): Column = udf(rollingFingerprint).apply(text)
+  /** Column form: a native Catalyst expression with codegen (stays inside
+    * the whole-stage loop; a UDF would break the codegen span).
+    */
+  def fingerprint(text: Column): Column =
+    graft.functions.expressions.TextExpressions.fnvFingerprint(text)
 }
