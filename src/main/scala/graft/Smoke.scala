@@ -101,6 +101,9 @@ object Smoke {
     }
     check("spine end-to-end rows")(ingest.Spine(wireAll).count())
 
+    check("event windows (batch mode)")(streaming.EventWindows.typeCounts(
+      spark.read.parquet(s"$sfDir/events.parquet")).count())
+
     check("entry rows>0")(SparkEntry.entry(spark).count())
     spark.stop()
     println("[smoke] done")

@@ -74,16 +74,13 @@ object Domain {
     * never trust them and re-derive links per page (J3).
     */
   def pulses(records: DataFrame): DataFrame = {
-    val spark = records.sparkSession
-    val cover = udf((jets: Seq[String]) => JetFunctions.jetTreeCover(jets.toSet))
-    val agg = records.groupBy(col("pulse_number")).agg(
+    val cover = udaf(graft.operators.JetCoverAggregator,
+      org.apache.spark.sql.Encoders.STRING)
+    val status = records.groupBy(col("pulse_number")).agg(
       countDistinct(col("jet_id")).as("jet_drop_amount"),
       count(lit(1)).as("record_amount"),
       min(col("ts_sec")).as("timestamp"),
-      collect_set(col("jet_id")).as("jets"))
-    val status = agg
-      .withColumn("is_complete", cover(col("jets")))
-      .drop("jets")
+      cover(col("jet_id")).as("is_complete"))
       .withColumn("prev_pulse_number", col("pulse_number") - 1)
       .withColumn("next_pulse_number", col("pulse_number") + 1)
     Completeness.withSequential(status)

@@ -22,13 +22,10 @@ object Completeness {
     * cover (`pulseIsComplete`, pulsemaintainer.go:145-212).
     */
   def pulseCompleteness(jetDrops: DataFrame): DataFrame = {
-    val spark = jetDrops.sparkSession
-    import spark.implicits._
-    val cover = udf((jets: Seq[String]) => JetFunctions.jetTreeCover(jets.toSet))
+    val cover = udaf(JetCoverAggregator, org.apache.spark.sql.Encoders.STRING)
     jetDrops
       .groupBy(col("pulse_number"))
-      .agg(collect_set(col("jet_id")).as("jets"))
-      .select(col("pulse_number"), cover(col("jets")).as("is_complete"))
+      .agg(cover(col("jet_id")).as("is_complete"))
   }
 
   /** Sequence flag: a pulse is sequential iff it and every predecessor in
