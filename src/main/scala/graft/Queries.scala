@@ -375,6 +375,32 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Embedding-cosine near-dup pairs, exact all-pairs form — the
+    * verification baseline, deliberately bounded to a corpus slice
+    * (all-pairs is quadratic; the full corpus goes through the LSH path).
+    */
+  val ddEmbed: Q = (s, dir) => {
+    graft.vector.CosineDedup.exactPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 2000L), dim = 64, threshold = 0.45)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding near-dup via multi-table LSH + exact verify (scale path). */
+  val ddEmbedLsh: Q = (s, dir) => {
+    graft.vector.CosineDedup.lshPairs(t(s, dir, "embeddings"), dim = 64,
+        threshold = 0.45)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** IVF-pruned ANN top-10 (cell-bucketed scale path). */
+  val annIvf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    import s.implicits._
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+    graft.vector.Ivf.topK(emb.filter(col("vec_id") =!= 0L), q, 10)
+  }
+
   /** Rolling-hash fingerprint (UDF — rows-only check). */
   val txtFingerprint: Q = (s, dir) =>
     t(s, dir, "documents")
@@ -445,6 +471,9 @@ object Queries {
     "txt_tokens_est" -> txtTokensEst,
     "ev_json_agg" -> evJsonAgg,
     "txt_fingerprint" -> txtFingerprint,
+    "dd_embed" -> ddEmbed,
+    "dd_embed_lsh" -> ddEmbedLsh,
+    "ann_ivf" -> annIvf,
     "mm_frames" -> mmFrames,
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
@@ -791,6 +820,25 @@ object Queries {
         |  CAST(coalesce(word_toks, 0) + length(text)
         |       - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS token_estimate
         |FROM documents d LEFT JOIN wt USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "dd_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id < 2000),
+        |dots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) ORDER BY a.i) AS dot,
+        |    SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE) ORDER BY a.i) AS na2,
+        |    SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE) ORDER BY b.i) AS nb2
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
+        |  FROM dots)
+        |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
+        |WHERE c >= 0.45 ORDER BY a_id, b_id""".stripMargin,
 
     "ev_json_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,77 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-style ANN: partition the corpus into cells around centroids,
+  * search only the `nProbe` cells nearest the query, exact re-rank
+  * inside. The cell assignment is the write-side index pass (one scan);
+  * queries prune to nProbe/nCells of the corpus.
+  *
+  * Centroids here are a deterministic seeded sample of corpus vectors
+  * (hash-ordered) — a k-means refinement would slot into `centroids`
+  * without touching assignment or search, which only see (cell → vector).
+  * At 100 TB the assigned table is written bucketed by `cell` so a query
+  * reads only its probed buckets.
+  */
+object Ivf {
+
+  /** Deterministic centroid sample: nCells corpus vectors in xxhash64
+    * order of their ids.
+    */
+  def centroids(
+      embeddings: DataFrame,
+      nCells: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Array[Seq[Float]] = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCells)
+      .select(col(vecCol)).as[Seq[Float]].collect()
+  }
+
+  /** Nearest-centroid cell id for a vector column: argmax cosine over the
+    * (small, driver-held) centroid set. Compact HOF dots per centroid —
+    * an index-build pass, same planning-cost reasoning as the LSH
+    * signature.
+    */
+  def cellOf(vec: Column, cents: Array[Seq[Float]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.vector.expressions.VectorExpressions.vecDot(vec, typedlit(c.toArray)).as("dot"),
+        lit(i).as("cell"))
+    }
+    array_max(array(scored: _*)).getField("cell")
+  }
+
+  /** Driver-side mirror of [[cellOf]] for the query vector. */
+  def cellsByAffinity(q: Seq[Float], cents: Array[Seq[Float]]): Seq[Int] =
+    cents.zipWithIndex
+      .map { case (c, i) => (c.zip(q).map { case (a, b) => a.toDouble * b }.sum, i) }
+      .sortBy { case (d, i) => (-d, -i) }
+      .map(_._2)
+
+  /** IVF top-k: assign, prune to the query's nProbe best cells, exact
+    * re-rank with the codegen'd kernel.
+    */
+  def topK(
+      embeddings: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val cents = centroids(embeddings, nCells, idCol, vecCol)
+    val probed = cellsByAffinity(query, cents).take(nProbe)
+    embeddings
+      .withColumn("cell", cellOf(col(vecCol), cents))
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), Similarity.cosineLit(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -42,24 +42,23 @@ object Similarity {
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }
 
-  // ---- fixed-dimension codegen'd forms ----
+  // ---- native-kernel codegen'd forms ----
+  // One static call per dot/norm (graft.vector.expressions): tiny generated
+  // code regardless of dimension — an unrolled element_at fold blows the
+  // JVM method limit inside join predicates past ~100 terms and silently
+  // de-optimizes to interpreted evaluation.
 
-  /** Codegen'd dot product for a known dimension (unrolled scalar fold). */
+  /** Codegen'd dot product (dim kept for API clarity; kernel loops). */
   def dotFixed(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+    graft.vector.expressions.VectorExpressions.vecDot(a, b)
 
   /** Codegen'd dot product against a constant query vector. */
   def dotLit(vec: Column, q: Seq[Float]): Column =
-    q.zipWithIndex.map { case (v, i) =>
-      element_at(vec, i + 1).cast("double") * lit(v.toDouble)
-    }.reduce(_ + _)
+    graft.vector.expressions.VectorExpressions.vecDot(vec, typedlit(q.toArray))
 
-  /** Codegen'd L2 norm for a known dimension. */
+  /** Codegen'd L2 norm. */
   def normFixed(a: Column, dim: Int): Column =
-    sqrt((1 to dim).map { i =>
-      val e = element_at(a, i).cast("double"); e * e
-    }.reduce(_ + _))
+    graft.vector.expressions.VectorExpressions.vecNorm(a)
 
   /** Driver-side norm of a constant vector, same op order as [[normFixed]]. */
   def normLit(q: Seq[Float]): Double =
@@ -120,27 +119,20 @@ object Similarity {
   }
 
   /** The seeded random hyperplanes shared by the column and driver-side
-    * signature paths.
+    * signature paths (float weights so both sides multiply identically).
     */
-  private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+  private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Float]] = {
     val rng = new scala.util.Random(seed)
-    Array.fill(bits, dim)(rng.nextGaussian())
+    Array.fill(bits, dim)(rng.nextGaussian().toFloat)
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(v · plane_i).
-    *
-    * Deliberately the compact HOF form, NOT an unrolled fold: signature
-    * assignment is an index-build pass (amortized once per corpus), and an
-    * unrolled bits×dim expression tree makes every query pay seconds of
-    * Catalyst analysis + codegen. The per-row interpreted cost is one
-    * array traversal per bit; the query-time re-rank path stays codegen'd.
+  /** Random-hyperplane LSH signature: bit i = sign(v · plane_i), one
+    * native-kernel dot per plane.
     */
   def lshSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
     val ps = planes(dim, bits, seed)
     val bitCols: Seq[Column] = ps.zipWithIndex.toSeq.map { case (p, i) =>
-      val plane = array(p.map(lit).toSeq: _*)
-      val d = aggregate(zip_with(vec, plane, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val d = graft.vector.expressions.VectorExpressions.vecDot(vec, typedlit(p))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
@@ -152,7 +144,10 @@ object Similarity {
   def lshSignatureLocal(q: Seq[Float], bits: Int = 16, seed: Long = 42L): Long = {
     val ps = planes(q.length, bits, seed)
     ps.zipWithIndex.map { case (p, i) =>
-      val d = p.zipWithIndex.map { case (w, j) => q(j).toDouble * w }.reduce(_ + _)
+      var d = 0.0
+      var j = 0
+      val n = math.min(q.length, p.length)
+      while (j < n) { d += q(j).toDouble * p(j).toDouble; j += 1 }
       if (d >= 0) 1L << i else 0L
     }.sum
   }
