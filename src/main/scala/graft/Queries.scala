@@ -366,6 +366,18 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct-aggregate surface: exact distinct users and value stats per
+    * event type (two-phase distinct aggregation under the hood).
+    */
+  val evUserStats: Q = (s, dir) => {
+    Domain.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON-edge surface: extract props.k and aggregate per event type. */
   val evJsonAgg: Q = (s, dir) => {
     Domain.events(s, dir)
@@ -470,6 +482,7 @@ object Queries {
     "ann_knn" -> annKnn,
     "txt_tokens_est" -> txtTokensEst,
     "ev_json_agg" -> evJsonAgg,
+    "ev_user_stats" -> evUserStats,
     "txt_fingerprint" -> txtFingerprint,
     "dd_embed" -> ddEmbed,
     "dd_embed_lsh" -> ddEmbedLsh,
@@ -839,6 +852,13 @@ object Queries {
         |  FROM dots)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
         |WHERE c >= 0.45 ORDER BY a_id, b_id""".stripMargin,
+
+    "ev_user_stats" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ev_json_agg" ->
       """SELECT event_type, count(*) AS n,
