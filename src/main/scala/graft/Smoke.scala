@@ -104,6 +104,18 @@ object Smoke {
     check("event windows (batch mode)")(streaming.EventWindows.typeCounts(
       spark.read.parquet(s"$sfDir/events.parquet")).count())
 
+    // ---- the eight read endpoints ----
+    check("api: pulses page")(api.Endpoints.pulses(spark, sfDir).count())
+    check("api: pulse point")(api.Endpoints.pulse(spark, sfDir, 473353L).count())
+    check("api: drops by pulse")(api.Endpoints.jetDropsByPulse(spark, sfDir, 473353L).count())
+    val firstDropId = api.Endpoints.jetDropsByPulse(spark, sfDir, 473353L)
+      .collect().headOption.map(_.getAs[String]("jet_drop_id")).getOrElse("*:473353")
+    check("api: drop by id")(api.Endpoints.jetDropById(spark, sfDir, firstDropId).map(_.count()).getOrElse(-1L))
+    check("api: drop records")(api.Endpoints.jetDropRecords(spark, sfDir, firstDropId).map(_.count()).getOrElse(-1L))
+    check("api: drops by jet prefix")(api.Endpoints.jetDropsByJetId(spark, sfDir, "10", limit = 50).count())
+    check("api: lifeline")(api.Endpoints.objectLifeline(spark, sfDir, 7L).count())
+    check("api: search")(api.Endpoints.search(spark, sfDir, "473353")._1)
+
     check("entry rows>0")(SparkEntry.entry(spark).count())
     spark.stop()
     println("[smoke] done")

@@ -1,0 +1,98 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.functions.Codecs
+
+/** All eight read endpoints driven against the sf0.001 testdata. */
+class EndpointsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pulses list: newest first, links repaired, range filter works") {
+    val rows = Endpoints.pulses(spark, dir,
+      Endpoints.PageParams(limit = 5), fromPulse = Some(473500L), toPulse = Some(473900L))
+      .collect()
+    assert(rows.length == 5)
+    val pns = rows.map(_.getAs[Long]("pulse_number"))
+    assert(pns.sameElements(pns.sorted.reverse))
+    assert(pns.forall(p => p >= 473500L && p <= 473900L))
+  }
+
+  test("pulse point lookup hits and misses") {
+    val hit = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1)).collect()(0)
+    val p = hit.getAs[Long]("pulse_number")
+    assert(Endpoints.pulse(spark, dir, p).count() == 1)
+    assert(Endpoints.pulse(spark, dir, 1L).count() == 0)
+  }
+
+  test("jet drops by pulse with jet cursor") {
+    val anyPulse = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1))
+      .collect()(0).getAs[Long]("pulse_number")
+    val all = Endpoints.jetDropsByPulse(spark, dir, anyPulse).collect()
+    assert(all.nonEmpty)
+    val jets = all.map(_.getAs[String]("jet_id"))
+    assert(jets.sameElements(jets.sorted))
+    val cursored = Endpoints.jetDropsByPulse(spark, dir, anyPulse, fromJetId = Some("1"))
+      .collect().map(_.getAs[String]("jet_id"))
+    assert(cursored.forall(_ >= "1"))
+  }
+
+  test("jet drop by id: valid, root-star, and malformed ids") {
+    val anyDrop = Endpoints.jetDropsByPulse(spark, dir, 473353L).collect().headOption
+    anyDrop.foreach { d =>
+      val id = d.getAs[String]("jet_drop_id")
+      assert(Endpoints.jetDropById(spark, dir, id).get.count() == 1)
+    }
+    assert(Endpoints.jetDropById(spark, dir, "012:999").isEmpty) // malformed
+    assert(Endpoints.jetDropById(spark, dir, "*:473353").isDefined) // root parses
+  }
+
+  test("jet drop records with keyset resume") {
+    val dropId = Endpoints.jetDropsByPulse(spark, dir, 473353L)
+      .collect().head.getAs[String]("jet_drop_id")
+    val recs = Endpoints.jetDropRecords(spark, dir, dropId).get.collect()
+    assert(recs.nonEmpty)
+    val resumed = Endpoints.jetDropRecords(spark, dir, dropId,
+      fromIndex = Some(s"473353:2")).get.collect()
+    assert(resumed.forall(_.getAs[Long]("order") >= 2))
+  }
+
+  test("jet drops by jet prefix: subtree only, mixed sorts") {
+    val asc = Endpoints.jetDropsByJetId(spark, dir, "10", limit = 50).collect()
+    assert(asc.nonEmpty)
+    assert(asc.forall(r => r.getAs[String]("jet_id").startsWith("10")))
+    val desc = Endpoints.jetDropsByJetId(spark, dir, "10", pulseAsc = false, limit = 50)
+      .collect().map(_.getAs[Long]("pulse_number"))
+    assert(desc.sameElements(desc.sorted.reverse))
+  }
+
+  test("object lifeline asc/desc with validation") {
+    val asc = Endpoints.objectLifeline(spark, dir, 7L).collect()
+    assert(asc.nonEmpty)
+    assert(asc.forall(_.getAs[Long]("object_reference") == 7L))
+    val desc = Endpoints.objectLifeline(spark, dir, 7L, asc = false,
+      page = Endpoints.PageParams(limit = 3)).collect()
+    assert(desc.length == 3)
+    assert(desc.head.getAs[Long]("pulse_number") >= desc.last.getAs[Long]("pulse_number"))
+    intercept[IllegalArgumentException] {
+      Endpoints.objectLifeline(spark, dir, 7L, page = Endpoints.PageParams(limit = 0))
+    }
+    intercept[IllegalArgumentException] {
+      Endpoints.objectLifeline(spark, dir, 7L, page = Endpoints.PageParams(offset = -1))
+    }
+  }
+
+  test("search dispatches to all four target kinds") {
+    val p = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1))
+      .collect()(0).getAs[Long]("pulse_number")
+    assert(Endpoints.search(spark, dir, p.toString)._1 == "pulse")
+    assert(Endpoints.search(spark, dir, p.toString)._2.count() == 1)
+    val (kind, df) = Endpoints.search(spark, dir, s"000:$p")
+    assert(kind == "jet_drop" && df.count() <= 1)
+    val objRef = Array.fill[Byte](28)(0) ++
+      java.nio.ByteBuffer.allocate(8).putLong(7L).array()
+    assert(Endpoints.search(spark, dir,
+      Codecs.referenceToString(objRef))._1 == "lifeline")
+    assert(Endpoints.search(spark, dir, "garbage")._1 == "none")
+  }
+}
