@@ -366,6 +366,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** As-of join: every non-error event paired with the user's most recent
+    * error at-or-before it (union + carry-forward window, one shuffle).
+    */
+  val evAsof: Q = (s, dir) => {
+    val ev = Domain.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+    val probes = ev.filter(col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin(probes, errors, Seq("user_id"), "ts", "err_ts", Seq("err_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ts_sec"),
+        col("asof_err_id").as("err_id"),
+        expr("CAST(asof_err_ts DIV 1000000000 AS BIGINT)").as("err_ts_sec"))
+      .orderBy(col("event_id"))
+  }
+
   /** Distinct-aggregate surface: exact distinct users and value stats per
     * event type (two-phase distinct aggregation under the hood).
     */
@@ -483,6 +500,7 @@ object Queries {
     "txt_tokens_est" -> txtTokensEst,
     "ev_json_agg" -> evJsonAgg,
     "ev_user_stats" -> evUserStats,
+    "ev_asof" -> evAsof,
     "txt_fingerprint" -> txtFingerprint,
     "dd_embed" -> ddEmbed,
     "dd_embed_lsh" -> ddEmbedLsh,
@@ -852,6 +870,17 @@ object Queries {
         |  FROM dots)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
         |WHERE c >= 0.45 ORDER BY a_id, b_id""".stripMargin,
+
+    "ev_asof" ->
+      """SELECT l.event_id, l.user_id,
+        |       epoch_ns(l.ts) // 1000000000 AS ts_sec,
+        |       r.err_id,
+        |       epoch_ns(r.err_ts) // 1000000000 AS err_ts_sec
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error') l
+        |ASOF LEFT JOIN (SELECT event_id AS err_id, user_id, ts AS err_ts
+        |                FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "ev_user_stats" ->
       """SELECT event_type,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the latest right row whose time is at
+  * or before the left row's time, per key. Spark has no native ASOF
+  * operator; this composes built-ins (SURVEY §7.3 preference (a)):
+  *
+  *   union the two sides tagged, sort per key by (time, side), and
+  *   carry the last right payload forward with `last(_, ignoreNulls)`
+  *   over an unbounded-preceding window — one shuffle on the key, no
+  *   range-join explosion, no per-row lookup.
+  *
+  * Right rows sort BEFORE left rows at equal times, so an exact-tie
+  * right row is visible to the left row (ASOF `>=` semantics, matching
+  * DuckDB's `ASOF LEFT JOIN`). Right times should be unique per key.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (all its columns are preserved)
+    * @param right      build side; `rightTime` and `rightCols` come back
+    *                   prefixed `asof_`, null when no prior row exists
+    * @param keyCols    equi-key columns present on both sides
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    val payload = (rightTime +: rightCols).map(col)
+    val r = right.select(
+      keyCols.map(col) :+ col(rightTime).as("_t") :+
+        lit(0).as("_side") :+ struct(payload: _*).as("_r"): _*)
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+    val outCols = left.columns.map(col) ++
+      (rightTime +: rightCols).map(c => col("_asof").getField(c).as(s"asof_$c"))
+    carried.filter(col("_side") === 1).select(outCols: _*)
+  }
+}
