@@ -320,6 +320,17 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Heuristic quality score: fraction of C4/Gopher-style rules passed,
+    * over whitespace-token statistics (exact rational arithmetic on both
+    * engines — indicators sum to n/5).
+    */
+  val txtQuality: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language id by stopword voting (argmax with lexicographic-desc ties). */
   val txtLangId: Q = (s, dir) => {
     t(s, dir, "documents")
@@ -495,6 +506,7 @@ object Queries {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "txt_stats" -> txtStats,
     "txt_langid" -> txtLangId,
+    "txt_quality" -> txtQuality,
     "ann_topk" -> annTopK,
     "ann_knn" -> annKnn,
     "txt_tokens_est" -> txtTokensEst,
@@ -771,6 +783,27 @@ object Queries {
         | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
         | CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS nonws,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (  CASE WHEN toks >= 5 THEN 1.0 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN toks = 0 THEN 0.0 ELSE CAST(nonws AS DOUBLE) / toks END)
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN len = 0 THEN 0.0 ELSE np / len END) < 0.3 THEN 1.0 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN len = 0 THEN 0.0 ELSE nd / len END) < 0.3 THEN 1.0 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN len = 0 THEN 0.0 ELSE nu / len END) < 0.4 THEN 1.0 ELSE 0.0 END
+        |  ) / 5 AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "txt_langid" ->
       """WITH toks AS (
