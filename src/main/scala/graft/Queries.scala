@@ -441,6 +441,20 @@ object Queries {
     graft.vector.Ivf.topK(emb.filter(col("vec_id") =!= 0L), q, 10)
   }
 
+  /** Sketch aggregates (HLL distinct, approximate percentiles) — the
+    * constant-memory forms of the exact `ev_user_stats` aggregation;
+    * rows-only (approximation has no exact oracle, and the exact twin IS
+    * oracle-checked).
+    */
+  val evSketch: Q = (s, dir) => {
+    Domain.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Rolling-hash fingerprint (UDF — rows-only check). */
   val txtFingerprint: Q = (s, dir) =>
     t(s, dir, "documents")
@@ -513,6 +527,7 @@ object Queries {
     "ev_json_agg" -> evJsonAgg,
     "ev_user_stats" -> evUserStats,
     "ev_asof" -> evAsof,
+    "ev_sketch" -> evSketch,
     "txt_fingerprint" -> txtFingerprint,
     "dd_embed" -> ddEmbed,
     "dd_embed_lsh" -> ddEmbedLsh,
