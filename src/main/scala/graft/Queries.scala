@@ -441,6 +441,16 @@ object Queries {
     graft.vector.Ivf.topK(emb.filter(col("vec_id") =!= 0L), q, 10)
   }
 
+  /** Deterministic train/val/test split assignment (engine-reproducible
+    * md5 buckets — stable across runs, machines, partitionings).
+    */
+  val ddSplit: Q = (s, dir) => {
+    graft.text.Sampling.hashSplit(t(s, dir, "documents"),
+        "doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch aggregates (HLL distinct, approximate percentiles) — the
     * constant-memory forms of the exact `ev_user_stats` aggregation;
     * rows-only (approximation has no exact oracle, and the exact twin IS
@@ -530,6 +540,7 @@ object Queries {
     "ev_sketch" -> evSketch,
     "txt_fingerprint" -> txtFingerprint,
     "dd_embed" -> ddEmbed,
+    "dd_split" -> ddSplit,
     "dd_embed_lsh" -> ddEmbedLsh,
     "ann_ivf" -> annIvf,
     "mm_frames" -> mmFrames,
@@ -899,6 +910,17 @@ object Queries {
         |  CAST(coalesce(word_toks, 0) + length(text)
         |       - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS token_estimate
         |FROM documents d LEFT JOIN wt USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "dd_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "dd_embed" ->
       """WITH e AS (
