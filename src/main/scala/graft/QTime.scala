@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc timing harness: `runMain graft.QTime <sfDir> <query> [query...]`
+  * — times each named catalog query (after a small-SF warmup) and prints
+  * seconds, so single operators can be profiled without the full Bench.
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("q1_agg")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      try { Queries.catalog(n)(spark, "/root/testdata/sf0.001").count() }
+      catch { case e: Throwable => println(s"warmup $n: ${e.getMessage}") }
+      val t0 = System.nanoTime()
+      val rows = Queries.catalog(n)(spark, sfDir).count()
+      println(f"$n%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$rows")
+    }
+    spark.stop()
+  }
+}

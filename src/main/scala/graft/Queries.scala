@@ -53,12 +53,18 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** TPC-H Q3 shape — dim-filtered join + top-k (broadcast the dim side). */
+  /** TPC-H Q3 shape — dim-filtered join + top-k. Only the true dimension
+    * (filtered customer) carries a broadcast hint; orders⨝lineitem is left
+    * to Catalyst/AQE, which shuffle-joins the two fact sides on the shared
+    * key (and upgrades to broadcast at runtime only when the filtered side
+    * truly fits). Forcing a broadcast of the orders-derived side would ship
+    * a fact table to every task and OOM at 100× scale.
+    */
   val q3TopK: Q = (s, dir) => {
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("2000-03-15"))
     val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("2000-03-15"))
-    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
@@ -70,20 +76,24 @@ object Queries {
   }
 
   /** TPC-H Q5 shape — star join through region/nation with co-located
-    * customer/supplier nation equality; dims broadcast.
+    * customer/supplier nation equality. Broadcast hints go ONLY on the
+    * constant-cardinality dimensions (nation: 25 rows, region: 5 — fixed at
+    * any scale factor). supplier/customer/orders all grow linearly with the
+    * data, so their joins are left to Catalyst/AQE: shuffle joins on the
+    * keys, upgraded to broadcast at runtime when a filtered side fits.
     */
   val q5Region: Q = (s, dir) => {
     val dims = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
     val co = t(s, dir, "customer")
       .join(t(s, dir, "orders").filter(
           col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
         col("c_custkey") === col("o_custkey"))
     t(s, dir, "lineitem")
-      .join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims),
+      .join(co, col("l_orderkey") === col("o_orderkey"))
+      .join(dims,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(decimal2(col("l_extendedprice")) * decimal2(lit(1) - col("l_discount")))
@@ -284,14 +294,26 @@ object Queries {
       .orderBy(col("content_hash"))
   }
 
+  /** Document-frequency cap for the inverted-shingle self-join: shingles in
+    * more than this many documents are dropped before pairing (mirrored in
+    * the oracle SQL). 64 keeps every shingle at the current corpus shapes
+    * (max observed df is 25 at sf0.1) while bounding a boilerplate
+    * shingle's join fan-out to 64²/2 rows at any corpus size.
+    */
+  val NgramMaxDf = 64
+
   /** Exact 3-gram Jaccard near-dup pairs via an inverted shingle index —
     * the relational (oracle-able) counterpart of MinHash: candidates come
-    * from the shingle join, similarity from |∩|/(|A|+|B|-|∩|).
+    * from the shingle join, similarity from |∩|/(|A|+|B|-|∩|) over the
+    * df-capped shingle space (stop-shingles carry no dedup signal and make
+    * the self-join quadratic — see [[graft.text.Dedup.capDf]]).
     */
   val ddNgramJaccard: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val sh = graft.text.Dedup.shingleRows(docs, "doc_id", "text", 3)
-      .withColumnRenamed("id", "doc_id")
+    val sh = graft.text.Dedup.capDf(
+      graft.text.Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id"),
+      "sh", NgramMaxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -788,7 +810,9 @@ object Queries {
         |shn AS (
         |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM shn WHERE sh IS NOT NULL),
+        |sh0 AS (SELECT DISTINCT doc_id, sh FROM shn WHERE sh IS NOT NULL),
+        |sh AS (SELECT doc_id, sh FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY sh) <= 64),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i

@@ -70,7 +70,15 @@ object Dedup {
     * [[shingles]] for texts with >= n tokens (shorter texts yield their
     * full-text join in the array form but no row here).
     */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleRowsRaw(docs, idCol, textCol, n).distinct()
+
+  /** [[shingleRows]] without the final distinct — one row per shingle
+    * OCCURRENCE. Duplicate-insensitive consumers (MinHash signatures: `min`
+    * over a multiset equals `min` over its support) read this form and skip
+    * the distinct's extra shuffle entirely.
+    */
+  def shingleRowsRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = docs.select(col(idCol).as("id"),
         posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "tok")))
@@ -79,7 +87,22 @@ object Dedup {
     val parts = col("tok") +: (1 until n).flatMap(i => Seq(lit(" "), lead(col("tok"), i).over(w)))
     raw.withColumn("sh", concat(parts: _*))
       .filter(col("sh").isNotNull)
-      .select(col("id"), col("sh")).distinct()
+      .select(col("id"), col("sh"))
+  }
+
+  /** Stop-shingle cap: drop rows whose `keyCol` value occurs in more than
+    * `maxDf` rows. A shingle with document frequency d alone produces
+    * d²/2 candidate rows out of the inverted-index self-join, so one
+    * boilerplate phrase ("all rights reserved …") makes the join quadratic
+    * in corpus size; capping df bounds per-key fan-out at maxDf²/2 and, by
+    * the LSH literature's standard argument, ultra-common shingles carry no
+    * dedup signal anyway. Shaped for skew: the count is a hash aggregate
+    * (map-side combine collapses hot keys before the shuffle) and the
+    * 1:1 join back is AQE-skew-splittable.
+    */
+  def capDf(rows: DataFrame, keyCol: String, maxDf: Int): DataFrame = {
+    val dfs = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+    rows.join(dfs.filter(col("_df") <= maxDf), Seq(keyCol)).drop("_df")
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */
@@ -130,11 +153,18 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val ex = shingleRows(docs, idCol, textCol, n)
+    // Signature pass reads the RAW (non-distinct) shingle stream: min over
+    // a multiset equals min over its support, so the distinct's shuffle is
+    // pure overhead here. One hash-aggregate on id builds all K slots with
+    // map-side partial aggregation.
+    val exRaw = shingleRowsRaw(docs, idCol, textCol, n)
       .select(col("id"), xxhash64(col("sh")).as("h"))
-    val sig = ex.groupBy(col("id"))
+    val sig = exRaw.groupBy(col("id"))
       .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
         (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    // Band buckets are derived map-side from the one-row-per-doc signature;
+    // only (id, band, bh) ever shuffles. The pair dedup is a hash aggregate
+    // on the (tiny) candidate set, not a distinct over a wide row.
     val banded = sig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -146,10 +176,12 @@ object Dedup {
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id")).agg(count(lit(1)).as("_nb"))
+      .select(col("a_id"), col("b_id"))
     // exact Jaccard on the surviving candidates, relationally: intersection
-    // by joining the two hashed shingle sets, sizes from a per-doc count.
+    // by joining the two DISTINCT hashed shingle sets (distinct matters for
+    // set sizes and intersection counts), sizes from a per-doc count.
+    val ex = exRaw.distinct()
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(ex.select(col("id").as("a_id"), col("h")), Seq("a_id"))
