@@ -1,0 +1,162 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes — the write-path/query-path split the per-query
+  * forms in [[Ivf]]/[[Similarity]] lack at scale.
+  *
+  * Write path (one corpus scan each, idempotent):
+  *  - IVF: nearest-centroid cell per vector, parquet PARTITIONED BY cell,
+  *    centroids stored alongside. A query then reads only its probed cell
+  *    directories — partition pruning visible in the scan's
+  *    `PartitionFilters`, touching nProbe/nCells of the data.
+  *  - LSH: random-hyperplane signature per vector, parquet partitioned by
+  *    signature bucket; multi-probe queries read only the probed buckets.
+  *
+  * At 100 TB the index write is a map-only job (no shuffle — cell/sig are
+  * per-row projections; the partitioned write hash-splits within tasks)
+  * and each query reads a bounded fraction of the corpus. Rebuilds are
+  * deterministic: centroid choice is a seeded hash-order sample and the
+  * hyperplanes are seeded, so a lost index re-materializes bit-identically.
+  */
+object AnnIndex {
+
+  /** True when a prior successful write exists at `path` (checked through
+    * the Hadoop FS API so any cluster filesystem works).
+    */
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // ---------------- IVF ----------------
+
+  /** Build (if absent) the IVF index under `path`: `vectors/` partitioned
+    * by cell + `centroids/`. Returns the centroid set (normalized — cell
+    * assignment is true cosine-argmax).
+    */
+  def ensureIvf(
+      embeddings: DataFrame,
+      path: String,
+      nCells: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Array[Seq[Float]] = {
+    val spark = embeddings.sparkSession
+    if (!exists(spark, s"$path/vectors")) {
+      val cents = Ivf.centroids(embeddings, nCells, idCol, vecCol)
+      embeddings
+        .withColumn("cell", Ivf.cellOf(col(vecCol), cents))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      cents
+    } else readCentroids(spark, path)
+  }
+
+  /** Centroid sets are tiny and immutable once written — memoize per path
+    * so repeated queries don't pay a Spark job just to reload them.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Float]]]()
+
+  def readCentroids(spark: SparkSession, path: String): Array[Seq[Float]] =
+    centroidCache.computeIfAbsent(path, { p =>
+      import spark.implicits._
+      spark.read.parquet(s"$p/centroids")
+        .orderBy("cell").select("centroid").as[Seq[Float]].collect()
+    })
+
+  /** IVF top-k against a persisted index: prune to the query's nProbe best
+    * cells (partition pruning — only those directories are read), exact
+    * cosine re-rank inside.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      path: String,
+      query: Seq[Float],
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val probed = Ivf.cellsByAffinity(query, cents).take(nProbe)
+    val scan = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed: _*))
+    excludeId.fold(scan)(id => scan.filter(col(idCol) =!= id))
+      .select(col(idCol), Similarity.cosineLit(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ---------------- hyperplane LSH ----------------
+
+  /** Build (if absent) the LSH index: signature bucket per vector, parquet
+    * partitioned by `sig` (2^bits directories — keep bits ≤ ~10).
+    */
+  def ensureLsh(
+      embeddings: DataFrame,
+      path: String,
+      dim: Int,
+      bits: Int = 8,
+      seed: Long = 42L,
+      vecCol: String = "embedding"
+  ): Unit = {
+    val spark = embeddings.sparkSession
+    if (!exists(spark, s"$path/vectors")) {
+      embeddings
+        .withColumn("sig", Similarity.lshSignature(col(vecCol), dim, bits, seed))
+        .write.mode("overwrite").partitionBy("sig").parquet(s"$path/vectors")
+    }
+  }
+
+  /** Multi-probe LSH top-k against a persisted index: reads only the
+    * `maxProbes` margin-ranked buckets (the flip-sets a true neighbour is
+    * most likely to land in — see [[Similarity.marginProbeBuckets]]).
+    */
+  def lshTopK(
+      spark: SparkSession,
+      path: String,
+      query: Seq[Float],
+      k: Int,
+      bits: Int = 8,
+      maxProbes: Int = 48,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    val probes = Similarity.marginProbeBuckets(query, bits, seed, maxProbes)
+    val scan = spark.read.parquet(s"$path/vectors")
+      .filter(col("sig").isin(probes: _*))
+    excludeId.fold(scan)(id => scan.filter(col(idCol) =!= id))
+      .select(col(idCol), Similarity.cosineLit(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ---------------- catalog plumbing ----------------
+
+  /** Scratch location for per-dataset indexes (cache-on-first-use by the
+    * catalog queries; any durable deployment would point this at the
+    * warehouse).
+    */
+  def indexRoot(dir: String): String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR", "/tmp/graft-index") + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Ensure both ANN indexes for a testdata dir exist (called by Bench
+    * before timing so query numbers measure the read path, mirroring a
+    * standing index in production).
+    */
+  def ensureAll(spark: SparkSession, dir: String, dim: Int = 64): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    ensureIvf(emb, indexRoot(dir) + "/ivf")
+    ensureLsh(emb, indexRoot(dir) + "/lsh-b6", dim, bits = 6)
+  }
+}

@@ -45,9 +45,24 @@ object CosineDedup {
       .select(col("a_id"), col("b_id"), cosine.as("cosine"))
   }
 
+  /** Tables needed for `targetRecall` at a given threshold and signature
+    * width, from the hyperplane-LSH closed form: P(plane agrees) =
+    * 1 − arccos(τ)/π, per-table match p^bits, overall 1−(1−p^bits)^L.
+    * Low thresholds genuinely need many tables (τ=0.45, bits=4 → 16) —
+    * that is the price of recall, not a tuning accident; pick bits so the
+    * per-table false-positive rate (≈2^-bits · L of all pairs) stays
+    * acceptable for the corpus size.
+    */
+  def tablesFor(threshold: Double, bits: Int, targetRecall: Double = 0.95): Int = {
+    val p = 1 - math.acos(math.min(threshold, 1.0)) / math.Pi
+    val pb = math.pow(p, bits)
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt)
+  }
+
   /** LSH-bucketed near-dup pairs: candidates share a signature bucket in
     * at least one of `tables` independent hash tables; exact cosine
     * verifies. Recall rises with tables; cost stays near-linear.
+    * Size `tables` with [[tablesFor]] — defaults suit τ ≈ 0.8.
     */
   def lshPairs(
       embeddings: DataFrame,

@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * queries prune to nProbe/nCells of the corpus.
   *
   * Centroids here are a deterministic seeded sample of corpus vectors
-  * (hash-ordered) — a k-means refinement would slot into `centroids`
-  * without touching assignment or search, which only see (cell → vector).
-  * At 100 TB the assigned table is written bucketed by `cell` so a query
-  * reads only its probed buckets.
+  * (hash-ordered, unit-normalized) — a k-means refinement would slot into
+  * `centroids` without touching assignment or search, which only see
+  * (cell → vector). The scale path persists the assignment once and reads
+  * only probed cell partitions per query — see [[AnnIndex]]; `topK` here
+  * is the index-free form for small/ad-hoc corpora.
   */
 object Ivf {
 
   /** Deterministic centroid sample: nCells corpus vectors in xxhash64
-    * order of their ids.
+    * order of their ids (TakeOrderedAndProject — per-partition top-k +
+    * driver merge, no full sort), L2-NORMALIZED so that dot-product argmax
+    * against them is true cosine-argmax.
     */
   def centroids(
       embeddings: DataFrame,
@@ -30,12 +33,16 @@ object Ivf {
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCells)
       .select(col(vecCol)).as[Seq[Float]].collect()
+      .map { c =>
+        val n = math.sqrt(c.map(v => v.toDouble * v.toDouble).sum)
+        if (n == 0) c else c.map(v => (v / n).toFloat)
+      }
   }
 
-  /** Nearest-centroid cell id for a vector column: argmax cosine over the
-    * (small, driver-held) centroid set. Compact HOF dots per centroid —
-    * an index-build pass, same planning-cost reasoning as the LSH
-    * signature.
+  /** Nearest-centroid cell id for a vector column: argmax dot over the
+    * (small, driver-held, unit-norm) centroid set = argmax cosine. One
+    * native-kernel dot per centroid — an index-build pass, same
+    * planning-cost reasoning as the LSH signature.
     */
   def cellOf(vec: Column, cents: Array[Seq[Float]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>

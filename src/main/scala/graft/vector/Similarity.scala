@@ -152,6 +152,58 @@ object Similarity {
     }.sum
   }
 
+  /** All buckets within `probeBits` bit flips of `sig` (inclusive of the
+    * exact bucket and every intermediate flip count — flipping exactly
+    * probeBits bits alone would skip the 1-flip buckets and silently lose
+    * recall).
+    */
+  def probeBuckets(sig: Long, bits: Int, probeBits: Int): Seq[Long] =
+    sig +: (1 to probeBits).flatMap(b =>
+      (0 until bits).combinations(b).map(_.foldLeft(sig)((s, i) => s ^ (1L << i))))
+
+  /** Margin-aware multi-probe bucket sequence (Lv et al. 2007 style): a
+    * true neighbour's signature differs from the query's mostly on planes
+    * where the query sits near the boundary (small |q·plane| margin), so
+    * probing flip-sets in increasing total margin concentrates recall in
+    * far fewer buckets than a blind hamming ball. Flip-sets are enumerated
+    * best-first with the standard heap expansion (extend-with-next /
+    * shift-to-next over margin-sorted planes), yielding the `maxProbes`
+    * most probable buckets in O(maxProbes log maxProbes).
+    */
+  def marginProbeBuckets(
+      q: Seq[Float],
+      bits: Int,
+      seed: Long = 42L,
+      maxProbes: Int = 48
+  ): Seq[Long] = {
+    val ps = planes(q.length, bits, seed)
+    val qSig = lshSignatureLocal(q, bits, seed)
+    val margins = ps.zipWithIndex.map { case (p, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < q.length) { d += q(j).toDouble * p(j).toDouble; j += 1 }
+      (math.abs(d), i)
+    }.sortBy(_._1)
+    def flip(set: Vector[Int]): Long =
+      set.foldLeft(qSig)((s, r) => s ^ (1L << margins(r)._2))
+    val cost = margins.map(_._1)
+    implicit val ord: Ordering[(Double, Vector[Int])] =
+      Ordering.by[(Double, Vector[Int]), Double](_._1).reverse
+    val pq = scala.collection.mutable.PriorityQueue[(Double, Vector[Int])]()
+    val out = scala.collection.mutable.ListBuffer(qSig)
+    if (bits > 0) pq.enqueue((cost(0), Vector(0)))
+    while (out.size < maxProbes && pq.nonEmpty) {
+      val (c, set) = pq.dequeue()
+      out += flip(set)
+      val j = set.last
+      if (j + 1 < bits) {
+        pq.enqueue((c + cost(j + 1), set :+ (j + 1)))
+        pq.enqueue((c - cost(j) + cost(j + 1), set.init :+ (j + 1)))
+      }
+    }
+    out.toSeq
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket (or differ in
     * at most `probeBits` signature bits via multi-probe on the query side),
     * exact cosine re-rank inside. Falls back to fewer results when the
@@ -168,9 +220,7 @@ object Similarity {
   ): DataFrame = {
     val dim = query.length
     val qSig = lshSignatureLocal(query, bits)
-    // multi-probe: query bucket plus all buckets within `probeBits` flips
-    val probes = (0 until bits).combinations(probeBits)
-      .map(_.foldLeft(qSig)((s, b) => s ^ (1L << b))).toSeq :+ qSig
+    val probes = probeBuckets(qSig, bits, probeBits)
     embeddings
       .withColumn("sig", lshSignature(col(vecCol), dim, bits))
       .filter(col("sig").isin(probes: _*))

@@ -28,6 +28,42 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no shuffle join should appear for dim joins")
   }
 
+  test("q3/q5: no broadcast hint on a join side derived from a fact table") {
+    // Physical joins at sf0.001 legitimately broadcast (everything is tiny;
+    // AQE decides from runtime sizes) — the scale invariant is that WE never
+    // force a broadcast of anything that grows with the data. Walk the
+    // logical joins and reject any broadcast hint whose side scans
+    // orders/lineitem.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansFact(side: LogicalPlan): Boolean = side.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists { p =>
+          val s = p.toString
+          s.contains("orders.parquet") || s.contains("lineitem.parquet")
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    for (name <- Seq("q3_topk", "q5_region")) {
+      val lp = Queries.catalog(name)(spark, dir).queryExecution.optimizedPlan
+      lp.foreach {
+        case j: Join =>
+          if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)))
+            assert(!scansFact(j.left), s"$name: broadcast hint on fact-derived left side")
+          if (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)))
+            assert(!scansFact(j.right), s"$name: broadcast hint on fact-derived right side")
+        case _ =>
+      }
+    }
+  }
+
+  test("dd_ngram_jaccard: stop-shingle df cap present above the self-join") {
+    val p = plan("dd_ngram_jaccard")
+    assert(p.contains("<= 64"), "document-frequency cap must bound the inverted-index join")
+  }
+
   test("records page: pulse-range predicate sits at the scan, keyset above the window") {
     val p = plan("be_records_page")
     assert(p.contains("PushedFilters: [IsNotNull(ts)]"))
@@ -45,6 +81,18 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan("txt_fingerprint")
     assert(p.contains("fnv_fingerprint"))
     assert(!p.contains("ScalaUDF"))
+  }
+
+  test("ann_ivf / ann_lsh: persisted index scans are partition-pruned") {
+    // The indexed queries must read only the probed cell/sig directories —
+    // visible as PartitionFilters on the index scan (and the scan must be
+    // over the index path, not the raw embeddings).
+    for ((name, key) <- Seq("ann_ivf" -> "cell", "ann_lsh" -> "sig")) {
+      val p = plan(name)
+      assert(p.contains("graft-index"), s"$name must scan the persisted index")
+      assert(p.contains(s"PartitionFilters: [$key") || p.contains(s"$key IN "),
+        s"$name index scan must carry a $key partition filter:\n$p")
+    }
   }
 
   test("dedup exact: partial aggregation before the exchange") {
