@@ -210,6 +210,28 @@ object Queries {
       .select(col("reference"), col("pulse_number"), col("order"), col("total"))
   }
 
+  /** Pulses page + total with TIMESTAMP range filters (the endpoint shape
+    * of `GET /pulses` — `filterByTimestamp`, storage.go:210-218, + A3).
+    */
+  val bePulsesTotal: Q = (s, dir) => {
+    val p = Domain.pulses(Domain.records(s, dir))
+      .filter(Predicates.range(col("timestamp"),
+        gte = Some(1704636000L), lte = Some(1704959999L)))
+    Pagination.pageWithTotal(p, Seq(col("pulse_number").desc), 10)
+      .select(col("pulse_number"), col("timestamp"), col("record_amount"), col("total"))
+  }
+
+  /** Jet-drops-of-a-pulse page + total (the `GET /pulses/{p}/jet-drops`
+    * endpoint shape, storage.go:475-494 + A3).
+    */
+  val beDropsTotal: Q = (s, dir) => {
+    val d = Domain.jetDrops(Domain.records(s, dir))
+      .filter(col("pulse_number") === 473650L)
+    Pagination.pageWithTotal(d, Seq(col("jet_id").asc), 5)
+      .select(Codecs.jetDropIdString(col("jet_id"), col("pulse_number")).as("jet_drop_id"),
+        col("jet_id"), col("record_amount"), col("total"))
+  }
+
   /** W5 — classic limit/offset page over the pulse dimension. */
   val bePulsesOffset: Q = (s, dir) => {
     Pagination.page(Domain.pulses(Domain.records(s, dir)),
@@ -281,6 +303,22 @@ object Queries {
           col("m_jet") === concat(col("jet_id"), lit("1"))), "left")
       .groupBy(col("pulse_number"), col("jet_id"), col("record_amount"), col("prev_count"))
       .agg(count(col("m_jet")).as("next_count"))
+      .orderBy(col("pulse_number"), col("jet_id"))
+  }
+
+  /** J5 — hash-linkage enrichment of a drops page: prev/next jet-drop id
+    * lists via the prev-hash pointers (reference `api/handlers.go:207-297`).
+    */
+  val beJetLinksHash: Q = (s, dir) => {
+    val drops = Domain.jetDrops(Domain.records(s, dir))
+      .withColumn("jet_drop_id", Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+    val page = drops.filter(col("pulse_number").between(473600L, 473610L))
+      .select(col("jet_drop_id"), col("pulse_number"), col("jet_id"), col("hash"),
+        col("first_prev_hash"), col("second_prev_hash"))
+    val neighbors = drops.filter(col("pulse_number").between(473599L, 473611L))
+    graft.operators.JetLinkage.hashLinkIds(page, neighbors)
+      .select(col("jet_drop_id"), col("pulse_number"), col("jet_id"),
+        col("prev_ids"), col("next_ids"))
       .orderBy(col("pulse_number"), col("jet_id"))
   }
 
@@ -563,11 +601,14 @@ object Queries {
     "be_jet_drops_page" -> beJetDropsPage,
     "be_jet_tree" -> beJetTree,
     "be_records_total" -> beRecordsTotal,
+    "be_pulses_total" -> bePulsesTotal,
+    "be_drops_total" -> beDropsTotal,
     "be_pulses_offset" -> bePulsesOffset,
     "be_missing_pulses" -> beMissingPulses,
     "be_completeness" -> beCompleteness,
     "be_exporter_next" -> beExporterNext,
     "be_jet_links" -> beJetLinks,
+    "be_jet_links_hash" -> beJetLinksHash,
     "dd_exact" -> ddExact,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "txt_stats" -> txtStats,
@@ -633,7 +674,9 @@ object Queries {
   private val D =
     """drops AS (
       |  SELECT pulse_number, jet_id, count(*) AS record_amount, min(ts_sec) AS "timestamp",
-      |         md5(jet_id || ':' || pulse_number) AS hash
+      |         md5(jet_id || ':' || pulse_number) AS hash,
+      |         md5(jet_id || ':' || (pulse_number - 1)) AS first_prev_hash,
+      |         CAST(NULL AS VARCHAR) AS second_prev_hash
       |  FROM records GROUP BY pulse_number, jet_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -761,6 +804,21 @@ object Queries {
          |FROM records WHERE object_reference = 7
          |ORDER BY pulse_number DESC, "order" DESC, reference DESC LIMIT 10""".stripMargin,
 
+    "be_pulses_total" ->
+      s"""WITH $R, $P
+         |SELECT pulse_number, "timestamp", record_amount,
+         |       CAST(count(*) OVER () AS BIGINT) AS total
+         |FROM pstat
+         |WHERE "timestamp" BETWEEN 1704636000 AND 1704959999
+         |ORDER BY pulse_number DESC LIMIT 10""".stripMargin,
+
+    "be_drops_total" ->
+      s"""WITH $R, $D
+         |SELECT jet_id || ':' || pulse_number AS jet_drop_id, jet_id, record_amount,
+         |       CAST(count(*) OVER () AS BIGINT) AS total
+         |FROM drops WHERE pulse_number = 473650
+         |ORDER BY jet_id LIMIT 5""".stripMargin,
+
     "be_pulses_offset" ->
       s"""WITH $R, $P
          |SELECT pulse_number, record_amount, jet_drop_amount
@@ -813,6 +871,23 @@ object Queries {
         |   OR m.jet_id = w.jet_id || '0' OR m.jet_id = w.jet_id || '1')
         |GROUP BY w.pulse_number, w.jet_id, w.record_amount, w.prev_count
         |ORDER BY w.pulse_number, w.jet_id""".stripMargin,
+
+    "be_jet_links_hash" ->
+      s"""WITH $R, $D,
+         |p AS (SELECT jet_id || ':' || pulse_number AS jet_drop_id, *
+         |      FROM drops WHERE pulse_number BETWEEN 473600 AND 473610),
+         |nbr AS (SELECT jet_id || ':' || pulse_number AS nid, hash, first_prev_hash
+         |        FROM drops WHERE pulse_number BETWEEN 473599 AND 473611),
+         |nx AS (SELECT p.jet_drop_id, string_agg(n.nid, ',' ORDER BY n.nid) AS next_ids
+         |       FROM p JOIN nbr n ON n.first_prev_hash = p.hash GROUP BY p.jet_drop_id),
+         |pv AS (SELECT p.jet_drop_id, string_agg(n.nid, ',' ORDER BY n.nid) AS prev_ids
+         |       FROM p JOIN nbr n ON p.first_prev_hash = n.hash OR p.second_prev_hash = n.hash
+         |       GROUP BY p.jet_drop_id)
+         |SELECT p.jet_drop_id, p.pulse_number, p.jet_id,
+         |       coalesce(pv.prev_ids, '') AS prev_ids,
+         |       coalesce(nx.next_ids, '') AS next_ids
+         |FROM p LEFT JOIN nx USING (jet_drop_id) LEFT JOIN pv USING (jet_drop_id)
+         |ORDER BY p.pulse_number, p.jet_id""".stripMargin,
 
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Domain
 import graft.functions.{Codecs, JetFunctions}
-import graft.operators.{Pagination, Predicates, PulseChain}
+import graft.operators.{JetLinkage, Pagination, Predicates, PulseChain}
 
 /** The reference's eight read endpoints (`api/handlers.go`) as pure
   * functions SparkSession → params → DataFrame page: validate → build the
@@ -24,13 +24,51 @@ object Endpoints {
     (r, Domain.jetDrops(r), Domain.pulses(r))
   }
 
-  /** GET /pulses — list with recomputed chain links, newest first. */
+  /** GET /pulses — list with recomputed chain links, newest first, plus
+    * the `{total}` count of the filtered set. Timestamp bounds are unix
+    * seconds (`filterByTimestamp`, `etl/storage/storage.go:210-218`).
+    * Page-edge `-1` sentinels are patched with J2 point lookups against
+    * the FULL table like the reference's pulses handler
+    * (`etl/storage/storage.go:326-379`): the page's newest row gets the
+    * true successor (the pulse whose stored prev points at it), the
+    * oldest row its true predecessor — both may sit outside the filter.
+    */
   def pulses(spark: SparkSession, dir: String, page: PageParams = PageParams(),
-      fromPulse: Option[Long] = None, toPulse: Option[Long] = None): DataFrame = {
+      fromPulse: Option[Long] = None, toPulse: Option[Long] = None,
+      fromTimestamp: Option[Long] = None, toTimestamp: Option[Long] = None): DataFrame = {
     val (_, _, p) = views(spark, dir)
-    val filtered = p.filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
-    Pagination.page(PulseChain.repairChain(filtered),
+    val filtered = p
+      .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
+      .filter(Predicates.range(col("timestamp"), gte = fromTimestamp, lte = toTimestamp))
+    val paged = Pagination.pageWithTotal(PulseChain.repairChain(filtered),
       Seq(col("pulse_number").desc), page.limit, page.offset)
+    patchPageEdges(p, paged)
+  }
+
+  /** J2 page-edge patching — bounded-page driver logic (pages are ≤1000
+    * rows by validation, so the two point lookups mirror the reference's
+    * per-page DB queries, not a distributed operation).
+    */
+  private def patchPageEdges(allPulses: DataFrame, paged: DataFrame): DataFrame = {
+    val edge = paged.agg(min(col("pulse_number")), max(col("pulse_number"))).collect().head
+    if (edge.isNullAt(0)) paged
+    else {
+      val (lo, hi) = (edge.getLong(0), edge.getLong(1))
+      // successor of the newest row: the pulse whose stored prev points at it
+      val nextOfHi = PulseChain.nextPulse(allPulses, hi)
+      // predecessor of the oldest row: its stored prev, if that pulse exists
+      val prevOfLo = allPulses.filter(col("pulse_number") === lo)
+        .select(col("prev_pulse_number")).collect().headOption.map(_.getLong(0))
+        .filter(pv => allPulses.filter(col("pulse_number") === pv).limit(1).count() > 0)
+        .getOrElse(PulseChain.Unknown)
+      paged
+        .withColumn("next_pulse_number",
+          when(col("pulse_number") === hi && col("next_pulse_number") === PulseChain.Unknown,
+            lit(nextOfHi)).otherwise(col("next_pulse_number")))
+        .withColumn("prev_pulse_number",
+          when(col("pulse_number") === lo && col("prev_pulse_number") === PulseChain.Unknown,
+            lit(prevOfLo)).otherwise(col("prev_pulse_number")))
+    }
   }
 
   /** GET /pulses/{pulse} — point lookup. */
@@ -46,7 +84,7 @@ object Endpoints {
     val filtered = d.filter(col("pulse_number") === pulseNumber)
     val cursored = fromJetId.fold(filtered)(j => filtered.filter(col("jet_id") >= j))
     Mappers.jetDropToApi(
-      Pagination.page(cursored, Seq(col("jet_id").asc), page.limit, page.offset))
+      Pagination.pageWithTotal(cursored, Seq(col("jet_id").asc), page.limit, page.offset))
   }
 
   /** GET /jet-drops/{jet_drop_id} — point lookup by "<jet>:<pulse>". */
@@ -66,17 +104,21 @@ object Endpoints {
       val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(base) { case (p, o) =>
         base.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc = true))
       }
-      Pagination.page(cursored,
+      Pagination.pageWithTotal(cursored,
         Seq(col("pulse_number").asc, col("order").asc, col("reference").asc),
         page.limit, page.offset)
     }
 
   /** GET /jet-drops/by-jet-id — subtree+ancestors over a pulse range,
-    * mixed two-key sort (limit-only, default 1000, like the reference).
+    * mixed two-key sort (limit-only, default 1000, like the reference),
+    * enriched with the J5 prev/next jet-drop id lists via hash linkage
+    * (`api/handlers.go:207-297`): neighbors come from the page's pulse
+    * span ±1 (partition-pruned scan) and broadcast against the page.
     */
   def jetDropsByJetId(spark: SparkSession, dir: String, jetPrefix: String,
       fromPulse: Option[Long] = None, toPulse: Option[Long] = None,
-      pulseAsc: Boolean = true, limit: Int = 1000): DataFrame = {
+      pulseAsc: Boolean = true, limit: Int = 1000,
+      withLinks: Boolean = true): DataFrame = {
     require(Pagination.validLimit(limit), s"limit must be in [1,1000]: $limit")
     val (_, d, _) = views(spark, dir)
     val filtered = d
@@ -85,7 +127,18 @@ object Endpoints {
     val sorted =
       if (pulseAsc) Seq(col("pulse_number").asc, col("jet_id").desc)
       else Seq(col("pulse_number").desc, col("jet_id").asc)
-    Mappers.jetDropToApi(Pagination.page(filtered, sorted, limit))
+    val paged = Pagination.pageWithTotal(filtered, sorted, limit)
+    val out = if (!withLinks) paged else {
+      val page = paged.withColumn("jet_drop_id",
+        Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+      val neighbors = d
+        .filter(Predicates.range(col("pulse_number"),
+          gte = fromPulse.map(_ - 1), lte = toPulse.map(_ + 1)))
+        .withColumn("jet_drop_id",
+          Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+      JetLinkage.hashLinkIds(page, neighbors).orderBy(sorted: _*)
+    }
+    Mappers.jetDropToApi(out)
   }
 
   /** GET /lifeline/{object_ref}/records — the object lifeline. */
@@ -102,7 +155,7 @@ object Endpoints {
     val sort =
       if (asc) Seq(col("pulse_number").asc, col("order").asc, col("reference").asc)
       else Seq(col("pulse_number").desc, col("order").desc, col("reference").desc)
-    Pagination.page(cursored, sort, page.limit, page.offset)
+    Pagination.pageWithTotal(cursored, sort, page.limit, page.offset)
   }
 
   /** GET /search — polymorphic dispatch to the matching point query. */

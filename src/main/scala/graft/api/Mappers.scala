@@ -13,9 +13,11 @@ import graft.functions.Codecs
   */
 object Mappers {
 
-  /** Record row → API shape (`api/mappers.go:19-55`). */
+  /** Record row → API shape (`api/mappers.go:19-55`); `total` passes
+    * through when the caller paged with [[graft.operators.Pagination.pageWithTotal]].
+    */
   def recordToApi(records: DataFrame): DataFrame =
-    records.select(
+    records.select((Seq(
       base64(Codecs.emptyRefToNull(col("reference"))).as("reference"),
       col("type"),
       base64(Codecs.emptyRefToNull(col("object_reference"))).as("object_reference"),
@@ -27,17 +29,22 @@ object Mappers {
       col("pulse_number"),
       col("order"),
       Codecs.indexString(col("pulse_number"), col("order")).as("index"),
-      col("timestamp"))
+      col("timestamp")) ++
+      (if (records.columns.contains("total")) Seq(col("total")) else Nil)): _*)
 
-  /** Jet drop row → API shape (`api/mappers.go:57-76`). */
-  def jetDropToApi(drops: DataFrame): DataFrame =
-    drops.select(
+  /** Jet drop row → API shape (`api/mappers.go:57-76`); the J5 link-list
+    * and `total` columns pass through when the caller enriched them.
+    */
+  def jetDropToApi(drops: DataFrame): DataFrame = {
+    val links = Seq("prev_ids", "next_ids", "total").filter(drops.columns.contains).map(col)
+    drops.select(Seq(
       Codecs.jetDropIdString(col("jet_id"), col("pulse_number")).as("jet_drop_id"),
       col("jet_id"),
       col("pulse_number"),
       base64(col("hash")).as("hash"),
       col("record_amount"),
-      col("timestamp"))
+      col("timestamp")) ++ links: _*)
+  }
 
   /** Wrap a bounded page in the `{total, result}` envelope the API
     * returns (`api/handlers.go:637-645`). The page is driver-sized by

@@ -62,12 +62,19 @@ object Domain {
   }
 
   /** The `jet_drops` view (A2): per-(pulse, jet) blocks with an md5 content
-    * hash used by the J4/J5 linkage queries.
+    * hash used by the J4/J5 linkage queries. `first_prev_hash` links each
+    * drop to its same-jet predecessor one pulse earlier (the reference's
+    * parent-drop pointer, `etl/models/models.go:46-55`); the domain's
+    * fixed-depth jet tree never merges, so `second_prev_hash` stays null
+    * (it is real in the reference only for jet merges).
     */
   def jetDrops(records: DataFrame): DataFrame =
     records.groupBy(col("pulse_number"), col("jet_id"))
       .agg(count(lit(1)).as("record_amount"), min(col("ts_sec")).as("timestamp"))
       .withColumn("hash", md5(concat_ws(":", col("jet_id"), col("pulse_number"))))
+      .withColumn("first_prev_hash",
+        md5(concat_ws(":", col("jet_id"), col("pulse_number") - 1)))
+      .withColumn("second_prev_hash", lit(null).cast("string"))
 
   /** The `pulses` dimension (A1 counters + ST2 completeness + sequence).
     * Stored prev/next follow the hourly ledger contract (pulse ± 1); reads

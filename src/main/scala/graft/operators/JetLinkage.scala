@@ -27,6 +27,30 @@ object JetLinkage {
         col("jet_id").isin(cands: _*))
   }
 
+  /** J5 — enrich a page of drops with the prev/next jet-drop ID LISTS via
+    * hash linkage, matching `api/handlers.go:207-297` (`createNextPrevMaps`
+    * 269-297): a drop's next are the neighbor drops whose `first_prev_hash`
+    * equals my `hash`; its prev are the neighbor drops whose `hash` equals
+    * one of my two prev hashes. Lists come back as comma-joined sorted
+    * `jet_drop_id` strings (deterministic, oracle-hashable), empty string
+    * when none. Both inputs must expose (jet_drop_id, hash,
+    * first_prev_hash, second_prev_hash); `neighbors` should be the drops
+    * of the page's pulse span ±1 (partition-pruned scan) and is broadcast
+    * against the page.
+    */
+  def hashLinkIds(page: DataFrame, neighbors: DataFrame): DataFrame = {
+    val n = neighbors.select(col("jet_drop_id").as("_nid"), col("hash").as("_nh"),
+      col("first_prev_hash").as("_nfp"))
+    val withNext = page.join(broadcast(n), col("hash") === col("_nfp"), "left")
+      .groupBy(page.columns.map(col): _*)
+      .agg(array_join(sort_array(collect_list(col("_nid"))), ",").as("next_ids"))
+    withNext.join(broadcast(n),
+        col("first_prev_hash") === col("_nh") || col("second_prev_hash") === col("_nh"),
+        "left")
+      .groupBy(withNext.columns.map(col): _*)
+      .agg(array_join(sort_array(collect_list(col("_nid"))), ",").as("prev_ids"))
+  }
+
   /** J5 — enrich a page of drops with prev/next counts via hash linkage.
     * `page` and `neighbors` must both expose (pulse_number, jet_id, hash,
     * first_prev_hash, second_prev_hash). Returns the page with

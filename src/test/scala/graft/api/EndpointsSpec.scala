@@ -18,6 +18,65 @@ class EndpointsSpec extends SparkSpec {
     assert(pns.forall(p => p >= 473500L && p <= 473900L))
   }
 
+  test("pulses list: total reflects the filtered set, not the page") {
+    val rows = Endpoints.pulses(spark, dir,
+      Endpoints.PageParams(limit = 3), fromPulse = Some(473500L), toPulse = Some(473520L))
+      .collect()
+    assert(rows.length == 3)
+    val total = rows.head.getAs[Long]("total")
+    assert(total > 3, s"total $total should count the whole filtered set")
+    assert(rows.forall(_.getAs[Long]("total") == total))
+  }
+
+  test("pulses list: timestamp range filter bounds the page") {
+    // pulse N covers hour N: ts_sec in [N*3600, (N+1)*3600)
+    val lo = 473510L * 3600
+    val hi = 473515L * 3600 - 1
+    val rows = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 100),
+      fromTimestamp = Some(lo), toTimestamp = Some(hi)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val t = r.getAs[Long]("timestamp"); t >= lo && t <= hi
+    })
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("pulse_number"); p >= 473510L && p < 473515L
+    })
+  }
+
+  test("pulses page edges: -1 sentinels patched via J2 point lookups (desc pages)") {
+    // The sf0.001 chain has gaps, so pick a pulse whose ±1 neighbors BOTH
+    // exist, filter the page to exactly that pulse, and require the edge
+    // patch to resolve prev/next from the full table like the reference
+    // (storage.go:326-379) — the in-page repair alone would leave -1.
+    val present = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1000))
+      .collect().map(_.getAs[Long]("pulse_number")).toSet
+    val p = present.find(p => present(p - 1) && present(p + 1)).get
+    val row = Endpoints.pulses(spark, dir,
+      Endpoints.PageParams(limit = 10), fromPulse = Some(p), toPulse = Some(p))
+      .collect().head
+    assert(row.getAs[Long]("prev_pulse_number") == p - 1,
+      "single-row page: prev must be patched from the full table")
+    assert(row.getAs[Long]("next_pulse_number") == p + 1,
+      "single-row page: next must be patched from the full table")
+    // and across a true gap the sentinel must SURVIVE the patch
+    present.find(p => present(p) && !present(p + 1)).foreach { g =>
+      val r = Endpoints.pulses(spark, dir,
+        Endpoints.PageParams(limit = 10), fromPulse = Some(g), toPulse = Some(g))
+        .collect().head
+      assert(r.getAs[Long]("next_pulse_number") == -1L,
+        "a missing successor must stay -1 after patching")
+    }
+  }
+
+  test("pulses page edges: chain ends stay -1 when no neighbor exists anywhere") {
+    val all = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1000))
+      .collect().sortBy(_.getAs[Long]("pulse_number"))
+    assert(all.head.getAs[Long]("prev_pulse_number") == -1L,
+      "the globally first pulse has no predecessor to patch")
+    assert(all.last.getAs[Long]("next_pulse_number") == -1L,
+      "the globally last pulse has no successor to patch")
+  }
+
   test("pulse point lookup hits and misses") {
     val hit = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1)).collect()(0)
     val p = hit.getAs[Long]("pulse_number")
