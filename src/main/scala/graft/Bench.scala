@@ -52,7 +52,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+
+    // Ingest bench — the reference's heaviest end-to-end scenario
+    // (test/integration/integration_bench_test.go:21-199): one pulse of
+    // 2000 records over 20 jets through canonicalize → chain sort → order
+    // assignment → partition commit. Target: well under the 10s cadence.
+    val ingestSec = try {
+      val jets = (0 until 20).map(i => {
+        val b = java.lang.Long.toBinaryString(i)
+        "0" * (5 - b.length) + b
+      })
+      val wire = graft.gen.Fixtures.multiPulseBatches(spark, 1, 2000, jets)
+      val t0 = System.nanoTime()
+      val staged = graft.ingest.Spine(wire)
+      graft.ingest.PulseWriter.writePulsePartition(staged, "records", "/tmp/graft-bench-ingest")
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1.0
+    }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_sec":$ingestSec%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

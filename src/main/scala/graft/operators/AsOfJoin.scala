@@ -41,8 +41,12 @@ object AsOfJoin {
       .withColumn("_side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    // `_r` as the final sort key makes the carried row deterministic when
+    // several right rows share (key, time): the greatest payload struct
+    // wins, independent of physical row order. Left rows carry null `_r`
+    // and only ever tie among themselves, where order is irrelevant.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     val outCols = left.columns.map(col) ++

@@ -19,11 +19,17 @@ import graft.functions.JetFunctions
   */
 object JetLinkage {
 
-  /** J4 — point lookup of sibling drops around (pulse, jetId). */
-  def siblingsAround(jetDrops: DataFrame, pulse: Long, jetId: String): DataFrame = {
+  /** J4 — point lookup of sibling drops around (pulse, jetId).
+    * `pulseDelta` is the spacing between consecutive pulses: 1 for the
+    * hourly [[graft.model.Domain]] views, 10 for the reference-cadence
+    * fixtures (`testutils/models.go:16`).
+    */
+  def siblingsAround(jetDrops: DataFrame, pulse: Long, jetId: String,
+      pulseDelta: Long = 1L): DataFrame = {
     val cands = JetFunctions.jetLinkCandidates(jetId)
     jetDrops.filter(
-      (col("pulse_number") === pulse - 10 || col("pulse_number") === pulse + 10) &&
+      (col("pulse_number") === pulse - pulseDelta ||
+        col("pulse_number") === pulse + pulseDelta) &&
         col("jet_id").isin(cands: _*))
   }
 

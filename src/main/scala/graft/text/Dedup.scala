@@ -96,13 +96,23 @@ object Dedup {
     * boilerplate phrase ("all rights reserved …") makes the join quadratic
     * in corpus size; capping df bounds per-key fan-out at maxDf²/2 and, by
     * the LSH literature's standard argument, ultra-common shingles carry no
-    * dedup signal anyway. Shaped for skew: the count is a hash aggregate
-    * (map-side combine collapses hot keys before the shuffle) and the
-    * 1:1 join back is AQE-skew-splittable.
+    * dedup signal anyway.
+    *
+    * Skew shape: the df count is a hash aggregate (map-side combine
+    * collapses hot keys before the shuffle), and the cap is applied as a
+    * BROADCAST LEFT-ANTI join against the HOT key list — `rows` is never
+    * shuffled at all, so the hot key cannot create a straggler task. The
+    * inner-join-the-rare-keys alternative both shuffles the full rows
+    * frame AND lands outside AQE's skew rewrite (OptimizeSkewedJoin only
+    * matches Sort+Shuffle directly under the join; an intermediate
+    * aggregate defeats it — verified in SkewSpec). The hot list is small
+    * by construction: at most n/maxDf keys can exceed maxDf, and real
+    * boilerplate is far rarer.
     */
   def capDf(rows: DataFrame, keyCol: String, maxDf: Int): DataFrame = {
-    val dfs = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
-    rows.join(dfs.filter(col("_df") <= maxDf), Seq(keyCol)).drop("_df")
+    val hot = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf)
+    rows.join(broadcast(hot.select(col(keyCol))), Seq(keyCol), "left_anti")
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */

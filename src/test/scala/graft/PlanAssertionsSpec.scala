@@ -59,9 +59,11 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
-  test("dd_ngram_jaccard: stop-shingle df cap present above the self-join") {
+  test("dd_ngram_jaccard: stop-shingle df cap is a broadcast anti-join on hot keys") {
     val p = plan("dd_ngram_jaccard")
-    assert(p.contains("<= 64"), "document-frequency cap must bound the inverted-index join")
+    assert(p.contains("> 64"), "document-frequency cap must bound the inverted-index join")
+    assert(p.contains("LeftAnti"),
+      "the cap must drop hot-shingle rows via anti-join (rows side unshuffled)")
   }
 
   test("records page: pulse-range predicate sits at the scan, keyset above the window") {
