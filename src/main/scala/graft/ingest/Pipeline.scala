@@ -19,9 +19,16 @@ final class Pipeline(
     spark: SparkSession,
     basePath: String,
     source: Long => Option[DataFrame],
-    pulseDelta: Long = 10L) {
+    pulseDelta: Long = 10L,
+    reloadTtlMillis: Long = 1200000L) {
 
   final case class Report(ingested: Seq[Long], missing: Seq[Long], reloaded: Seq[Long])
+
+  /** ST3 reload dedup — repeated `run` rounds skip pulses whose reload is
+    * still pending within the TTL (reference default 20 min,
+    * `configuration/configuration.go:116-122`).
+    */
+  private val missedData = new Resilience.MissedDataManager(reloadTtlMillis)
 
   /** Ingest one pulse: spine + idempotent partition commit. Returns true
     * when the source had data for the pulse.
@@ -39,15 +46,25 @@ final class Pipeline(
       case None => false
     }
 
+  /** [[ingestPulse]] with failures contained: a pulse whose fetch/commit
+    * throws (even after source-side retries) is treated as missing this
+    * round — the gap loop re-requests it later (reference: the extractor
+    * retries forever, the controller owns re-request).
+    */
+  private def tryIngest(p: Long): Boolean =
+    try ingestPulse(p) catch { case _: Throwable => false }
+
   /** Drive `[from, to]`, then run one gap-detection + reload round. */
   def run(from: Long, to: Long): Report = {
-    val ingested = (from to to by pulseDelta).filter(ingestPulse)
+    val ingested = (from to to by pulseDelta).filter(tryIngest)
     val present = spark.read.parquet(s"$basePath/records")
       .select(col("pulse_number")).distinct()
     val missing = Completeness
       .missingInRange(present, "pulse_number", from, to, pulseDelta)
       .collect().map(_.getLong(0)).toSeq
-    val reloaded = missing.filter(ingestPulse) // ST3 re-request
+    // ST3 re-request, deduped by TTL containment so a persistent gap does
+    // not re-request on every round within the TTL window
+    val reloaded = missing.filter(p => missedData.addIfNew(p, p)).filter(tryIngest)
     Report(ingested, missing, reloaded)
   }
 

@@ -30,6 +30,23 @@ class SearchMappersSpec extends SparkSpec {
     assert(Search.dispatch(Codecs.referenceToString(Array[Byte](1, 2, 3))) == Search.NoMatch)
   }
 
+  test("reference codec golden vectors: fixed strings decode, classify, and round-trip") {
+    // Frozen vectors (F7): a codec or classification regression changes
+    // these strings — round-trip tests alone would not catch it.
+    val goldenObject = "insolar:111114wBqpZM9xaSheZzJSMawUKKwhdpChKbZ5eu5ky4Vigw"
+    val goldenRecord = "insolar:116nfG4UbE7S5K1yucBT1gLd1axTcztGLPdsjAmJCYcZYn3Rq"
+    val objBytes = Array.fill[Byte](4)(0) ++ Array.tabulate[Byte](32)(i => (i + 1).toByte)
+    val recBytes = Array[Byte](0, 1, 0, 0) ++ Array.tabulate[Byte](32)(i => (i + 1).toByte)
+    assert(Codecs.referenceToString(objBytes) == goldenObject)
+    assert(Codecs.referenceToString(recBytes) == goldenRecord)
+    assert(Codecs.parseReference(goldenObject).get.toSeq == objBytes.toSeq)
+    assert(Codecs.parseReference(goldenRecord).get.toSeq == recBytes.toSeq)
+    assert(Search.dispatch(goldenObject).isInstanceOf[Search.LifelineTarget])
+    assert(Search.dispatch(goldenRecord).isInstanceOf[Search.RecordTarget])
+    // leading-zero preservation: the 4 zero scope bytes survive as base58 '1's
+    assert(goldenObject.stripPrefix("insolar:1").startsWith("1111"))
+  }
+
   test("record mapper renders base64, index strings, and null normalization") {
     import spark.implicits._
     val rec = Seq((
