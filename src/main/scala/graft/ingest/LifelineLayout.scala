@@ -1,0 +1,48 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Secondary object-bucketed layout — the columnar analog of the
+  * reference's covering index `(object_reference, type, pulse_number,
+  * order)` (`migrations/migrations.go:54-79`, SURVEY §4.1).
+  *
+  * The primary store is pulse-partitioned (right for ingest, completeness
+  * and time-range queries), which makes a lifeline query scan EVERY pulse
+  * partition for one object's rows. This layout re-partitions records by
+  * a bucket of `object_reference`: one lifeline query prunes to
+  * 1/[[Buckets]] of the corpus at the directory level, and within files
+  * rows are sorted by (object_reference, pulse_number, order) so row-group
+  * min/max stats prune further and pages come back in index order with no
+  * sort.
+  *
+  * Written once per maintenance window from the primary store (a map-only
+  * repartition — one shuffle on the bucket key); readers choose layout by
+  * predicate shape, like a database picking an index.
+  */
+object LifelineLayout {
+
+  val Buckets = 256
+
+  def bucketOf(objectRef: Long): Long = ((objectRef % Buckets) + Buckets) % Buckets
+
+  /** Materialize the layout from a records frame (any source — primary
+    * store scan or the Domain view).
+    */
+  def write(records: DataFrame, path: String): Unit =
+    records
+      .withColumn("obj_bucket", pmod(col("object_reference"), lit(Buckets)))
+      .repartition(col("obj_bucket"))
+      .sortWithinPartitions(col("object_reference"), col("pulse_number"), col("order"))
+      .write.mode("overwrite").partitionBy("obj_bucket").parquet(path)
+
+  /** Lifeline scan against the layout: the bucket equality is a partition
+    * filter (directory pruning), the object equality a pushed row-group
+    * filter over sorted data.
+    */
+  def lifeline(spark: SparkSession, path: String, objectRef: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("obj_bucket") === bucketOf(objectRef) &&
+        col("object_reference") === objectRef)
+      .drop("obj_bucket")
+}

@@ -32,6 +32,41 @@ class PulseFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST1 end-to-end as a stream: landed wire pulses -> spine -> store -> lifeline") {
+    import graft.gen.Fixtures
+    val landing = java.nio.file.Files.createTempDirectory("graft-st1-landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st1-ckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-st1-store").toString
+
+    // land one parquet file per pulse, like the extractor's per-pulse bundles
+    val wire = Fixtures.lifelineWire(spark, "st1", nPulses = 3, amendsPerPulse = 2)
+    val pulses = wire.select("pulse_number").distinct()
+      .collect().map(_.getLong(0)).sorted
+    pulses.foreach { p =>
+      wire.filter(col("pulse_number") === p)
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+
+    // foreachBatch hands each micro-batch to the SAME batch spine used by
+    // backfill: canonicalize -> chain sort -> order -> partition commit
+    val q = PulseFeed.ingestStream(spark, landing, wire.schema, (batch, _) =>
+        if (!batch.isEmpty) {
+          val staged = graft.ingest.Spine(batch)
+          graft.ingest.PulseWriter.writePulsePartition(staged, "records", store)
+        })
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the store must now serve the lifeline in causal order
+    val got = spark.read.parquet(s"$store/records")
+      .filter(col("type") === "state")
+      .orderBy(col("pulse_number"), col("order"))
+      .select(decode(col("reference"), "UTF-8").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Fixtures.lifelineExpectedStates("st1", nPulses = 3, amendsPerPulse = 2))
+  }
+
   test("nextCompletePulseFiltered: join body returns the matching pulse with recount") {
     import spark.implicits._
     val pulses = Seq((70010L, 70000L, true), (70020L, 70010L, false))
