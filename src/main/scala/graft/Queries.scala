@@ -348,9 +348,16 @@ object Queries {
     */
   val ddNgramJaccard: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // Shingles are hashed to 64-bit keys BEFORE the distinct/df-cap/join
+    // stages: every shuffle and join key is 8 bytes instead of a ~25-char
+    // string. Set sizes and intersections over hashes equal those over
+    // strings absent a 64-bit collision among distinct shingles
+    // (~2e-11 at 27k distinct; the DuckDB oracle keeps strings, so the
+    // correctness gate would surface one).
     val sh = graft.text.Dedup.capDf(
-      graft.text.Dedup.shingleRows(docs, "doc_id", "text", 3)
-        .withColumnRenamed("id", "doc_id"),
+      graft.text.Dedup.shingleRowsRaw(docs, "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), xxhash64(col("sh")).as("sh"))
+        .distinct(),
       "sh", NgramMaxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
