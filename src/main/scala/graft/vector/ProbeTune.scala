@@ -31,8 +31,9 @@ object ProbeTune {
         .filter(col("sig").isin(probes: _*)).count().toDouble / emb.count()
       println(f"bits=$bits maxProbes=$maxProbes (${frac * 100}%.0f%% buckets, ${frackept * 100}%.0f%% rows) recall=${got.intersect(exactIds).size / 10.0}%.1f")
     }
-    for (nCells <- Seq(16, 32); nProbe <- Seq(2, 4, 6, 8)) {
-      val cents = Ivf.centroids(emb, nCells)
+    for (nCells <- Seq(16, 32); refine <- Seq(0, 2); nProbe <- Seq(2, 4, 6, 8)) {
+      val cents0 = Ivf.centroids(emb, nCells)
+      val cents = if (refine == 0) cents0 else Ivf.refineCentroids(emb, cents0, refine)
       val probed = Ivf.cellsByAffinity(q, cents).take(nProbe)
       val assigned = emb.filter(col("vec_id") =!= 0L)
         .withColumn("cell", Ivf.cellOf(col("embedding"), cents))
@@ -42,7 +43,7 @@ object ProbeTune {
         .collect().map(_.getLong(0)).toSet
       val kept = assigned.filter(col("cell").isin(probed: _*)).count().toDouble /
         assigned.count()
-      println(f"ivf nCells=$nCells nProbe=$nProbe (${kept * 100}%.0f%% rows) recall=${got.intersect(exactIds).size / 10.0}%.1f")
+      println(f"ivf nCells=$nCells refine=$refine nProbe=$nProbe (${kept * 100}%.0f%% rows) recall=${got.intersect(exactIds).size / 10.0}%.1f")
     }
     spark.stop()
   }

@@ -42,6 +42,24 @@ class CosineDedupIvfSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("refineCentroids converges to unit-norm cluster means on clustered data") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes
+    val clustered = ((1 to 20).map(i => (i.toLong, Seq(1f, 0.01f * i, 0f, 0f))) ++
+      (21 to 40).map(i => (i.toLong, Seq(0f, 0f, 1f, 0.01f * (i - 20)))))
+      .toDF("vec_id", "embedding")
+    val seed = Ivf.centroids(clustered, 2)
+    val refined = Ivf.refineCentroids(clustered, seed, iterations = 3)
+    assert(refined.length == 2)
+    refined.foreach { c =>
+      val n = math.sqrt(c.map(v => v.toDouble * v).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"refined centroid must be unit-norm, got $n")
+    }
+    // each cluster's dominant axis is dominant in exactly one centroid
+    val axes = refined.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 2), s"centroids must settle on the two cluster axes: $axes")
+  }
+
   test("IVF pruning searches fewer rows but still finds the close neighbor") {
     val q = Seq(1f, 0.1f, 0f, 0f)
     val cents = Ivf.centroids(emb, nCells = 3)
