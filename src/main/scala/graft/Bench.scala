@@ -33,10 +33,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
-    // Standing ANN indexes (write-path cost, reported separately by the
-    // ingest bench) so ann_* numbers measure the read path.
-    try { graft.vector.AnnIndex.ensureAll(spark, sfDir) }
-    catch { case e: Throwable => System.err.println(s"[bench] index build failed: ${e.getMessage}") }
+    // Standing indexes (write-path cost, reported separately by the
+    // ingest bench) so indexed query numbers measure the read path.
+    try {
+      graft.vector.AnnIndex.ensureAll(spark, sfDir)
+      graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
+        graft.vector.AnnIndex.indexRoot(sfDir) + "/lifeline")
+    } catch { case e: Throwable => System.err.println(s"[bench] index build failed: ${e.getMessage}") }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -210,6 +210,23 @@ object Queries {
       .select(col("reference"), col("pulse_number"), col("order"), col("total"))
   }
 
+  /** The lifeline read served from the SECONDARY object-bucketed layout
+    * (covering-index analog, [[graft.ingest.LifelineLayout]]): identical
+    * rows to the pulse-partitioned path, but the scan prunes to one
+    * obj_bucket directory instead of touching every pulse partition.
+    */
+  val beLifelineIdx: Q = (s, dir) => {
+    val path = graft.vector.AnnIndex.indexRoot(dir) + "/lifeline"
+    graft.ingest.LifelineLayout.ensure(Domain.records(s, dir), path)
+    graft.ingest.LifelineLayout.lifeline(s, path, 7L)
+      .filter(col("type") === "state")
+      .select(col("reference"), col("type"), col("object_reference"),
+        col("pulse_number"), col("order"),
+        Codecs.indexString(col("pulse_number"), col("order")).as("idx"))
+      .orderBy(col("pulse_number"), col("order"), col("reference"))
+      .limit(50)
+  }
+
   /** Pulses page + total with TIMESTAMP range filters (the endpoint shape
     * of `GET /pulses` — `filterByTimestamp`, storage.go:210-218, + A3).
     */
@@ -603,6 +620,7 @@ object Queries {
     "ev_sessions" -> evSessions,
     "be_records_page" -> beRecordsPage,
     "be_lifeline" -> beLifeline,
+    "be_lifeline_idx" -> beLifelineIdx,
     "be_pulses_page" -> bePulsesPage,
     "be_pulse_chain" -> bePulseChain,
     "be_jet_drops_page" -> beJetDropsPage,
@@ -764,6 +782,14 @@ object Queries {
          |FROM records
          |WHERE object_reference = 7 AND type = 'state'
          |  AND (pulse_number > 473400 OR (pulse_number = 473400 AND "order" >= 1))
+         |ORDER BY pulse_number, "order", reference LIMIT 50""".stripMargin,
+
+    "be_lifeline_idx" ->
+      s"""WITH $R
+         |SELECT reference, type, object_reference, pulse_number, "order",
+         |       pulse_number || ':' || "order" AS idx
+         |FROM records
+         |WHERE object_reference = 7 AND type = 'state'
          |ORDER BY pulse_number, "order", reference LIMIT 50""".stripMargin,
 
     "be_pulses_page" ->

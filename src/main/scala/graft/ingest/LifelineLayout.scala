@@ -26,6 +26,16 @@ object LifelineLayout {
 
   def bucketOf(objectRef: Long): Long = ((objectRef % Buckets) + Buckets) % Buckets
 
+  /** [[write]] only when no prior successful write exists at `path`
+    * (cache-on-first-use for the catalog queries; a production deployment
+    * rebuilds per maintenance window).
+    */
+  def ensure(records: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = p.getFileSystem(records.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) write(records, path)
+  }
+
   /** Materialize the layout from a records frame (any source — primary
     * store scan or the Domain view).
     */
