@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.{FnvFingerprint, SimHash64}
+import graft.vector.expressions.{DotProduct, L2Norm}
+
+/** Session-extension entry point: registers the library's native Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b) …")`
+  * works for SQL-first users exactly like the Column API.
+  *
+  * Activate at session build time —
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — or on an
+  * existing session via [[GraftExtensions.installInto]]. Both routes share
+  * one function table, and every function stays a codegen'd native
+  * expression (no UDF tier, SURVEY §7.3's preference order holds through
+  * the SQL surface too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def one(name: String, clazz: Class[_], b: Expression => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"$name expects 1 argument, got ${es.length}")
+        b(es.head)
+      })
+
+  private def two(name: String, clazz: Class[_], b: (Expression, Expression) => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"$name expects 2 arguments, got ${es.length}")
+        b(es.head, es(1))
+      })
+
+  /** The SQL-exposed native expression table. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    two("vec_dot", classOf[DotProduct], DotProduct.apply),
+    one("vec_norm", classOf[L2Norm], L2Norm.apply),
+    one("fnv_fingerprint", classOf[FnvFingerprint], FnvFingerprint.apply),
+    one("simhash64", classOf[SimHash64], SimHash64.apply))
+
+  /** Register the same functions on an already-built session. */
+  def installInto(spark: SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

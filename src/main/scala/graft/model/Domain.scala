@@ -76,6 +76,20 @@ object Domain {
         md5(concat_ws(":", col("jet_id"), col("pulse_number") - 1)))
       .withColumn("second_prev_hash", lit(null).cast("string"))
 
+  /** Register the three domain tables as temp views (plus the library's
+    * native SQL functions), so SQL-first users query `records`,
+    * `jet_drops` and `pulses` directly with `spark.sql` — the relational
+    * surface a reference user expects from their PostgreSQL schema.
+    * Views are lazy DataFrames: filters still push down to the scan.
+    */
+  def createViews(spark: SparkSession, dir: String): Unit = {
+    val r = records(spark, dir)
+    r.createOrReplaceTempView("records")
+    jetDrops(r).createOrReplaceTempView("jet_drops")
+    pulses(r).createOrReplaceTempView("pulses")
+    graft.GraftExtensions.installInto(spark)
+  }
+
   /** The `pulses` dimension (A1 counters + ST2 completeness + sequence).
     * Stored prev/next follow the hourly ledger contract (pulse ± 1); reads
     * never trust them and re-derive links per page (J3).

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("installed SQL functions match the Column API bit-for-bit and stay codegen'd") {
+    GraftExtensions.installInto(spark)
+    import spark.implicits._
+    Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), "The quick brown fox"))
+      .toDF("a", "b", "t").createOrReplaceTempView("ext_probe")
+    val row = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_norm(a) AS n,
+        |       fnv_fingerprint(t) AS f, simhash64(t) AS s
+        |FROM ext_probe""".stripMargin).collect().head
+    assert(row.getDouble(0) == 32.0)
+    assert(math.abs(row.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    val viaColumns = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), "The quick brown fox"))
+      .toDF("a", "b", "t")
+      .select(
+        graft.vector.expressions.VectorExpressions.vecDot(col("a"), col("b")),
+        graft.functions.expressions.TextExpressions.fnvFingerprint(col("t")),
+        graft.functions.expressions.TextExpressions.simhash64(col("t")))
+      .collect().head
+    assert(row.getDouble(0) == viaColumns.getDouble(0))
+    assert(row.getLong(2) == viaColumns.getLong(1))
+    assert(row.getLong(3) == viaColumns.getLong(2))
+    // still the native expression tier — no UDF appears in the SQL plan
+    val plan = spark.sql("SELECT vec_dot(a, b) FROM ext_probe")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("extension class injects the same table (arity errors included)") {
+    val names = GraftExtensions.functions.map(_._1.funcName).toSet
+    assert(names == Set("vec_dot", "vec_norm", "fnv_fingerprint", "simhash64"))
+    val vecDotBuilder = GraftExtensions.functions.find(_._1.funcName == "vec_dot").get._3
+    intercept[IllegalArgumentException](vecDotBuilder(Seq.empty))
+  }
+}

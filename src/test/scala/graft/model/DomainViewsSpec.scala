@@ -1,0 +1,34 @@
+package graft.model
+
+import graft.SparkSpec
+
+class DomainViewsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("SQL views serve the block-explorer read surface with pushdown intact") {
+    Domain.createViews(spark, dir)
+    val page = spark.sql(
+      """SELECT reference, pulse_number, `order`
+        |FROM records
+        |WHERE object_reference = 7 AND type = 'state'
+        |ORDER BY pulse_number, `order` LIMIT 20""".stripMargin)
+    assert(page.count() > 0)
+    val drops = spark.sql(
+      "SELECT count(*) AS n FROM jet_drops WHERE jet_id = '010'").collect().head.getLong(0)
+    assert(drops > 0)
+    // sf0.001 is sparse enough that no pulse covers all 8 jets, so assert
+    // the dimension itself (completeness truth is oracled at sf0.01)
+    val pulses = spark.sql(
+      "SELECT count(*) FROM pulses WHERE record_amount > 0").collect().head.getLong(0)
+    assert(pulses > 0)
+    // native functions ride along on the same session
+    val fp = spark.sql(
+      "SELECT fnv_fingerprint(jet_id) FROM jet_drops LIMIT 1").collect().head.getLong(0)
+    assert(fp != 0L)
+    // pushdown property survives the view: the object filter reaches the scan
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      s"object filter must push to the events scan through the view:\n$plan")
+  }
+}
