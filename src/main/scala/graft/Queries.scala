@@ -548,6 +548,36 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-stratified deterministic downsampling — the mix-weighting
+    * step of a training-data pipeline: long documents kept whole, medium
+    * halved, short decimated, all as a pure function of (doc_id, stratum)
+    * so the sample is reproducible on any engine. (The synthetic corpus
+    * scores uniformly 1.0 on the quality heuristic, so token length is
+    * the stratum signal that actually varies here.)
+    */
+  val ddStratified: Q = (s, dir) => {
+    val nTok = size(filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0))
+    val stratum = when(nTok >= 120, "long").when(nTok >= 60, "mid").otherwise("short")
+    graft.text.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", stratum,
+        Seq("long" -> 1.0, "mid" -> 0.5, "short" -> 0.1))
+      .select(col("doc_id"), col("stratum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget shard packing: documents assigned to ~2000-token
+    * training shards over 8 parallel packing streams (deterministic
+    * hash order — engine-reproducible, scales out with the bucket count).
+    */
+  val ddPack: Q = (s, dir) => {
+    val withTokens = t(s, dir, "documents").select(col("doc_id"),
+      size(filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0))
+        .cast("long").as("n_tokens"))
+    graft.text.Sampling.packShards(withTokens, "doc_id", "n_tokens",
+        tokensPerShard = 2000L, buckets = 8)
+      .select(col("doc_id"), col("bucket"), col("shard"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch aggregates (HLL distinct, approximate percentiles) — the
     * constant-memory forms of the exact `ev_user_stats` aggregation;
     * rows-only (approximation has no exact oracle, and the exact twin IS
@@ -649,6 +679,8 @@ object Queries {
     "txt_fingerprint" -> txtFingerprint,
     "dd_embed" -> ddEmbed,
     "dd_split" -> ddSplit,
+    "dd_stratified" -> ddStratified,
+    "dd_pack" -> ddPack,
     "dd_embed_lsh" -> ddEmbedLsh,
     "ann_ivf" -> annIvf,
     "mm_frames" -> mmFrames,
@@ -1073,6 +1105,43 @@ object Queries {
         |       WHEN bucket < 9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "dd_stratified" ->
+      """WITH t1 AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN toks >= 120 THEN 'long'
+        |         WHEN toks >= 60 THEN 'mid' ELSE 'short' END AS stratum,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM t1)
+        |SELECT doc_id, stratum FROM s
+        |WHERE CASE stratum WHEN 'long' THEN bucket < 10000
+        |                   WHEN 'mid' THEN bucket < 5000
+        |                   ELSE bucket < 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "dd_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(bucket * 4294967296 + (cum - n_tokens) // 2000 AS BIGINT) AS shard,
+        |       n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "dd_embed" ->
       """WITH e AS (
