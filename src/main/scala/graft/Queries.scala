@@ -371,22 +371,25 @@ object Queries {
     // strings absent a 64-bit collision among distinct shingles
     // (~2e-11 at 27k distinct; the DuckDB oracle keeps strings, so the
     // correctness gate would surface one).
-    val sh = graft.text.Dedup.capDf(
+    val capped = graft.text.Dedup.capDf(
       graft.text.Dedup.shingleRowsRaw(docs, "doc_id", "text", 3)
         .select(col("id").as("doc_id"), xxhash64(col("sh")).as("sh"))
         .distinct(),
       "sh", NgramMaxDf)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // Per-doc set size as a window column: the rows are already hash-
+    // partitioned by doc_id (shingle window → distinct → broadcast
+    // anti-join all preserve it), so this adds NO exchange, and the
+    // sizes ride the candidate join — no separate sizes aggregate, no
+    // two join-backs.
+    val sh = capped.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("i"))
-    val j = inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.5)
-    j.select(col("a_id"), col("b_id"), col("jaccard")).orderBy(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("jaccard")).orderBy(col("a_id"), col("b_id"))
   }
 
   /** Per-document integer text statistics (oracle-exact counts). */

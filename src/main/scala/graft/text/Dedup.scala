@@ -190,16 +190,17 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
     // exact Jaccard on the surviving candidates, relationally: intersection
     // by joining the two DISTINCT hashed shingle sets (distinct matters for
-    // set sizes and intersection counts), sizes from a per-doc count.
+    // set sizes and intersection counts). Per-doc set sizes ride as a
+    // window column over the id-partitioning the shingle window already
+    // established — no extra exchange, no separate sizes aggregate.
     val ex = exRaw.distinct()
-    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(ex.select(col("id").as("a_id"), col("h")), Seq("a_id"))
-      .join(ex.select(col("id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    pairs
+      .join(ex.select(col("id").as("a_id"), col("h"), col("n").as("na")), Seq("a_id"))
+      .join(ex.select(col("id").as("b_id"), col("h"), col("n").as("nb")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
