@@ -144,11 +144,19 @@ object AnnIndex {
 
   /** Scratch location for per-dataset indexes (cache-on-first-use by the
     * catalog queries; any durable deployment would point this at the
-    * warehouse).
+    * warehouse). The path embeds a fingerprint of the source files
+    * (name, size, mtime), so regenerated source data can NEVER silently
+    * serve a stale index — the path changes and the index rebuilds.
     */
-  def indexRoot(dir: String): String =
+  def indexRoot(dir: String): String = {
+    val sig = Option(new java.io.File(dir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|"))
+      .getOrElse("")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
     sys.env.getOrElse("GRAFT_INDEX_DIR", "/tmp/graft-index") + "/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
+  }
 
   /** Ensure both ANN indexes for a testdata dir exist (called by Bench
     * before timing so query numbers measure the read path, mirroring a

@@ -64,6 +64,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("> 64"), "document-frequency cap must bound the inverted-index join")
     assert(p.contains("LeftAnti"),
       "the cap must drop hot-shingle rows via anti-join (rows side unshuffled)")
+    // the per-doc set-size window must ride the existing id-partitioning:
+    // some Window sits over the anti-join with NO exchange between them
+    val fused = """(?s)Window (?:(?!Exchange).)*?BroadcastHashJoin [^\n]*LeftAnti""".r
+    assert(fused.findFirstIn(p).isDefined,
+      s"set-size window must not add an exchange over the capped rows:\n$p")
   }
 
   test("records page: pulse-range predicate sits at the scan, keyset above the window") {
