@@ -20,6 +20,13 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // pre-build standing indexes like Bench does, so index-backed queries
+    // time the read path rather than a one-time build
+    try {
+      graft.vector.AnnIndex.ensureAll(spark, sfDir)
+      graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
+        graft.vector.AnnIndex.indexRoot(sfDir) + "/lifeline")
+    } catch { case e: Throwable => println(s"index prebuild: ${e.getMessage}") }
     names.foreach { n =>
       try { Queries.catalog(n)(spark, "/root/testdata/sf0.001").count() }
       catch { case e: Throwable => println(s"warmup $n: ${e.getMessage}") }

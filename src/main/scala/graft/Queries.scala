@@ -400,7 +400,7 @@ object Queries {
     t(s, dir, "documents").select(
         col("doc_id"),
         length(txt).cast("long").as("n_chars"),
-        size(filter(split(lower(txt), "[^a-z0-9]+"), t => length(t) > 0)).cast("long").as("n_tokens"),
+        graft.text.TextAnalysis.alnumTokenCount(txt).as("n_tokens"),
         removed("[A-Z]").as("n_upper"),
         removed("[0-9]").as("n_digit"),
         removed("[!-/:-@\\[-`{-~]").as("n_punct"))
@@ -533,7 +533,7 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     import s.implicits._
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
-    val path = graft.vector.AnnIndex.indexRoot(dir) + "/ivf"
+    val path = graft.vector.AnnIndex.ivfPath(dir)
     graft.vector.AnnIndex.ensureIvf(emb, path)
     // nProbe=6 of 16 cells: measured recall@10 ≈ 0.8 reading ~a third of
     // the corpus on this testdata (neighbor cosines are weak, 0.28-0.37,
@@ -559,7 +559,7 @@ object Queries {
     * the stratum signal that actually varies here.)
     */
   val ddStratified: Q = (s, dir) => {
-    val nTok = size(filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0))
+    val nTok = graft.text.TextAnalysis.alnumTokenCount(col("text"))
     val stratum = when(nTok >= 120, "long").when(nTok >= 60, "mid").otherwise("short")
     graft.text.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", stratum,
         Seq("long" -> 1.0, "mid" -> 0.5, "short" -> 0.1))
@@ -573,8 +573,7 @@ object Queries {
     */
   val ddPack: Q = (s, dir) => {
     val withTokens = t(s, dir, "documents").select(col("doc_id"),
-      size(filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0))
-        .cast("long").as("n_tokens"))
+      graft.text.TextAnalysis.alnumTokenCount(col("text")).as("n_tokens"))
     graft.text.Sampling.packShards(withTokens, "doc_id", "n_tokens",
         tokensPerShard = 2000L, buckets = 8)
       .select(col("doc_id"), col("bucket"), col("shard"), col("n_tokens"))
@@ -628,7 +627,7 @@ object Queries {
     // corpus. On this testdata's weak-signal neighbors that buys ~0.6
     // recall@10 — hyperplane LSH cannot reach 0.8 here without giving up
     // pruning (measured: 50% read → 0.7); ann_ivf is the ≥0.8 path.
-    val path = graft.vector.AnnIndex.indexRoot(dir) + "/lsh-b6"
+    val path = graft.vector.AnnIndex.lshPath(dir, bits = 6)
     graft.vector.AnnIndex.ensureLsh(emb, path, dim = q.length, bits = 6)
     graft.vector.AnnIndex.lshTopK(s, path, q, 10, bits = 6, maxProbes = 16,
       excludeId = Some(0L))

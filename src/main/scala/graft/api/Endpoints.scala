@@ -46,21 +46,35 @@ object Endpoints {
   }
 
   /** J2 page-edge patching — bounded-page driver logic (pages are ≤1000
-    * rows by validation, so the two point lookups mirror the reference's
-    * per-page DB queries, not a distributed operation).
+    * rows by validation, so the point lookups mirror the reference's
+    * per-page DB queries, not a distributed operation). Shaped as TWO
+    * driver jobs total in the common case: one min/max agg over the page,
+    * then one combined lookup fetching the newest row's successor, the
+    * oldest row's stored prev, AND that predecessor's row in a single
+    * filter (a third query fires only when the stored prev is not the
+    * adjacent pulse — unusual under the hourly contract).
     */
   private def patchPageEdges(allPulses: DataFrame, paged: DataFrame): DataFrame = {
     val edge = paged.agg(min(col("pulse_number")), max(col("pulse_number"))).collect().head
     if (edge.isNullAt(0)) paged
     else {
       val (lo, hi) = (edge.getLong(0), edge.getLong(1))
+      val info = allPulses
+        .filter(col("prev_pulse_number") === hi ||
+          col("pulse_number") === lo || col("pulse_number") === lo - 1)
+        .select(col("pulse_number"), col("prev_pulse_number")).collect()
       // successor of the newest row: the pulse whose stored prev points at it
-      val nextOfHi = PulseChain.nextPulse(allPulses, hi)
+      val nextOfHi = info.filter(_.getLong(1) == hi).map(_.getLong(0))
+        .sorted.headOption.getOrElse(PulseChain.Unknown)
       // predecessor of the oldest row: its stored prev, if that pulse exists
-      val prevOfLo = allPulses.filter(col("pulse_number") === lo)
-        .select(col("prev_pulse_number")).collect().headOption.map(_.getLong(0))
-        .filter(pv => allPulses.filter(col("pulse_number") === pv).limit(1).count() > 0)
-        .getOrElse(PulseChain.Unknown)
+      val prevOfLo = info.find(_.getLong(0) == lo).map(_.getLong(1)) match {
+        case Some(pv) if pv == lo - 1 =>
+          if (info.exists(_.getLong(0) == lo - 1)) pv else PulseChain.Unknown
+        case Some(pv) =>
+          if (allPulses.filter(col("pulse_number") === pv).limit(1).count() > 0) pv
+          else PulseChain.Unknown
+        case None => PulseChain.Unknown
+      }
       paged
         .withColumn("next_pulse_number",
           when(col("pulse_number") === hi && col("next_pulse_number") === PulseChain.Unknown,
@@ -131,12 +145,21 @@ object Endpoints {
     val out = if (!withLinks) paged else {
       val page = paged.withColumn("jet_drop_id",
         Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
-      val neighbors = d
-        .filter(Predicates.range(col("pulse_number"),
-          gte = fromPulse.map(_ - 1), lte = toPulse.map(_ + 1)))
-        .withColumn("jet_drop_id",
-          Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
-      JetLinkage.hashLinkIds(page, neighbors).orderBy(sorted: _*)
+      // The neighbor set must stay bounded even with no caller-supplied
+      // pulse bounds: derive the span from the PAGE's actual min/max
+      // pulse (one agg over the ≤1000-row page, like the reference's
+      // findEdgePNInJetDrops) — never hand the unbounded fact-derived
+      // drops view to a broadcast.
+      val edge = page.agg(min(col("pulse_number")), max(col("pulse_number"))).collect().head
+      if (edge.isNullAt(0)) paged
+      else {
+        val (lo, hi) = (edge.getLong(0), edge.getLong(1))
+        val neighbors = d
+          .filter(col("pulse_number").between(lo - 1, hi + 1))
+          .withColumn("jet_drop_id",
+            Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+        JetLinkage.hashLinkIds(page, neighbors).orderBy(sorted: _*)
+      }
     }
     Mappers.jetDropToApi(out)
   }

@@ -57,14 +57,30 @@ final class Pipeline(
   /** Drive `[from, to]`, then run one gap-detection + reload round. */
   def run(from: Long, to: Long): Report = {
     val ingested = (from to to by pulseDelta).filter(tryIngest)
-    val present = spark.read.parquet(s"$basePath/records")
-      .select(col("pulse_number")).distinct()
+    // nothing written yet (e.g. the feed was down for the whole sweep) →
+    // every pulse in range is missing; don't crash on the absent path
+    val present =
+      if (new java.io.File(s"$basePath/records").exists())
+        spark.read.parquet(s"$basePath/records").select(col("pulse_number")).distinct()
+      else spark.range(0).selectExpr("id AS pulse_number")
     val missing = Completeness
       .missingInRange(present, "pulse_number", from, to, pulseDelta)
       .collect().map(_.getLong(0)).toSeq
     // ST3 re-request, deduped by TTL containment so a persistent gap does
-    // not re-request on every round within the TTL window
-    val reloaded = missing.filter(p => missedData.addIfNew(p, p)).filter(tryIngest)
+    // not re-request on every round within the TTL window. A reload is
+    // REGISTERED only once its attempt completes without throwing (data
+    // arrived, or the source confirmed no data) — a transiently-failed
+    // attempt leaves no registration, so the next round retries
+    // immediately instead of being blind for the whole TTL.
+    val reloaded = missing.filter { p =>
+      if (missedData.covered(p, p)) false
+      else
+        try {
+          val ok = ingestPulse(p)
+          missedData.addIfNew(p, p)
+          ok
+        } catch { case _: Throwable => false }
+    }
     Report(ingested, missing, reloaded)
   }
 

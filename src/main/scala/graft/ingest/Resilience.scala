@@ -47,12 +47,17 @@ object Resilience {
     private case class Req(from: Long, to: Long, at: Long)
     private var reqs = List.empty[Req]
 
-    /** Register (from, to); false when a live request already contains it. */
-    def addIfNew(from: Long, to: Long): Boolean = synchronized {
+    /** True when a still-live request already contains (from, to). */
+    def covered(from: Long, to: Long): Boolean = synchronized {
       val t = now()
       reqs = reqs.filter(_.at + ttlMillis > t)
-      if (reqs.exists(r => r.from <= from && to <= r.to)) false
-      else { reqs = Req(from, to, t) :: reqs; true }
+      reqs.exists(r => r.from <= from && to <= r.to)
+    }
+
+    /** Register (from, to); false when a live request already contains it. */
+    def addIfNew(from: Long, to: Long): Boolean = synchronized {
+      if (covered(from, to)) false
+      else { reqs = Req(from, to, now()) :: reqs; true }
     }
 
     def pendingCount: Int = synchronized {

@@ -45,8 +45,20 @@ object AsOfJoin {
     // several right rows share (key, time): the greatest payload struct
     // wins, independent of physical row order. Left rows carry null `_r`
     // and only ever tie among themselves, where order is irrelevant.
+    // Skipped when the payload contains an unorderable type (e.g. a map
+    // column) — sorting such a struct fails analysis, and those callers
+    // keep the pre-tiebreaker behavior.
+    val payloadOrderable = {
+      val fields = right.schema
+      (rightTime +: rightCols).forall { c =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(fields(c).dataType)
+      }
+    }
+    val sortKeys = Seq(col("_t"), col("_side")) ++
+      (if (payloadOrderable) Seq(col("_r")) else Nil)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"), col("_r"))
+      .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     val outCols = left.columns.map(col) ++

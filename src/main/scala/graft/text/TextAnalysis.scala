@@ -16,6 +16,14 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Lowercase-alnum-run token count — the ONE definition shared by
+    * txt_stats, stratified sampling and shard packing (their DuckDB
+    * oracles mirror this exact expression; a drift in any copy would
+    * silently break parity, so there are no copies).
+    */
+  def alnumTokenCount(text: Column): Column =
+    size(Dedup.tokens(text)).cast("long")
+
   /** BPE-ish subword count: alnum runs count ~1 token per 4 chars (ceil),
     * punctuation runs 1 each — a cheap, deterministic estimator of
     * tokenizer output length used for budget accounting.

@@ -158,13 +158,23 @@ object AnnIndex {
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
   }
 
+  /** Canonical index paths — the build PARAMETERS are part of the path,
+    * so a parameter change at any call site can never silently read an
+    * index built with different ones (wrong bits against wrong partition
+    * values would return near-empty results without an error).
+    */
+  def ivfPath(dir: String, nCells: Int = 16): String =
+    indexRoot(dir) + s"/ivf-c$nCells"
+  def lshPath(dir: String, bits: Int, seed: Long = 42L): String =
+    indexRoot(dir) + s"/lsh-b$bits-s$seed"
+
   /** Ensure both ANN indexes for a testdata dir exist (called by Bench
     * before timing so query numbers measure the read path, mirroring a
     * standing index in production).
     */
   def ensureAll(spark: SparkSession, dir: String, dim: Int = 64): Unit = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    ensureIvf(emb, indexRoot(dir) + "/ivf")
-    ensureLsh(emb, indexRoot(dir) + "/lsh-b6", dim, bits = 6)
+    ensureIvf(emb, ivfPath(dir))
+    ensureLsh(emb, lshPath(dir, bits = 6), dim, bits = 6)
   }
 }
