@@ -47,14 +47,24 @@ object JetLinkage {
   def hashLinkIds(page: DataFrame, neighbors: DataFrame): DataFrame = {
     val n = neighbors.select(col("jet_drop_id").as("_nid"), col("hash").as("_nh"),
       col("first_prev_hash").as("_nfp"))
-    val withNext = page.join(broadcast(n), col("hash") === col("_nfp"), "left")
-      .groupBy(page.columns.map(col): _*)
-      .agg(array_join(sort_array(collect_list(col("_nid"))), ",").as("next_ids"))
-    withNext.join(broadcast(n),
+    // Both link relations resolve in ONE aggregation pass: tag each
+    // broadcast-join match by direction, union, and split with
+    // conditional collect_lists (collect_list drops nulls) — a single
+    // shuffle of the page instead of two sequential groupBys.
+    val pageCols = page.columns.map(col)
+    val nextRows = page.join(broadcast(n), col("hash") === col("_nfp"), "left")
+      .select(pageCols :+ lit("n").as("_kind") :+ col("_nid"): _*)
+    val prevRows = page.join(broadcast(n),
         col("first_prev_hash") === col("_nh") || col("second_prev_hash") === col("_nh"),
         "left")
-      .groupBy(withNext.columns.map(col): _*)
-      .agg(array_join(sort_array(collect_list(col("_nid"))), ",").as("prev_ids"))
+      .select(pageCols :+ lit("p").as("_kind") :+ col("_nid"): _*)
+    nextRows.unionByName(prevRows)
+      .groupBy(pageCols: _*)
+      .agg(
+        array_join(sort_array(collect_list(when(col("_kind") === "n", col("_nid")))), ",")
+          .as("next_ids"),
+        array_join(sort_array(collect_list(when(col("_kind") === "p", col("_nid")))), ",")
+          .as("prev_ids"))
   }
 
   /** J5 — enrich a page of drops with prev/next counts via hash linkage.
