@@ -594,6 +594,45 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Benchmark decontamination: corpus docs sharing ≥1 word 4-gram with
+    * the (broadcast) eval slice doc_id % 50 == 0 — the standard test-set
+    * leakage guard of a training pipeline.
+    */
+  val ddDecontam: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.text.Decontam.overlapReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals (top-bigram share, distinct-token
+    * ratio) — the "repetitious document" quality filter family.
+    */
+  val txtRepetition: Q = (s, dir) =>
+    graft.text.TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Training-mix composition: per (source, lang) document/char/token
+    * totals and each cell's share of the corpus token budget — the
+    * bookkeeping view data-mixing decisions read.
+    */
+  val txtMix: Q = (s, dir) => {
+    val perCell = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(graft.text.TextAnalysis.alnumTokenCount(col("text"))).as("total_tokens"))
+    // Corpus-wide total as an unpartitioned window over the AGGREGATED
+    // frame: bounded by the number of (source, lang) cells, not by corpus
+    // size — same page-bounded reasoning as Pagination.pageWithTotal.
+    perCell
+      .withColumn("token_share",
+        col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(Window.partitionBy()))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Rolling-hash fingerprint (UDF — rows-only check). */
   val txtFingerprint: Q = (s, dir) =>
     t(s, dir, "documents")
@@ -679,6 +718,9 @@ object Queries {
     "ev_asof" -> evAsof,
     "ev_sketch" -> evSketch,
     "txt_fingerprint" -> txtFingerprint,
+    "dd_decontam" -> ddDecontam,
+    "txt_repetition" -> txtRepetition,
+    "txt_mix" -> txtMix,
     "dd_embed" -> ddEmbed,
     "dd_split" -> ddSplit,
     "dd_stratified" -> ddStratified,
@@ -1186,6 +1228,68 @@ object Queries {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dd_decontam" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        |  FROM raw WHERE tok <> ''),
+        |shn AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |           || ' ' || lead(tok, 3) OVER w AS sh
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM shn WHERE sh IS NOT NULL),
+        |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0)
+        |SELECT c.doc_id,
+        |       CAST(count(DISTINCT c.sh) AS BIGINT) AS n_hit_ngrams,
+        |       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM sh c JOIN ev e ON c.sh = e.sh AND c.doc_id % 50 <> 0
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        |  FROM raw WHERE tok <> ''),
+        |tk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |              count(DISTINCT tok) AS n_distinct
+        |       FROM toks GROUP BY doc_id),
+        |big AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS sh
+        |        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |cnt AS (SELECT doc_id, sh, count(*) AS c FROM big WHERE sh IS NOT NULL
+        |        GROUP BY doc_id, sh),
+        |top AS (SELECT doc_id, sh, c, sum(c) OVER (PARTITION BY doc_id) AS total,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sh DESC) AS rn
+        |        FROM cnt)
+        |SELECT d.doc_id,
+        |  coalesce(tk.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN coalesce(tk.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE CAST(tk.n_distinct AS DOUBLE) / tk.n_tokens END AS distinct_ratio,
+        |  coalesce(t.sh, '') AS top_bigram,
+        |  coalesce(CAST(t.c AS DOUBLE) / t.total, 0.0) AS top_bigram_frac
+        |FROM documents d
+        |LEFT JOIN tk USING (doc_id)
+        |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_mix" ->
+      """WITH cell AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                  x -> x <> ''))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, total_chars, total_tokens,
+        |       CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER () AS token_share
+        |FROM cell ORDER BY source, lang""".stripMargin,
 
     "mm_frames" ->
       """WITH media AS (

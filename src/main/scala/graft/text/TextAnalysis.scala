@@ -102,6 +102,48 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Gopher-style repetition signals per document: total/distinct token
+    * counts, the most frequent word bigram (occurrence count over the raw
+    * bigram stream, NOT the distinct set) and its share of all bigrams.
+    * High top-bigram share or low distinct-token ratio are the standard
+    * "repetitious document" quality filters.
+    *
+    * Scale shape: both aggregates are hash aggregates keyed by doc id
+    * (map-side combined) over the relational token/shingle streams — no
+    * window wider than one document, no all-pairs anything. Argmax ties
+    * break lexicographically-largest via struct max, mirrored in the
+    * oracle SQL's (count DESC, bigram DESC) ordering.
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+    val bigrams = Dedup.shingleRowsRaw(docs, idCol, textCol, n = 2)
+      .groupBy(col("id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("c"), col("sh"))).as("top"),
+        sum(col("c")).as("total"))
+      .select(col("id"), col("top.sh").as("top_bigram"),
+        (col("top.c").cast("double") / col("total")).as("top_bigram_frac"))
+    docs.select(col(idCol).as("id"))
+      .join(toks, Seq("id"), "left")
+      .join(bigrams, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Rolling FNV-1a document fingerprint — stable across runs, usable as
     * a cheap content id. Driver-side Scala form (chars; equals the column
     * form for ASCII text).
