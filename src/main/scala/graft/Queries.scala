@@ -633,6 +633,16 @@ object Queries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Int8 scalar quantization of the embedding corpus (row form). */
+  val embQuant: Q = (s, dir) =>
+    graft.vector.Quantize.int8Rows(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"), col("dim_i"))
+
+  /** Per-label embedding centroids (ordered-fold mean per dimension). */
+  val embCentroids: Q = (s, dir) =>
+    graft.vector.Quantize.labelCentroids(t(s, dir, "embeddings"))
+      .orderBy(col("label"), col("dim_i"))
+
   /** Rolling-hash fingerprint (UDF — rows-only check). */
   val txtFingerprint: Q = (s, dir) =>
     t(s, dir, "documents")
@@ -721,6 +731,8 @@ object Queries {
     "dd_decontam" -> ddDecontam,
     "txt_repetition" -> txtRepetition,
     "txt_mix" -> txtMix,
+    "emb_quant" -> embQuant,
+    "emb_centroids" -> embCentroids,
     "dd_embed" -> ddEmbed,
     "dd_split" -> ddSplit,
     "dd_stratified" -> ddStratified,
@@ -1290,6 +1302,28 @@ object Queries {
         |SELECT source, lang, n_docs, total_chars, total_tokens,
         |       CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER () AS token_share
         |FROM cell ORDER BY source, lang""".stripMargin,
+
+    "emb_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(CAST(v AS DOUBLE))) AS mx FROM e GROUP BY vec_id)
+        |SELECT e.vec_id, CAST(e.i AS BIGINT) AS dim_i,
+        |       CAST(CASE WHEN s.mx = 0 THEN 0
+        |                 ELSE floor(CAST(e.v AS DOUBLE) * (127.0 / s.mx)) END AS BIGINT) AS q
+        |FROM e JOIN s USING (vec_id)
+        |ORDER BY vec_id, dim_i""".stripMargin,
+
+    "emb_centroids" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i AS BIGINT) AS dim_i,
+        |       sum(CAST(v AS DOUBLE) ORDER BY vec_id) / count(*) AS centroid
+        |FROM e GROUP BY label, i
+        |ORDER BY label, dim_i""".stripMargin,
 
     "mm_frames" ->
       """WITH media AS (
