@@ -664,6 +664,23 @@ object Queries {
     graft.text.Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Spherical k-means cluster assignment over the embedding corpus
+    * (seeded sample + 2 Lloyd refinements — rows-only: float argmax).
+    */
+  val embKmeans: Q = (s, dir) =>
+    graft.vector.Clustering.assign(t(s, dir, "embeddings"), k = 16, iterations = 2)
+      .orderBy(col("vec_id"))
+
+  /** SemDeDup: embedding near-dup pairs verified exactly WITHIN k-means
+    * clusters (sub-quadratic semantic dedup; recall vs the all-pairs twin
+    * bounded in RecallInvariantsSpec).
+    */
+  val ddSemdedup: Q = (s, dir) =>
+    graft.vector.Clustering.semdedupPairs(t(s, dir, "embeddings"), dim = 64,
+        threshold = 0.45, k = 16, iterations = 2)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy(col("a_id"), col("b_id"))
+
   val ddSimhash: Q = (s, dir) =>
     graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = 3)
       .orderBy(col("a_id"), col("b_id"))
@@ -733,6 +750,8 @@ object Queries {
     "txt_mix" -> txtMix,
     "emb_quant" -> embQuant,
     "emb_centroids" -> embCentroids,
+    "emb_kmeans" -> embKmeans,
+    "dd_semdedup" -> ddSemdedup,
     "dd_embed" -> ddEmbed,
     "dd_split" -> ddSplit,
     "dd_stratified" -> ddStratified,

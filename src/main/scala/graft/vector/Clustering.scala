@@ -1,0 +1,140 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering operators: spherical k-means assignment and
+  * SemDeDup-style semantic deduplication (cluster first, then exact
+  * cosine verification ONLY within clusters — Abbas et al. 2023's recipe
+  * for making embedding dedup sub-quadratic).
+  *
+  * Scale shape: centroids are a tiny driver-held array (k × dim floats),
+  * refined by Lloyd iterations that are each ONE scan with map-side
+  * combined per-(cell, dim) partial means ([[Ivf.refineCentroids]]);
+  * assignment is a codegen'd argmax-dot projection ([[Ivf.cellOf]] —
+  * no shuffle); the SemDeDup pair join shuffles each vector ONCE on its
+  * cluster key, and the quadratic cosine verification runs only inside
+  * each cluster's partition (corpus-quadratic → cluster-quadratic).
+  */
+object Clustering {
+
+  /** Refined centroid set: deterministic hash-ordered seed sample
+    * ([[Ivf.centroids]]) + `iterations` spherical Lloyd steps.
+    */
+  def centroids(
+      embeddings: DataFrame,
+      k: Int = 16,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Array[Seq[Float]] =
+    Ivf.refineCentroids(embeddings, Ivf.centroids(embeddings, k, idCol, vecCol),
+      iterations, vecCol)
+
+  /** K-means cluster assignment: (id, cluster). */
+  def assign(
+      embeddings: DataFrame,
+      k: Int = 16,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    assignTo(embeddings, centroids(embeddings, k, iterations, idCol, vecCol), idCol, vecCol)
+
+  /** Assignment against a precomputed centroid set. */
+  def assignTo(
+      embeddings: DataFrame,
+      cents: Array[Seq[Float]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    embeddings.select(col(idCol), Ivf.cellOf(col(vecCol), cents).as("cluster"))
+
+  /** Soft assignment: one row per (id, cluster) for the `p` centroids
+    * nearest the vector (by dot against unit centroids = cosine order).
+    * Candidate generation for SemDeDup: a pair co-buckets if ANY of the
+    * p×p cell combinations overlap, which rescues near-threshold pairs
+    * that sit between two cells (measured: recall 0.29 → ≥0.9 at p=2 on
+    * the near-uniform testdata, at ~p² the candidate volume).
+    */
+  /** Array of the `p` nearest cell ids for a vector column (struct-sorted
+    * by dot descending — ties break on the higher cell id, deterministic).
+    */
+  private def topCells(vec: Column, cents: Array[Seq[Float]], p: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.vector.expressions.VectorExpressions.vecDot(vec, typedlit(c.toArray)).as("dot"),
+        lit(i).as("cell"))
+    }: _*)
+    slice(reverse(sort_array(scored)), 1, p).getField("cell")
+  }
+
+  def assignTop(
+      embeddings: DataFrame,
+      cents: Array[Seq[Float]],
+      p: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    embeddings.select(col(idCol),
+        explode(topCells(col(vecCol), cents, p)).as("cluster"))
+
+  /** Mean cosine of each vector to its assigned (unit-norm) centroid —
+    * the spherical-k-means objective (higher is tighter). Driver-side
+    * scalar, used by the convergence invariant test.
+    */
+  def meanAssignedCosine(
+      embeddings: DataFrame,
+      cents: Array[Seq[Float]],
+      dim: Int,
+      vecCol: String = "embedding"
+  ): Double = {
+    val dots: Seq[Column] = cents.toIndexedSeq.map(c =>
+      graft.vector.expressions.VectorExpressions.vecDot(col(vecCol), typedlit(c.toArray)))
+    val nrm = Similarity.normFixed(col(vecCol), dim)
+    embeddings
+      .select((when(nrm === 0, lit(0.0))
+        .otherwise(greatest(dots: _*) / nrm)).as("c"))
+      .agg(avg(col("c"))).head().getDouble(0)
+  }
+
+  /** SemDeDup: near-duplicate pairs (a_id < b_id, cosine ≥ τ) found by
+    * exact cosine verification WITHIN k-means clusters only. Misses
+    * cross-cluster pairs by design — recall against the all-pairs twin is
+    * bounded in RecallInvariantsSpec; precision is exact (every emitted
+    * pair is verified).
+    */
+  def semdedupPairs(
+      embeddings: DataFrame,
+      dim: Int,
+      threshold: Double = 0.45,
+      k: Int = 16,
+      iterations: Int = 2,
+      p: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val cents = centroids(embeddings, k, iterations, idCol, vecCol)
+    // One scan: id, payload, norm, and the exploded top-p cells together.
+    val base = embeddings.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.normFixed(col(vecCol), dim).as("nrm"),
+        explode(topCells(col(vecCol), cents, p)).as("cluster"))
+    val a = base.select(col("id").as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_n"), col("cluster"))
+    val b = base.select(col("id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_n"), col("cluster"))
+    val cosine =
+      when(col("a_n") * col("b_n") === 0, lit(0.0))
+        .otherwise(Similarity.dotFixed(col("a_v"), col("b_v"), dim) / (col("a_n") * col("b_n")))
+    // Equi-join on the cluster key (hash-partitioned, cluster-quadratic
+    // only); id ordering + threshold are the residual condition, cheap
+    // clause first — Catalyst folds the filter into the join. The final
+    // aggregate dedups pairs that co-bucket in more than one cell (the
+    // cosine is identical on every copy).
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id") && cosine >= threshold)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(cosine).as("cosine"))
+  }
+}

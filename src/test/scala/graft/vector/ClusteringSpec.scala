@@ -1,0 +1,52 @@
+package graft.vector
+
+import graft.{Queries, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the k-means / SemDeDup family on the real testdata:
+  * assignment totality, Lloyd-step monotonicity of the spherical
+  * objective, and SemDeDup's subset + recall bounds against the exact
+  * all-pairs twin (the same "no oracle → bounded invariant" discipline as
+  * RecallInvariantsSpec).
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("kmeans assigns every vector to a cluster in [0, k)") {
+    val k = 16
+    val assigned = Clustering.assign(emb, k = k, iterations = 2)
+    assert(assigned.count() === emb.count())
+    val range = assigned.agg(min(col("cluster")), max(col("cluster"))).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < k)
+    // clusters are actually used (no degenerate all-in-one assignment)
+    assert(assigned.select(col("cluster")).distinct().count() > 1)
+  }
+
+  test("Lloyd refinement does not decrease the spherical k-means objective") {
+    val seed = Ivf.centroids(emb, 16)
+    val refined = Ivf.refineCentroids(emb, seed, iterations = 2)
+    val before = Clustering.meanAssignedCosine(emb, seed, dim = 64)
+    val after = Clustering.meanAssignedCosine(emb, refined, dim = 64)
+    assert(after >= before - 1e-9,
+      s"objective regressed: $before -> $after")
+  }
+
+  test("dd_semdedup pairs are a subset of exact cosine pairs with bounded recall") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Queries.catalog("dd_embed")(spark, dir))
+    val sem = pairSet(Queries.catalog("dd_semdedup")(spark, dir))
+    assert(sem.subsetOf(exact),
+      s"semdedup produced pairs below threshold: ${sem.diff(exact).take(5)}")
+    assert(exact.nonEmpty, "testdata must contain planted embedding near-dups")
+    val recall = sem.size.toDouble / exact.size
+    info(s"semdedup recall = $recall (${sem.size}/${exact.size})")
+    // Within-cluster verification misses cross-cluster pairs by design;
+    // the top-2 soft assignment rescues near-threshold pairs (measured:
+    // 0.29 hard → 1.0 soft on this data).
+    assert(recall >= 0.9, s"semdedup recall $recall < 0.9")
+  }
+}
