@@ -365,15 +365,19 @@ object Queries {
     */
   val ddNgramJaccard: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    // Shingles are hashed to 64-bit keys BEFORE the distinct/df-cap/join
-    // stages: every shuffle and join key is 8 bytes instead of a ~25-char
-    // string. Set sizes and intersections over hashes equal those over
-    // strings absent a 64-bit collision among distinct shingles
-    // (~2e-11 at 27k distinct; the DuckDB oracle keeps strings, so the
-    // correctness gate would surface one).
+    // Shingles come pre-hashed to 64-bit keys from the native one-pass
+    // kernel ([[graft.text.Dedup.shingleHashRows]]): every shuffle and
+    // join key is 8 bytes, and there is no token-row window sort at all.
+    // Set sizes and intersections over hashes equal those over strings
+    // absent a 64-bit collision among distinct shingles (~2e-11 at 27k
+    // distinct; the DuckDB oracle keeps strings, so the correctness gate
+    // would surface one). The explicit repartition on doc_id makes ONE
+    // exchange serve the distinct, the df-cap anti-join, and the size
+    // window (hash(doc_id) clusters (doc_id, sh) too).
     val capped = graft.text.Dedup.capDf(
-      graft.text.Dedup.shingleRowsRaw(docs, "doc_id", "text", 3)
-        .select(col("id").as("doc_id"), xxhash64(col("sh")).as("sh"))
+      graft.text.Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("h").as("sh"))
+        .repartition(col("doc_id"))
         .distinct(),
       "sh", NgramMaxDf)
     // Per-doc set size as a window column: the rows are already hash-

@@ -64,6 +64,52 @@ object TextKernels {
 
   @inline private def isAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  @inline private def splitmix(h0: Long): Long = {
+    var z = h0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One-pass rolling shingle hashes: tokenize lowercase alnum runs
+    * inline, hash each token (FNV-1a + splitmix finalize), and emit one
+    * 64-bit hash per n-token window (order-sensitive FNV combine over the
+    * ring buffer). Equals the hash-space image of the relational
+    * shingle pipeline (distinct window ↔ distinct hash, modulo 64-bit
+    * collisions) with NO token rows, NO per-document sort, NO shuffle —
+    * the whole shingle stage collapses into the scan's codegen loop.
+    * Texts with fewer than n tokens yield an empty array.
+    */
+  def shingleHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString.toLowerCase
+    val len = str.length
+    val ring = new Array[Long](n)
+    var count = 0
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0
+    while (i < len) {
+      while (i < len && !isAlnum(str.charAt(i))) i += 1
+      var h = 0xcbf29ce484222325L
+      var seen = false
+      while (i < len && isAlnum(str.charAt(i))) {
+        h = (h ^ str.charAt(i)) * 0x100000001b3L
+        seen = true
+        i += 1
+      }
+      if (seen) {
+        ring(count % n) = splitmix(h)
+        count += 1
+        if (count >= n) {
+          var w = 0xcbf29ce484222325L
+          var j = count - n
+          while (j < count) { w = (w ^ ring(j % n)) * 0x100000001b3L; j += 1 }
+          out += splitmix(w)
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
 }
 
 /** Native Catalyst expression for the FNV-1a fingerprint: whole-stage
@@ -96,11 +142,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Native Catalyst expression for the one-pass rolling shingle-hash
+  * array: the entire tokenize→shingle→hash pipeline inside whole-stage
+  * codegen, replacing the posexplode + window-lead relational form on the
+  * dedup hot paths (the window's per-document sort was the dominant cost
+  * of dd_minhash / dd_ngram_jaccard).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.TextKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   def fnvFingerprint(c: Column): Column = column(FnvFingerprint(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
 
   /** Register both as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

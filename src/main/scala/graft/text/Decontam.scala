@@ -34,12 +34,15 @@ object Decontam {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val ev = Dedup.shingleRowsRaw(evalSet, idCol, textCol, n)
-      .select(col("id").as("eval_id"), xxhash64(col("sh")).as("sh"))
+    val ev = Dedup.shingleHashRows(evalSet, idCol, textCol, n)
+      .select(col("id").as("eval_id"), col("h").as("sh"))
       .distinct()
-    val cs = Dedup.shingleRowsRaw(corpus, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
-      .distinct()
+    // The corpus side stays RAW occurrences: countDistinct absorbs
+    // multiplicity, so the only shuffle in the whole query is the final
+    // per-document aggregate (the broadcast join runs inside the scan
+    // stage).
+    val cs = Dedup.shingleHashRows(corpus, idCol, textCol, n)
+      .select(col("id"), col("h").as("sh"))
     cs.join(broadcast(ev), Seq("sh"))
       .groupBy(col("id"))
       .agg(

@@ -90,6 +90,20 @@ object Dedup {
       .select(col("id"), col("sh"))
   }
 
+  /** Hashed shingle rows: one row per (id, shingle-hash) OCCURRENCE,
+    * computed by the native one-pass [[graft.functions.expressions.ShingleHashes]]
+    * kernel — no token rows, no per-document window sort; the shingle
+    * stage lives inside the scan's codegen loop and the first shuffle in
+    * any consumer is already aggregation-sized. Replaces
+    * [[shingleRowsRaw]] + string-hashing on the dedup hot paths; distinct
+    * counts over these hashes equal counts over the shingle strings
+    * absent a 64-bit collision (the usual argument — the DuckDB oracles
+    * keep strings, so the correctness gate would surface one).
+    */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.expressions.TextExpressions.shingleHashes(col(textCol), n)).as("h"))
+
   /** Stop-shingle cap: drop rows whose `keyCol` value occurs in more than
     * `maxDf` rows. A shingle with document frequency d alone produces
     * d²/2 candidate rows out of the inverted-index self-join, so one
@@ -163,12 +177,12 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // Signature pass reads the RAW (non-distinct) shingle stream: min over
-    // a multiset equals min over its support, so the distinct's shuffle is
-    // pure overhead here. One hash-aggregate on id builds all K slots with
-    // map-side partial aggregation.
-    val exRaw = shingleRowsRaw(docs, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+    // Signature pass reads the RAW (non-distinct) native hash stream: min
+    // over a multiset equals min over its support, so no distinct is
+    // needed, and the one-pass kernel means the FIRST shuffle of the whole
+    // query is the map-side-combined signature aggregate (K partial mins
+    // per doc — bytes, not shingles).
+    val exRaw = shingleHashRows(docs, idCol, textCol, n)
     val sig = exRaw.groupBy(col("id"))
       .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
         (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
@@ -188,12 +202,16 @@ object Dedup {
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id")).agg(count(lit(1)).as("_nb"))
       .select(col("a_id"), col("b_id"))
-    // exact Jaccard on the surviving candidates, relationally: intersection
-    // by joining the two DISTINCT hashed shingle sets (distinct matters for
-    // set sizes and intersection counts). Per-doc set sizes ride as a
-    // window column over the id-partitioning the shingle window already
-    // established — no extra exchange, no separate sizes aggregate.
-    val ex = exRaw.distinct()
+    // exact Jaccard on the surviving candidates ONLY: the verification
+    // side semi-joins the shingle stream down to candidate documents
+    // before the distinct/size pass, so its cost scales with the
+    // candidate set (tiny by LSH construction), not the corpus. The
+    // candidate-id list is a broadcast build derived from `pairs` — its
+    // aggregates are exchange-reused from the main branch.
+    val candIds = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct()
+    val ex = exRaw.join(broadcast(candIds), Seq("id"), "left_semi").distinct()
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
     pairs

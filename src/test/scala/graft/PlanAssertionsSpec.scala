@@ -64,11 +64,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("> 64"), "document-frequency cap must bound the inverted-index join")
     assert(p.contains("LeftAnti"),
       "the cap must drop hot-shingle rows via anti-join (rows side unshuffled)")
-    // the per-doc set-size window must ride the existing id-partitioning:
-    // some Window sits over the anti-join with NO exchange between them
-    val fused = """(?s)Window (?:(?!Exchange).)*?BroadcastHashJoin [^\n]*LeftAnti""".r
-    assert(fused.findFirstIn(p).isDefined,
-      s"set-size window must not add an exchange over the capped rows:\n$p")
+    // Shingle-side plan shape (per branch, top to bottom): the set-size
+    // window and the distinct ride ONE doc_id exchange, and the df-cap
+    // anti-join is pushed BELOW that exchange, directly over the native
+    // shingle generator — hot-shingle rows are dropped before the only
+    // shuffle, and there is no token-row window sort at all.
+    val branch = """(?s)Window (?:(?!Exchange).)*?Exchange hashpartitioning\(doc_id(?:(?!Exchange).)*?LeftAnti(?:(?!Exchange).)*?Generate explode\(shingle_hashes""".r
+    assert(branch.findFirstIn(p).isDefined,
+      s"expected window/distinct over one exchange over pre-shuffle df-cap over native shingles:\n$p")
   }
 
   test("records page: pulse-range predicate sits at the scan, keyset above the window") {

@@ -36,6 +36,32 @@ class DedupSpec extends SparkSpec {
     assert(rel == arr)
   }
 
+  test("native shingle-hash kernel mirrors the relational string pipeline") {
+    // Same multiset structure: per (doc, distinct-shingle) cardinalities
+    // must agree with the string form (the hash is a bijection modulo
+    // 64-bit collisions), including texts shorter than n (no rows) and
+    // punctuation/case normalization.
+    import spark.implicits._
+    val tricky = docs.union(Seq(
+      (6L, "Two words"),
+      (7L, "  PUNCT!!! heavy--text,,with??many10separators  "),
+      (8L, "one two one two one two")).toDF("doc_id", "text"))
+    val viaString = Dedup.shingleRows(tricky, "doc_id", "text", 3)
+      .groupBy(col("id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = Dedup.shingleHashRows(tricky, "doc_id", "text", 3).distinct()
+      .groupBy(col("id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaString)
+    // occurrence (raw) counts agree too — the minhash signature reads raw
+    val rawString = Dedup.shingleRowsRaw(tricky, "doc_id", "text", 3)
+      .groupBy(col("id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawKernel = Dedup.shingleHashRows(tricky, "doc_id", "text", 3)
+      .groupBy(col("id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rawKernel == rawString)
+    // order sensitivity: distinct hash count of doc 8 ("one two one ...")
+    // must reflect BOTH rotations ("one two one", "two one two")
+    assert(viaKernel(8L) == 2L)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
