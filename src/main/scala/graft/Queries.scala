@@ -703,6 +703,28 @@ object Queries {
       excludeId = Some(0L))
   }
 
+  /** Batch IVF kNN join: top-3 approximate neighbors for the first 10
+    * vectors against the persisted cell-partitioned index — each query
+    * reads only its nProbe/nCells corpus fraction (the scale form of
+    * `ann_knn`, whose broadcast-probe join scans the full corpus per
+    * batch). nProbe=8/16 reads ~half the corpus — the price of recall@3
+    * on this noise-floor testdata (neighbor cosines 0.28-0.37); clustered
+    * corpora prune much harder at the same recall. Rows-only + recall
+    * bound vs the exact join (measured 0.67, bounded ≥0.6).
+    */
+  val annIvfKnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = graft.vector.AnnIndex.ivfPath(dir)
+    graft.vector.AnnIndex.ensureIvf(emb, path)
+    graft.vector.AnnIndex.ivfKnnJoin(s, path,
+        emb.filter(col("vec_id") < 10L).select(col("vec_id").as("query_id"), col("embedding")),
+        k = 3, dim = 64, nProbe = 8,
+        corpusFilter = Some(col("vec_id") >= 10L))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val mmFeatures: Q = (s, dir) => {
     val media = graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents"))
     graft.multimodal.Multimodal.extractFeatures(media).toDF()
@@ -766,6 +788,7 @@ object Queries {
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
     "ann_lsh" -> annLsh,
+    "ann_ivf_knn" -> annIvfKnn,
     "mm_features" -> mmFeatures
   )
 

@@ -94,6 +94,44 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** Batch kNN JOIN against the persisted IVF index — the scale twin of
+    * [[Similarity.topKJoin]], which compares every query against the FULL
+    * corpus. Here each query row explodes to its `nProbe` nearest cells,
+    * the (small) query side equi-joins the cell-partitioned corpus on the
+    * cell key (Catalyst broadcasts it), and the per-query top-k rank
+    * window sees only the probed nProbe/nCells fraction. A corpus vector
+    * lives in exactly one cell and probe cells are distinct, so no pair
+    * dedup is needed. Approximate by construction — recall vs the exact
+    * join is bounded in RecallInvariantsSpec.
+    */
+  def ivfKnnJoin(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      nProbe: Int = 4,
+      qIdCol: String = "query_id",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      corpusFilter: Option[org.apache.spark.sql.Column] = None
+  ): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("q_v"),
+      explode(Ivf.topCells(col(vecCol), cents, nProbe)).as("cell"))
+    val scan0 = spark.read.parquet(s"$path/vectors")
+    val corpus = corpusFilter.fold(scan0)(scan0.filter)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(corpus, Seq("cell"))
+      .withColumn("cosine", Similarity.cosineFixed(col("q_v"), col("c_v"), dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   // ---------------- hyperplane LSH ----------------
 
   /** Build (if absent) the LSH index: signature bucket per vector, parquet

@@ -57,18 +57,6 @@ object Clustering {
     * that sit between two cells (measured: recall 0.29 → ≥0.9 at p=2 on
     * the near-uniform testdata, at ~p² the candidate volume).
     */
-  /** Array of the `p` nearest cell ids for a vector column (struct-sorted
-    * by dot descending — ties break on the higher cell id, deterministic).
-    */
-  private def topCells(vec: Column, cents: Array[Seq[Float]], p: Int): Column = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        graft.vector.expressions.VectorExpressions.vecDot(vec, typedlit(c.toArray)).as("dot"),
-        lit(i).as("cell"))
-    }: _*)
-    slice(reverse(sort_array(scored)), 1, p).getField("cell")
-  }
-
   def assignTop(
       embeddings: DataFrame,
       cents: Array[Seq[Float]],
@@ -77,7 +65,7 @@ object Clustering {
       vecCol: String = "embedding"
   ): DataFrame =
     embeddings.select(col(idCol),
-        explode(topCells(col(vecCol), cents, p)).as("cluster"))
+        explode(Ivf.topCells(col(vecCol), cents, p)).as("cluster"))
 
   /** Mean cosine of each vector to its assigned (unit-norm) centroid —
     * the spherical-k-means objective (higher is tighter). Driver-side
@@ -119,7 +107,7 @@ object Clustering {
     val base = embeddings.select(
         col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.normFixed(col(vecCol), dim).as("nrm"),
-        explode(topCells(col(vecCol), cents, p)).as("cluster"))
+        explode(Ivf.topCells(col(vecCol), cents, p)).as("cluster"))
     val a = base.select(col("id").as("a_id"), col("v").as("a_v"),
       col("nrm").as("a_n"), col("cluster"))
     val b = base.select(col("id").as("b_id"), col("v").as("b_v"),

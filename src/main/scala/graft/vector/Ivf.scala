@@ -89,6 +89,21 @@ object Ivf {
     array_max(array(scored: _*)).getField("cell")
   }
 
+  /** Array of the `p` nearest cell ids for a vector column (struct-sorted
+    * by dot descending against the unit-norm centroid set = cosine order;
+    * ties break on the higher cell id, deterministic). The column form of
+    * [[cellsByAffinity]]`.take(p)` — used for soft assignment (SemDeDup)
+    * and batch IVF probing.
+    */
+  def topCells(vec: Column, cents: Array[Seq[Float]], p: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.vector.expressions.VectorExpressions.vecDot(vec, typedlit(c.toArray)).as("dot"),
+        lit(i).as("cell"))
+    }: _*)
+    slice(reverse(sort_array(scored)), 1, p).getField("cell")
+  }
+
   /** Driver-side mirror of [[cellOf]] for the query vector. */
   def cellsByAffinity(q: Seq[Float], cents: Array[Seq[Float]]): Seq[Int] =
     cents.zipWithIndex

@@ -69,6 +69,24 @@ class RecallInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_knn batch join recall against the exact kNN join") {
+    def byQuery(name: String): Map[Long, Set[Long]] =
+      Queries.catalog(name)(spark, dir)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = byQuery("ann_knn")
+    val approx = byQuery("ann_ivf_knn")
+    assert(exact.nonEmpty && exact.keySet == approx.keySet,
+      "every query must produce neighbors")
+    val recalls = exact.map { case (q, ex) => approx(q).intersect(ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(s"ann_ivf_knn mean recall@3 = $mean")
+    // nProbe=8/16 cells ≈ half the corpus read; top-3 at these weak
+    // cosines (0.28-0.37, near the 64-dim noise floor) is harder than
+    // ann_ivf's top-10 — measured 0.67 here vs 0.5 at nProbe=6.
+    assert(mean >= 0.6, s"batch IVF kNN mean recall $mean < 0.6")
+  }
+
   test("ann_ivf recall >= 0.8 and ann_lsh recall >= 0.5 against brute-force top-10") {
     // The query vector's true top-10 sit at cosine 0.28-0.37 on this data —
     // barely above the 64-dim random background (σ≈0.125) — so pruning and
