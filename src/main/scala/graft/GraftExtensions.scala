@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{FnvFingerprint, SimHash64}
+import graft.functions.expressions.{FnvFingerprint, ShingleHashes, SimHash64}
 import graft.vector.expressions.{DotProduct, L2Norm}
 
 /** Session-extension entry point: registers the library's native Catalyst
@@ -43,7 +43,18 @@ object GraftExtensions {
     two("vec_dot", classOf[DotProduct], DotProduct.apply),
     one("vec_norm", classOf[L2Norm], L2Norm.apply),
     one("fnv_fingerprint", classOf[FnvFingerprint], FnvFingerprint.apply),
-    one("simhash64", classOf[SimHash64], SimHash64.apply))
+    one("simhash64", classOf[SimHash64], SimHash64.apply),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"shingle_hashes expects (text, n), got ${es.length} args")
+        val n = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes n must be an integer literal, got $other")
+        }
+        ShingleHashes(es.head, n)
+      }))
 
   /** Register the same functions on an already-built session. */
   def installInto(spark: SparkSession): Unit =

@@ -29,11 +29,22 @@ class GraftExtensionsSpec extends SparkSpec {
     val plan = spark.sql("SELECT vec_dot(a, b) FROM ext_probe")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"))
+    // shingle_hashes: SQL form matches the Column API and rejects
+    // a non-literal width
+    val sh = spark.sql("SELECT shingle_hashes(t, 2) AS h FROM ext_probe")
+      .collect().head.getSeq[Long](0)
+    val shCol = Seq(("The quick brown fox")).toDF("t")
+      .select(graft.functions.expressions.TextExpressions.shingleHashes(col("t"), 2))
+      .collect().head.getSeq[Long](0)
+    assert(sh == shCol && sh.length == 3)
+    assertThrows[Exception](
+      spark.sql("SELECT shingle_hashes(t, a) FROM ext_probe").collect())
   }
 
   test("extension class injects the same table (arity errors included)") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
-    assert(names == Set("vec_dot", "vec_norm", "fnv_fingerprint", "simhash64"))
+    assert(names == Set("vec_dot", "vec_norm", "fnv_fingerprint", "simhash64",
+      "shingle_hashes"))
     val vecDotBuilder = GraftExtensions.functions.find(_._1.funcName == "vec_dot").get._3
     intercept[IllegalArgumentException](vecDotBuilder(Seq.empty))
   }
