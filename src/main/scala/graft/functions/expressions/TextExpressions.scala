@@ -29,7 +29,10 @@ object TextKernels {
     * token array, no boxing.
     */
   def simhash64(s: UTF8String): Long = {
-    val str = s.toString.toLowerCase
+    // Locale.ROOT: default-locale toLowerCase diverges on ASCII under
+    // tr/az JVM locales ('I' -> dotless 'ı'), breaking parity with
+    // Spark's locale-independent lower() and the DuckDB oracles.
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](64)
     var i = 0
     val n = str.length
@@ -44,11 +47,7 @@ object TextKernels {
         i += 1
       }
       if (seen) {
-        // finalize (splitmix64) then vote
-        var z = h + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
+        val z = splitmix(h) // finalize, then vote
         var b = 0
         while (b < 64) {
           if (((z >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -82,7 +81,7 @@ object TextKernels {
     * Texts with fewer than n tokens yield an empty array.
     */
   def shingleHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val str = s.toString.toLowerCase
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val len = str.length
     val ring = new Array[Long](n)
     var count = 0
@@ -168,11 +167,23 @@ object TextExpressions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
 
-  /** Register both as SQL functions on a session. */
+  /** Register the text natives as SQL functions on a session (the
+    * session-extension route, [[graft.GraftExtensions]], exposes the same
+    * set — keep the two lists in sync).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv_fingerprint", exprs => FnvFingerprint(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", { exprs =>
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes n must be an integer literal, got $other")
+        }
+        ShingleHashes(exprs.head, n)
+      }, "scala_udf")
   }
 }

@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * test-set leakage in LLM training pipelines (the reference engine has no
   * analog; this is part of the training-pipeline extension, SURVEY §2.9).
   *
-  * Shape for 100 TB: the corpus side streams through the same relational
-  * shingle pipeline as the dedup family ([[Dedup.shingleRowsRaw]] — one
-  * window over doc-partitioned token rows, all codegen); shingles are
-  * hashed to 8-byte keys before any shuffle. The EVAL side is the small
-  * side by construction (benchmarks are ~1e3–1e6 items, not corpus-scale)
-  * and is broadcast, so the corpus never shuffles at all: scan → shingle
-  * window (partitioned by doc) → broadcast hash join → partial aggregate.
+  * Shape for 100 TB: both sides use the native one-pass shingle kernel
+  * ([[Dedup.shingleHashRows]] — no token rows, no window sort; 8-byte
+  * keys from the scan onward). The EVAL side is the small side by
+  * construction (benchmarks are ~1e3–1e6 items, not corpus-scale) and is
+  * broadcast, so the corpus's only shuffle is the final per-document
+  * aggregate: scan → codegen shingle explode → broadcast hash join →
+  * map-side-combined aggregate.
   */
 object Decontam {
 

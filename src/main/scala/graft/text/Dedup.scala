@@ -205,13 +205,15 @@ object Dedup {
     // exact Jaccard on the surviving candidates ONLY: the verification
     // side semi-joins the shingle stream down to candidate documents
     // before the distinct/size pass, so its cost scales with the
-    // candidate set (tiny by LSH construction), not the corpus. The
-    // candidate-id list is a broadcast build derived from `pairs` — its
-    // aggregates are exchange-reused from the main branch.
+    // candidate set, not the corpus. No broadcast HINT on the id list:
+    // on a duplication-heavy corpus candIds is O(corpus) and a forced
+    // broadcast would be a driver-memory cliff — AQE upgrades the
+    // shuffle semi-join to broadcast at runtime exactly when the list
+    // is actually small.
     val candIds = pairs
       .select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .distinct()
-    val ex = exRaw.join(broadcast(candIds), Seq("id"), "left_semi").distinct()
+    val ex = exRaw.join(candIds, Seq("id"), "left_semi").distinct()
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
     pairs
