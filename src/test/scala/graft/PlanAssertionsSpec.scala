@@ -114,4 +114,49 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan("be_exporter_next")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dd_decontam: eval side broadcast; corpus unshuffled before the aggregate") {
+    val p = plan("dd_decontam")
+    assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
+    // the corpus branch (the probe side of the broadcast join) must go
+    // scan → explode → join with NO exchange below the join
+    val probe = """(?s)BroadcastHashJoin (?:(?!Exchange|BroadcastHashJoin).)*?Generate explode\(shingle_hashes""".r
+    assert(probe.findFirstIn(p).isDefined,
+      s"corpus shingles must reach the broadcast join without a shuffle:\n$p")
+    assert(p.contains("partial_"), "per-document counts must map-side combine")
+  }
+
+  test("dd_minhash: signature aggregate is the first shuffle (no window sort below it)") {
+    val p = plan("dd_minhash")
+    // the native kernel replaced the token-row window: no WindowExec may
+    // sit below the signature aggregate, and partial min() slots must
+    // appear directly over the shingle explode
+    val sigBranch = """(?s)HashAggregate\(keys=\[id#\d+L\], functions=\[partial_min(?:(?!Window|Exchange).)*?Generate explode\(shingle_hashes""".r
+    assert(sigBranch.findFirstIn(p).isDefined,
+      s"signature slots must partial-aggregate directly over the native shingle explode:\n$p")
+  }
+
+  test("emb_quant: one exchange serves the per-vector max window") {
+    val p = plan("emb_quant")
+    // posexplode → exchange by vec_id → sort → window max; no second
+    // exchange above the window
+    val w = """(?s)Window (?:(?!Exchange).)*?Exchange hashpartitioning\(vec_id(?:(?!Exchange).)*?Generate posexplode""".r
+    assert(w.findFirstIn(p).isDefined,
+      s"per-vector max must ride a single vec_id exchange over the explode:\n$p")
+  }
+
+  test("ann_ivf_knn: corpus side reads the persisted cell-partitioned index") {
+    val p = plan("ann_ivf_knn")
+    assert(p.contains("graft-index"), "batch kNN must scan the persisted index")
+    assert(p.contains("ReadSchema") && p.contains("cell"),
+      "index scan must expose the cell partition column")
+    assert(!p.contains("CartesianProduct"), "cell equi-join must not degenerate")
+  }
+
+  test("dd_semdedup: pair generation is a cluster-key equi-join, not all-pairs") {
+    val p = plan("dd_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semdedup must join on the cluster key, not nested-loop all pairs:\n$p")
+    assert(p.contains("partial_"), "pair dedup must map-side combine")
+  }
 }
