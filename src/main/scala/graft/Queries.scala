@@ -485,6 +485,36 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered-progression funnel (view → click → purchase) per user: each
+    * stage's timestamp is the FIRST qualifying event strictly after the
+    * previous stage (the standard product-analytics funnel, not mere
+    * set-membership). Three user-keyed aggregates joined on user_id — all
+    * shuffles share the user_id key, so AQE plans them as one
+    * co-partitioned chain; no window over the raw event stream is needed.
+    */
+  val evFunnel: Q = (s, dir) => {
+    val ev = Domain.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0)).cast("long").as("stage"),
+        expr("CAST(t1 DIV 1000000000 AS BIGINT)").as("view_sec"),
+        expr("CAST(t2 DIV 1000000000 AS BIGINT)").as("click_sec"),
+        expr("CAST(t3 DIV 1000000000 AS BIGINT)").as("purchase_sec"))
+      .orderBy(col("user_id"))
+  }
+
   /** Distinct-aggregate surface: exact distinct users and value stats per
     * event type (two-phase distinct aggregation under the hood).
     */
@@ -768,6 +798,7 @@ object Queries {
     "txt_tokens_est" -> txtTokensEst,
     "ev_json_agg" -> evJsonAgg,
     "ev_user_stats" -> evUserStats,
+    "ev_funnel" -> evFunnel,
     "ev_asof" -> evAsof,
     "ev_sketch" -> evSketch,
     "txt_fingerprint" -> txtFingerprint,
@@ -1274,6 +1305,28 @@ object Queries {
         |                FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+        |            WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  epoch_ns(t1.t1) // 1000000000 AS view_sec,
+        |  epoch_ns(t2.t2) // 1000000000 AS click_sec,
+        |  epoch_ns(t3.t3) // 1000000000 AS purchase_sec
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "ev_user_stats" ->
       """SELECT event_type,
