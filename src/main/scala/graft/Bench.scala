@@ -42,18 +42,29 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] index build failed: ${e.getMessage}") }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def timedPass(recordFailures: Boolean): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (recordFailures) failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // Pass 1 (the headline `value`/`queries`, methodology unchanged across
+    // rounds): first execution at the bench SF — includes per-query AQE
+    // planning and codegen specialization. Pass 2 (`queries_warm`):
+    // steady-state re-execution, what a long-lived service serving the
+    // same query shapes repeatedly sees.
+    val results = timedPass(recordFailures = true)
+    val warm = timedPass(recordFailures = false)
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = toJson(results)
+    val qsWarm = toJson(warm)
     val total = results.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Ingest bench — the reference's heaviest end-to-end scenario
@@ -75,7 +86,7 @@ object Bench {
         System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1.0
     }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"ingest_sec":$ingestSec%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal%.3f,"queries_warm":$qsWarm,"ingest_sec":$ingestSec%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
