@@ -76,6 +76,16 @@ object CosineDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    // Shape note (measured): verifying the cosine INSIDE the bucket join
+    // (exactPairs-style residual condition, survivors-only output) was
+    // tried for the heavy-collision low-τ regime and is ~40% SLOWER here —
+    // with many tables a colliding pair co-buckets in up to `tables`
+    // buckets, so the in-join verify re-evaluates the same pair's dot
+    // product per table, while this candidates-only shape distinct-dedups
+    // pairs BEFORE the one-cosine-per-pair verification. The candidate
+    // materialization is the cheaper side of that trade at every tested
+    // configuration; revisit only if per-pair verification cost drops
+    // below the shuffle cost of a candidate row.
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = base.select(
       col("id"),
