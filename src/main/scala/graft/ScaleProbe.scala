@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-behavior probe: generates synthetic document/embedding corpora
+  * at two sizes (default 5k → 50k, a 10× step above the sf0.1 testdata
+  * scale) and times the heavy catalog operators at both, printing
+  * per-operator seconds and the scaling ratio. A shuffle- or
+  * candidate-quadratic regression shows up as a ratio far above the size
+  * step; the healthy shapes land near-linear (ratio ≈ 10× ± constant
+  * overheads).
+  *
+  * The corpora are written as parquet in the testdata layout so the REAL
+  * catalog queries run unmodified (same scan paths, same plans). The
+  * generator is deterministic (hash-derived tokens/values — no RNG, no
+  * wall clock): vocabulary scales with corpus size (Zipf-less uniform
+  * 2000-token vocab keeps shingle document frequency realistic, unlike
+  * the tiny sf-testdata vocab), 1% planted exact-dup documents, 1%
+  * planted near-dup embeddings.
+  *
+  * Run: `runMain graft.ScaleProbe [n1 n2]`.
+  */
+object ScaleProbe {
+
+  def genDocs(spark: SparkSession, n: Long, vocab: Int = 2000): DataFrame = {
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        transform(
+          sequence(lit(0), (pmod(xxhash64(col("id")), lit(81)) + lit(60)).cast("int")),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(vocab)))))
+        .as("text"))
+    // plant exact duplicates: every doc_id ≡ 1 (mod 100) is a copy of its
+    // predecessor (1% duplication — a realistic web-corpus rate)
+    val dups = base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 1).as("doc_id"), col("text"))
+    base.filter(col("doc_id") % 100 =!= 1).unionByName(dups)
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def genEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    def vec(idCol: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(idCol, i), lit(1000)).cast("double") / 500.0 - 1.0).cast("float"))
+    val base = spark.range(n).select(col("id").as("vec_id"), vec(col("id")).as("embedding"))
+    // plant near-duplicates: vec_id ≡ 1 (mod 100) ≈ its predecessor with
+    // dimension 0 nudged (cosine ≈ 1 − ε)
+    val dups = spark.range(n).filter(col("id") % 100 === 0)
+      .select((col("id") + 1).as("vec_id"),
+        concat(slice(vec(col("id")), 1, 1), // dim 0 unchanged is fine; nudge dim 1
+          array((element_at(vec(col("id")), 2) + lit(0.01f)).cast("float")),
+          slice(vec(col("id")), 3, dim - 2)).as("embedding"))
+    base.filter(col("vec_id") % 100 =!= 1).unionByName(dups)
+      .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+  }
+
+  private def ensureCorpus(spark: SparkSession, root: String, n: Long): String = {
+    val dir = s"$root/n$n"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet/_SUCCESS")
+    if (!done.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(done)) {
+      genDocs(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      genEmbeddings(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    dir
+  }
+
+  private def time(body: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = body
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n1 = args.headOption.map(_.toLong).getOrElse(5000L)
+    val n2 = args.drop(1).headOption.map(_.toLong).getOrElse(n1 * 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = sys.env.getOrElse("GRAFT_SCALE_DIR", "/tmp/graft-scale")
+    val dirs = Seq(n1, n2).map(n => n -> ensureCorpus(spark, root, n)).toMap
+
+    // catalog queries whose cost is dominated by the corpus (not by
+    // fixed per-query overhead), plus direct calls where the scale knob
+    // (cluster count) must grow with the corpus
+    val catalogOps: Seq[String] = Seq(
+      "dd_exact", "dd_ngram_jaccard", "dd_minhash", "dd_simhash",
+      "dd_decontam", "txt_repetition", "txt_stats", "emb_quant", "emb_kmeans")
+    def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq(
+      "dd_semdedup(k~sqrt n)" -> { () =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val k = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+        graft.vector.Clustering.semdedupPairs(emb, dim = 64, threshold = 0.9, k = k).count()
+      },
+      "ann_ivf_topk(cells~sqrt n)" -> { () =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        import spark.implicits._
+        val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+        val cells = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+        graft.vector.Ivf.topK(emb, q, 10, nCells = cells, nProbe = math.max(4, cells / 8)).count()
+      })
+
+    // warm the code paths once at the small size so JIT/codegen is out of
+    // both measured columns equally
+    catalogOps.foreach(op => try Queries.catalog(op)(spark, dirs(n1)).count()
+      catch { case e: Throwable => println(s"[scale] warm $op: ${e.getMessage}") })
+    directOps(dirs(n1), n1).foreach { case (_, f) => try f() catch { case _: Throwable => () } }
+
+    println(f"[scale] ${"operator"}%-28s ${"n=" + n1}%12s ${"n=" + n2}%12s ratio (size step ${n2.toDouble / n1}%.0fx)")
+    def report(name: String, f1: () => Long, f2: () => Long): Unit = {
+      val (s1, r1) = time(f1())
+      val (s2, r2) = time(f2())
+      println(f"[scale] $name%-28s $s1%10.2fs $s2%10.2fs ${s2 / s1}%5.1fx   rows $r1%d -> $r2%d")
+    }
+    catalogOps.foreach { op =>
+      report(op,
+        () => Queries.catalog(op)(spark, dirs(n1)).count(),
+        () => Queries.catalog(op)(spark, dirs(n2)).count())
+    }
+    val d1 = directOps(dirs(n1), n1).toMap
+    val d2 = directOps(dirs(n2), n2).toMap
+    d1.keys.toSeq.sorted.foreach(name => report(name, d1(name), d2(name)))
+    spark.stop()
+  }
+}
