@@ -60,6 +60,18 @@ class DedupSpec extends SparkSpec {
     // order sensitivity: distinct hash count of doc 8 ("one two one ...")
     // must reflect BOTH rotations ("one two one", "two one two")
     assert(viaKernel(8L) == 2L)
+    // null text → null array → no rows after explode (not a crash, not
+    // an empty-string shingle); empty text → no rows
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(9L, null.asInstanceOf[String]),
+        org.apache.spark.sql.Row(10L, ""),
+        org.apache.spark.sql.Row(11L, "a b c")),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val ids = Dedup.shingleHashRows(withNull, "doc_id", "text", 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(11L))
   }
 
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
