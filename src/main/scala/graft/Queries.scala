@@ -516,6 +516,109 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Multi-level OLAP rollup over lineitem (returnflag → linestatus →
+    * grand total). `grouping_id` disambiguates rolled-up NULLs from data
+    * NULLs (bit order matches DuckDB's GROUPING: last column = low bit).
+    * Scale shape: Expand feeds ONE hash aggregate — all rollup levels
+    * partial-aggregate map-side, a single shuffle regardless of level
+    * count. Decimal-exact sums per the oracle parity recipe.
+    */
+  val qRollup: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(decimal2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(decimal2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Window-frame surface: per-customer running total (ROWS unbounded
+    * preceding), 3-row moving average, and sequence number. Explicit ROWS
+    * frames on both sides — the default RANGE frame includes order-by
+    * peers and would diverge on ties. The running sum accumulates in
+    * exact decimal and casts to double at the edge (a running DOUBLE sum
+    * is order-dependent); the moving average divides two exactly-
+    * represented values, so the single double division is IEEE-identical
+    * across engines. Scale: one hash-partition per customer, no global
+    * sort except the presentation orderBy.
+    */
+  val wCume: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"), decimal2(col("o_totalprice")).as("p"))
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wall = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3 = ord.rowsBetween(-2, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        sum(col("p")).over(wall).cast("double").as("run_total"),
+        (sum(col("p")).over(w3).cast("double") / count(lit(1)).over(w3)).as("mavg3"),
+        row_number().over(ord).cast("long").as("seq"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  /** Cohort retention matrix: users bucketed by first-seen day, distinct
+    * users counted per (cohort, day-offset) cell — the classic growth
+    * analytics triangle. Nanos→day via integer division (both engines
+    * truncate identically on the epoch-positive range). Scale: the
+    * cohort table is one row per user; AQE broadcasts it when it fits,
+    * and the distinct-count shuffles only (cohort_day, offset, user_id).
+    */
+  val evRetention: Q = (s, dir) => {
+    val ev = Domain.events(s, dir)
+      .select(col("user_id"), expr("CAST(ts DIV 86400000000000 AS BIGINT)").as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Bounded range join: for every error event, how many views the same
+    * user made in the preceding 5 minutes. The user_id clause keeps this
+    * an EQUI join (sort-merge/shuffle-hash on user_id); the time bounds
+    * ride along as a residual condition — never a cartesian. Left join
+    * keeps context-free errors at count 0. The 5-minute bound caps
+    * per-row match cost, so the join stays linear in events at any scale.
+    */
+  val evErrContext: Q = (s, dir) => {
+    val ev = Domain.events(s, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    errs.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") < col("err_ts") &&
+          col("v_ts") >= col("err_ts") - lit(300L * 1000000000L),
+        "left")
+      .groupBy(col("err_id"))
+      .agg(count(col("v_ts")).as("n_views_5m"))
+      .orderBy(col("err_id"))
+  }
+
+  /** Corpus vocabulary surface: per-token document frequency and corpus
+    * share, top-50 by df. The df share is a single division of two
+    * exactly-represented doubles (IEEE-identical across engines) —
+    * deliberately NOT ln-based IDF, whose libm rounding differs between
+    * JVMs and DuckDB. Ties at the limit boundary break on token, so the
+    * selected set is deterministic. Scale: distinct + count shuffle only
+    * (doc_id, token) pairs; the 1-row corpus count broadcasts.
+    */
+  val txtIdf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("df_share", col("df").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(50)
+  }
+
   /** Distinct-aggregate surface: exact distinct users and value stats per
     * event type (two-phase distinct aggregation under the hood).
     */
@@ -800,6 +903,11 @@ object Queries {
     "ev_json_agg" -> evJsonAgg,
     "ev_user_stats" -> evUserStats,
     "ev_funnel" -> evFunnel,
+    "q_rollup" -> qRollup,
+    "w_cume" -> wCume,
+    "ev_retention" -> evRetention,
+    "ev_err_context" -> evErrContext,
+    "txt_idf" -> txtIdf,
     "ev_asof" -> evAsof,
     "ev_sketch" -> evSketch,
     "txt_fingerprint" -> txtFingerprint,
@@ -1328,6 +1436,54 @@ object Queries {
         |LEFT JOIN t2 USING (user_id)
         |LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "w_cume" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wall AS DOUBLE) AS run_total,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE) / count(*) OVER w3 AS mavg3,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+        |FROM orders
+        |WINDOW wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, seq""".stripMargin,
+
+    "ev_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_err_context" ->
+      """SELECT e.event_id AS err_id, count(v.v_ts) AS n_views_5m
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) AS err_ts FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, epoch_ns(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view') v
+        |  ON e.user_id = v.user_id AND v.v_ts < e.err_ts
+        | AND v.v_ts >= e.err_ts - 300000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_idf" ->
+      """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE token <> ''),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, count(*) AS df, n.n_docs,
+        | CAST(count(*) AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS df_share
+        |FROM tok, n GROUP BY token, n.n_docs
+        |ORDER BY df DESC, token LIMIT 50""".stripMargin,
 
     "ev_user_stats" ->
       """SELECT event_type,

@@ -162,4 +162,38 @@ class PlanAssertionsSpec extends SparkSpec {
       s"semdedup must join on the cluster key, not nested-loop all pairs:\n$p")
     assert(p.contains("partial_"), "pair dedup must map-side combine")
   }
+
+  test("q_rollup: all rollup levels ride one Expand and one shuffle") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), "rollup must lower to Expand, not a union of aggregates")
+    assert(p.contains("partial_count"), "rollup levels must partial-aggregate map-side")
+    // one agg exchange + the presentation range exchange, nothing more
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"rollup must shuffle once for all levels:\n$p")
+  }
+
+  test("w_cume: all four window functions share one Window node and one exchange") {
+    val p = plan("w_cume")
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1,
+      s"frames over the same (partition, order) must fuse into one Window:\n$p")
+    assert(p.contains("RowFrame"), "frames must be ROWS, not the tie-sensitive RANGE default")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("ev_err_context: range join keeps its user_id equi key (never nested-loop)") {
+    val p = plan("ev_err_context")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the time bounds must ride an equi join as a residual condition:\n$p")
+    assert(p.contains("Join [user_id") || p.contains("HashJoin [user_id"),
+      s"user_id must be the join key:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)"),
+      "event-type filters must reach the scan")
+  }
+
+  test("txt_idf: top-50 is TakeOrderedAndProject, not a global sort") {
+    val p = plan("txt_idf")
+    assert(p.contains("TakeOrderedAndProject(limit=50"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"limit must not force a full range-partitioned sort:\n$p")
+  }
 }
