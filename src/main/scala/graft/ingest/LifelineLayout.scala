@@ -39,19 +39,21 @@ object LifelineLayout {
   /** Materialize the layout from a records frame (any source — primary
     * store scan or the Domain view).
     */
-  def write(records: DataFrame, path: String): Unit =
+  def write(records: DataFrame, path: String): Unit = {
     records
       .withColumn("obj_bucket", pmod(col("object_reference"), lit(Buckets)))
       .repartition(col("obj_bucket"))
       .sortWithinPartitions(col("object_reference"), col("pulse_number"), col("order"))
       .write.mode("overwrite").partitionBy("obj_bucket").parquet(path)
+    graft.sources.RelationCache.invalidate(path)
+  }
 
   /** Lifeline scan against the layout: the bucket equality is a partition
     * filter (directory pruning), the object equality a pushed row-group
     * filter over sorted data.
     */
   def lifeline(spark: SparkSession, path: String, objectRef: Long): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.RelationCache.parquet(spark, path)
       .filter(col("obj_bucket") === bucketOf(objectRef) &&
         col("object_reference") === objectRef)
       .drop("obj_bucket")

@@ -28,8 +28,12 @@ object Domain {
   val PulseNs: Long = 3600000000000L
   val SecNs: Long = 1000000000L
 
+  /** Relation-cached read: the resolved file index is reused across
+    * queries (serving-layer behavior) while pruning/pushdown still plan
+    * per query — see [[graft.sources.RelationCache]].
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.RelationCache.parquet(spark, s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP_NANOS which Spark reads as LongType
     * nanos under the legacy flag (set defensively here — Verify/Bench set

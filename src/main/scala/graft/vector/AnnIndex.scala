@@ -49,6 +49,7 @@ object AnnIndex {
       embeddings
         .withColumn("cell", Ivf.cellOf(col(vecCol), cents))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+      graft.sources.RelationCache.invalidate(s"$path/vectors")
       import spark.implicits._
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
         .toDF("cell", "centroid")
@@ -86,7 +87,7 @@ object AnnIndex {
   ): DataFrame = {
     val cents = readCentroids(spark, path)
     val probed = Ivf.cellsByAffinity(query, cents).take(nProbe)
-    val scan = spark.read.parquet(s"$path/vectors")
+    val scan = graft.sources.RelationCache.parquet(spark, s"$path/vectors")
       .filter(col("cell").isin(probed: _*))
     excludeId.fold(scan)(id => scan.filter(col(idCol) =!= id))
       .select(col(idCol), Similarity.cosineLit(col(vecCol), query).as("cosine"))
@@ -119,7 +120,7 @@ object AnnIndex {
     val cents = readCentroids(spark, path)
     val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("q_v"),
       explode(Ivf.topCells(col(vecCol), cents, nProbe)).as("cell"))
-    val scan0 = spark.read.parquet(s"$path/vectors")
+    val scan0 = graft.sources.RelationCache.parquet(spark, s"$path/vectors")
     val corpus = corpusFilter.fold(scan0)(scan0.filter)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -150,6 +151,7 @@ object AnnIndex {
       embeddings
         .withColumn("sig", Similarity.lshSignature(col(vecCol), dim, bits, seed))
         .write.mode("overwrite").partitionBy("sig").parquet(s"$path/vectors")
+      graft.sources.RelationCache.invalidate(s"$path/vectors")
     }
   }
 
@@ -170,7 +172,7 @@ object AnnIndex {
       excludeId: Option[Long] = None
   ): DataFrame = {
     val probes = Similarity.marginProbeBuckets(query, bits, seed, maxProbes)
-    val scan = spark.read.parquet(s"$path/vectors")
+    val scan = graft.sources.RelationCache.parquet(spark, s"$path/vectors")
       .filter(col("sig").isin(probes: _*))
     excludeId.fold(scan)(id => scan.filter(col(idCol) =!= id))
       .select(col(idCol), Similarity.cosineLit(col(vecCol), query).as("cosine"))
