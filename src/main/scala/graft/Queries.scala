@@ -349,6 +349,19 @@ object Queries {
       .orderBy(col("content_hash"))
   }
 
+  /** Incremental dedup: the src0 slice plays the arriving batch, every
+    * other source the standing corpus whose hash set is persisted once
+    * (AnnIndex-style path fingerprinting) — each increment joins only its
+    * own hashes against the index, never re-hashing the corpus.
+    */
+  val ddIncremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = graft.vector.AnnIndex.indexRoot(dir) + "/hashidx-notsrc0"
+    graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"), path)
+    graft.text.Dedup.incrementalVerdicts(docs.filter(col("source") === "src0"), path)
+      .orderBy(col("doc_id"))
+  }
+
   /** Document-frequency cap for the inverted-shingle self-join: shingles in
     * more than this many documents are dropped before pairing (mirrored in
     * the oracle SQL). 64 keeps every shingle at the current corpus shapes
@@ -755,6 +768,14 @@ object Queries {
     * totals and each cell's share of the corpus token budget — the
     * bookkeeping view data-mixing decisions read.
     */
+  /** Keep/drop filter verdicts with per-rule flags and failure reasons —
+    * the composed filtering stage over the same signal definitions
+    * txt_quality / txt_repetition report.
+    */
+  val txtFilter: Q = (s, dir) =>
+    graft.text.TextAnalysis.filterVerdicts(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   val txtMix: Q = (s, dir) => {
     val perCell = t(s, dir, "documents")
       .groupBy(col("source"), col("lang"))
@@ -908,6 +929,8 @@ object Queries {
     "ev_retention" -> evRetention,
     "ev_err_context" -> evErrContext,
     "txt_idf" -> txtIdf,
+    "txt_filter" -> txtFilter,
+    "dd_incremental" -> ddIncremental,
     "ev_asof" -> evAsof,
     "ev_sketch" -> evSketch,
     "txt_fingerprint" -> txtFingerprint,
@@ -1200,6 +1223,21 @@ object Queries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
+    "dd_incremental" ->
+      """WITH idx AS (
+        |  SELECT md5(text) AS content_hash FROM documents WHERE source <> 'src0' GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |    CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+        |         THEN 1 ELSE 0 END AS dup_batch
+        |  FROM documents WHERE source = 'src0')
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN i.content_hash IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS dup_corpus,
+        |  CAST(b.dup_batch AS BIGINT) AS dup_batch,
+        |  CAST(CASE WHEN i.content_hash IS NULL AND b.dup_batch = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM batch b LEFT JOIN idx i USING (content_hash)
+        |ORDER BY b.doc_id""".stripMargin,
+
     "dd_ngram_jaccard" ->
       """WITH raw AS (
         |  SELECT doc_id,
@@ -1475,6 +1513,69 @@ object Queries {
         |  ON e.user_id = v.user_id AND v.v_ts < e.err_ts
         | AND v.v_ts >= e.err_ts - 300000000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS nonws,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        |  FROM raw WHERE tok <> ''),
+        |tk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |              count(DISTINCT tok) AS n_distinct
+        |       FROM toks GROUP BY doc_id),
+        |big AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS sh
+        |        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |cnt AS (SELECT doc_id, sh, count(*) AS c FROM big WHERE sh IS NOT NULL
+        |        GROUP BY doc_id, sh),
+        |top AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS total,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sh DESC) AS rn
+        |        FROM cnt),
+        |rep AS (SELECT d.doc_id,
+        |  CASE WHEN coalesce(tk.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE CAST(tk.n_distinct AS DOUBLE) / tk.n_tokens END AS distinct_ratio,
+        |  coalesce(CAST(t.c AS DOUBLE) / t.total, 0.0) AS top_bigram_frac
+        |  FROM documents d
+        |  LEFT JOIN tk USING (doc_id)
+        |  LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)),
+        |rules AS (
+        |  SELECT f.doc_id,
+        |    CASE WHEN f.toks >= 5 THEN 1 ELSE 0 END AS r_min_tokens,
+        |    CASE WHEN (CASE WHEN f.toks = 0 THEN 0.0 ELSE CAST(f.nonws AS DOUBLE) / f.toks END)
+        |         BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS r_word_len,
+        |    CASE WHEN (CASE WHEN f.len = 0 THEN 0.0 ELSE f.np / f.len END) < 0.3 THEN 1 ELSE 0 END AS r_punct,
+        |    CASE WHEN (CASE WHEN f.len = 0 THEN 0.0 ELSE f.nd / f.len END) < 0.3 THEN 1 ELSE 0 END AS r_digit,
+        |    CASE WHEN (CASE WHEN f.len = 0 THEN 0.0 ELSE f.nu / f.len END) < 0.4 THEN 1 ELSE 0 END AS r_upper,
+        |    CASE WHEN rep.top_bigram_frac <= 0.2 THEN 1 ELSE 0 END AS r_repetition,
+        |    CASE WHEN rep.distinct_ratio >= 0.3 THEN 1 ELSE 0 END AS r_distinct
+        |  FROM f JOIN rep ON f.doc_id = rep.doc_id)
+        |SELECT doc_id,
+        |  CAST(r_min_tokens AS BIGINT) AS r_min_tokens, CAST(r_word_len AS BIGINT) AS r_word_len,
+        |  CAST(r_punct AS BIGINT) AS r_punct, CAST(r_digit AS BIGINT) AS r_digit,
+        |  CAST(r_upper AS BIGINT) AS r_upper, CAST(r_repetition AS BIGINT) AS r_repetition,
+        |  CAST(r_distinct AS BIGINT) AS r_distinct,
+        |  CAST(r_min_tokens * r_word_len * r_punct * r_digit * r_upper * r_repetition * r_distinct AS BIGINT) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN r_min_tokens = 0 THEN 'min_tokens' END,
+        |    CASE WHEN r_word_len = 0 THEN 'word_len' END,
+        |    CASE WHEN r_punct = 0 THEN 'punct' END,
+        |    CASE WHEN r_digit = 0 THEN 'digit' END,
+        |    CASE WHEN r_upper = 0 THEN 'upper' END,
+        |    CASE WHEN r_repetition = 0 THEN 'repetition' END,
+        |    CASE WHEN r_distinct = 0 THEN 'distinct' END) AS reasons
+        |FROM rules ORDER BY doc_id""".stripMargin,
 
     "txt_idf" ->
       """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

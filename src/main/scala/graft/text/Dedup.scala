@@ -42,6 +42,60 @@ object Dedup {
       .select(col(idCol).as("drop_id"), col("keep_id"))
   }
 
+  // ---------- incremental (batch-vs-standing-corpus) ----------
+
+  /** Persist the corpus content-hash set (one row per distinct hash, with
+    * its keeper id) — the standing index incremental dedup joins against.
+    * At 100 TB you never re-hash the corpus per arriving batch: the index
+    * is maintained once (append the kept hashes of each admitted batch)
+    * and each increment joins only its OWN hashes against it. md5 keys
+    * match the DuckDB oracle bit-for-bit.
+    */
+  def ensureHashIndex(
+      corpus: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      corpus.select(md5(col(textCol)).as("content_hash"), col(idCol))
+        .groupBy(col("content_hash")).agg(min(col(idCol)).as("corpus_keep_id"))
+        .write.mode("overwrite").parquet(path)
+      graft.sources.RelationCache.invalidate(path)
+    }
+  }
+
+  /** Dedup verdicts for a NEW batch against a persisted corpus hash index
+    * (the production shape — the daily increment, not the whole corpus,
+    * is what gets deduped). Per new doc: `dup_corpus` (its content hash
+    * already exists in the standing index), `dup_batch` (an earlier doc
+    * of the same batch shares the hash — first id wins), and `keep`.
+    * Only (hash, id) pairs shuffle; the batch side is the small side and
+    * AQE broadcasts whichever fits.
+    */
+  def incrementalVerdicts(
+      batch: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = graft.sources.RelationCache.parquet(spark, indexPath)
+      .select(col("content_hash"), lit(1L).as("in_corpus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col(idCol))
+    batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("dup_batch", (row_number().over(w) > 1).cast("long"))
+      .join(idx, Seq("content_hash"), "left")
+      .select(col(idCol),
+        coalesce(col("in_corpus"), lit(0L)).as("dup_corpus"),
+        col("dup_batch"),
+        (col("in_corpus").isNull && col("dup_batch") === 0).cast("long").as("keep"))
+  }
+
   // ---------- shingles / n-grams ----------
 
   /** Normalized word tokens (lowercase, alnum runs). */

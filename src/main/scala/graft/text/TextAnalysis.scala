@@ -144,6 +144,47 @@ object TextAnalysis {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Composed quality-filter verdicts — the keep/drop pipeline stage a
+    * training-data run applies before tokenization (CCNet/Gopher-style
+    * rule stacks). Every rule is a named 0/1 column, `keep` their
+    * conjunction, and `reasons` the comma-joined failed rules in a fixed
+    * order — auditable filtering, not a bare boolean. Reuses the ONE
+    * definition of each signal ([[qualityFeatures]],
+    * [[repetitionSignals]]) so the verdicts can't drift from the
+    * reported stats. Cost: the per-row feature projection plus
+    * repetitionSignals' bigram aggregate — nothing else shuffles.
+    */
+  def filterVerdicts(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val f = qualityFeatures(col(textCol)).toMap
+    val rowRules: Seq[(String, Column)] = Seq(
+      "min_tokens" -> (f("n_tokens") >= 5),
+      "word_len" -> f("mean_word_len").between(2.0, 12.0),
+      "punct" -> (f("punct_ratio") < 0.3),
+      "digit" -> (f("digit_ratio") < 0.3),
+      "upper" -> (f("upper_ratio") < 0.4))
+    val repRules: Seq[(String, Column)] = Seq(
+      "repetition" -> (col("top_bigram_frac") <= 0.2),
+      "distinct" -> (col("distinct_ratio") >= 0.3))
+    val base = docs.select(
+      col(idCol) +: rowRules.map { case (n, c) => c.as("r_" + n) }: _*)
+    val rep = repetitionSignals(docs, idCol, textCol)
+      .select(col(idCol), col("distinct_ratio"), col("top_bigram_frac"))
+    val names = (rowRules ++ repRules).map(_._1)
+    val flags = names.map(n => col("r_" + n))
+    base.join(
+        rep.select(col(idCol) +: repRules.map { case (n, c) => c.as("r_" + n) }: _*),
+        Seq(idCol))
+      .select(
+        col(idCol) +:
+          names.map(n => col("r_" + n).cast("long").as("r_" + n)) :+
+          flags.reduce(_ && _).cast("long").as("keep") :+
+          concat_ws(",", names.map(n => when(!col("r_" + n), lit(n))): _*).as("reasons"): _*)
+  }
+
   /** Rolling FNV-1a document fingerprint — stable across runs, usable as
     * a cheap content id. Driver-side Scala form (chars; equals the column
     * form for ASCII text).

@@ -27,6 +27,31 @@ class DedupSpec extends SparkSpec {
     assert(drops.length == 1 && drops(0).getAs[Long]("drop_id") == 2L)
   }
 
+  test("incremental dedup flags corpus dups, batch dups, and keepers") {
+    import spark.implicits._
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-hashidx").toString + "/idx"
+    val corpus = Seq((100L, base), (101L, "corpus only text body")).toDF("doc_id", "text")
+    Dedup.ensureHashIndex(corpus, idxPath)
+    val batch = Seq(
+      (1L, base), // dup of corpus 100
+      (2L, "fresh batch document one"),
+      (3L, "fresh batch document one"), // dup within batch of 2
+      (4L, "fresh batch document two"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalVerdicts(batch, idxPath)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 0L), // corpus dup
+      (2L, 0L, 0L, 1L), // first of its class in the batch → keep
+      (3L, 0L, 1L, 0L), // later same-hash batch doc
+      (4L, 0L, 0L, 1L)))
+    // the index is standing: a second ensure must not rebuild (same keeper)
+    Dedup.ensureHashIndex(batch, idxPath) // would change keepers if it rewrote
+    assert(graft.sources.RelationCache.parquet(spark, idxPath).count() == 2)
+  }
+
   test("shingleRows matches the array-form shingles") {
     import spark.implicits._
     val rel = Dedup.shingleRows(docs, "doc_id", "text", 3)
