@@ -58,14 +58,31 @@ object Dedup {
       textCol: String = "text"
   ): Unit = {
     val spark = corpus.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val p = new org.apache.hadoop.fs.Path(path + "/batch=0/_done")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      corpus.select(md5(col(textCol)).as("content_hash"), col(idCol))
-        .groupBy(col("content_hash")).agg(min(col(idCol)).as("corpus_keep_id"))
-        .write.mode("overwrite").parquet(path)
-      graft.sources.RelationCache.invalidate(path)
+      appendHashBatch(
+        corpus.select(md5(col(textCol)).as("content_hash"), col(idCol))
+          .groupBy(col("content_hash")).agg(min(col(idCol)).as("corpus_keep_id")),
+        path, batchId = 0L)
+      fs.create(p).close()
     }
+  }
+
+  /** Admit one micro-batch's KEPT hashes into the standing index —
+    * continuous corpus admission for a streaming ingest. The batch id is
+    * a partition directory overwritten atomically, so a foreachBatch
+    * retry rewrites the same directory to the same bytes instead of
+    * double-appending (the same idempotent-redelivery contract the pulse
+    * writer uses).
+    */
+  def appendHashBatch(keptHashes: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = keptHashes.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    keptHashes
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch").parquet(path)
+    graft.sources.RelationCache.invalidate(path)
   }
 
   /** Dedup verdicts for a NEW batch against a persisted corpus hash index
