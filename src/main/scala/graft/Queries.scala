@@ -632,6 +632,23 @@ object Queries {
       .limit(50)
   }
 
+  /** Tumbling-window aggregation — the BATCH twin of the streaming
+    * `EventWindows` path (same bucketing a watermarked `window()` agg
+    * produces, restated as integer-exact hour buckets so DuckDB can
+    * oracle it). One map-side-combined aggregate; the bucket column
+    * composes with pulse-partition pruning at the scan.
+    */
+  val evWindowed: Q = (s, dir) => {
+    Domain.events(s, dir)
+      .groupBy(expr("CAST(ts DIV 3600000000000 AS BIGINT)").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .withColumn("hour_start_sec", col("hour_bucket") * 3600L)
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
   /** Distinct-aggregate surface: exact distinct users and value stats per
     * event type (two-phase distinct aggregation under the hood).
     */
@@ -928,6 +945,7 @@ object Queries {
     "w_cume" -> wCume,
     "ev_retention" -> evRetention,
     "ev_err_context" -> evErrContext,
+    "ev_windowed" -> evWindowed,
     "txt_idf" -> txtIdf,
     "txt_filter" -> txtFilter,
     "dd_incremental" -> ddIncremental,
@@ -1495,6 +1513,14 @@ object Queries {
         |       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, seq""".stripMargin,
+
+    "ev_windowed" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        | count(*) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start_sec
+        |FROM events GROUP BY 1, 2, 6 ORDER BY 1, 2""".stripMargin,
 
     "ev_retention" ->
       """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),

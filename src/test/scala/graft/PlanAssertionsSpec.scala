@@ -190,6 +190,26 @@ class PlanAssertionsSpec extends SparkSpec {
       "event-type filters must reach the scan")
   }
 
+  test("ev_windowed: tumbling buckets are one aggregate, no window operator") {
+    val p = plan("ev_windowed")
+    assert(p.contains("partial_count"), "bucket agg must map-side combine")
+    assert(!p.contains("WindowExec"), "tumbling windows are groupBy buckets, not row windows")
+  }
+
+  test("dd_incremental: batch joins the persisted index, never nested-loop") {
+    val p = plan("dd_incremental")
+    assert(p.contains("graft-index"), "must scan the standing hash index, not re-hash the corpus")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"hash-equality join required:\n$p")
+  }
+
+  test("txt_filter: rule stack stays native (no UDFs) and joins on doc_id") {
+    val p = plan("txt_filter")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "quality rules must be Catalyst expressions")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("txt_idf: top-50 is TakeOrderedAndProject, not a global sort") {
     val p = plan("txt_idf")
     assert(p.contains("TakeOrderedAndProject(limit=50"))
