@@ -86,7 +86,24 @@ object Bench {
         System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1.0
     }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal%.3f,"queries_warm":$qsWarm,"ingest_sec":$ingestSec%.3f,"sf":"$sfDir"}""")
+    // Serving-throughput analog of the reference's load suite (5 rps per
+    // endpoint, zero errors): each be_* shape attacked by 8 threads for
+    // 2 s; the gate number is the MINIMUM per-shape q/s.
+    val (loadMin, loadJson) = try {
+      val errors = new java.util.concurrent.atomic.AtomicLong()
+      val shapes = SparkEntry.queries.toSeq.filter(_._1.startsWith("be_")).sortBy(_._1)
+      val per = shapes.map { case (n, fn) =>
+        n -> LoadProbe.attack(spark, sfDir, fn, attackers = 8, millis = 2000L, errors)
+      }
+      (per.map(_._2).min,
+        per.map { case (n, q) => "\"" + n + "\":" + f"$q%.1f" }
+          .mkString("{", ",", "}") + f""","load_errors":${errors.get()}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] load probe failed: ${e.getMessage}")
+      (-1.0, "{}")
+    }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal%.3f,"queries_warm":$qsWarm,"ingest_sec":$ingestSec%.3f,"load_min_shape_qps":$loadMin%.2f,"load_per_shape_qps":$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

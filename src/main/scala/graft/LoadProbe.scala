@@ -48,31 +48,43 @@ object LoadProbe {
     shapes.foreach { case (_, fn) => fn(spark, sfDir).count() }
 
     val errors = new AtomicLong()
-    def attack(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val done = new AtomicBoolean(false)
-      val completed = new AtomicLong()
-      val threads = (0 until attackers).map { _ =>
-        new Thread(() => {
-          while (!done.get()) {
-            try { fn(spark, sfDir).count(); completed.incrementAndGet() }
-            catch { case _: Throwable => errors.incrementAndGet() }
-          }
-        })
-      }
-      val t0 = System.nanoTime()
-      threads.foreach(_.start())
-      Thread.sleep(seconds * 1000L)
-      done.set(true)
-      threads.foreach(_.join())
-      completed.get() / ((System.nanoTime() - t0) / 1e9)
+    val perShape = shapes.map { case (name, fn) =>
+      name -> LoadProbe.attack(spark, sfDir, fn, attackers, seconds * 1000L, errors)
     }
-
-    val perShape = shapes.map { case (name, fn) => name -> attack(fn) }
     val perShapeJson = perShape
       .map { case (n, q) => "\"" + n + "\":" + f"$q%.2f" }.mkString("{", ",", "}")
     val minQps = perShape.map(_._2).min
     val meanQps = perShape.map(_._2).sum / perShape.length
     println(f"""{"metric":"load_min_shape_qps","value":$minQps%.2f,"unit":"q/s","mean_qps":$meanQps%.2f,"attackers":$attackers,"seconds_per_shape":$seconds,"shapes":${shapes.length},"per_shape_qps":$perShapeJson,"errors":${errors.get()},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Hammer one query shape with `attackers` threads for `millis`;
+    * returns completed q/s (failures count into `errors`).
+    */
+  def attack(
+      spark: SparkSession,
+      sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      attackers: Int,
+      millis: Long,
+      errors: AtomicLong
+  ): Double = {
+    val done = new AtomicBoolean(false)
+    val completed = new AtomicLong()
+    val threads = (0 until attackers).map { _ =>
+      new Thread(() => {
+        while (!done.get()) {
+          try { fn(spark, sfDir).count(); completed.incrementAndGet() }
+          catch { case _: Throwable => errors.incrementAndGet() }
+        }
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    Thread.sleep(millis)
+    done.set(true)
+    threads.foreach(_.join())
+    completed.get() / ((System.nanoTime() - t0) / 1e9)
   }
 }
