@@ -94,7 +94,8 @@ object ScaleProbe {
     // (cluster count) must grow with the corpus
     val catalogOps: Seq[String] = Seq(
       "dd_exact", "dd_ngram_jaccard", "dd_minhash", "dd_simhash",
-      "dd_decontam", "txt_repetition", "txt_stats", "emb_quant", "emb_kmeans")
+      "dd_decontam", "txt_repetition", "txt_stats", "emb_quant", "emb_kmeans",
+      "txt_filter", "txt_idf")
     def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq(
       "dd_semdedup(k~sqrt n)" -> { () =>
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -107,6 +108,13 @@ object ScaleProbe {
         val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
         val cells = math.max(16, math.sqrt(n.toDouble).toInt / 2)
         graft.vector.Ivf.topK(emb, q, 10, nCells = cells, nProbe = math.max(4, cells / 8)).count()
+      },
+      "dd_incremental(idx standing)" -> { () =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val path = graft.vector.AnnIndex.indexRoot(dir) + "/hashidx-notsrc0"
+        graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"), path)
+        graft.text.Dedup
+          .incrementalVerdicts(docs.filter(col("source") === "src0"), path).count()
       })
 
     // warm the code paths once at the small size so JIT/codegen is out of
@@ -114,6 +122,15 @@ object ScaleProbe {
     catalogOps.foreach(op => try Queries.catalog(op)(spark, dirs(n1)).count()
       catch { case e: Throwable => println(s"[scale] warm $op: ${e.getMessage}") })
     directOps(dirs(n1), n1).foreach { case (_, f) => try f() catch { case _: Throwable => () } }
+    // standing-index builds are write-path cost, not query cost — pre-build
+    // at both sizes so the timed dd_incremental rows measure the read path
+    Seq(n1, n2).foreach { n =>
+      val dir = dirs(n)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      try graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"),
+        graft.vector.AnnIndex.indexRoot(dir) + "/hashidx-notsrc0")
+      catch { case e: Throwable => println(s"[scale] prebuild hashidx: ${e.getMessage}") }
+    }
 
     println(f"[scale] ${"operator"}%-28s ${"n=" + n1}%12s ${"n=" + n2}%12s ratio (size step ${n2.toDouble / n1}%.0fx)")
     def report(name: String, f1: () => Long, f2: () => Long): Unit = {
