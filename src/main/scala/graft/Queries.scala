@@ -349,6 +349,18 @@ object Queries {
       .orderBy(col("content_hash"))
   }
 
+  /** Near-dup clusters: connected components over the oracled exact
+    * Jaccard pair graph — the keeper set a dedup pipeline actually
+    * consumes (min doc id per cluster). The recursive-CTE oracle computes
+    * the same min-label closure in DuckDB.
+    */
+  val ddClusters: Q = (s, dir) => {
+    graft.operators.Components
+      .connectedComponents(ddNgramJaccard(s, dir), "a_id", "b_id")
+      .select(col("u").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental dedup: the src0 slice plays the arriving batch, every
     * other source the standing corpus whose hash set is persisted once
     * (AnnIndex-style path fingerprinting) — each increment joins only its
@@ -949,6 +961,7 @@ object Queries {
     "txt_idf" -> txtIdf,
     "txt_filter" -> txtFilter,
     "dd_incremental" -> ddIncremental,
+    "dd_clusters" -> ddClusters,
     "ev_asof" -> evAsof,
     "ev_sketch" -> evSketch,
     "txt_fingerprint" -> txtFingerprint,
@@ -1240,6 +1253,40 @@ object Queries {
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dd_clusters" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        |  FROM raw WHERE tok <> ''),
+        |shn AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |sh0 AS (SELECT DISTINCT doc_id, sh FROM shn WHERE sh IS NOT NULL),
+        |sh AS (SELECT doc_id, sh FROM sh0
+        |       QUALIFY count(*) OVER (PARTITION BY sh) <= 64),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u)
+        |SELECT u AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY u
+        |ORDER BY doc_id""".stripMargin,
 
     "dd_incremental" ->
       """WITH idx AS (

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the cluster-
+  * formation step a dedup pipeline runs AFTER pair generation: near-dup
+  * pairs become clusters, and one keeper (the min id) survives per
+  * cluster.
+  *
+  * Iterative min-label propagation: every node starts as its own label;
+  * each round a node adopts the minimum label among itself and its
+  * neighbors. Converges in O(component diameter) rounds — near-dup
+  * clusters are dense and shallow (a dup cluster's diameter is ~2), so
+  * 3-4 rounds settle real corpora; `maxIter` bounds the pathological
+  * chain. Each round is one equi-join + one min-aggregate, both on the
+  * node key — at scale the same hash partitioning serves every round,
+  * and `localCheckpoint` truncates the growing lineage so round N+1's
+  * plan doesn't replay rounds 1..N.
+  *
+  * (For graphs with genuinely long chains, alternate large-star/
+  * small-star halves the diameter per round; near-dup graphs don't need
+  * it and the simple form keeps every round AQE-optimizable.)
+  */
+object Components {
+
+  /** (node, component) for every node that appears in `edges`; the
+    * component id is the minimum node id of the component. Deterministic
+    * regardless of partitioning (min is order-free).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u")).distinct().withColumn("comp", col("u"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.select(col("u").as("v"), col("comp")), Seq("v"))
+        .select(col("u"), col("comp"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("u")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("u"), col("comp").as("prev")), Seq("u"))
+        .filter(col("comp") =!= col("prev"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels
+  }
+}
