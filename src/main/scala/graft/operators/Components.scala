@@ -38,6 +38,13 @@ object Components {
       .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
     var labels = sym.select(col("u")).distinct().withColumn("comp", col("u"))
+      .localCheckpoint()
+    // Labels only ever decrease, so the label sum is a strict convergence
+    // witness: unchanged sum == fixpoint. One tiny agg job per round
+    // instead of a join-back against the previous round.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -47,14 +54,17 @@ object Components {
       val next = labels.union(viaNeighbor)
         .groupBy(col("u")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("u"), col("comp").as("prev")), Seq("u"))
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
+      // superseded round's blocks are dead weight in the block manager —
+      // a long-lived session (serving, repeated maintenance runs) would
+      // accumulate them across invocations
+      labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0L
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
+    sym.unpersist(blocking = false)
     labels
   }
 }
