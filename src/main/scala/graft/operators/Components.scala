@@ -37,7 +37,13 @@ object Components {
     val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
-    var labels = sym.select(col("u")).distinct().withColumn("comp", col("u"))
+    // Fused round 1: min(u, min over direct neighbors) straight off the
+    // symmetric edge list — the same single shuffle the plain distinct()
+    // init would cost, but it already settles diameter-1 components
+    // (near-dup clusters are cliques: every pair similar → all edges
+    // present), so those exit the loop after one confirming round.
+    var labels = sym.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("comp"))
       .localCheckpoint()
     // Labels only ever decrease, so the label sum is a strict convergence
     // witness: unchanged sum == fixpoint. One tiny agg job per round
