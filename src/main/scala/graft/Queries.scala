@@ -349,14 +349,32 @@ object Queries {
       .orderBy(col("content_hash"))
   }
 
+  /** Standing near-dup pair graph: the exact Jaccard pairs persisted once
+    * per (corpus fingerprint, shingle k, df cap, threshold) — the artifact
+    * cluster formation and any downstream dedup consume, instead of
+    * re-running the inverted-index self-join per invocation (the way
+    * `dd_incremental` consumes the persisted hash index rather than
+    * re-hashing the corpus).
+    */
+  def ensureNgramPairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.StandingArtifact.ensure(
+      s, graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-pairs-k3-df$NgramMaxDf-t050")(
+      ddNgramJaccard(s, dir))
+
   /** Near-dup clusters: connected components over the oracled exact
     * Jaccard pair graph — the keeper set a dedup pipeline actually
     * consumes (min doc id per cluster). The recursive-CTE oracle computes
-    * the same min-label closure in DuckDB.
+    * the same min-label closure in DuckDB. Both the pair graph and the
+    * component map are standing artifacts (built at most once per corpus
+    * fingerprint); the serving path is two parquet reads and a join-free
+    * projection, and the iterative build frees every checkpoint it pins
+    * (ComponentsSpec asserts block-manager neutrality).
     */
   val ddClusters: Q = (s, dir) => {
+    val pairs = ensureNgramPairs(s, dir)
     graft.operators.Components
-      .connectedComponents(ddNgramJaccard(s, dir), "a_id", "b_id")
+      .ensureComponents(pairs, "a_id", "b_id",
+        graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-k3-df$NgramMaxDf-t050")
       .select(col("u").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -27,4 +27,24 @@ class ComponentsSpec extends SparkSpec {
     val got = cc(Seq((5L, 4L), (3L, 5L), (4L, 2L)))
     assert(got == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
   }
+
+  test("ensureComponents leaves the block manager exactly as it found it") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val path = java.nio.file.Files.createTempDirectory("graft-cc").toString + "/cc"
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // First call builds (iterating with localCheckpoints), later calls read.
+    val out1 = Components.ensureComponents(edges, "a", "b", path).collect()
+    val afterBuild = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(afterBuild == before,
+      s"build stranded checkpoint RDDs: ${afterBuild.diff(before)}")
+    (1 to 3).foreach { _ =>
+      Components.ensureComponents(edges, "a", "b", path).count()
+    }
+    val afterServe = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(afterServe == before,
+      s"repeated serving grew the block manager: ${afterServe.diff(before)}")
+    assert(out1.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
 }
