@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long-lived session compiles thousands of Janino-generated classes;
+  // the JVM default 240m code cache fills mid-session, after which the
+  // JIT disables itself and EVERYTHING late in the session runs
+  // interpreted (the roving 4-10x warm-pass slowdown signature).
+  "-XX:ReservedCodeCacheSize=512m",
+  // Spark's codegen class cache defaults to 100 entries — smaller than
+  // one catalog pass' stage count, so every pass recompiles every stage.
+  "-Dspark.sql.codegen.cache.maxEntries=3000",
 )

@@ -2,6 +2,8 @@ package graft
 
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Load analog of the reference's vegeta suite
@@ -39,7 +41,16 @@ object LoadProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val shapes = SparkEntry.queries.toSeq.filter(_._1.startsWith("be_")).sortBy(_._1)
+    // SPARK_GRAFT_SHAPES: comma-separated shape names to attack (default:
+    // every be_* endpoint). SPARK_GRAFT_ROUNDS: repeat the whole attack
+    // sequence N times in ONE session, one JSON line per round — the
+    // session-age bisect tool (a shape that only decays in later rounds is
+    // a session-lifetime problem, not a plan problem).
+    val only = sys.env.get("SPARK_GRAFT_SHAPES").map(_.split(",").toSet)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "1").toInt
+    val shapes = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.fold(n.startsWith("be_"))(_.contains(n)) }
+      .sortBy(_._1)
     // Standing indexes first (write-path cost, excluded from serving q/s).
     graft.vector.AnnIndex.ensureAll(spark, sfDir)
     graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
@@ -47,17 +58,29 @@ object LoadProbe {
     // Warm pass: codegen + file-index caches out of the measured window.
     shapes.foreach { case (_, fn) => fn(spark, sfDir).count() }
 
-    val errors = new AtomicLong()
-    val perShape = shapes.map { case (name, fn) =>
-      name -> LoadProbe.attack(spark, sfDir, fn, attackers, seconds * 1000L, errors)
+    for (round <- 1 to rounds) {
+      val errors = new AtomicLong()
+      val perShape = shapes.map { case (name, fn) =>
+        name -> LoadProbe.attackStats(spark, sfDir, fn, attackers, seconds * 1000L, errors)
+      }
+      val perShapeJson = perShape
+        .map { case (n, s) => "\"" + n + "\":" + f"""{"qps":${s.qps}%.2f,"p50_ms":${s.p50Ms}%.0f,"p95_ms":${s.p95Ms}%.0f}""" }
+        .mkString("{", ",", "}")
+      val minQps = perShape.map(_._2.qps).min
+      val meanQps = perShape.map(_._2.qps).sum / perShape.length
+      val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+      println(f"""{"metric":"load_min_shape_qps","round":$round,"value":$minQps%.2f,"unit":"q/s","mean_qps":$meanQps%.2f,"attackers":$attackers,"seconds_per_shape":$seconds,"shapes":${shapes.length},"per_shape":$perShapeJson,"errors":${errors.get()},"gc_ms":$gcMs,"sf":"$sfDir"}""")
     }
-    val perShapeJson = perShape
-      .map { case (n, q) => "\"" + n + "\":" + f"$q%.2f" }.mkString("{", ",", "}")
-    val minQps = perShape.map(_._2).min
-    val meanQps = perShape.map(_._2).sum / perShape.length
-    println(f"""{"metric":"load_min_shape_qps","value":$minQps%.2f,"unit":"q/s","mean_qps":$meanQps%.2f,"attackers":$attackers,"seconds_per_shape":$seconds,"shapes":${shapes.length},"per_shape_qps":$perShapeJson,"errors":${errors.get()},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Per-shape attack result: throughput plus the latency distribution —
+    * under machine contention q/s collapses even when per-query latency is
+    * healthy, so the percentiles are what separate "engine got slow" from
+    * "machine was busy".
+    */
+  final case class AttackStats(qps: Double, n: Long, p50Ms: Double, p95Ms: Double, maxMs: Double)
 
   /** Hammer one query shape with `attackers` threads for `millis`;
     * returns completed q/s (failures count into `errors`).
@@ -69,13 +92,24 @@ object LoadProbe {
       attackers: Int,
       millis: Long,
       errors: AtomicLong
-  ): Double = {
+  ): Double = attackStats(spark, sfDir, fn, attackers, millis, errors).qps
+
+  /** [[attack]] with per-query latencies recorded. */
+  def attackStats(
+      spark: SparkSession,
+      sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      attackers: Int,
+      millis: Long,
+      errors: AtomicLong
+  ): AttackStats = {
     val done = new AtomicBoolean(false)
-    val completed = new AtomicLong()
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val threads = (0 until attackers).map { _ =>
       new Thread(() => {
         while (!done.get()) {
-          try { fn(spark, sfDir).count(); completed.incrementAndGet() }
+          val q0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); lat.add(System.nanoTime() - q0) }
           catch { case _: Throwable => errors.incrementAndGet() }
         }
       })
@@ -85,6 +119,12 @@ object LoadProbe {
     Thread.sleep(millis)
     done.set(true)
     threads.foreach(_.join())
-    completed.get() / ((System.nanoTime() - t0) / 1e9)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val ls = lat.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    def pct(p: Double): Double =
+      if (ls.isEmpty) -1.0
+      else ls(math.min(ls.length - 1, (p * ls.length).toInt)) / 1e6
+    AttackStats(ls.length / elapsed, ls.length, pct(0.50), pct(0.95),
+      if (ls.isEmpty) -1.0 else ls.last / 1e6)
   }
 }

@@ -358,7 +358,7 @@ object Queries {
     */
   def ensureNgramPairs(s: SparkSession, dir: String): DataFrame =
     graft.sources.StandingArtifact.ensure(
-      s, graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-pairs-k3-df$NgramMaxDf-t050")(
+      s, graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-pairs-$ngramParamsTag")(
       ddNgramJaccard(s, dir))
 
   /** Near-dup clusters: connected components over the oracled exact
@@ -374,7 +374,7 @@ object Queries {
     val pairs = ensureNgramPairs(s, dir)
     graft.operators.Components
       .ensureComponents(pairs, "a_id", "b_id",
-        graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-k3-df$NgramMaxDf-t050")
+        graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-$ngramParamsTag")
       .select(col("u").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -400,6 +400,18 @@ object Queries {
     */
   val NgramMaxDf = 64
 
+  /** Shingle width and Jaccard threshold for the near-dup pair graph.
+    * Interpolated into BOTH the query bodies and the standing-artifact
+    * paths ([[ensureNgramPairs]]/[[ddClusters]]) — the parameters are part
+    * of the path, so changing one reroutes the artifact instead of
+    * silently serving rows built under the old value. (The oracle SQL
+    * keeps matching literals — the correctness gate catches drift there.)
+    */
+  val ShingleK = 3
+  val JaccardThreshold = 0.5
+  private def ngramParamsTag: String =
+    f"k$ShingleK-df$NgramMaxDf-t${(JaccardThreshold * 100).round}%03d"
+
   /** Exact 3-gram Jaccard near-dup pairs via an inverted shingle index —
     * the relational (oracle-able) counterpart of MinHash: candidates come
     * from the shingle join, similarity from |∩|/(|A|+|B|-|∩|) over the
@@ -416,7 +428,7 @@ object Queries {
     // distinct; the DuckDB oracle keeps strings, so the correctness gate
     // would surface one).
     val capped = graft.text.Dedup.capDf(
-      graft.text.Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+      graft.text.Dedup.shingleHashRows(docs, "doc_id", "text", ShingleK)
         .select(col("id").as("doc_id"), col("h").as("sh"))
         .distinct(),
       "sh", NgramMaxDf)
@@ -436,7 +448,7 @@ object Queries {
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard")).orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1042,13 +1054,28 @@ object Queries {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS is_sequential
       |  FROM pulses)""".stripMargin
 
+  /** drops view: MUST mirror [[Domain.jetDrops]] — every 4th pulse merges
+    * to depth-2 drops with TWO parent hashes (the jet-merge case).
+    */
   private val D =
-    """drops AS (
-      |  SELECT pulse_number, jet_id, count(*) AS record_amount, min(ts_sec) AS "timestamp",
+    """drops0 AS (
+      |  SELECT pulse_number,
+      |         CASE WHEN pulse_number % 4 = 0 THEN substring(jet_id, 1, 2)
+      |              ELSE jet_id END AS jet_id,
+      |         count(*) AS record_amount, min(ts_sec) AS "timestamp"
+      |  FROM records GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT pulse_number, jet_id, record_amount, "timestamp",
       |         md5(jet_id || ':' || pulse_number) AS hash,
-      |         md5(jet_id || ':' || (pulse_number - 1)) AS first_prev_hash,
-      |         CAST(NULL AS VARCHAR) AS second_prev_hash
-      |  FROM records GROUP BY pulse_number, jet_id)""".stripMargin
+      |         CASE WHEN pulse_number % 4 = 0
+      |                THEN md5(jet_id || '0' || ':' || (pulse_number - 1))
+      |              WHEN pulse_number % 4 = 1
+      |                THEN md5(substring(jet_id, 1, 2) || ':' || (pulse_number - 1))
+      |              ELSE md5(jet_id || ':' || (pulse_number - 1)) END AS first_prev_hash,
+      |         CASE WHEN pulse_number % 4 = 0
+      |                THEN md5(jet_id || '1' || ':' || (pulse_number - 1))
+      |              ELSE CAST(NULL AS VARCHAR) END AS second_prev_hash
+      |  FROM drops0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->

@@ -68,17 +68,38 @@ object Domain {
   /** The `jet_drops` view (A2): per-(pulse, jet) blocks with an md5 content
     * hash used by the J4/J5 linkage queries. `first_prev_hash` links each
     * drop to its same-jet predecessor one pulse earlier (the reference's
-    * parent-drop pointer, `etl/models/models.go:46-55`); the domain's
-    * fixed-depth jet tree never merges, so `second_prev_hash` stays null
-    * (it is real in the reference only for jet merges).
+    * parent-drop pointer, `etl/models/models.go:46-55`).
+    *
+    * Jet MERGES (the reference's two-parent case, `etl/models/models.go:
+    * 57-64`, consumed by `createNextPrevMaps`, `api/handlers.go:269-297`):
+    * on every 4th pulse the drop tree is depth-2 — sibling depth-3 jets
+    * land in ONE drop whose two parents are the depth-3 drops of the
+    * previous pulse, so `first_prev_hash`/`second_prev_hash` carry both
+    * child hashes. The pulse after a merge is a split: its depth-3 drops
+    * all point at the one depth-2 parent. Records keep their depth-3
+    * `jet_id` (storage layout and completeness are record-level); only the
+    * drop blocks coarsen.
     */
-  def jetDrops(records: DataFrame): DataFrame =
-    records.groupBy(col("pulse_number"), col("jet_id"))
+  def jetDrops(records: DataFrame): DataFrame = {
+    val merged = col("pulse_number") % 4 === 0
+    val prevMerged = col("pulse_number") % 4 === 1
+    records
+      .withColumn("jet_id",
+        when(merged, substring(col("jet_id"), 1, 2)).otherwise(col("jet_id")))
+      .groupBy(col("pulse_number"), col("jet_id"))
       .agg(count(lit(1)).as("record_amount"), min(col("ts_sec")).as("timestamp"))
       .withColumn("hash", md5(concat_ws(":", col("jet_id"), col("pulse_number"))))
       .withColumn("first_prev_hash",
-        md5(concat_ws(":", col("jet_id"), col("pulse_number") - 1)))
-      .withColumn("second_prev_hash", lit(null).cast("string"))
+        when(merged,
+          md5(concat_ws(":", concat(col("jet_id"), lit("0")), col("pulse_number") - 1)))
+        .when(prevMerged,
+          md5(concat_ws(":", substring(col("jet_id"), 1, 2), col("pulse_number") - 1)))
+        .otherwise(md5(concat_ws(":", col("jet_id"), col("pulse_number") - 1))))
+      .withColumn("second_prev_hash",
+        when(merged,
+          md5(concat_ws(":", concat(col("jet_id"), lit("1")), col("pulse_number") - 1)))
+        .otherwise(lit(null).cast("string")))
+  }
 
   /** Register the three domain tables as temp views (plus the library's
     * native SQL functions), so SQL-first users query `records`,

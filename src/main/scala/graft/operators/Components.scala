@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the cluster-
@@ -15,8 +17,17 @@ import org.apache.spark.sql.functions._
   * 3-4 rounds settle real corpora; `maxIter` bounds the pathological
   * chain. Each round is one equi-join + one min-aggregate, both on the
   * node key — at scale the same hash partitioning serves every round,
-  * and `localCheckpoint` truncates the growing lineage so round N+1's
+  * and a local checkpoint truncates the growing lineage so round N+1's
   * plan doesn't replay rounds 1..N.
+  *
+  * Checkpoint lifecycle: `Dataset.unpersist` cannot free a
+  * localCheckpoint'd frame's blocks (they were never in the
+  * CacheManager), so each round checkpoints through an EXPLICIT
+  * `RDD[InternalRow]` and frees the superseded round's RDD directly.
+  * Tracking the exact RDD — not a diff of the global persistent-RDD map —
+  * keeps a concurrent serving thread's pinned blocks untouched (a global
+  * diff would unpersist them, and for checkpointed RDDs that is an
+  * unrecoverable block-not-found failure, not a recompute).
   *
   * (For graphs with genuinely long chains, alternate large-star/
   * small-star halves the diameter per round; near-dup graphs don't need
@@ -24,30 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Run `body` and afterwards free every RDD it left pinned in the block
-    * manager. `Dataset.unpersist` does NOT release `localCheckpoint`
-    * blocks (it only uncaches CacheManager entries, and a checkpointed
-    * frame was never in the CacheManager), so iterative code that
-    * truncates lineage via localCheckpoint strands one block set per
-    * round until GC + ContextCleaner get around to it — in a long-lived
-    * serving session that is unbounded block-manager growth. Diffing
-    * `getPersistentRDDs` around the computation and unpersisting the
-    * difference frees them deterministically (asserted in ComponentsSpec).
-    */
-  private def freeingCheckpoints[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    try body
-    finally {
-      val after = spark.sparkContext.getPersistentRDDs
-      after.foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(blocking = false) }
-    }
-  }
-
   /** Build-if-absent the component map as a standing parquet artifact and
     * return the read — the form the catalog serves. The iteration's
     * checkpoints (including the final round's, which the in-memory form
     * must keep alive) are all freed once the write lands, so repeated
-    * invocations leave the block manager exactly as they found it.
+    * invocations leave the block manager exactly as they found it
+    * (asserted in ComponentsSpec). Build concurrency and partial-write
+    * atomicity are [[graft.sources.StandingArtifact.ensureWith]]'s.
     */
   def ensureComponents(
       edges: DataFrame,
@@ -55,16 +49,12 @@ object Components {
       bCol: String,
       path: String,
       maxIter: Int = 20
-  ): DataFrame = {
-    val spark = edges.sparkSession
-    if (!graft.sources.StandingArtifact.exists(spark, path))
-      freeingCheckpoints(spark) {
-        connectedComponents(edges, aCol, bCol, maxIter)
-          .write.mode("overwrite").parquet(path)
-        graft.sources.RelationCache.invalidate(path)
-      }
-    graft.sources.RelationCache.parquet(spark, path)
-  }
+  ): DataFrame =
+    graft.sources.StandingArtifact.ensureWith(edges.sparkSession, path) { tmp =>
+      val (labels, pinned) = connectedComponentsTracked(edges, aCol, bCol, maxIter)
+      try labels.write.mode("overwrite").parquet(tmp)
+      finally pinned.foreach(_.unpersist(blocking = false))
+    }
 
   /** (node, component) for every node that appears in `edges`; the
     * component id is the minimum node id of the component. Deterministic
@@ -81,22 +71,30 @@ object Components {
       aCol: String,
       bCol: String,
       maxIter: Int = 20
-  ): DataFrame = {
+  ): DataFrame = connectedComponentsTracked(edges, aCol, bCol, maxIter)._1
+
+  /** Core iteration; returns the converged labels plus the RDDs still
+    * pinned on its behalf (the final round's checkpoint, which backs the
+    * returned frame).
+    */
+  private def connectedComponentsTracked(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int
+  ): (DataFrame, Seq[RDD[_]]) = {
     val spark = edges.sparkSession
-    // localCheckpoint + tracked block ids: Dataset.unpersist can't free a
-    // checkpointed frame's blocks (no CacheManager entry), so each round
-    // records the RDD ids its checkpoint pinned and frees the superseded
-    // round's ids explicitly.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before))
+    // Eager local checkpoint through an explicit RDD: same mechanics as
+    // Dataset.localCheckpoint (copy the unsafe rows, persist, materialize,
+    // rebuild a frame over the stored rows) but the pinned RDD is OURS to
+    // free deterministically.
+    def checkpointTracked(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      rdd.count()
+      (GraftColumnBridge.internalDataFrame(spark, rdd, df.schema), rdd)
     }
-    def free(ids: Set[Int]): Unit = {
-      val live = spark.sparkContext.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    }
-    val (sym, symIds) = checkpointTracked(
+    val (sym, symRdd) = checkpointTracked(
       edges.select(col(aCol).as("u"), col(bCol).as("v"))
         .union(edges.select(col(bCol).as("u"), col(aCol).as("v"))))
     // Fused round 1: min(u, min over direct neighbors) straight off the
@@ -104,14 +102,15 @@ object Components {
     // init would cost, but it already settles diameter-1 components
     // (near-dup clusters are cliques: every pair similar → all edges
     // present), so those exit the loop after one confirming round.
-    var (labels, labelIds) = checkpointTracked(
+    var (labels, labelsRdd) = checkpointTracked(
       sym.groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("comp")))
     // Labels only ever decrease, so the label sum is a strict convergence
     // witness: unchanged sum == fixpoint. One tiny agg job per round
-    // instead of a join-back against the previous round.
+    // instead of a join-back against the previous round. Coalesce: an
+    // empty edge set (zero near-dup pairs) sums to NULL, not 0.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).head().getLong(0)
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -119,21 +118,21 @@ object Components {
       val viaNeighbor = sym
         .join(labels.select(col("u").as("v"), col("comp")), Seq("v"))
         .select(col("u"), col("comp"))
-      val (next, nextIds) = checkpointTracked(
+      val (next, nextRdd) = checkpointTracked(
         labels.union(viaNeighbor)
           .groupBy(col("u")).agg(min(col("comp")).as("comp")))
       val nextSum = labelSum(next)
       // superseded round's blocks are dead weight in the block manager —
       // a long-lived session (serving, repeated maintenance runs) would
       // accumulate them across invocations
-      free(labelIds)
+      labelsRdd.unpersist(blocking = false)
       labels = next
-      labelIds = nextIds
+      labelsRdd = nextRdd
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
     }
-    free(symIds)
-    labels
+    symRdd.unpersist(blocking = false)
+    (labels, Seq(labelsRdd))
   }
 }

@@ -102,13 +102,17 @@ object Clustering {
       when(col("a_n") * col("b_n") === 0, lit(0.0))
         .otherwise(Similarity.dotFixed(col("a_v"), col("b_v"), dim) / (col("a_n") * col("b_n")))
     // Equi-join on the cluster key (hash-partitioned, cluster-quadratic
-    // only); id ordering + threshold are the residual condition, cheap
-    // clause first — Catalyst folds the filter into the join. The final
-    // aggregate dedups pairs that co-bucket in more than one cell (the
-    // cosine is identical on every copy).
+    // only); the cheap id-ordering clause prunes half the pairs BEFORE the
+    // dot-product kernel runs, then the cosine is materialized ONCE as a
+    // column — structurally a single kernel evaluation per surviving pair,
+    // instead of leaving filter/agg copies for optimizer CSE to merge.
+    // The final aggregate dedups pairs that co-bucket in more than one
+    // cell (the cosine is identical on every copy).
     a.join(b, Seq("cluster"))
-      .filter(col("a_id") < col("b_id") && cosine >= threshold)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= threshold)
       .groupBy(col("a_id"), col("b_id"))
-      .agg(first(cosine).as("cosine"))
+      .agg(first(col("cos")).as("cosine"))
   }
 }

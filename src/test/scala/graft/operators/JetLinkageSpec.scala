@@ -21,6 +21,31 @@ class JetLinkageSpec extends SparkSpec {
       r.getAs[String]("jet_id") == "010"))
   }
 
+  test("jet merges carry TWO parent hashes and hash-link both (J5 merge branch)") {
+    val drops = Domain.jetDrops(Domain.records(spark, "/root/testdata/sf0.001"))
+      .withColumn("jet_drop_id",
+        graft.functions.Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+    // A merge-pulse drop (pulse % 4 == 0, depth-2 jet) whose two depth-3
+    // children both exist one pulse back.
+    val merged = drops.filter(col("second_prev_hash").isNotNull)
+    assert(merged.count() > 0, "merge pulses must produce two-parent drops")
+    val all = drops.select("pulse_number", "jet_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val m = merged.select("pulse_number", "jet_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .find { case (p, j) => all((p - 1, j + "0")) && all((p - 1, j + "1")) }
+    assert(m.isDefined, "need a merged drop with both children present at pulse-1")
+    val (p, j) = m.get
+    val page = drops.filter(col("pulse_number") === p && col("jet_id") === j)
+    val neighbors = drops.filter(col("pulse_number").between(p - 1, p + 1))
+    val prevIds = JetLinkage.hashLinkIds(page, neighbors)
+      .select("prev_ids").collect().head.getString(0).split(",").toSet
+    // child0 matches via first_prev_hash, child1 ONLY via second_prev_hash —
+    // the branch that was dead code while second_prev_hash was always null
+    assert(prevIds.contains(s"$j" + "0:" + (p - 1)), s"first-parent link missing: $prevIds")
+    assert(prevIds.contains(s"$j" + "1:" + (p - 1)), s"second-parent link missing: $prevIds")
+  }
+
   test("siblingsAround at the reference cadence (delta 10) over the jet split tree") {
     val tree = graft.gen.Fixtures.jetSplitTree(spark, rootJet = "01", nPulses = 3)
     val mid = graft.gen.Fixtures.GenesisPulse + 2 * graft.gen.Fixtures.PulseDelta
