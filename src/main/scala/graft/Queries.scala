@@ -882,22 +882,50 @@ object Queries {
     graft.text.Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Spherical k-means cluster assignment over the embedding corpus
-    * (seeded sample + 2 Lloyd refinements — rows-only: float argmax).
+  // K-means / SemDeDup parameters — named once and interpolated into both
+  // the query bodies and the generated oracle SQL, so they cannot drift.
+  val KmeansK = 16
+  val KmeansIters = 2
+  val SemDedupProbe = 2
+  val SemDedupThreshold = 0.45
+
+  /** Refined centroids of the embeddings corpus, captured per execution.
+    * The xxhash64-ordered seed sample and the Lloyd scans cannot be
+    * re-derived in DuckDB, but the RESULT can be replayed exactly: the
+    * kernels fold ascending in double ([[graft.vector.expressions.VectorKernels]]),
+    * so `SUM(v * c ORDER BY i)` over these literals reproduces every dot
+    * bit-for-bit. Verify dumps oracle_sql.json only after all queries ran,
+    * so the capture is populated there; when unset (kmeans never ran or
+    * failed) the dynamic oracle entries are simply omitted → rows-only.
     */
-  val embKmeans: Q = (s, dir) =>
-    graft.vector.Clustering.assign(t(s, dir, "embeddings"), k = 16, iterations = 2)
+  @volatile private var kmeansCents: Option[Array[Seq[Float]]] = None
+  private def capturedCentroids(emb: DataFrame): Array[Seq[Float]] = {
+    val cs = graft.vector.Clustering.centroids(emb, KmeansK, KmeansIters)
+    kmeansCents = Some(cs)
+    cs
+  }
+
+  /** Spherical k-means cluster assignment over the embedding corpus
+    * (seeded sample + 2 Lloyd refinements; argmax replayed exactly by the
+    * generated centroid-literal oracle).
+    */
+  val embKmeans: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.vector.Clustering.assignTo(emb, capturedCentroids(emb))
       .orderBy(col("vec_id"))
+  }
 
   /** SemDeDup: embedding near-dup pairs verified exactly WITHIN k-means
     * clusters (sub-quadratic semantic dedup; recall vs the all-pairs twin
     * bounded in RecallInvariantsSpec).
     */
-  val ddSemdedup: Q = (s, dir) =>
-    graft.vector.Clustering.semdedupPairs(t(s, dir, "embeddings"), dim = 64,
-        threshold = 0.45, k = 16, iterations = 2)
+  val ddSemdedup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.vector.Clustering.semdedupPairsWith(emb, capturedCentroids(emb),
+        dim = 64, threshold = SemDedupThreshold, p = SemDedupProbe)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy(col("a_id"), col("b_id"))
+  }
 
   val ddSimhash: Q = (s, dir) =>
     graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = 3)
@@ -1077,7 +1105,77 @@ object Queries {
       |              ELSE CAST(NULL AS VARCHAR) END AS second_prev_hash
       |  FROM drops0)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** Static + generated oracle entries. The centroid-literal entries exist
+    * only once a kmeans-family query has executed in this JVM (Verify's
+    * run order guarantees that before the dump); absent → rows-only, the
+    * pre-round-5 behavior.
+    */
+  def oracle: Map[String, String] = staticOracle ++ centroidOracle
+
+  /** DuckDB replay of argmax/cosine against captured centroid literals.
+    *
+    * Exactness argument: the Spark side computes every dot as an ascending
+    * double fold over float values (VectorKernels); DuckDB's ordered
+    * aggregate `SUM(CAST(v AS DOUBLE) * cv ORDER BY i)` performs the
+    * identical operation sequence on identical doubles (the literals below
+    * are exact decimal renderings of the float32 centroids), so argmax
+    * comparisons and the `>= threshold` filter see bit-identical values.
+    * Tie-breaks: [[graft.vector.Ivf.cellOf]] takes array_max over
+    * struct(dot, cell) = highest cell on equal dot → `ORDER BY dot DESC,
+    * cell DESC`; [[graft.vector.Ivf.topCells]] reverses an ascending
+    * struct sort → same ordering for the soft top-p.
+    */
+  private[graft] def centroidOracle: Map[String, String] =
+    kmeansCents.fold(Map.empty[String, String]) { cs =>
+      val values = cs.iterator.zipWithIndex.flatMap { case (c, cell) =>
+        c.iterator.zipWithIndex.map { case (v, i) =>
+          s"($cell,${i + 1},${v.toDouble})"
+        }
+      }.mkString(",")
+      val assignRanked =
+        s"""WITH cents AS (SELECT * FROM (VALUES $values) AS t(cell, i, cv)),
+           |e AS (
+           |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |dots AS (
+           |  SELECT e.vec_id, c.cell,
+           |    SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY e.i) AS dot
+           |  FROM e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.cell),
+           |ranked AS (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
+           |  FROM dots)""".stripMargin
+      Map(
+        "emb_kmeans" ->
+          s"""$assignRanked
+             |SELECT vec_id, CAST(cell AS INT) AS cluster FROM ranked
+             |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+        "dd_semdedup" ->
+          s"""$assignRanked,
+             |assign AS (SELECT vec_id, cell FROM ranked WHERE rk <= $SemDedupProbe),
+             |pairs AS (
+             |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             |  FROM assign a JOIN assign b
+             |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+             |pd AS (
+             |  SELECT p.a_id, p.b_id,
+             |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot,
+             |    SUM(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE) ORDER BY ea.i) AS na2,
+             |    SUM(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY eb.i) AS nb2
+             |  FROM pairs p
+             |  JOIN e ea ON ea.vec_id = p.a_id
+             |  JOIN e eb ON eb.vec_id = p.b_id AND ea.i = eb.i
+             |  GROUP BY p.a_id, p.b_id),
+             |scored AS (
+             |  SELECT a_id, b_id,
+             |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
+             |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
+             |  FROM pd)
+             |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
+             |WHERE c >= $SemDedupThreshold ORDER BY a_id, b_id""".stripMargin)
+    }
+
+  private val staticOracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -87,8 +87,23 @@ object Clustering {
       p: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    semdedupPairsWith(embeddings, centroids(embeddings, k, iterations, idCol, vecCol),
+      dim, threshold, p, idCol, vecCol)
+
+  /** [[semdedupPairs]] against a precomputed centroid set — lets the
+    * caller capture the exact centroid literals (the DuckDB oracle replays
+    * the same soft assignment + within-cluster cosine against them).
+    */
+  def semdedupPairsWith(
+      embeddings: DataFrame,
+      cents: Array[Seq[Float]],
+      dim: Int,
+      threshold: Double = 0.45,
+      p: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
-    val cents = centroids(embeddings, k, iterations, idCol, vecCol)
     // One scan: id, payload, norm, and the exploded top-p cells together.
     val base = embeddings.select(
         col(idCol).as("id"), col(vecCol).as("v"),
