@@ -728,10 +728,18 @@ object Queries {
     * threshold (τ=0.45 is low, so short 4-bit signatures × 16 tables —
     * see [[graft.vector.CosineDedup.tablesFor]]).
     */
+  // LSH parameters — named once, interpolated into query bodies and the
+  // generated replay oracles.
+  val EmbLshBits = 4
+  val EmbLshThreshold = 0.45
+  val EmbLshTables: Int = graft.vector.CosineDedup.tablesFor(EmbLshThreshold, EmbLshBits)
+  val AnnLshBits = 6
+  val AnnLshK = 10
+  val AnnLshMaxProbes = 16
+
   val ddEmbedLsh: Q = (s, dir) => {
     graft.vector.CosineDedup.lshPairs(t(s, dir, "embeddings"), dim = 64,
-        threshold = 0.45, bits = 4,
-        tables = graft.vector.CosineDedup.tablesFor(0.45, bits = 4))
+        threshold = EmbLshThreshold, bits = EmbLshBits, tables = EmbLshTables)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -739,16 +747,31 @@ object Queries {
     * (built once per dataset; the query reads only its probed cell
     * directories — partition pruning, not a full-corpus rescan).
     */
+  // IVF query parameters — named once, interpolated into both query
+  // bodies and the generated replay oracles.
+  val AnnIvfK = 10
+  val AnnIvfProbe = 6
+  val AnnIvfKnnK = 3
+  val AnnIvfKnnProbe = 8
+
+  /** The persisted index's (sample, unrefined) centroid set, captured per
+    * execution for the replay oracle — float32-exact through the parquet
+    * round-trip, so the replay sees the same literals whether the index
+    * was just built or read back.
+    */
+  @volatile private var ivfCents: Option[Array[Seq[Float]]] = None
+
   val annIvf: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     import s.implicits._
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
     val path = graft.vector.AnnIndex.ivfPath(dir)
-    graft.vector.AnnIndex.ensureIvf(emb, path)
+    ivfCents = Some(graft.vector.AnnIndex.ensureIvf(emb, path))
     // nProbe=6 of 16 cells: measured recall@10 ≈ 0.8 reading ~a third of
     // the corpus on this testdata (neighbor cosines are weak, 0.28-0.37,
     // so harder pruning costs recall — see RecallInvariantsSpec).
-    graft.vector.AnnIndex.ivfTopK(s, path, q, 10, nProbe = 6, excludeId = Some(0L))
+    graft.vector.AnnIndex.ivfTopK(s, path, q, AnnIvfK, nProbe = AnnIvfProbe,
+      excludeId = Some(0L))
   }
 
   /** Deterministic train/val/test split assignment (engine-reproducible
@@ -931,6 +954,12 @@ object Queries {
     graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = 3)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Margin-ranked probe buckets of the last annLsh execution — the heap
+    * expansion is driver-side and deterministic, so capturing the
+    * resulting bucket list as literals replays the prune exactly.
+    */
+  @volatile private var lshProbes: Option[Seq[Long]] = None
+
   val annLsh: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     import s.implicits._
@@ -939,10 +968,12 @@ object Queries {
     // corpus. On this testdata's weak-signal neighbors that buys ~0.6
     // recall@10 — hyperplane LSH cannot reach 0.8 here without giving up
     // pruning (measured: 50% read → 0.7); ann_ivf is the ≥0.8 path.
-    val path = graft.vector.AnnIndex.lshPath(dir, bits = 6)
-    graft.vector.AnnIndex.ensureLsh(emb, path, dim = q.length, bits = 6)
-    graft.vector.AnnIndex.lshTopK(s, path, q, 10, bits = 6, maxProbes = 16,
-      excludeId = Some(0L))
+    lshProbes = Some(graft.vector.Similarity.marginProbeBuckets(
+      q, AnnLshBits, maxProbes = AnnLshMaxProbes))
+    val path = graft.vector.AnnIndex.lshPath(dir, bits = AnnLshBits)
+    graft.vector.AnnIndex.ensureLsh(emb, path, dim = q.length, bits = AnnLshBits)
+    graft.vector.AnnIndex.lshTopK(s, path, q, AnnLshK, bits = AnnLshBits,
+      maxProbes = AnnLshMaxProbes, excludeId = Some(0L))
   }
 
   /** Batch IVF kNN join: top-3 approximate neighbors for the first 10
@@ -957,10 +988,10 @@ object Queries {
   val annIvfKnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = graft.vector.AnnIndex.ivfPath(dir)
-    graft.vector.AnnIndex.ensureIvf(emb, path)
+    ivfCents = Some(graft.vector.AnnIndex.ensureIvf(emb, path))
     graft.vector.AnnIndex.ivfKnnJoin(s, path,
         emb.filter(col("vec_id") < 10L).select(col("vec_id").as("query_id"), col("embedding")),
-        k = 3, dim = 64, nProbe = 8,
+        k = AnnIvfKnnK, dim = 64, nProbe = AnnIvfKnnProbe,
         corpusFilter = Some(col("vec_id") >= 10L))
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
@@ -1110,7 +1141,35 @@ object Queries {
     * run order guarantees that before the dump); absent → rows-only, the
     * pre-round-5 behavior.
     */
-  def oracle: Map[String, String] = staticOracle ++ centroidOracle
+  def oracle: Map[String, String] =
+    staticOracle ++ centroidOracle ++ ivfOracle ++ lshOracle
+
+  /** Exact decimal renderings of a float32 centroid set as a DuckDB VALUES
+    * list `(cell, i, cv)` with 1-based `i` matching generate_subscripts.
+    */
+  private def centsValuesSql(cs: Array[Seq[Float]]): String =
+    cs.iterator.zipWithIndex.flatMap { case (c, cell) =>
+      c.iterator.zipWithIndex.map { case (v, i) => s"($cell,${i + 1},${v.toDouble})" }
+    }.mkString(",")
+
+  /** Shared replay prefix: per-vector dots to every centroid literal and
+    * the (dot DESC, cell DESC) affinity ranking — the tie-break of both
+    * [[graft.vector.Ivf.cellOf]] (array_max over struct) and
+    * [[graft.vector.Ivf.topCells]] (reversed ascending struct sort).
+    */
+  private def affinityPrefix(cs: Array[Seq[Float]]): String =
+    s"""WITH cents AS (SELECT * FROM (VALUES ${centsValuesSql(cs)}) AS t(cell, i, cv)),
+       |e AS (
+       |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, c.cell,
+       |    SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY e.i) AS dot
+       |  FROM e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.cell),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
+       |  FROM dots)""".stripMargin
 
   /** DuckDB replay of argmax/cosine against captured centroid literals.
     *
@@ -1127,24 +1186,7 @@ object Queries {
     */
   private[graft] def centroidOracle: Map[String, String] =
     kmeansCents.fold(Map.empty[String, String]) { cs =>
-      val values = cs.iterator.zipWithIndex.flatMap { case (c, cell) =>
-        c.iterator.zipWithIndex.map { case (v, i) =>
-          s"($cell,${i + 1},${v.toDouble})"
-        }
-      }.mkString(",")
-      val assignRanked =
-        s"""WITH cents AS (SELECT * FROM (VALUES $values) AS t(cell, i, cv)),
-           |e AS (
-           |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-           |  FROM embeddings),
-           |dots AS (
-           |  SELECT e.vec_id, c.cell,
-           |    SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY e.i) AS dot
-           |  FROM e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.cell),
-           |ranked AS (
-           |  SELECT vec_id, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
-           |  FROM dots)""".stripMargin
+      val assignRanked = affinityPrefix(cs)
       Map(
         "emb_kmeans" ->
           s"""$assignRanked
@@ -1174,6 +1216,164 @@ object Queries {
              |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
              |WHERE c >= $SemDedupThreshold ORDER BY a_id, b_id""".stripMargin)
     }
+
+  /** Replay oracles for the persisted-IVF read paths: probe selection
+    * (driver-side [[graft.vector.Ivf.cellsByAffinity]] sorts by (-dot,
+    * -cell) — same ascending double fold, so `dot DESC, cell DESC` replays
+    * it), build-time cell assignment, pruned candidate set, and exact
+    * cosine re-rank, all recomputed from the captured centroid literals.
+    * The raw (unrounded) ann_ivf cosine hash-matches because every double
+    * op happens in the same sequence on both engines.
+    */
+  private[graft] def ivfOracle: Map[String, String] =
+    ivfCents.fold(Map.empty[String, String]) { cs =>
+      val prefix = affinityPrefix(cs)
+      Map(
+        "ann_ivf" ->
+          s"""$prefix,
+             |q AS (SELECT v AS qv, i FROM e WHERE vec_id = 0),
+             |qn AS (
+             |  SELECT sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) ORDER BY i)) AS nq
+             |  FROM q),
+             |qcell AS (
+             |  SELECT c.cell,
+             |    SUM(CAST(q.qv AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY q.i) AS dot
+             |  FROM q JOIN cents c ON q.i = c.i GROUP BY c.cell),
+             |probed AS (
+             |  SELECT cell FROM (
+             |    SELECT cell, row_number() OVER (ORDER BY dot DESC, cell DESC) AS rk
+             |    FROM qcell) WHERE rk <= $AnnIvfProbe),
+             |cand AS (
+             |  SELECT r.vec_id FROM ranked r JOIN probed p USING (cell)
+             |  WHERE r.rk = 1 AND r.vec_id <> 0),
+             |scored AS (
+             |  SELECT e.vec_id,
+             |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
+             |    sqrt(SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i)) AS na
+             |  FROM e JOIN q ON e.i = q.i JOIN cand ON cand.vec_id = e.vec_id
+             |  GROUP BY e.vec_id)
+             |SELECT vec_id,
+             |  CASE WHEN na * qn.nq = 0 THEN 0.0 ELSE dot / (na * qn.nq) END AS cosine
+             |FROM scored, qn ORDER BY cosine DESC, vec_id LIMIT $AnnIvfK""".stripMargin,
+        "ann_ivf_knn" ->
+          s"""$prefix,
+             |qprobe AS (
+             |  SELECT vec_id AS query_id, cell FROM ranked
+             |  WHERE vec_id < 10 AND rk <= $AnnIvfKnnProbe),
+             |corpus AS (
+             |  SELECT vec_id AS neighbor_id, cell FROM ranked
+             |  WHERE rk = 1 AND vec_id >= 10),
+             |cand AS (
+             |  SELECT q.query_id, c.neighbor_id FROM qprobe q JOIN corpus c USING (cell)),
+             |pd AS (
+             |  SELECT cd.query_id, cd.neighbor_id,
+             |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot,
+             |    SUM(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE) ORDER BY ea.i) AS na2,
+             |    SUM(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY eb.i) AS nb2
+             |  FROM cand cd
+             |  JOIN e ea ON ea.vec_id = cd.query_id
+             |  JOIN e eb ON eb.vec_id = cd.neighbor_id AND ea.i = eb.i
+             |  GROUP BY cd.query_id, cd.neighbor_id),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
+             |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
+             |  FROM pd),
+             |rk AS (
+             |  SELECT query_id, neighbor_id, c,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank
+             |FROM rk WHERE rank <= $AnnIvfKnnK ORDER BY query_id, rank""".stripMargin)
+    }
+
+  /** Replay oracles for the hyperplane-LSH paths. dd_embed_lsh depends
+    * only on the seeded plane family (no data), so its replay is always
+    * present; ann_lsh additionally needs the margin-ranked probe list,
+    * captured at query execution. Signature bits compare `dot >= 0` on
+    * bit-identical doubles; the bit sum is integer arithmetic.
+    */
+  private[graft] def lshOracle: Map[String, String] = {
+    def planeValues(tables: Int, bits: Int, baseSeed: Long): String =
+      (0 until tables).iterator.flatMap { t =>
+        val ps = graft.vector.Similarity.lshPlanes(64, bits, baseSeed + t)
+        ps.iterator.zipWithIndex.flatMap { case (p, b) =>
+          p.iterator.zipWithIndex.map { case (w, i) => s"($t,$b,${i + 1},${w.toDouble})" }
+        }
+      }.mkString(",")
+    val embedLsh =
+      s"""WITH planes AS (
+         |  SELECT * FROM (VALUES ${planeValues(EmbLshTables, EmbLshBits, 42L)})
+         |  AS t(tbl, bit, i, pv)),
+         |e AS (
+         |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |pd AS (
+         |  SELECT e.vec_id, p.tbl, p.bit,
+         |    SUM(CAST(e.v AS DOUBLE) * CAST(p.pv AS DOUBLE) ORDER BY e.i) AS dot
+         |  FROM e JOIN planes p ON e.i = p.i GROUP BY e.vec_id, p.tbl, p.bit),
+         |sigs AS (
+         |  SELECT vec_id, tbl,
+         |    CAST(SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit
+         |                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         |  FROM pd GROUP BY vec_id, tbl),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM sigs x JOIN sigs y
+         |    ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id),
+         |cs AS (
+         |  SELECT c.a_id, c.b_id,
+         |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot,
+         |    SUM(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE) ORDER BY ea.i) AS na2,
+         |    SUM(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY eb.i) AS nb2
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.a_id
+         |  JOIN e eb ON eb.vec_id = c.b_id AND ea.i = eb.i
+         |  GROUP BY c.a_id, c.b_id),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
+         |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
+         |  FROM cs)
+         |SELECT a_id, b_id, c AS cosine FROM scored
+         |WHERE c >= $EmbLshThreshold ORDER BY a_id, b_id""".stripMargin
+    val annLshEntry = lshProbes.map { probes =>
+      "ann_lsh" ->
+        s"""WITH planes AS (
+           |  SELECT * FROM (VALUES ${planeValues(1, AnnLshBits, 42L)})
+           |  AS t(tbl, bit, i, pv)),
+           |e AS (
+           |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |q AS (SELECT v AS qv, i FROM e WHERE vec_id = 0),
+           |qn AS (
+           |  SELECT sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) ORDER BY i)) AS nq
+           |  FROM q),
+           |pd AS (
+           |  SELECT e.vec_id, p.bit,
+           |    SUM(CAST(e.v AS DOUBLE) * CAST(p.pv AS DOUBLE) ORDER BY e.i) AS dot
+           |  FROM e JOIN planes p ON e.i = p.i GROUP BY e.vec_id, p.bit),
+           |sigs AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit
+           |                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+           |  FROM pd GROUP BY vec_id),
+           |cand AS (
+           |  SELECT vec_id FROM sigs
+           |  WHERE sig IN (${probes.mkString(",")}) AND vec_id <> 0),
+           |scored AS (
+           |  SELECT e.vec_id,
+           |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
+           |    sqrt(SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i)) AS na
+           |  FROM e JOIN q ON e.i = q.i JOIN cand ON cand.vec_id = e.vec_id
+           |  GROUP BY e.vec_id)
+           |SELECT vec_id,
+           |  CASE WHEN na * qn.nq = 0 THEN 0.0 ELSE dot / (na * qn.nq) END AS cosine
+           |FROM scored, qn ORDER BY cosine DESC, vec_id LIMIT $AnnLshK""".stripMargin
+    }
+    Map("dd_embed_lsh" -> embedLsh) ++ annLshEntry
+  }
 
   private val staticOracle: Map[String, String] = Map(
     "q1_agg" ->

@@ -126,6 +126,13 @@ object Similarity {
     Array.fill(bits, dim)(rng.nextGaussian().toFloat)
   }
 
+  /** The hyperplane family as exact float literals — the replay oracle
+    * needs the weights spelled out (a Java RNG cannot be re-seeded in
+    * SQL); bucket membership then reduces to sign-of-ordered-SUM.
+    */
+  def lshPlanes(dim: Int, bits: Int, seed: Long): Array[Array[Float]] =
+    planes(dim, bits, seed)
+
   /** Random-hyperplane LSH signature: bit i = sign(v · plane_i), one
     * native-kernel dot per plane.
     */

@@ -23,10 +23,11 @@ class CatalogContractSpec extends AnyFunSuite {
     // doesn't), so they are rows-only exactly while uncaptured.
     val rowsOnly = Queries.catalog.keySet.diff(Queries.oracle.keySet)
     val declared = Set(
-      "dd_minhash", "dd_simhash", "dd_embed_lsh",
-      "ann_lsh", "ann_ivf", "ann_ivf_knn", "ev_sketch", "mm_features",
+      "dd_minhash", "dd_simhash", "ev_sketch", "mm_features",
       "txt_fingerprint") ++
-      (Set("dd_semdedup", "emb_kmeans") -- Queries.centroidOracle.keySet)
+      (Set("dd_semdedup", "emb_kmeans") -- Queries.centroidOracle.keySet) ++
+      (Set("ann_ivf", "ann_ivf_knn") -- Queries.ivfOracle.keySet) ++
+      (Set("ann_lsh") -- Queries.lshOracle.keySet)
     assert(rowsOnly == declared,
       s"rows-only set drifted: extra=${rowsOnly.diff(declared)} missing=${declared.diff(rowsOnly)}")
   }
