@@ -950,6 +950,26 @@ object Queries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Linear-path SemDeDup: fixed cluster SIZE via recursive splitting of
+    * oversized cells — O(n·maxCell) verification at any corpus size,
+    * vs the √n-cell form's O(n^1.5). maxCell=64 forces real splits at
+    * sf0.01+ (coarse cells run ~62 soft members there); split softP=3 is
+    * what this testdata's adversarially weak τ=0.45 pairs need for full
+    * recall (measured at maxCell=64: hard 0.64, soft-2 0.86, soft-3 1.0 —
+    * production thresholds τ≥0.9 hold with 2). Rows-only: the
+    * xxhash64-ordered in-cell seed sampling is not DuckDB-replayable;
+    * subset/recall/cell-size invariants are bounded in ClusteringSpec.
+    */
+  val SemDedupMaxCell = 64
+  val SemDedupSplitProbe = 3
+  val ddSemdedupFixed: Q = (s, dir) =>
+    graft.vector.Clustering.semdedupPairsFixed(t(s, dir, "embeddings"),
+        dim = 64, threshold = SemDedupThreshold, maxCell = SemDedupMaxCell,
+        k = KmeansK, iterations = KmeansIters, p = SemDedupProbe,
+        softP = SemDedupSplitProbe)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy(col("a_id"), col("b_id"))
+
   val ddSimhash: Q = (s, dir) =>
     graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = 3)
       .orderBy(col("a_id"), col("b_id"))
@@ -1061,6 +1081,7 @@ object Queries {
     "emb_centroids" -> embCentroids,
     "emb_kmeans" -> embKmeans,
     "dd_semdedup" -> ddSemdedup,
+    "dd_semdedup_fixed" -> ddSemdedupFixed,
     "dd_embed" -> ddEmbed,
     "dd_split" -> ddSplit,
     "dd_stratified" -> ddStratified,

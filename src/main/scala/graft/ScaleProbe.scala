@@ -102,6 +102,11 @@ object ScaleProbe {
         val k = math.max(16, math.sqrt(n.toDouble).toInt / 2)
         graft.vector.Clustering.semdedupPairs(emb, dim = 64, threshold = 0.9, k = k).count()
       },
+      "dd_semdedup_fixed(c=256)" -> { () =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.vector.Clustering.semdedupPairsFixed(emb, dim = 64,
+          threshold = 0.9, maxCell = 256).count()
+      },
       "ann_ivf_topk(cells~sqrt n)" -> { () =>
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         import spark.implicits._
