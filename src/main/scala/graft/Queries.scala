@@ -953,10 +953,10 @@ object Queries {
   /** Linear-path SemDeDup: fixed cluster SIZE via recursive splitting of
     * oversized cells — O(n·maxCell) verification at any corpus size,
     * vs the √n-cell form's O(n^1.5). maxCell=64 forces real splits at
-    * sf0.01+ (coarse cells run ~62 soft members there); split softP=3 is
-    * what this testdata's adversarially weak τ=0.45 pairs need for full
-    * recall (measured at maxCell=64: hard 0.64, soft-2 0.86, soft-3 1.0 —
-    * production thresholds τ≥0.9 hold with 2). Rows-only: the
+    * sf0.01+ (coarse cells run ~62 soft members there); split softP=3
+    * buys margin on this testdata's adversarially weak τ=0.45 pairs
+    * (measured at maxCell=64: hard splits 0.64 recall, soft-2 1.0 but
+    * only 0.86 at maxCell=48, soft-3 1.0 across the grid). Rows-only: the
     * xxhash64-ordered in-cell seed sampling is not DuckDB-replayable;
     * subset/recall/cell-size invariants are bounded in ClusteringSpec.
     */

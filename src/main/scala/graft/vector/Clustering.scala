@@ -139,101 +139,200 @@ object Clustering {
       .agg(first(col("cos")).as("cosine"))
   }
 
-  /** Depth cap for recursive cell splitting. Labels are path-encoded in a
-    * Long base (k+1): depth-d labels occupy [(k+1)^(d-1), (k+1)^d), so
-    * terminated cells from different depths can never collide; k=16 at
-    * depth 14 stays under Long.MaxValue. The cap also terminates the one
-    * unsplittable case — more than maxCell IDENTICAL vectors all argmax to
-    * the same child forever (run exact dedup first; such a cell is
-    * trivially all-pairs anyway).
+  /** Fanout cap and depth cap for recursive cell splitting. Labels are
+    * path-encoded in Long base (MaxFanout+1): depth-d labels occupy
+    * [base^(d-1), base^d), so terminated cells from different depths can
+    * never collide; base 65 at depth 9 stays under Long.MaxValue, and
+    * fanout^depth = 64^9 cells is beyond any corpus. Fanout per split is
+    * ADAPTIVE — ~2× the cell's overshoot factor, capped at MaxFanout —
+    * because a fixed k=16 was measured to shrink big uniform cells
+    * painfully slowly (9 levels for 25k→256 at 200k rows; random argmax
+    * Voronoi children are lopsided, one seed keeps most of the cell).
+    * The depth cap also terminates the one unsplittable case — more than
+    * maxCell IDENTICAL vectors argmax together forever (run exact dedup
+    * first; such a cell is trivially all-pairs anyway) — though those are
+    * normally caught earlier and frozen by the no-shrink check.
     */
-  private val MaxSplitDepth = 12
+  private val MaxFanout = 64
+  private val MaxSplitDepth = 9
 
   /** Recursively split every cluster larger than `maxCell` with a k-way
     * argmax-dot partition around seeds sampled INSIDE the cluster
     * (deterministic: first k rows in xxhash64(id) order, unit-normalized).
-    * With `softP` > 1 each member lands in its softP nearest child cells —
-    * the same soft-assignment recall rescue the coarse level uses, pushed
-    * down every split (a borderline pair straddling a child boundary still
-    * co-buckets). Membership multiplies by ≤ softP per level, so soft
-    * splitting is for pair generation (bounded depth); use softP=1 for a
-    * partition (one label per id).
+    * With `softP` > 1 each member lands in its softP nearest child cells
+    * for the first `softLevels` splits — the same soft-assignment recall
+    * rescue the coarse level uses (a borderline pair straddling a child
+    * boundary still co-buckets), concentrated where cells are coarsest.
+    * Membership multiplies by ≤ softP^softLevels TOTAL (soft at every
+    * level was measured 2^depth = unusable: 65× wall at a 40× size step);
+    * use softP=1 for a partition (one label per id).
     *
-    * Scale shape per level: one count aggregate (shuffle of (label, 1)
-    * partials), one windowed seed sample over the still-oversized rows
-    * only, one map-only relabel of those rows (broadcast seed map — at
-    * most n/maxCell live oversized labels × k × dim floats on the driver,
-    * e.g. 10^10 docs at maxCell 10^5 → 400 MB; beyond that, seeds would
-    * move to a join). Levels ≈ log_k(n/maxCell), so total work is
-    * O(n log(n/maxCell)) — the linear path the √n-cell form lacks.
-    * Each level persists its frame and unpersists the previous one; all
-    * caching is dropped before returning (callers get a plain lineage —
-    * ≤ MaxSplitDepth map-only projections — with no pinned blocks).
+    * Runs as DISCOVERY + REBUILD. Discovery loops levels, but every
+    * level's frame is rebuilt FROM SCRATCH as base + one walk UDF over
+    * the merged seed map (labels are globally unique by the prefix-free
+    * encoding), so the logical plan stays constant-size — chaining a
+    * join + UDF per level was measured to blow up planning time
+    * superlinearly (20-45s per LATE level on 200k rows, all of it
+    * driver-side analysis). The base is repartitioned to the session
+    * shuffle parallelism and cached once: the raw parquet arrives in 1-4
+    * partitions, which single-threads every UDF pass (measured 46s for
+    * the first relabel at 200k rows before the repartition). Per level:
+    * one count aggregate, one windowed seed sample over still-oversized
+    * rows (flagged via broadcast join — an `isin` literal list of up to
+    * k^d labels blows up codegen), one driver merge. A child cell that
+    * did not shrink below its parent's count is argmax-indistinguishable
+    * (near/exact-duplicate group) and is FROZEN rather than re-split to
+    * the depth cap. Rebuild returns base + walk with no pinned blocks.
+    *
+    * Driver/seed-map bound: total split cells × k × dim floats — at most
+    * n/maxCell × k vectors, e.g. 10^10 docs at maxCell 10^5 → 400 MB;
+    * beyond that, seeds would move to a join. Levels ≈ log_k(n/maxCell),
+    * each one full walk recompute → discovery is O(n·depth²) dot work
+    * and O(n log n) scan work — the linear path the √n-cell form lacks.
     */
-  private def splitOversized(
+  private[vector] def splitOversized(
       start: DataFrame, maxCell: Int, k: Int, softP: Int = 1,
-      maxDepth: Int = MaxSplitDepth
+      softLevels: Int = 1, maxDepth: Int = MaxSplitDepth
   ): DataFrame = {
     require(k >= 2, s"k must be >= 2 to make progress, got $k")
     require(softP >= 1 && softP <= k, s"softP must be in [1, k], got $softP")
     val spark = start.sparkSession
-    var cur = start
-    var pinned: Option[DataFrame] = None
+    val enc = MaxFanout + 1
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val base = start.repartition(parts).persist()
+    base.count()
+    val merged = scala.collection.mutable.Map.empty[Long, Array[Array[Float]]]
+    val frozen = scala.collection.mutable.Set.empty[Long]
+    var prevCounts = Map.empty[Long, Long]
+
+    // one UDF walking coarse label → leaf labels against a seed-map
+    // snapshot (children count = that label's seed count); top-sp
+    // children by dot with ties to the HIGHER seed index (the ordering
+    // of Ivf.cellOf/topCells), branching only at soft levels
+    def walkUdf(snapshot: Map[Long, Array[Array[Float]]]) = {
+      val bc = spark.sparkContext.broadcast(snapshot)
+      val sl = softLevels
+      val sp = softP
+      val cap = maxDepth + 1
+      udf { (label0: Long, v: scala.collection.Seq[Float]) =>
+        val map = bc.value
+        var frontier = List(label0)
+        var leaves = List.empty[Long]
+        var d = 0
+        while (frontier.nonEmpty && d < cap) {
+          val (toSplit, settled) = frontier.partition(map.contains)
+          leaves = settled ::: leaves
+          frontier = toSplit.flatMap { label =>
+            val ss = map(label)
+            val dots = Array.tabulate(ss.length) { i =>
+              val p = ss(i)
+              var acc = 0.0
+              var j = 0
+              val n = math.min(v.length, p.length)
+              while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
+              acc
+            }
+            (0 until ss.length).sortBy(i => (-dots(i), -i))
+              .take(if (d < sl) sp else 1)
+              .map(best => label * enc + 1 + best)
+          }
+          d += 1
+        }
+        leaves ::: frontier
+      }
+    }
+    def framed(): DataFrame =
+      if (merged.isEmpty) base
+      else base.withColumn("cluster",
+        explode(walkUdf(merged.toMap)(col("cluster"), col("v"))))
+
+    // Discovery iterates a WORKING SET: only rows in still-oversized
+    // cells survive a level (settled cells can never change again), so
+    // the set shrinks geometrically and each level is one split step over
+    // it — recomputing the full walk frame per level cost 2 × 6.6s × depth
+    // at 200k rows (91s discovery); this form does the same decisions
+    // over the cached remainder.
+    var ws = base
+    var wsPinned: Option[DataFrame] = None
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
-      val oversized = cur.groupBy(col("cluster")).count()
+      val counts: Map[Long, Long] = ws.groupBy(col("cluster")).count()
         .filter(col("count") > maxCell)
-        .select(col("cluster")).collect().map(_.getLong(0))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a child as large as its just-split parent means no member moved:
+      // every vector argmaxes identically against any seed choice
+      counts.keys.foreach { c =>
+        if (prevCounts.get((c - 1) / enc).contains(counts(c))) frozen += c
+      }
+      val oversized = counts.keys.filterNot(frozen).toSeq
       if (oversized.isEmpty) done = true
       else {
+        // adaptive fanout: ~4× the overshoot factor — over-provisioning
+        // seeds costs nothing (children under maxCell just settle) while
+        // lopsided argmax Voronoi children make under-provisioned splits
+        // shrink slowly (fixed k=16 needed 9 levels for 25k→256)
+        val rows = oversized.map { label =>
+          val fanout = math.min(MaxFanout.toLong,
+            math.max(2L, 4L * ((counts(label) + maxCell - 1) / maxCell)))
+          org.apache.spark.sql.Row(label, fanout)
+        }
+        val overDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cluster",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("klimit",
+              org.apache.spark.sql.types.LongType))))
+        // inner join: the new working set is exactly the oversized rows
+        val flagged = ws.join(broadcast(overDf), Seq("cluster"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster")).orderBy(xxhash64(col("id")), col("id"))
-        val seeds: Map[Long, Array[Array[Float]]] = cur
-          .filter(col("cluster").isin(oversized: _*))
+        val seeds: Map[Long, Array[Array[Float]]] = flagged
           .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
+          .filter(col("rn") <= col("klimit"))
           .select(col("cluster"), col("v"))
           .collect()
           .groupBy(_.getLong(0))
-          .map { case (label, rows) =>
-            label -> rows.map { r =>
+          .map { case (label, rws) =>
+            label -> rws.map { r =>
               val c = r.getSeq[Float](1)
               val n = math.sqrt(c.iterator.map(x => x.toDouble * x.toDouble).sum)
               (if (n == 0) c.map(_.toDouble) else c.map(_ / n)).map(_.toFloat).toArray
             }
           }
+        merged ++= seeds
         val bc = spark.sparkContext.broadcast(seeds)
-        val kk = k
-        val sp = softP
-        // top-softP child cells by dot, ties to the HIGHER seed index —
-        // the same ordering as Ivf.cellOf/topCells
-        val splitLabels = udf { (label: Long, v: scala.collection.Seq[Float]) =>
+        val sp = if (depth < softLevels) softP else 1
+        // one split step — the same decision the final walk makes at this
+        // depth: top-sp children by dot, ties to the higher seed index
+        val step = udf { (label: Long, v: scala.collection.Seq[Float]) =>
           val ss = bc.value(label)
           val dots = Array.tabulate(ss.length) { i =>
             val p = ss(i)
-            var d = 0.0
+            var acc = 0.0
             var j = 0
             val n = math.min(v.length, p.length)
-            while (j < n) { d += v(j).toDouble * p(j).toDouble; j += 1 }
-            d
+            while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
+            acc
           }
           (0 until ss.length).sortBy(i => (-dots(i), -i)).take(sp)
-            .map(best => label * (kk + 1) + 1 + best)
+            .map(best => label * enc + 1 + best)
         }
-        val next = cur.withColumn("cluster",
-          explode(when(col("cluster").isin(oversized: _*),
-              splitLabels(col("cluster"), col("v")))
-            .otherwise(array(col("cluster"))))).persist()
+        val next = flagged
+          .withColumn("cluster", explode(step(col("cluster"), col("v"))))
+          .drop("klimit").persist()
         next.count()
-        pinned.foreach(_.unpersist(false))
-        pinned = Some(next)
-        cur = next
+        wsPinned.foreach(_.unpersist(blocking = false))
+        wsPinned = Some(next)
+        ws = next
+        prevCounts = counts
       }
       depth += 1
     }
-    pinned.foreach(_.unpersist(false))
-    cur
+    wsPinned.foreach(_.unpersist(blocking = false))
+    base.unpersist(blocking = false)
+    framed()
   }
 
   /** Fixed-cluster-size assignment: (id, cluster) where every cluster
@@ -256,15 +355,15 @@ object Clustering {
   }
 
   /** Linear-path SemDeDup: soft top-p coarse assignment (recall rescue,
-    * as in [[semdedupPairsWith]]), then recursive SOFT splitting of every
-    * oversized cell to ≤ `maxCell` members (top-p child cells per member —
-    * hard splits measurably cost recall on borderline pairs: 0.64 vs 1.0
-    * at τ=0.45 on the sf0.01 testdata), then exact cosine verification
-    * within leaf cells only. Verification work is O(n·maxCell·p^depth)
-    * with depth ≈ log_k(n/maxCell) — near-linear in n for fixed maxCell,
-    * vs the √n-cell [[semdedupPairs]]'s O(n^1.5); the p^depth membership
-    * factor is the price of holding recall through the split tree and is
-    * the tunable recall/cost knob. Recall vs the exact twin is re-bounded
+    * as in [[semdedupPairsWith]]), then recursive splitting of every
+    * oversized cell to ≤ `maxCell` members — soft (top-`softP` child
+    * cells per member) at the FIRST split level, where cells are coarsest
+    * and boundary pairs concentrate, hard below (soft at every level was
+    * measured 2^depth membership = 65× wall at a 40× size step; hard
+    * everywhere costs recall: 0.64 vs 1.0 at τ=0.45 on sf0.01). Exact
+    * cosine verification then runs within leaf cells only: O(n·maxCell·
+    * p·softP) total — near-linear in n for fixed maxCell, vs the √n-cell
+    * [[semdedupPairs]]'s O(n^1.5). Recall vs the exact twin is re-bounded
     * (not assumed) in ClusteringSpec.
     */
   def semdedupPairsFixed(
