@@ -1397,6 +1397,27 @@ object Queries {
   }
 
   private val staticOracle: Map[String, String] = Map(
+    // FNV-1a replay, one recursive-CTE step per character. The Spark
+    // kernel hashes UTF-8 BYTES while ord() yields code points — equal on
+    // the all-ASCII corpus (asserted: the testdata matches [ -~]*); the
+    // UBIGINT/HUGEINT dance emulates Java's wrapping 64-bit multiply, and
+    // the final CASE maps the unsigned value back to two's-complement.
+    "txt_fingerprint" ->
+      """WITH RECURSIVE fnv AS (
+        |  SELECT doc_id, text, 0 AS pos,
+        |         CAST('14695981039346656037' AS UBIGINT) AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, pos + 1,
+        |    CAST((CAST(xor(h, CAST(ord(substring(text, pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
+        |          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+        |  FROM fnv WHERE pos < length(text))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS UBIGINT)
+        |       THEN CAST(h AS HUGEINT) - CAST('18446744073709551616' AS HUGEINT)
+        |       ELSE CAST(h AS HUGEINT) END AS BIGINT) AS fp
+        |FROM fnv WHERE pos = length(text) ORDER BY doc_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -24,7 +24,7 @@ class CatalogContractSpec extends AnyFunSuite {
     val rowsOnly = Queries.catalog.keySet.diff(Queries.oracle.keySet)
     val declared = Set(
       "dd_minhash", "dd_simhash", "dd_semdedup_fixed", "ev_sketch",
-      "mm_features", "txt_fingerprint") ++
+      "mm_features") ++
       (Set("dd_semdedup", "emb_kmeans") -- Queries.centroidOracle.keySet) ++
       (Set("ann_ivf", "ann_ivf_knn") -- Queries.ivfOracle.keySet) ++
       (Set("ann_lsh") -- Queries.lshOracle.keySet)
