@@ -163,6 +163,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_"), "pair dedup must map-side combine")
   }
 
+  test("dd_semdedup_fixed: leaf-key equi-join, not all-pairs") {
+    val p = plan("dd_semdedup_fixed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fixed-size semdedup must join on the leaf cluster key:\n$p")
+    assert(p.contains("partial_"), "pair dedup must map-side combine")
+  }
+
   test("q_rollup: all rollup levels ride one Expand and one shuffle") {
     val p = plan("q_rollup")
     assert(p.contains("Expand"), "rollup must lower to Expand, not a union of aggregates")
