@@ -970,6 +970,35 @@ object Queries {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Parameters-in-path tag for the semdedup cluster artifact — same
+    * discipline as [[ngramParamsTag]].
+    */
+  private def semdedupParamsTag =
+    f"k$KmeansK-it$KmeansIters-p$SemDedupProbe-t${(SemDedupThreshold * 100).round}%03d"
+
+  /** SemDeDup's actual pipeline OUTPUT: one keep/drop verdict per corpus
+    * vector. Near-dup pairs → connected components (standing artifact,
+    * [[graft.operators.Components]]) → keep the minimum id per semantic
+    * cluster; singletons keep themselves. Oracled exactly: the pair
+    * replay (captured centroid literals) feeds the same recursive-CTE
+    * reachability the dd_clusters oracle uses.
+    */
+  val ddSemdedupVerdicts: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val pairs = graft.vector.Clustering.semdedupPairsWith(emb,
+      capturedCentroids(emb), dim = 64, threshold = SemDedupThreshold,
+      p = SemDedupProbe)
+    val comps = graft.operators.Components.ensureComponents(pairs, "a_id", "b_id",
+      graft.vector.AnnIndex.indexRoot(dir) + s"/semdedup-clusters-$semdedupParamsTag")
+    emb.select(col("vec_id"))
+      .join(comps.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"),
+        when(col("comp").isNull || col("comp") === col("vec_id"), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   val ddSimhash: Q = (s, dir) =>
     graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = 3)
       .orderBy(col("a_id"), col("b_id"))
@@ -1082,6 +1111,7 @@ object Queries {
     "emb_kmeans" -> embKmeans,
     "dd_semdedup" -> ddSemdedup,
     "dd_semdedup_fixed" -> ddSemdedupFixed,
+    "dd_semdedup_verdicts" -> ddSemdedupVerdicts,
     "dd_embed" -> ddEmbed,
     "dd_split" -> ddSplit,
     "dd_stratified" -> ddStratified,
@@ -1208,6 +1238,28 @@ object Queries {
   private[graft] def centroidOracle: Map[String, String] =
     kmeansCents.fold(Map.empty[String, String]) { cs =>
       val assignRanked = affinityPrefix(cs)
+      // soft assignment → co-bucketed pairs → exact cosine, shared by the
+      // pair query and the verdict query's component stage
+      val semPairs =
+        s"""assign AS (SELECT vec_id, cell FROM ranked WHERE rk <= $SemDedupProbe),
+           |pairs AS (
+           |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |  FROM assign a JOIN assign b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           |pd AS (
+           |  SELECT p.a_id, p.b_id,
+           |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot,
+           |    SUM(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE) ORDER BY ea.i) AS na2,
+           |    SUM(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY eb.i) AS nb2
+           |  FROM pairs p
+           |  JOIN e ea ON ea.vec_id = p.a_id
+           |  JOIN e eb ON eb.vec_id = p.b_id AND ea.i = eb.i
+           |  GROUP BY p.a_id, p.b_id),
+           |scored AS (
+           |  SELECT a_id, b_id,
+           |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
+           |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
+           |  FROM pd)""".stripMargin
       Map(
         "emb_kmeans" ->
           s"""$assignRanked
@@ -1215,27 +1267,27 @@ object Queries {
              |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
         "dd_semdedup" ->
           s"""$assignRanked,
-             |assign AS (SELECT vec_id, cell FROM ranked WHERE rk <= $SemDedupProbe),
-             |pairs AS (
-             |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-             |  FROM assign a JOIN assign b
-             |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
-             |pd AS (
-             |  SELECT p.a_id, p.b_id,
-             |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot,
-             |    SUM(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE) ORDER BY ea.i) AS na2,
-             |    SUM(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY eb.i) AS nb2
-             |  FROM pairs p
-             |  JOIN e ea ON ea.vec_id = p.a_id
-             |  JOIN e eb ON eb.vec_id = p.b_id AND ea.i = eb.i
-             |  GROUP BY p.a_id, p.b_id),
-             |scored AS (
-             |  SELECT a_id, b_id,
-             |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
-             |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
-             |  FROM pd)
+             |$semPairs
              |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
-             |WHERE c >= $SemDedupThreshold ORDER BY a_id, b_id""".stripMargin)
+             |WHERE c >= $SemDedupThreshold ORDER BY a_id, b_id""".stripMargin,
+        "dd_semdedup_verdicts" ->
+          s"""${assignRanked.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+             |$semPairs,
+             |sp AS (SELECT a_id, b_id FROM scored WHERE c >= $SemDedupThreshold),
+             |edges AS (SELECT a_id AS u, b_id AS v FROM sp
+             |          UNION SELECT b_id, a_id FROM sp),
+             |reach AS (
+             |  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT g.u, r.comp FROM edges g JOIN reach r ON g.v = r.u),
+             |comp AS (SELECT u, min(comp) AS comp FROM reach GROUP BY u)
+             |SELECT em.vec_id,
+             |  coalesce(cm.comp, em.vec_id) AS cluster_id,
+             |  CAST(CASE WHEN cm.comp IS NULL OR cm.comp = em.vec_id
+             |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM (SELECT vec_id FROM embeddings) em
+             |LEFT JOIN comp cm ON cm.u = em.vec_id
+             |ORDER BY em.vec_id""".stripMargin)
     }
 
   /** Replay oracles for the persisted-IVF read paths: probe selection

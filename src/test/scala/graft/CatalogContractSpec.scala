@@ -25,7 +25,8 @@ class CatalogContractSpec extends AnyFunSuite {
     val declared = Set(
       "dd_minhash", "dd_simhash", "dd_semdedup_fixed", "ev_sketch",
       "mm_features") ++
-      (Set("dd_semdedup", "emb_kmeans") -- Queries.centroidOracle.keySet) ++
+      (Set("dd_semdedup", "emb_kmeans", "dd_semdedup_verdicts")
+        -- Queries.centroidOracle.keySet) ++
       (Set("ann_ivf", "ann_ivf_knn") -- Queries.ivfOracle.keySet) ++
       (Set("ann_lsh") -- Queries.lshOracle.keySet)
     assert(rowsOnly == declared,
