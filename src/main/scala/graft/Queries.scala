@@ -901,8 +901,15 @@ object Queries {
 
   // ---- rows-only (not SQL-expressible: seeded hash families / UDFs) ----
 
+  // MinHash parameters — shared by the query and its hash-replay oracle.
+  val MinhashShingleN = 3
+  val MinhashK = 16
+  val MinhashBands = 8
+  val MinhashThreshold = 0.5
+
   val ddMinhash: Q = (s, dir) =>
-    graft.text.Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)
+    graft.text.Dedup.minhashPairs(t(s, dir, "documents"), n = MinhashShingleN,
+        k = MinhashK, bands = MinhashBands, threshold = MinhashThreshold)
       .orderBy(col("a_id"), col("b_id"))
 
   // K-means / SemDeDup parameters — named once and interpolated into both
@@ -1449,6 +1456,11 @@ object Queries {
   }
 
   private val staticOracle: Map[String, String] = Map(
+    // full MinHash-LSH replay — token/shingle/signature/band hashes all
+    // reproduced bit-exactly via graft.functions.HashReplaySql
+    "dd_minhash" -> graft.functions.HashReplaySql.minhashOracle(
+      MinhashShingleN, MinhashK, MinhashBands, MinhashThreshold),
+
     // FNV-1a replay, one recursive-CTE step per character. The Spark
     // kernel hashes UTF-8 BYTES while ord() yields code points — equal on
     // the all-ASCII corpus (asserted: the testdata matches [ -~]*); the

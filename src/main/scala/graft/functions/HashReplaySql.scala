@@ -1,0 +1,211 @@
+package graft.functions
+
+import scala.collection.mutable.ListBuffer
+
+/** Generates DuckDB SQL that replays the engine's 64-bit hash kernels
+  * bit-for-bit — the machinery that turns "seeded hash families are not
+  * SQL-expressible" into exact oracles for the MinHash family.
+  *
+  * DuckDB's integer arithmetic is CHECKED (overflow errors), not
+  * wrapping, so every Java wrapping op is emulated: state rides UBIGINT,
+  * multiplies split into 32-bit halves (a full 64×64 product overflows
+  * even INT128), rotates go mask-then-widen-multiply, and the final value
+  * maps back to two's-complement BIGINT where the Spark side compares
+  * signed (MIN of a signature slot).
+  *
+  * Expression growth is the other trap: naive nesting duplicates the
+  * upstream tree ~4× per multiply (measured: minutes for 26k rows), and
+  * DuckDB 1.x lateral column aliases re-expand textually, so they don't
+  * help. [[CteChain]] therefore emits one MATERIALIZED CTE per primitive:
+  * every input is a real column, multi-references are O(1), and the whole
+  * replay runs in seconds.
+  */
+private[graft] object HashReplaySql {
+
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private val S63 = "CAST('9223372036854775808' AS UBIGINT)"  // 2^63
+
+  private def u(lit: Long): String =
+    s"CAST('${java.lang.Long.toUnsignedString(lit)}' AS UBIGINT)"
+
+  private def toSigned(a: String): String =
+    s"CAST(CASE WHEN $a >= $S63 THEN CAST($a AS HUGEINT) - $M64 " +
+      s"ELSE CAST($a AS HUGEINT) END AS BIGINT)"
+
+  private def toUnsignedCol(c: String): String =
+    s"CAST(CASE WHEN $c < 0 THEN CAST($c AS HUGEINT) + $M64 " +
+      s"ELSE CAST($c AS HUGEINT) END AS UBIGINT)"
+
+  // XXH64 primes (Spark's XXH64) and the text kernels' constants
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+  private val FnvBasis = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Chain of MATERIALIZED CTEs threading a 64-bit unsigned value. */
+  private final class CteChain(prefix: String, src: String, carry0: Seq[String]) {
+    private var carry = carry0.toList
+    private val ctes = ListBuffer.empty[String]
+    private var cur = src
+    private var n = 0
+
+    def step(expr: String, kind: String): String = {
+      n += 1
+      val out = s"${prefix}_$kind$n"
+      val name = s"$prefix$n"
+      ctes += s"$name AS MATERIALIZED (SELECT ${carry.mkString(", ")}, $expr AS $out FROM $cur)"
+      cur = name
+      carry = carry :+ out
+      out
+    }
+    def drop(cols: Set[String]): Unit = carry = carry.filterNot(cols)
+
+    /** Wrapping 64-bit multiply by a constant, via 32-bit halves. */
+    def umul(a: String, b: Long): String = {
+      val blo = b & 0xFFFFFFFFL
+      val bhi = b >>> 32
+      step(
+        s"CAST((CAST(($a & 4294967295) * ${u(blo)} AS HUGEINT) + " +
+          s"CAST(((($a & 4294967295) * ${u(bhi)}) % 4294967296 + " +
+          s"((($a >> 32)) * ${u(blo)}) % 4294967296) % 4294967296 AS HUGEINT) " +
+          s"* 4294967296) % $M64 AS UBIGINT)", "mul")
+    }
+    def uaddC(a: String, b: Long): String =
+      step(s"CAST((CAST($a AS HUGEINT) + CAST(${u(b)} AS HUGEINT)) % $M64 AS UBIGINT)", "add")
+    def uadd(a: String, b: String): String =
+      step(s"CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % $M64 AS UBIGINT)", "add")
+    def uxor(a: String, b: String): String = step(s"xor($a, $b)", "xor")
+    def xorshr(a: String, sh: Int): String = step(s"xor($a, ($a >> $sh))", "xs")
+    def urotl(a: String, r: Int): String =
+      step(s"(CAST(CAST(($a % ${u(1L << (64 - r))}) AS HUGEINT) * ${1L << r} AS UBIGINT)" +
+        s" | ($a >> ${64 - r}))", "rot")
+
+    def splitmix(h: String): String = {
+      var z = uaddC(h, 0x9e3779b97f4a7c15L)
+      z = umul(xorshr(z, 30), 0xbf58476d1ce4e5b9L)
+      z = umul(xorshr(z, 27), 0x94d049bb133111ebL)
+      xorshr(z, 31)
+    }
+    def fmix(h: String): String = {
+      var x = umul(xorshr(h, 33), P2)
+      x = umul(xorshr(x, 29), P3)
+      xorshr(x, 32)
+    }
+    /** Spark XXH64.hashLong(inp, seed) — seed as column or constant. */
+    def xxhLong(inp: String, seed: Either[Long, String]): String = {
+      val k1 = umul(urotl(umul(inp, P2), 31), P1)
+      val s = seed match {
+        case Left(c)    => step(u(c + P5 + 8), "c")
+        case Right(col) => uaddC(col, P5 + 8)
+      }
+      var h = uxor(s, k1)
+      h = uaddC(umul(urotl(h, 27), P1), P4)
+      fmix(h)
+    }
+    /** Spark XXH64.hashInt(i, seed) — i a small non-negative column. */
+    def xxhInt(iCol: String, seed: String): String = {
+      var h = uaddC(seed, P5 + 4)
+      h = uxor(h, umul(iCol, P1))
+      h = uaddC(umul(urotl(h, 23), P2), P3)
+      fmix(h)
+    }
+    def render(finalSelect: String, finalName: String): String =
+      (ctes :+ s"$finalName AS MATERIALIZED (SELECT $finalSelect FROM $cur)").mkString(",\n")
+  }
+
+  /** Exact replay of [[graft.text.Dedup.minhashPairs]]: tokenized FNV-1a +
+    * splitmix token hashes ([[expressions.TextKernels.shingleHashes]]),
+    * n=3 window FNV combine, K chained-XXH64 signature slots (signed MIN),
+    * per-band variadic XXH64 buckets, candidate pairs, and exact Jaccard
+    * over distinct shingle-hash sets.
+    */
+  def minhashOracle(n: Int, k: Int, bands: Int, threshold: Double): String = {
+    require(n == 3, "window combine below is written for n=3")
+    require(k % bands == 0 && k / bands == 2, "band hash below is written for rows=2")
+
+    val cTok = new CteChain("tk", "tfe", Seq("doc_id", "p", "h"))
+    val th = cTok.splitmix("h")
+    val tokhCte = cTok.render(s"doc_id, p, $th AS th", "tokh")
+
+    val cSh = new CteChain("sw", "wndf", Seq("doc_id", "th0", "th1", "th2"))
+    var v = cSh.umul(cSh.uxor(u(FnvBasis), "th0"), FnvPrime)
+    v = cSh.umul(cSh.uxor(v, "th1"), FnvPrime)
+    v = cSh.umul(cSh.uxor(v, "th2"), FnvPrime)
+    cSh.drop(Set("th0", "th1", "th2"))
+    val shh = cSh.splitmix(v)
+    val shCte = cSh.render(s"doc_id AS id, $shh AS h", "sh")
+
+    val cSl = new CteChain("sl", "slots0", Seq("id", "i", "h"))
+    val hl = cSl.xxhLong("h", Left(42L))
+    cSl.drop(Set("h"))
+    val sm = cSl.xxhInt("CAST(i AS UBIGINT)", hl)
+    val slotCte = cSl.render(s"id, i, ${toSigned(sm)} AS sh", "sloth")
+
+    val cBd = new CteChain("bd", "bandrow", Seq("id", "band", "me_u", "mo_u"))
+    val s1 = cBd.xxhLong("me_u", Left(42L))
+    cBd.drop(Set("me_u"))
+    val s2 = cBd.xxhLong("mo_u", Right(s1))
+    cBd.drop(Set("mo_u"))
+    val bh = cBd.xxhInt("CAST(band AS UBIGINT)", s2)
+    val bandCte = cBd.render(s"id, band, ${toSigned(bh)} AS bh", "banded")
+
+    val tokStep =
+      s"CAST((CAST(xor(h, CAST(ord(substring(tok, cpos + 1, 1)) AS UBIGINT)) AS HUGEINT)" +
+        s" * $FnvPrime) % $M64 AS UBIGINT)"
+
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+       |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+       |  FROM raw WHERE tok <> ''),
+       |tf AS (
+       |  SELECT doc_id, p, tok, 0 AS cpos, ${u(FnvBasis)} AS h FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, p, tok, cpos + 1, $tokStep
+       |  FROM tf WHERE cpos < length(tok)),
+       |tfe AS MATERIALIZED (SELECT doc_id, p, h FROM tf WHERE cpos = length(tok)),
+       |$tokhCte,
+       |wndf AS MATERIALIZED (
+       |  SELECT doc_id, th AS th0,
+       |         lead(th, 1) OVER w AS th1, lead(th, 2) OVER w AS th2
+       |  FROM tokh WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+       |  QUALIFY th2 IS NOT NULL),
+       |$shCte,
+       |slots0 AS MATERIALIZED (SELECT id, h, i FROM sh, range($k) t(i)),
+       |$slotCte,
+       |sigrow AS (SELECT id, i, MIN(sh) AS m FROM sloth GROUP BY id, i),
+       |bandrow AS MATERIALIZED (
+       |  SELECT e.id, CAST(e.i // 2 AS INT) AS band,
+       |    ${toUnsignedCol("e.m")} AS me_u,
+       |    ${toUnsignedCol("o.m")} AS mo_u
+       |  FROM sigrow e JOIN sigrow o ON o.id = e.id AND o.i = e.i + 1
+       |  WHERE e.i % 2 = 0),
+       |$bandCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+       |shd AS (SELECT DISTINCT id, h FROM sh),
+       |sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+       |inter AS (
+       |  SELECT p.a_id, p.b_id, count(*) AS i
+       |  FROM pairs p
+       |  JOIN shd x ON x.id = p.a_id
+       |  JOIN shd y ON y.id = p.b_id AND y.h = x.h
+       |  GROUP BY p.a_id, p.b_id),
+       |jac AS (
+       |  SELECT i.a_id, i.b_id,
+       |    CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.a_id
+       |  JOIN sizes sb ON sb.id = i.b_id)
+       |SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+}
