@@ -1006,8 +1006,9 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  val SimhashRadius = 3
   val ddSimhash: Q = (s, dir) =>
-    graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = 3)
+    graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = SimhashRadius)
       .orderBy(col("a_id"), col("b_id"))
 
   /** Margin-ranked probe buckets of the last annLsh execution — the heap
@@ -1460,6 +1461,10 @@ object Queries {
     // reproduced bit-exactly via graft.functions.HashReplaySql
     "dd_minhash" -> graft.functions.HashReplaySql.minhashOracle(
       MinhashShingleN, MinhashK, MinhashBands, MinhashThreshold),
+
+    // SimHash replay — same token-hash prefix, per-bit votes, band LSH,
+    // bit_count hamming
+    "dd_simhash" -> graft.functions.HashReplaySql.simhashOracle(SimhashRadius),
 
     // FNV-1a replay, one recursive-CTE step per character. The Spark
     // kernel hashes UTF-8 BYTES while ord() yields code points — equal on

@@ -116,6 +116,64 @@ private[graft] object HashReplaySql {
       (ctes :+ s"$finalName AS MATERIALIZED (SELECT $finalSelect FROM $cur)").mkString(",\n")
   }
 
+  /** Shared prefix: tokenize lowercase alnum runs, per-token FNV-1a (one
+    * recursive-CTE step per character) + splitmix finalize → `tokh`
+    * (doc_id, p, th) — the token-hash stream both text kernels start from.
+    */
+  private def tokenHashPrefix: String = {
+    val cTok = new CteChain("tk", "tfe", Seq("doc_id", "p", "h"))
+    val th = cTok.splitmix("h")
+    val tokhCte = cTok.render(s"doc_id, p, $th AS th", "tokh")
+    val tokStep =
+      s"CAST((CAST(xor(h, CAST(ord(substring(tok, cpos + 1, 1)) AS UBIGINT)) AS HUGEINT)" +
+        s" * $FnvPrime) % $M64 AS UBIGINT)"
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+       |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+       |  FROM raw WHERE tok <> ''),
+       |tf AS (
+       |  SELECT doc_id, p, tok, 0 AS cpos, ${u(FnvBasis)} AS h FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, p, tok, cpos + 1, $tokStep
+       |  FROM tf WHERE cpos < length(tok)),
+       |tfe AS MATERIALIZED (SELECT doc_id, p, h FROM tf WHERE cpos = length(tok)),
+       |$tokhCte""".stripMargin
+  }
+
+  /** Exact replay of [[graft.text.Dedup.simhashPairs]]: per-token hashes
+    * vote per bit, votes fold to the 64-bit fingerprint, 4×16-bit band
+    * LSH candidates, bit_count(xor) hamming within `radius`.
+    */
+  def simhashOracle(radius: Int): String = {
+    // exact 2^b values as a lookup table — `<<` is bounds-checked against
+    // BIGINT even for UBIGINT operands, and `**` goes through DOUBLE
+    val pow2 = (0 to 63).map(b => s"($b,${u(1L << b)})").mkString(",")
+    s"""$tokenHashPrefix,
+       |pow2 AS (SELECT * FROM (VALUES $pow2) AS t(b, pw)),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tokh, range(64) t(b) GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id AS id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN vt.pw ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS s
+       |  FROM votes JOIN pow2 vt USING (b) GROUP BY doc_id),
+       |bandrow AS (
+       |  SELECT id, b AS band, (s >> (b * 16)) & 65535 AS bh, s
+       |  FROM sig, range(4) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       |    CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       |  FROM bandrow a JOIN bandrow b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+       |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= $radius
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Exact replay of [[graft.text.Dedup.minhashPairs]]: tokenized FNV-1a +
     * splitmix token hashes ([[expressions.TextKernels.shingleHashes]]),
     * n=3 window FNV combine, K chained-XXH64 signature slots (signed MIN),
@@ -125,10 +183,6 @@ private[graft] object HashReplaySql {
   def minhashOracle(n: Int, k: Int, bands: Int, threshold: Double): String = {
     require(n == 3, "window combine below is written for n=3")
     require(k % bands == 0 && k / bands == 2, "band hash below is written for rows=2")
-
-    val cTok = new CteChain("tk", "tfe", Seq("doc_id", "p", "h"))
-    val th = cTok.splitmix("h")
-    val tokhCte = cTok.render(s"doc_id, p, $th AS th", "tokh")
 
     val cSh = new CteChain("sw", "wndf", Seq("doc_id", "th0", "th1", "th2"))
     var v = cSh.umul(cSh.uxor(u(FnvBasis), "th0"), FnvPrime)
@@ -152,25 +206,7 @@ private[graft] object HashReplaySql {
     val bh = cBd.xxhInt("CAST(band AS UBIGINT)", s2)
     val bandCte = cBd.render(s"id, band, ${toSigned(bh)} AS bh", "banded")
 
-    val tokStep =
-      s"CAST((CAST(xor(h, CAST(ord(substring(tok, cpos + 1, 1)) AS UBIGINT)) AS HUGEINT)" +
-        s" * $FnvPrime) % $M64 AS UBIGINT)"
-
-    s"""WITH RECURSIVE raw AS (
-       |  SELECT doc_id,
-       |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
-       |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
-       |  FROM documents),
-       |toks AS (
-       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
-       |  FROM raw WHERE tok <> ''),
-       |tf AS (
-       |  SELECT doc_id, p, tok, 0 AS cpos, ${u(FnvBasis)} AS h FROM toks
-       |  UNION ALL
-       |  SELECT doc_id, p, tok, cpos + 1, $tokStep
-       |  FROM tf WHERE cpos < length(tok)),
-       |tfe AS MATERIALIZED (SELECT doc_id, p, h FROM tf WHERE cpos = length(tok)),
-       |$tokhCte,
+    s"""$tokenHashPrefix,
        |wndf AS MATERIALIZED (
        |  SELECT doc_id, th AS th0,
        |         lead(th, 1) OVER w AS th1, lead(th, 2) OVER w AS th2
