@@ -262,82 +262,90 @@ object Clustering {
     // over the cached remainder.
     var ws = base
     var wsPinned: Option[DataFrame] = None
+    var superseded: Option[DataFrame] = None
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
-      val counts: Map[Long, Long] = ws.groupBy(col("cluster")).count()
-        .filter(col("count") > maxCell)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ONE job per level: cell size and the xxhash64-ordered sample rank
+      // share a window pass, and the adaptive fanout cut (~4× the
+      // overshoot factor — over-provisioning costs nothing since children
+      // under maxCell just settle, while lopsided argmax Voronoi children
+      // make under-provisioned splits shrink slowly: fixed k=16 needed 9
+      // levels for 25k→256) is applied inline, so the collect returns
+      // exactly the seed rows tagged with their cell's count. This job
+      // also materializes the (lazy) working set into its cache.
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(xxhash64(col("id")), col("id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      val fanoutCol = least(lit(MaxFanout.toLong),
+        greatest(lit(2L), lit(4L) * ceil(col("cnt").cast("double") / maxCell).cast("long")))
+      val seedRows = ws
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("cnt") > maxCell)
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") <= fanoutCol)
+        .select(col("cluster"), col("cnt"), col("v"))
+        .collect()
+      // the previous level's cache is safe to drop now — this level's
+      // frame just materialized
+      superseded.foreach(_.unpersist(blocking = false))
+      superseded = None
+      val counts: Map[Long, Long] =
+        seedRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       // a child as large as its just-split parent means no member moved:
       // every vector argmaxes identically against any seed choice
       counts.keys.foreach { c =>
         if (prevCounts.get((c - 1) / enc).contains(counts(c))) frozen += c
       }
-      val oversized = counts.keys.filterNot(frozen).toSeq
-      if (oversized.isEmpty) done = true
-      else {
-        // adaptive fanout: ~4× the overshoot factor — over-provisioning
-        // seeds costs nothing (children under maxCell just settle) while
-        // lopsided argmax Voronoi children make under-provisioned splits
-        // shrink slowly (fixed k=16 needed 9 levels for 25k→256)
-        val rows = oversized.map { label =>
-          val fanout = math.min(MaxFanout.toLong,
-            math.max(2L, 4L * ((counts(label) + maxCell - 1) / maxCell)))
-          org.apache.spark.sql.Row(label, fanout)
-        }
-        val overDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("cluster",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("klimit",
-              org.apache.spark.sql.types.LongType))))
-        // inner join: the new working set is exactly the oversized rows
-        val flagged = ws.join(broadcast(overDf), Seq("cluster"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster")).orderBy(xxhash64(col("id")), col("id"))
-        val seeds: Map[Long, Array[Array[Float]]] = flagged
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= col("klimit"))
-          .select(col("cluster"), col("v"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (label, rws) =>
-            label -> rws.map { r =>
-              val c = r.getSeq[Float](1)
-              val n = math.sqrt(c.iterator.map(x => x.toDouble * x.toDouble).sum)
-              (if (n == 0) c.map(_.toDouble) else c.map(_ / n)).map(_.toFloat).toArray
-            }
+      val seeds: Map[Long, Array[Array[Float]]] = seedRows
+        .filterNot(r => frozen(r.getLong(0)))
+        .groupBy(_.getLong(0))
+        .map { case (label, rws) =>
+          label -> rws.map { r =>
+            val c = r.getSeq[Float](2)
+            val n = math.sqrt(c.iterator.map(x => x.toDouble * x.toDouble).sum)
+            (if (n == 0) c.map(_.toDouble) else c.map(_ / n)).map(_.toFloat).toArray
           }
+        }
+      if (seeds.isEmpty) done = true
+      else {
         merged ++= seeds
         val bc = spark.sparkContext.broadcast(seeds)
         val sp = if (depth < softLevels) softP else 1
         // one split step — the same decision the final walk makes at this
-        // depth: top-sp children by dot, ties to the higher seed index
+        // depth: top-sp children by dot, ties to the higher seed index.
+        // Rows of right-sized or frozen cells keep their label and are
+        // filtered out — the working set is exactly the split rows. The
+        // new frame stays LAZY; the next level's window job materializes
+        // it, so no extra count() action per level.
         val step = udf { (label: Long, v: scala.collection.Seq[Float]) =>
-          val ss = bc.value(label)
-          val dots = Array.tabulate(ss.length) { i =>
-            val p = ss(i)
-            var acc = 0.0
-            var j = 0
-            val n = math.min(v.length, p.length)
-            while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
-            acc
+          bc.value.get(label).fold(Seq(label)) { ss =>
+            val dots = Array.tabulate(ss.length) { i =>
+              val p = ss(i)
+              var acc = 0.0
+              var j = 0
+              val n = math.min(v.length, p.length)
+              while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
+              acc
+            }
+            (0 until ss.length).sortBy(i => (-dots(i), -i)).take(sp)
+              .map(best => label * enc + 1 + best)
           }
-          (0 until ss.length).sortBy(i => (-dots(i), -i)).take(sp)
-            .map(best => label * enc + 1 + best)
         }
-        val next = flagged
-          .withColumn("cluster", explode(step(col("cluster"), col("v"))))
-          .drop("klimit").persist()
-        next.count()
-        wsPinned.foreach(_.unpersist(blocking = false))
+        val next = ws
+          .withColumn("parent", col("cluster"))
+          .withColumn("cluster", explode(step(col("parent"), col("v"))))
+          .filter(col("cluster") =!= col("parent"))
+          .drop("parent")
+          .persist()
+        superseded = wsPinned
         wsPinned = Some(next)
         ws = next
         prevCounts = counts
       }
       depth += 1
     }
+    superseded.foreach(_.unpersist(blocking = false))
     wsPinned.foreach(_.unpersist(blocking = false))
     base.unpersist(blocking = false)
     framed()
