@@ -31,7 +31,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Extra serving shapes beyond be_*: standing-index read paths. */
-  private val IndexedShapes = Seq("ann_ivf", "ann_lsh", "dd_incremental", "dd_clusters")
+  private val IndexedShapes = Seq("ann_ivf", "ann_lsh", "dd_incremental",
+    "dd_clusters", "dd_semdedup_verdicts")
 
   private def loadShapes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
     val qs = SparkEntry.queries

@@ -370,14 +370,12 @@ object Queries {
     * projection, and the iterative build frees every checkpoint it pins
     * (ComponentsSpec asserts block-manager neutrality).
     */
-  val ddClusters: Q = (s, dir) => {
-    val pairs = ensureNgramPairs(s, dir)
+  val ddClusters: Q = (s, dir) =>
     graft.operators.Components
-      .ensureComponents(pairs, "a_id", "b_id",
+      .ensureComponents(s, ensureNgramPairs(s, dir), "a_id", "b_id",
         graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-$ngramParamsTag")
       .select(col("u").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy(col("doc_id"))
-  }
 
   /** Incremental dedup: the src0 slice plays the arriving batch, every
     * other source the standing corpus whose hash set is persisted once
@@ -992,10 +990,14 @@ object Queries {
     */
   val ddSemdedupVerdicts: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val pairs = graft.vector.Clustering.semdedupPairsWith(emb,
-      capturedCentroids(emb), dim = 64, threshold = SemDedupThreshold,
-      p = SemDedupProbe)
-    val comps = graft.operators.Components.ensureComponents(pairs, "a_id", "b_id",
+    // pair construction (incl. the centroid-seeding driver jobs inside
+    // capturedCentroids) is deferred into the by-name param — the warm
+    // path reads the artifact without running a single seeding job
+    val comps = graft.operators.Components.ensureComponents(s,
+      graft.vector.Clustering.semdedupPairsWith(emb,
+        capturedCentroids(emb), dim = 64, threshold = SemDedupThreshold,
+        p = SemDedupProbe),
+      "a_id", "b_id",
       graft.vector.AnnIndex.indexRoot(dir) + s"/semdedup-clusters-$semdedupParamsTag")
     emb.select(col("vec_id"))
       .join(comps.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")

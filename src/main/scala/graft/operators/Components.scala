@@ -36,21 +36,26 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Build-if-absent the component map as a standing parquet artifact and
-    * return the read — the form the catalog serves. The iteration's
-    * checkpoints (including the final round's, which the in-memory form
-    * must keep alive) are all freed once the write lands, so repeated
-    * invocations leave the block manager exactly as they found it
-    * (asserted in ComponentsSpec). Build concurrency and partial-write
-    * atomicity are [[graft.sources.StandingArtifact.ensureWith]]'s.
+    * return the read — the form the catalog serves. `edges` is BY NAME:
+    * the warm path (artifact present) never forces it, so callers may
+    * hand an edge frame whose very construction is expensive (e.g. the
+    * semdedup pair graph runs centroid-seeding driver jobs just to build
+    * the DataFrame — measured 13 → 40+ q/s under load once deferred).
+    * The iteration's checkpoints (including the final round's, which the
+    * in-memory form must keep alive) are all freed once the write lands,
+    * so repeated invocations leave the block manager exactly as they
+    * found it (asserted in ComponentsSpec). Build concurrency and
+    * partial-write atomicity are [[graft.sources.StandingArtifact.ensureWith]]'s.
     */
   def ensureComponents(
-      edges: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      edges: => DataFrame,
       aCol: String,
       bCol: String,
       path: String,
       maxIter: Int = 20
   ): DataFrame =
-    graft.sources.StandingArtifact.ensureWith(edges.sparkSession, path) { tmp =>
+    graft.sources.StandingArtifact.ensureWith(spark, path) { tmp =>
       val (labels, pinned) = connectedComponentsTracked(edges, aCol, bCol, maxIter)
       try labels.write.mode("overwrite").parquet(tmp)
       finally pinned.foreach(_.unpersist(blocking = false))

@@ -34,12 +34,12 @@ class ComponentsSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft-cc").toString + "/cc"
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // First call builds (iterating with localCheckpoints), later calls read.
-    val out1 = Components.ensureComponents(edges, "a", "b", path).collect()
+    val out1 = Components.ensureComponents(spark, edges, "a", "b", path).collect()
     val afterBuild = spark.sparkContext.getPersistentRDDs.keySet.toSet
     assert(afterBuild == before,
       s"build stranded checkpoint RDDs: ${afterBuild.diff(before)}")
     (1 to 3).foreach { _ =>
-      Components.ensureComponents(edges, "a", "b", path).count()
+      Components.ensureComponents(spark, edges, "a", "b", path).count()
     }
     val afterServe = spark.sparkContext.getPersistentRDDs.keySet.toSet
     assert(afterServe == before,
