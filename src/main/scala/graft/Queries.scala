@@ -825,6 +825,29 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  // Deterministic-sketch parameters — shared by query and replay oracle.
+  // kDistinct=32 exercises the KMV estimator branch at sf0.01 (150 users);
+  // kSample=256 subsamples every event type's ~2000 values.
+  val SketchKDistinct = 32
+  val SketchKSample = 256
+  val SketchQuantiles = Seq(0.5, 0.95)
+
+  /** [[evSketch]]'s deterministic twin: KMV distinct + bottom-k-sample
+    * percentiles ([[graft.operators.Sketches]]). Same constant-memory
+    * purpose, but the randomness is the engine's own seeded xxhash64 and
+    * the estimators avoid libm — so unlike Spark's HLL++/GK internals the
+    * whole sketch replays BIT-EXACTLY in the DuckDB oracle.
+    */
+  val evSketchDet: Q = (s, dir) =>
+    graft.operators.Sketches.eventSketch(Domain.events(s, dir),
+        group = col("event_type"), key = col("user_id"), value = col("value"),
+        sampleId = col("event_id"), kDistinct = SketchKDistinct,
+        kSample = SketchKSample, quantiles = SketchQuantiles)
+      .withColumnRenamed("g", "event_type")
+      .select(col("event_type"), col("kmv_distinct"),
+        col("p50_value"), col("p95_value"))
+      .orderBy(col("event_type"))
+
   /** Benchmark decontamination: corpus docs sharing ≥1 word 4-gram with
     * the (broadcast) eval slice doc_id % 50 == 0 — the standard test-set
     * leakage guard of a training pipeline.
@@ -1112,6 +1135,7 @@ object Queries {
     "dd_clusters" -> ddClusters,
     "ev_asof" -> evAsof,
     "ev_sketch" -> evSketch,
+    "ev_sketch_det" -> evSketchDet,
     "txt_fingerprint" -> txtFingerprint,
     "dd_decontam" -> ddDecontam,
     "txt_repetition" -> txtRepetition,
@@ -1467,6 +1491,10 @@ object Queries {
     // SimHash replay — same token-hash prefix, per-bit votes, band LSH,
     // bit_count hamming
     "dd_simhash" -> graft.functions.HashReplaySql.simhashOracle(SimhashRadius),
+
+    // deterministic KMV/bottom-k sketch replay
+    "ev_sketch_det" -> graft.functions.HashReplaySql.kmvSketchOracle(
+      SketchKDistinct, SketchKSample, SketchQuantiles),
 
     // FNV-1a replay, one recursive-CTE step per character. The Spark
     // kernel hashes UTF-8 BYTES while ord() yields code points — equal on

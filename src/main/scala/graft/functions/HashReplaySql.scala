@@ -174,6 +174,82 @@ private[graft] object HashReplaySql {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Exact replay of [[graft.operators.Sketches.eventSketch]]: XXH64 of
+    * user/event ids (sign-bit-flipped so signed order = unsigned order),
+    * per-group KMV rank/estimate and bottom-k sample with interpolated
+    * percentiles — all estimator arithmetic mirrors the Spark op order
+    * exactly (2^63/2^64 are exact doubles; no libm anywhere), so the
+    * estimates hash-match without tolerance.
+    */
+  def kmvSketchOracle(kDistinct: Int, kSample: Int, quantiles: Seq[Double]): String = {
+    val cU = new CteChain("ku", "usrc", Seq("g", "xu"))
+    val uh = cU.xxhLong("xu", Left(42L))
+    cU.drop(Set("xu"))
+    val uCte = cU.render(
+      s"g, xor(${toSigned(uh)}, -9223372036854775808) AS u", "uhash")
+
+    val cE = new CteChain("ke", "esrc", Seq("g", "v", "sid", "su"))
+    val eh = cE.xxhLong("su", Left(42L))
+    cE.drop(Set("su"))
+    val eCte = cE.render(
+      s"g, v, sid, xor(${toSigned(eh)}, -9223372036854775808) AS u2", "ehash")
+
+    val km1 = (kDistinct - 1).toDouble
+    // row-level per-quantile positions (tiny expressions — lateral
+    // aliases are fine here, no hash chains involved)
+    val posCols = quantiles.map { q =>
+      val nm = (q * 100).round
+      s"$q * CAST(m - 1 AS DOUBLE) AS pos_$nm, floor(pos_$nm) AS lo_$nm, " +
+        s"pos_$nm - lo_$nm AS frac_$nm"
+    }.mkString(",\n    ")
+    val pctAggs = quantiles.map { q =>
+      val nm = (q * 100).round
+      val vLo = s"max(CASE WHEN vr = lo_$nm + 1 THEN v END)"
+      val vHi = s"max(CASE WHEN vr = least(lo_$nm + 2, CAST(m AS DOUBLE)) THEN v END)"
+      s"$vLo + ($vHi - $vLo) * max(frac_$nm) AS p${nm}_value"
+    }.mkString(",\n    ")
+
+    s"""WITH usrc AS MATERIALIZED (
+       |  SELECT DISTINCT event_type AS g, ${toUnsignedCol("user_id")} AS xu
+       |  FROM events),
+       |$uCte,
+       |kmv AS (
+       |  SELECT g, max(r) AS nh, max(CASE WHEN r = $kDistinct THEN u END) AS vk
+       |  FROM (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS r
+       |        FROM (SELECT DISTINCT g, u FROM uhash))
+       |  GROUP BY g),
+       |est AS (
+       |  SELECT g,
+       |    CASE WHEN nh < $kDistinct THEN CAST(nh AS DOUBLE)
+       |         ELSE $km1 / ((CAST(vk AS DOUBLE) + 9.223372036854775808e18)
+       |                      / 1.8446744073709551616e19) END AS kmv_distinct
+       |  FROM kmv),
+       |esrc AS MATERIALIZED (
+       |  SELECT event_type AS g, value AS v, event_id AS sid,
+       |         ${toUnsignedCol("event_id")} AS su
+       |  FROM events),
+       |$eCte,
+       |sampled AS (
+       |  SELECT g, v FROM (
+       |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY u2, sid) AS sr
+       |    FROM ehash) WHERE sr <= $kSample),
+       |ranked AS (
+       |  SELECT g, v,
+       |    row_number() OVER (PARTITION BY g ORDER BY v) AS vr,
+       |    count(*) OVER (PARTITION BY g) AS m
+       |  FROM sampled),
+       |rq AS (
+       |  SELECT *,
+       |    $posCols
+       |  FROM ranked),
+       |pcts AS (
+       |  SELECT g,
+       |    $pctAggs
+       |  FROM rq GROUP BY g)
+       |SELECT e.g AS event_type, e.kmv_distinct, ${quantiles.map(q => s"p${(q * 100).round}_value").mkString(", ")}
+       |FROM est e JOIN pcts USING (g) ORDER BY e.g""".stripMargin
+  }
+
   /** Exact replay of [[graft.text.Dedup.minhashPairs]]: tokenized FNV-1a +
     * splitmix token hashes ([[expressions.TextKernels.shingleHashes]]),
     * n=3 window FNV combine, K chained-XXH64 signature slots (signed MIN),
