@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic constant-memory sketches: KMV (k-minimum-values)
@@ -17,11 +16,13 @@ import org.apache.spark.sql.functions._
   * appears anywhere — so the DuckDB oracle matches the estimates
   * BIT-EXACTLY, not within tolerance.
   *
-  * Scale shape: both sketches reduce to a per-group top-k by hash order.
-  * The window form here sorts each group once (the same cost class as
-  * the distinct it replaces); a streaming deployment would swap in a
-  * bounded k-heap Aggregator without changing the estimate, since the
-  * k smallest hashes are order-free.
+  * Scale shape: both sketches are ONE hash aggregate whose per-group
+  * state is a size-capped heap ([[graft.functions.expressions.BoundedMinK]] /
+  * [[graft.functions.expressions.BoundedMinKSample]]) — O(k) memory per
+  * group regardless of group size, associative partial merge (map-side
+  * combine), no per-group sort anywhere. A window-rank formulation was
+  * the first cut and sorts every group end to end; the k smallest hashes
+  * are order-free, so the aggregate form computes the identical estimate.
   */
 object Sketches {
 
@@ -57,43 +58,36 @@ object Sketches {
       quantiles: Seq[Double]
   ): DataFrame = {
     require(kDistinct >= 2 && kSample >= 2, "sketch sizes must be >= 2")
+    import graft.functions.expressions.SketchAggregates.{boundedMinK, boundedMinKSample}
 
-    // ---- KMV distinct over distinct (group, hash) ----
-    val hashed = df.select(group.as("g"), unsignedOrderHash(key).as("u")).distinct()
-    val hw = Window.partitionBy(col("g")).orderBy(col("u"))
-    val kmv = hashed.withColumn("r", row_number().over(hw))
+    // ---- KMV distinct: k smallest distinct hashes per group ----
+    // the distinct() is itself a map-side-combined aggregate; fewer than
+    // kDistinct survivors means the sketch saw every distinct key
+    val kmv = df.select(group.as("g"), unsignedOrderHash(key).as("u")).distinct()
       .groupBy(col("g"))
-      .agg(max(col("r")).as("nh"),
-        max(when(col("r") === kDistinct, col("u"))).as("vk"))
+      .agg(boundedMinK(col("u"), kDistinct).as("us"))
       .select(col("g"),
-        when(col("nh") < kDistinct, col("nh").cast("double"))
+        when(size(col("us")) < kDistinct, size(col("us")).cast("double"))
           .otherwise(lit((kDistinct - 1).toDouble) /
-            ((col("vk").cast("double") + lit(Two63)) / lit(Two64)))
+            ((element_at(col("us"), kDistinct).cast("double") + lit(Two63)) / lit(Two64)))
           .as("kmv_distinct"))
 
-    // ---- bottom-k row sample + interpolated percentiles ----
-    val sw = Window.partitionBy(col("g"))
-      .orderBy(unsignedOrderHash(col("sid")), col("sid"))
-    val sampled = df.select(group.as("g"), value.as("v"), sampleId.as("sid"))
-      .withColumn("sr", row_number().over(sw))
-      .filter(col("sr") <= kSample)
-    val vw = Window.partitionBy(col("g")).orderBy(col("v"))
-    val ranked = sampled
-      .withColumn("vr", row_number().over(vw))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("g"))))
+    // ---- bottom-k row sample (by id hash, id tiebreak), payloads
+    // returned value-sorted → interpolated order statistics by index ----
+    val pcts = df.select(group.as("g"), value.as("v"), sampleId.as("sid"))
+      .groupBy(col("g"))
+      .agg(boundedMinKSample(
+        unsignedOrderHash(col("sid")), col("sid"), col("v"), kSample).as("vs"))
     val pctCols = quantiles.map { q =>
-      val pos = lit(q) * (col("m") - 1).cast("double")
+      val m = size(col("vs"))
+      val pos = lit(q) * (m - 1).cast("double")
       val lo = floor(pos)
       val frac = pos - lo
-      val vLo = max(when(col("vr") === lo + 1, col("v")))
-      val vHi = max(when(col("vr") === least(lo + 2, col("m").cast("double")), col("v")))
-      // frac is constant within a group; max() is the cross-engine-safe
-      // "any value" (DuckDB's first() is order-dependent)
-      (vLo + (vHi - vLo) * max(frac))
-        .as(s"p${(q * 100).round}_value")
+      val vLo = element_at(col("vs"), (lo + 1).cast("int"))
+      val vHi = element_at(col("vs"), least(lo + 2, m.cast("double")).cast("int"))
+      (vLo + (vHi - vLo) * frac).as(s"p${(q * 100).round}_value")
     }
-    val pcts = ranked.groupBy(col("g")).agg(pctCols.head, pctCols.tail: _*)
 
-    kmv.join(pcts, Seq("g"))
+    kmv.join(pcts.select(col("g") +: pctCols: _*), Seq("g"))
   }
 }
