@@ -1496,6 +1496,17 @@ object Queries {
     "ev_sketch_det" -> graft.functions.HashReplaySql.kmvSketchOracle(
       SketchKDistinct, SketchKSample, SketchQuantiles),
 
+    // the multimodal DECODE stays a stub, but the query's served columns
+    // (id, declared modality, payload byte length) are plain relational —
+    // strlen() is DuckDB's byte length
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // FNV-1a replay, one recursive-CTE step per character. The Spark
     // kernel hashes UTF-8 BYTES while ord() yields code points — equal on
     // the all-ASCII corpus (asserted: the testdata matches [ -~]*); the

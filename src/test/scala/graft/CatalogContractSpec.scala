@@ -23,7 +23,7 @@ class CatalogContractSpec extends AnyFunSuite {
     // doesn't), so they are rows-only exactly while uncaptured.
     val rowsOnly = Queries.catalog.keySet.diff(Queries.oracle.keySet)
     val declared = Set(
-      "dd_semdedup_fixed", "ev_sketch", "mm_features") ++
+      "dd_semdedup_fixed", "ev_sketch") ++
       (Set("dd_semdedup", "emb_kmeans", "dd_semdedup_verdicts")
         -- Queries.centroidOracle.keySet) ++
       (Set("ann_ivf", "ann_ivf_knn") -- Queries.ivfOracle.keySet) ++
