@@ -984,9 +984,13 @@ object Queries {
     * sf0.01+ (coarse cells run ~62 soft members there); split softP=3
     * buys margin on this testdata's adversarially weak τ=0.45 pairs
     * (measured at maxCell=64: hard splits 0.64 recall, soft-2 1.0 but
-    * only 0.86 at maxCell=48, soft-3 1.0 across the grid). Rows-only: the
-    * xxhash64-ordered in-cell seed sampling is not DuckDB-replayable;
-    * subset/recall/cell-size invariants are bounded in ClusteringSpec.
+    * only 0.86 at maxCell=48, soft-3 1.0 across the grid). Oracled
+    * exactly: the whole split recursion — xxh64-ordered seed sampling,
+    * adaptive fanout, freeze check, float-rounded normalization — unrolls
+    * level by level in generated SQL
+    * ([[graft.functions.HashReplaySql.fixedSemdedupOracle]]);
+    * subset/recall/cell-size invariants are additionally bounded in
+    * ClusteringSpec.
     */
   val SemDedupMaxCell = 64
   val SemDedupSplitProbe = 3
@@ -1304,6 +1308,9 @@ object Queries {
              |$semPairs
              |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
              |WHERE c >= $SemDedupThreshold ORDER BY a_id, b_id""".stripMargin,
+        "dd_semdedup_fixed" -> graft.functions.HashReplaySql.fixedSemdedupOracle(
+          centsValuesSql(cs), SemDedupMaxCell, SemDedupProbe,
+          SemDedupSplitProbe, softLevels = 1, SemDedupThreshold),
         "dd_semdedup_verdicts" ->
           s"""${assignRanked.replaceFirst("^WITH ", "WITH RECURSIVE ")},
              |$semPairs,

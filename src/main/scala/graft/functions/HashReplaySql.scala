@@ -174,6 +174,135 @@ private[graft] object HashReplaySql {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Exact replay of [[graft.vector.Clustering.semdedupPairsFixed]] — the
+    * whole recursive soft-split discovery unrolled to `maxDepth` static
+    * levels. Per level: membership counts, the no-shrink freeze check
+    * against the previous level (a child as large as its parent is an
+    * argmax-indistinguishable duplicate group), overshoot-adaptive
+    * fanout, seed sampling in (xxh64(id), id) order (the id hashes ride
+    * one CteChain, reused by every level), float-rounded seed
+    * normalization (CAST AS FLOAT = Scala .toFloat, round-to-nearest),
+    * member×seed ordered-SUM dots, and top-softP/argmax branching with
+    * ties to the higher seed index. Settled memberships union into the
+    * leaf set; exact cosine verifies within leaves. Every per-level CTE
+    * is MATERIALIZED — each references its predecessor several times, so
+    * inlining would expand the plan ~4^depth (measured: minutes vs 2.4s).
+    */
+  def fixedSemdedupOracle(
+      centsValues: String,
+      maxCell: Int,
+      coarseP: Int,
+      softP: Int,
+      softLevels: Int,
+      threshold: Double
+  ): String = {
+    val enc = graft.vector.Clustering.MaxFanout + 1
+    val maxFan = graft.vector.Clustering.MaxFanout
+    val maxDepth = graft.vector.Clustering.MaxSplitDepth
+
+    val cId = new CteChain("ih", "ihsrc", Seq("id", "xu"))
+    val hh = cId.xxhLong("xu", Left(42L))
+    cId.drop(Set("xu"))
+    val idhCtes = cId.render(s"id, ${toSigned(hh)} AS u", "idh")
+
+    val levels = new StringBuilder
+    val settled = scala.collection.mutable.ListBuffer.empty[String]
+    var prev = "m0"
+    for (l <- 0 until maxDepth) {
+      val sp = if (l < softLevels) softP else 1
+      val frz =
+        if (l == 0) s"frz_0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS cluster LIMIT 0)"
+        else
+          s"""frz_$l AS MATERIALIZED (
+             |  SELECT c.cluster FROM cnt_$l c JOIN cnt_${l - 1} p
+             |    ON p.cluster = (c.cluster - 1) // $enc AND p.cnt = c.cnt)""".stripMargin
+      levels.append(
+        s"""cnt_$l AS MATERIALIZED (
+           |  SELECT cluster, count(*) AS cnt FROM $prev GROUP BY cluster HAVING count(*) > $maxCell),
+           |$frz,
+           |liv_$l AS MATERIALIZED (
+           |  SELECT c.cluster, c.cnt,
+           |    least($maxFan, greatest(2, 4 * CAST(ceil(CAST(c.cnt AS DOUBLE) / $maxCell) AS BIGINT))) AS fo
+           |  FROM cnt_$l c
+           |  WHERE c.cluster NOT IN (SELECT cluster FROM frz_$l WHERE cluster IS NOT NULL)),
+           |sr_$l AS MATERIALIZED (
+           |  SELECT m.cluster, m.id, v.fo,
+           |    row_number() OVER (PARTITION BY m.cluster ORDER BY uh.u, m.id) AS rn
+           |  FROM $prev m JOIN liv_$l v USING (cluster) JOIN idh uh ON uh.id = m.id),
+           |sv_$l AS MATERIALIZED (
+           |  SELECT s.cluster, s.rn - 1 AS sidx, e.i,
+           |    CAST(CASE WHEN n.nrm = 0 THEN CAST(e.v AS DOUBLE)
+           |         ELSE CAST(e.v AS DOUBLE) / n.nrm END AS FLOAT) AS sv
+           |  FROM sr_$l s
+           |  JOIN e ON e.vec_id = s.id
+           |  JOIN vnorm n ON n.vec_id = s.id
+           |  WHERE s.rn <= s.fo),
+           |d_$l AS MATERIALIZED (
+           |  SELECT m.id, m.cluster, s.sidx,
+           |    SUM(CAST(ev.v AS DOUBLE) * CAST(s.sv AS DOUBLE) ORDER BY ev.i) AS dot
+           |  FROM $prev m
+           |  JOIN e ev ON ev.vec_id = m.id
+           |  JOIN sv_$l s ON s.cluster = m.cluster AND s.i = ev.i
+           |  GROUP BY m.id, m.cluster, s.sidx),
+           |set_$l AS MATERIALIZED (
+           |  SELECT id, cluster FROM $prev
+           |  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM sv_$l)),
+           |m${l + 1} AS MATERIALIZED (
+           |  SELECT id, cluster * $enc + 1 + sidx AS cluster
+           |  FROM (SELECT id, cluster, sidx,
+           |          row_number() OVER (PARTITION BY id, cluster ORDER BY dot DESC, sidx DESC) AS r
+           |        FROM d_$l)
+           |  WHERE r <= $sp),
+           |""".stripMargin)
+      settled += s"SELECT id, cluster FROM set_$l"
+      prev = s"m${l + 1}"
+    }
+    settled += s"SELECT id, cluster FROM $prev"
+
+    s"""WITH cents AS (SELECT * FROM (VALUES $centsValues) AS t(cell, i, cv)),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |dots AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cell,
+       |    SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY e.i) AS dot
+       |  FROM e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.cell),
+       |ranked AS MATERIALIZED (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
+       |  FROM dots),
+       |m0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(cell AS BIGINT) + 1 AS cluster
+       |  FROM ranked WHERE rk <= $coarseP),
+       |vnorm AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i)) AS nrm
+       |  FROM e GROUP BY vec_id),
+       |ihsrc AS MATERIALIZED (
+       |  SELECT id, CAST(CASE WHEN id < 0 THEN CAST(id AS HUGEINT) + $M64
+       |                       ELSE CAST(id AS HUGEINT) END AS UBIGINT) AS xu
+       |  FROM (SELECT DISTINCT vec_id AS id FROM embeddings)),
+       |$idhCtes,
+       |${levels.toString}leaf AS MATERIALIZED (${settled.mkString(" UNION ALL ")}),
+       |prs AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM leaf a JOIN leaf b ON a.cluster = b.cluster AND a.id < b.id),
+       |pd AS MATERIALIZED (
+       |  SELECT p.a_id, p.b_id,
+       |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot
+       |  FROM prs p
+       |  JOIN e ea ON ea.vec_id = p.a_id
+       |  JOIN e eb ON eb.vec_id = p.b_id AND ea.i = eb.i
+       |  GROUP BY p.a_id, p.b_id),
+       |scored AS MATERIALIZED (
+       |  SELECT pd.a_id, pd.b_id,
+       |    CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+       |         ELSE pd.dot / (na.nrm * nb.nrm) END AS c
+       |  FROM pd JOIN vnorm na ON na.vec_id = pd.a_id
+       |  JOIN vnorm nb ON nb.vec_id = pd.b_id)
+       |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
+       |WHERE c >= $threshold ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Exact replay of [[graft.operators.Sketches.eventSketch]]: XXH64 of
     * user/event ids (sign-bit-flipped so signed order = unsigned order),
     * per-group KMV rank/estimate and bottom-k sample with interpolated

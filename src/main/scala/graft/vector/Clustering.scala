@@ -153,8 +153,8 @@ object Clustering {
     * first; such a cell is trivially all-pairs anyway) — though those are
     * normally caught earlier and frozen by the no-shrink check.
     */
-  private val MaxFanout = 64
-  private val MaxSplitDepth = 9
+  val MaxFanout = 64
+  val MaxSplitDepth = 9
 
   /** Recursively split every cluster larger than `maxCell` with a k-way
     * argmax-dot partition around seeds sampled INSIDE the cluster

@@ -22,10 +22,9 @@ class CatalogContractSpec extends AnyFunSuite {
     // executed in this JVM (Verify's order guarantees it; suite order here
     // doesn't), so they are rows-only exactly while uncaptured.
     val rowsOnly = Queries.catalog.keySet.diff(Queries.oracle.keySet)
-    val declared = Set(
-      "dd_semdedup_fixed", "ev_sketch") ++
-      (Set("dd_semdedup", "emb_kmeans", "dd_semdedup_verdicts")
-        -- Queries.centroidOracle.keySet) ++
+    val declared = Set("ev_sketch") ++
+      (Set("dd_semdedup", "emb_kmeans", "dd_semdedup_verdicts",
+        "dd_semdedup_fixed") -- Queries.centroidOracle.keySet) ++
       (Set("ann_ivf", "ann_ivf_knn") -- Queries.ivfOracle.keySet) ++
       (Set("ann_lsh") -- Queries.lshOracle.keySet)
     assert(rowsOnly == declared,
