@@ -163,6 +163,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_"), "pair dedup must map-side combine")
   }
 
+  test("ev_sketch_det: bounded heaps partial-aggregate map-side, no window sort") {
+    val p = plan("ev_sketch_det")
+    assert(p.contains("partial_bounded_min_k"),
+      "KMV heap must combine map-side before the exchange")
+    assert(p.contains("partial_bounded_min_k_sample"),
+      "sample heap must combine map-side before the exchange")
+    assert(!p.contains("Window"),
+      s"sketches must be aggregates, not per-group window sorts:\n$p")
+  }
+
   test("dd_semdedup_fixed: leaf-key equi-join, not all-pairs") {
     val p = plan("dd_semdedup_fixed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
