@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Streaming cardinality monitoring: the KMV distinct sketch as
+  * per-group `mapGroupsWithState` — live distinct-count estimates over an
+  * unbounded key stream (drift detection on ingest: a corpus whose
+  * per-source user/document cardinality jumps is worth an alert long
+  * before a batch job would notice).
+  *
+  * The state is the sketch itself — the ≤ k smallest distinct
+  * sign-flipped xxhash64 values seen so far — so state size is O(k) per
+  * group forever, and folding a batch into it is exactly the batch
+  * aggregate's merge ([[graft.operators.Sketches]]): after ANY
+  * batch/stream split of the same events, the final estimate is
+  * identical to the batch sketch's (asserted in SketchStreamSpec).
+  */
+object SketchStream {
+
+  final case class KeyEvent(group: String, key: Long)
+  final case class KmvState(hashes: Array[Long])
+  final case class GroupEstimate(group: String, kmv_distinct: Double)
+
+  def apply(events: Dataset[KeyEvent], k: Int): Dataset[GroupEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("group"),
+        xxhash64(col("key")).bitwiseXOR(lit(Long.MinValue)).as("u"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, GroupEstimate](GroupStateTimeout.NoTimeout()) {
+        (g, rows, state) =>
+          val prev = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+          val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          GroupEstimate(g, graft.operators.Sketches.kmvEstimate(merged, k))
+      }
+  }
+}
