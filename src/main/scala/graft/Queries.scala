@@ -782,6 +782,47 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The pipeline's FINAL ANSWER: one keep/drop verdict per document,
+    * composing every text-side gate in one query — eval-slice exclusion,
+    * train-split membership, exact dedup (md5-group min-id keeper),
+    * near-dup clusters (the standing pair-graph artifact, min-id keeper),
+    * and benchmark decontamination. `reason` names the FIRST failing gate
+    * in that fixed order; `keep=1` survives them all. This is the query a
+    * training-data user actually runs — everything else in the dd_*
+    * family is one of its stages.
+    */
+  val ddKeepset: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val exact = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val keepers = exact.groupBy(col("content_hash")).agg(min(col("doc_id")).as("keep_id"))
+    val exactFlag = exact.join(keepers, Seq("content_hash"))
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("exact_keeper"))
+    val comps = graft.operators.Components.ensureComponents(s,
+      ensureNgramPairs(s, dir), "a_id", "b_id",
+      graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-$ngramParamsTag")
+    val contaminated = graft.text.Decontam.overlapReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 4)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val split = graft.text.Sampling.hashSplit(docs, "doc_id",
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select(col("doc_id"), col("split"))
+    docs.select(col("doc_id"))
+      .join(exactFlag, Seq("doc_id"))
+      .join(comps.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(split, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, "eval_slice")
+          .when(col("split") =!= "train", "holdout_split")
+          .when(!col("exact_keeper"), "exact_dup")
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", when(col("reason") === "keep", 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Length-stratified deterministic downsampling — the mix-weighting
     * step of a training-data pipeline: long documents kept whole, medium
     * halved, short decimated, all as a pure function of (doc_id, stratum)
@@ -1152,6 +1193,7 @@ object Queries {
     "dd_semdedup_verdicts" -> ddSemdedupVerdicts,
     "dd_embed" -> ddEmbed,
     "dd_split" -> ddSplit,
+    "dd_keepset" -> ddKeepset,
     "dd_stratified" -> ddStratified,
     "dd_pack" -> ddPack,
     "dd_embed_lsh" -> ddEmbedLsh,
@@ -1494,6 +1536,76 @@ object Queries {
     // reproduced bit-exactly via graft.functions.HashReplaySql
     "dd_minhash" -> graft.functions.HashReplaySql.minhashOracle(
       MinhashShingleN, MinhashK, MinhashBands, MinhashThreshold),
+
+    // the end-to-end keep-list: composes the proven dd_clusters
+    // (3-gram pairs + reachability), dd_decontam (4-gram overlap),
+    // dd_exact (md5 keeper) and dd_split (md5 bucket) oracle fragments
+    "dd_keepset" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+         |  FROM raw WHERE tok <> ''),
+         |shn3 AS (
+         |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |sh3a AS (SELECT DISTINCT doc_id, sh FROM shn3 WHERE sh IS NOT NULL),
+         |sh3 AS (SELECT doc_id, sh FROM sh3a
+         |        QUALIFY count(*) OVER (PARTITION BY sh) <= $NgramMaxDf),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |prs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM prs
+         |          UNION SELECT b_id, a_id FROM prs),
+         |reach AS (
+         |  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT g.u, r.comp FROM edges g JOIN reach r ON g.v = r.u),
+         |comp AS (SELECT u, min(comp) AS comp FROM reach GROUP BY u),
+         |shn4 AS (
+         |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w4 || ' ' || lead(tok, 2) OVER w4
+         |           || ' ' || lead(tok, 3) OVER w4 AS sh
+         |  FROM toks WINDOW w4 AS (PARTITION BY doc_id ORDER BY p)),
+         |sh4 AS (SELECT DISTINCT doc_id, sh FROM shn4 WHERE sh IS NOT NULL),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM sh4 c JOIN (SELECT sh FROM sh4 WHERE doc_id % 50 = 0) e ON c.sh = e.sh
+         |  WHERE c.doc_id % 50 <> 0),
+         |keepers AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1),
+         |exactf AS (
+         |  SELECT d.doc_id, k.keep_id FROM documents d JOIN keepers k ON md5(d.text) = k.h),
+         |splt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS INT) AS bucket
+         |        FROM documents)),
+         |verd AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 50 = 0 THEN 'eval_slice'
+         |         WHEN s.split <> 'train' THEN 'holdout_split'
+         |         WHEN e.keep_id <> d.doc_id THEN 'exact_dup'
+         |         WHEN c.comp IS NOT NULL AND c.comp <> d.doc_id THEN 'near_dup'
+         |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |         ELSE 'keep' END AS reason
+         |  FROM documents d
+         |  JOIN exactf e ON e.doc_id = d.doc_id
+         |  LEFT JOIN comp c ON c.u = d.doc_id
+         |  LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+         |  JOIN splt s ON s.doc_id = d.doc_id)
+         |SELECT doc_id, reason,
+         |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM verd ORDER BY doc_id""".stripMargin,
 
     // SimHash replay — same token-hash prefix, per-bit votes, band LSH,
     // bit_count hamming
