@@ -54,9 +54,17 @@ object JetLinkage {
     val pageCols = page.columns.map(col)
     val nextRows = page.join(broadcast(n), col("hash") === col("_nfp"), "left")
       .select(pageCols :+ lit("n").as("_kind") :+ col("_nid"): _*)
-    val prevRows = page.join(broadcast(n),
-        col("first_prev_hash") === col("_nh") || col("second_prev_hash") === col("_nh"),
-        "left")
+    // The prev relation is "my first OR second prev hash equals the
+    // neighbor's hash". An OR of equi-conditions cannot hash-join (Spark
+    // degrades to BroadcastNestedLoopJoin — every page row scans every
+    // neighbor row), so explode the two prev hashes into one key column
+    // and join on a single equality. `array_distinct` preserves the OR's
+    // match multiplicity when the two prev hashes coincide (the
+    // two-parent merge branch): the OR matched such a neighbor once.
+    val prevRows = page
+      .withColumn("_pk",
+        explode(array_distinct(array(col("first_prev_hash"), col("second_prev_hash")))))
+      .join(broadcast(n), col("_pk") === col("_nh"), "left")
       .select(pageCols :+ lit("p").as("_kind") :+ col("_nid"): _*)
     nextRows.unionByName(prevRows)
       .groupBy(pageCols: _*)
@@ -80,10 +88,14 @@ object JetLinkage {
     val withNext = page.join(broadcast(nexts), col("hash") === col("_nh"), "left")
       .groupBy(page.columns.map(col): _*)
       .agg(count(col("_nh")).as("next_count"))
+    // Same equi-join rewrite as [[hashLinkIds]]: explode the two prev
+    // hashes (deduplicated, so a merge drop whose parents share a hash
+    // still counts each matching neighbor once) instead of an OR
+    // predicate that would plan a BroadcastNestedLoopJoin.
     withNext
-      .join(broadcast(prevs),
-        col("first_prev_hash") === col("_ph") || col("second_prev_hash") === col("_ph"),
-        "left")
+      .withColumn("_pk",
+        explode(array_distinct(array(col("first_prev_hash"), col("second_prev_hash")))))
+      .join(broadcast(prevs), col("_pk") === col("_ph"), "left")
       .groupBy(withNext.columns.map(col): _*)
       .agg(count(col("_ph")).as("prev_count"))
   }

@@ -227,6 +227,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("be_jet_links_hash: prev-hash linkage is hash-joined, never nested-loop") {
+    // The prev relation ORs two hash columns against the neighbor hash; the
+    // naive OR-predicate join planned BroadcastNestedLoopJoin (page × span
+    // scan — the round-5 fresh-session 3.1 q/s floor). The explode rewrite
+    // must keep every join a BroadcastHashJoin.
+    val p = plan("be_jet_links_hash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"hash linkage must be equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "neighbor span must broadcast against the page")
+  }
+
   test("txt_idf: top-50 is TakeOrderedAndProject, not a global sort") {
     val p = plan("txt_idf")
     assert(p.contains("TakeOrderedAndProject(limit=50"))
