@@ -134,7 +134,7 @@ object Queries {
     * (P4 + P5 + W1 + W5).
     */
   val beRecordsPage: Q = (s, dir) => {
-    val r = Domain.records(s, dir)
+    val r = Domain.servedRecords(s, dir)
       .filter(Predicates.range(col("pulse_number"), gte = Some(473500L), lte = Some(473900L)))
       .filter(Predicates.keysetFrom(col("pulse_number"), col("order"), 473700L, 5L, asc = false))
     Pagination.page(r,
@@ -148,7 +148,7 @@ object Queries {
     * (reference: `etl/storage/storage.go:258-283`).
     */
   val beLifeline: Q = (s, dir) => {
-    val r = Domain.records(s, dir)
+    val r = Domain.servedRecords(s, dir)
       .filter(col("object_reference") === 7L && col("type") === "state")
       .filter(Predicates.keysetFrom(col("pulse_number"), col("order"), 473400L, 1L, asc = true))
     Pagination.page(r,
@@ -162,7 +162,7 @@ object Queries {
     * (J3 repair + A1 counters + W2/W5).
     */
   val bePulsesPage: Q = (s, dir) => {
-    val p = PulseChain.repairChain(Domain.pulses(Domain.records(s, dir)))
+    val p = PulseChain.repairChain(Domain.servedPulses(s, dir))
     Pagination.page(p, Seq(col("pulse_number").desc), 20)
       .select(col("pulse_number"), col("prev_pulse_number"), col("next_pulse_number"),
         col("jet_drop_amount"), col("record_amount"), col("timestamp"),
@@ -171,7 +171,7 @@ object Queries {
 
   /** Full pulse chain with `-1` sentinel repair (J2/J3/W6). */
   val bePulseChain: Q = (s, dir) => {
-    PulseChain.repairChain(Domain.pulses(Domain.records(s, dir)))
+    PulseChain.repairChain(Domain.servedPulses(s, dir))
       .select(col("pulse_number"), col("prev_pulse_number"), col("next_pulse_number"),
         col("is_sequential"))
       .orderBy(col("pulse_number"))
@@ -179,7 +179,7 @@ object Queries {
 
   /** Jet drops by pulse range with a jet-id cursor (W4 + A2). */
   val beJetDropsPage: Q = (s, dir) => {
-    Domain.jetDrops(Domain.records(s, dir))
+    Domain.servedJetDrops(s, dir)
       .filter(col("pulse_number").between(473600L, 473700L) && col("jet_id") >= "010")
       .select(Codecs.jetDropIdString(col("jet_id"), col("pulse_number")).as("jet_drop_id"),
         col("pulse_number"), col("jet_id"), col("record_amount"), col("timestamp"), col("hash"))
@@ -191,7 +191,7 @@ object Queries {
     * (P6 + W3, reference: `etl/storage/storage.go:533-561`).
     */
   val beJetTree: Q = (s, dir) => {
-    Domain.jetDrops(Domain.records(s, dir))
+    Domain.servedJetDrops(s, dir)
       .filter(col("pulse_number").between(473400L, 473800L))
       .filter(JetFunctions.jetTreePredicate(col("jet_id"), "10"))
       .select(col("pulse_number"), col("jet_id"), col("record_amount"))
@@ -203,7 +203,7 @@ object Queries {
     * over the filtered frame, then the sorted page).
     */
   val beRecordsTotal: Q = (s, dir) => {
-    val r = Domain.records(s, dir)
+    val r = Domain.servedRecords(s, dir)
       .filter(col("object_reference") === 7L)
     Pagination.pageWithTotal(r,
         Seq(col("pulse_number").desc, col("order").desc, col("reference").desc), 10)
@@ -217,7 +217,7 @@ object Queries {
     */
   val beLifelineIdx: Q = (s, dir) => {
     val path = graft.vector.AnnIndex.indexRoot(dir) + "/lifeline"
-    graft.ingest.LifelineLayout.ensure(Domain.records(s, dir), path)
+    graft.ingest.LifelineLayout.ensure(Domain.servedRecords(s, dir), path)
     graft.ingest.LifelineLayout.lifeline(s, path, 7L)
       .filter(col("type") === "state")
       .select(col("reference"), col("type"), col("object_reference"),
@@ -231,7 +231,7 @@ object Queries {
     * of `GET /pulses` — `filterByTimestamp`, storage.go:210-218, + A3).
     */
   val bePulsesTotal: Q = (s, dir) => {
-    val p = Domain.pulses(Domain.records(s, dir))
+    val p = Domain.servedPulses(s, dir)
       .filter(Predicates.range(col("timestamp"),
         gte = Some(1704636000L), lte = Some(1704959999L)))
     Pagination.pageWithTotal(p, Seq(col("pulse_number").desc), 10)
@@ -242,7 +242,7 @@ object Queries {
     * endpoint shape, storage.go:475-494 + A3).
     */
   val beDropsTotal: Q = (s, dir) => {
-    val d = Domain.jetDrops(Domain.records(s, dir))
+    val d = Domain.servedJetDrops(s, dir)
       .filter(col("pulse_number") === 473650L)
     Pagination.pageWithTotal(d, Seq(col("jet_id").asc), 5)
       .select(Codecs.jetDropIdString(col("jet_id"), col("pulse_number")).as("jet_drop_id"),
@@ -251,7 +251,7 @@ object Queries {
 
   /** W5 — classic limit/offset page over the pulse dimension. */
   val bePulsesOffset: Q = (s, dir) => {
-    Pagination.page(Domain.pulses(Domain.records(s, dir)),
+    Pagination.page(Domain.servedPulses(s, dir),
         Seq(col("pulse_number").asc), limit = 15, offset = 30)
       .select(col("pulse_number"), col("record_amount"), col("jet_drop_amount"))
   }
@@ -260,7 +260,7 @@ object Queries {
     * observed pulse range (anti-join of a generated dense range).
     */
   val beMissingPulses: Q = (s, dir) => {
-    val r = Domain.records(s, dir)
+    val r = Domain.servedRecords(s, dir)
     val expected = r.agg(min(col("pulse_number")).as("mn"), max(col("pulse_number")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("pulse_number"))
     val present = r.filter(col("type") === "result").select(col("pulse_number")).distinct()
@@ -269,7 +269,7 @@ object Queries {
 
   /** ST2 completeness + sequence flags (jet-tree cover per pulse). */
   val beCompleteness: Q = (s, dir) => {
-    Domain.pulses(Domain.records(s, dir))
+    Domain.servedPulses(s, dir)
       .select(col("pulse_number"), col("is_complete"), col("is_sequential"))
       .orderBy(col("pulse_number"))
   }
@@ -278,8 +278,8 @@ object Queries {
     * containing matching records, with the filtered recount.
     */
   val beExporterNext: Q = (s, dir) => {
-    val r = Domain.records(s, dir)
-    val p = Domain.pulses(r).filter(col("is_complete") && col("pulse_number") > 473400L)
+    val r = Domain.servedRecords(s, dir)
+    val p = Domain.servedPulses(s, dir).filter(col("is_complete") && col("pulse_number") > 473400L)
     val matched = r.filter(col("event_type") === "purchase")
       .groupBy(col("pulse_number")).agg(count(lit(1)).as("record_amount"))
     p.select(col("pulse_number"), col("prev_pulse_number"))
@@ -327,7 +327,7 @@ object Queries {
     * lists via the prev-hash pointers (reference `api/handlers.go:207-297`).
     */
   val beJetLinksHash: Q = (s, dir) => {
-    val drops = Domain.jetDrops(Domain.records(s, dir))
+    val drops = Domain.servedJetDrops(s, dir)
       .withColumn("jet_drop_id", Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
     val page = drops.filter(col("pulse_number").between(473600L, 473610L))
       .select(col("jet_drop_id"), col("pulse_number"), col("jet_id"), col("hash"),

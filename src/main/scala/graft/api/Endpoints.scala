@@ -19,10 +19,13 @@ object Endpoints {
     require(Pagination.validOffset(offset), s"offset must be >= 0: $offset")
   }
 
-  private def views(spark: SparkSession, dir: String) = {
-    val r = Domain.records(spark, dir)
-    (r, Domain.jetDrops(r), Domain.pulses(r))
-  }
+  // Endpoints serve from the materialized spine (Domain.served*): the
+  // reference maintains these tables at write time and every read is an
+  // indexed scan — per-request recomputation of a fact-wide window or
+  // groupBy would not survive the 100 TB read path.
+  private def views(spark: SparkSession, dir: String) =
+    (Domain.servedRecords(spark, dir), Domain.servedJetDrops(spark, dir),
+      Domain.servedPulses(spark, dir))
 
   /** GET /pulses — list with recomputed chain links, newest first, plus
     * the `{total}` count of the filtered set. Timestamp bounds are unix

@@ -101,6 +101,52 @@ object Domain {
         .otherwise(lit(null).cast("string")))
   }
 
+  // ---------------- materialized serving spine ----------------
+
+  /** Root for the per-corpus spine artifacts. Shares the fingerprinted
+    * scratch root with the ANN indexes ([[graft.vector.AnnIndex.indexRoot]])
+    * so regenerated source data rebuilds under a new path, never serving
+    * stale rows.
+    */
+  def spineRoot(dir: String): String =
+    graft.vector.AnnIndex.indexRoot(dir) + "/spine"
+
+  /** The records fact, persisted ONCE per corpus and served from parquet
+    * thereafter — the reference's actual storage shape: row order and
+    * counters are maintained at WRITE time (`etl/storage/storage.go:56-60`),
+    * never recomputed per read. The lazy [[records]] view stays the
+    * definition (and the builder); the read endpoints serve THIS. Rows are
+    * range-clustered and sorted by (pulse, jet, order) so the pulse-range
+    * and keyset predicates of every list endpoint prune via parquet
+    * row-group stats instead of re-scanning the event feed.
+    */
+  def servedRecords(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/records") {
+      records(spark, dir)
+        .repartitionByRange(col("pulse_number"), col("jet_id"))
+        .sortWithinPartitions("pulse_number", "jet_id", "order")
+    }
+
+  /** The jet_drops dimension, persisted once per corpus (built from the
+    * records spine so the W7 window never re-runs).
+    */
+  def servedJetDrops(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/jet_drops") {
+      jetDrops(servedRecords(spark, dir))
+        .repartitionByRange(col("pulse_number"))
+        .sortWithinPartitions("pulse_number", "jet_id")
+    }
+
+  /** The pulses dimension, persisted once per corpus. Tiny (one row per
+    * pulse — time-bounded, not data-bounded), so a single sorted file.
+    */
+  def servedPulses(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/pulses") {
+      pulses(servedRecords(spark, dir))
+        .repartition(1)
+        .sortWithinPartitions("pulse_number")
+    }
+
   /** Register the three domain tables as temp views (plus the library's
     * native SQL functions), so SQL-first users query `records`,
     * `jet_drops` and `pulses` directly with `spark.sql` — the relational

@@ -77,10 +77,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_count"), "sizes/pair counts must map-side combine")
   }
 
-  test("records page: pulse-range predicate sits at the scan, keyset above the window") {
+  test("records page: serves the spine artifact with pulse bounds pushed to the scan") {
     val p = plan("be_records_page")
-    assert(p.contains("PushedFilters: [IsNotNull(ts)]"))
-    assert(p.contains("3600000000000) >= 473500"), "derived pulse bound must reach the scan filter")
+    assert(p.contains("spine/records"),
+      "list endpoints must scan the materialized spine, not re-derive the fact view")
+    assert(p.contains("GreaterThanOrEqual(pulse_number,473500)"),
+      s"pulse range must be a pushed parquet filter on the stored column:\n$p")
+    assert(!p.contains("Window"), "no W7 re-numbering may run on the read path")
     assert(p.contains("TakeOrderedAndProject"))
   }
 
