@@ -162,16 +162,27 @@ object Queries {
     * (J3 repair + A1 counters + W2/W5).
     */
   val bePulsesPage: Q = (s, dir) => {
-    val p = PulseChain.repairChain(Domain.servedPulses(s, dir))
-    Pagination.page(p, Seq(col("pulse_number").desc), 20)
+    // Page FIRST, then repair the 20 retrieved rows by adjacency probes
+    // against the full dimension (the reference's per-page loop +
+    // edge patch, storage.go:326-379) — no window runs over the
+    // dimension at all; the page cut is a TakeOrderedAndProject.
+    val all = Domain.servedPulses(s, dir)
+    val page = Pagination.page(all, Seq(col("pulse_number").desc), 20)
+    PulseChain.repairByAdjacency(page, all)
       .select(col("pulse_number"), col("prev_pulse_number"), col("next_pulse_number"),
         col("jet_drop_amount"), col("record_amount"), col("timestamp"),
         col("is_complete"), col("is_sequential"))
+      .orderBy(col("pulse_number").desc)
   }
 
-  /** Full pulse chain with `-1` sentinel repair (J2/J3/W6). */
+  /** Full pulse chain with `-1` sentinel repair (J2/J3/W6). The full-dump
+    * form uses the adjacency-probe repair (two parallel equi-joins) —
+    * the stored pointers follow the hourly write contract, so no
+    * single-task global window is needed.
+    */
   val bePulseChain: Q = (s, dir) => {
-    PulseChain.repairChain(Domain.servedPulses(s, dir))
+    val all = Domain.servedPulses(s, dir)
+    PulseChain.repairByAdjacency(all, all)
       .select(col("pulse_number"), col("prev_pulse_number"), col("next_pulse_number"),
         col("is_sequential"))
       .orderBy(col("pulse_number"))

@@ -43,8 +43,14 @@ object Endpoints {
     val filtered = p
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
       .filter(Predicates.range(col("timestamp"), gte = fromTimestamp, lte = toTimestamp))
-    val paged = Pagination.pageWithTotal(PulseChain.repairChain(filtered),
-      Seq(col("pulse_number").desc), page.limit, page.offset)
+    // Cut the page first, then repair the chain WITHIN the ≤1000-row page
+    // (the reference's per-page loop, storage.go:326-356): the window in
+    // repairChain only ever sees one page, never the whole dimension.
+    // (repairChain's window leaves the page ascending; restore the
+    // endpoint's newest-first presentation order — a ≤1000-row sort.)
+    val paged = PulseChain.repairChain(Pagination.pageWithTotal(filtered,
+      Seq(col("pulse_number").desc), page.limit, page.offset))
+      .orderBy(col("pulse_number").desc)
     patchPageEdges(p, paged)
   }
 

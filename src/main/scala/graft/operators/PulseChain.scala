@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * page (`etl/storage/storage.go:326-379`), with `-1` as the "unknown"
   * sentinel. In Spark this is pure `lag`/`lead` window algebra.
   *
-  * Scale note: `Window.orderBy` without partitioning is a single-task sort —
-  * fine here because it is only ever applied to the pulses DIMENSION
-  * (≈3M rows/year, kilobytes per row), never to records. For the fact table
-  * all window use is partitioned (see ChainSort / W7).
+  * Scale note: [[repairChain]]'s `Window.orderBy` without partitioning is
+  * a single-task sort, so the serving paths never hand it the full
+  * dimension: the API pages first and repairs within the ≤1000-row page
+  * (reference per-page loop), and full-dump/catalog reads use
+  * [[repairByAdjacency]] — two parallel equi-joins, exact under the
+  * hourly write contract. The general window form remains for inputs
+  * whose stored pointers may deviate (fixture chains, foreign imports).
   */
 object PulseChain {
 
@@ -46,6 +49,39 @@ object PulseChain {
         when(col("_lead").isNotNull && col("_lead_prev") === col(pulseCol), col("_lead"))
           .otherwise(lit(Unknown)))
       .drop("_lag", "_lead", "_lead_prev")
+  }
+
+  /** J3 repair specialized to the ledger WRITE CONTRACT: every stored
+    * `prev_pulse_number` is `pulse - 1` (what [[graft.model.Domain.pulses]]
+    * and the ingest writer emit — the hourly cadence has no variable
+    * spacing). Under that invariant the window algebra of [[repairChain]]
+    * collapses to an existence probe of the adjacent pulse in the full
+    * dimension: `prev = p-1` iff a row at `p-1` exists, `next = p+1` iff a
+    * row at `p+1` exists. That makes repair two equi-joins — fully
+    * parallel, no global sort — and it is exact for ANY subset `rows` of
+    * `all` (page-cut-then-repair, the reference's per-page loop,
+    * `etl/storage/storage.go:326-356`, with the edge patch built in
+    * because the probe runs against the whole dimension). Callers whose
+    * stored pointers may deviate from the contract must use
+    * [[repairChain]] instead.
+    */
+  def repairByAdjacency(
+      rows: DataFrame,
+      all: DataFrame,
+      pulseCol: String = "pulse_number",
+      prevCol: String = "prev_pulse_number"
+  ): DataFrame = {
+    val hasPrev = all.select((col(pulseCol) + 1).as("_adj_prev_of"))
+    val hasNext = all.select((col(pulseCol) - 1).as("_adj_next_of"))
+    rows
+      .join(hasPrev, col(pulseCol) === col("_adj_prev_of"), "left")
+      .join(hasNext, col(pulseCol) === col("_adj_next_of"), "left")
+      .withColumn("prev_pulse_number",
+        when(col("_adj_prev_of").isNotNull && col(prevCol) === col(pulseCol) - 1,
+          col(pulseCol) - 1).otherwise(lit(Unknown)))
+      .withColumn("next_pulse_number",
+        when(col("_adj_next_of").isNotNull, col(pulseCol) + 1).otherwise(lit(Unknown)))
+      .drop("_adj_prev_of", "_adj_next_of")
   }
 
   /** J2 — point lookups: the pulse after P is the row whose stored prev = P;

@@ -230,6 +230,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pulse chain: repair is adjacency joins, no unpartitioned window over the dimension") {
+    val p = plan("be_pulse_chain") + plan("be_pulses_page")
+    assert(!p.contains("Window"),
+      s"chain repair must be the parallel adjacency-join form on read paths:\n$p")
+    assert(plan("be_pulses_page").contains("TakeOrderedAndProject"),
+      "the page cut must happen before repair")
+  }
+
   test("be_jet_links_hash: prev-hash linkage is hash-joined, never nested-loop") {
     // The prev relation ORs two hash columns against the neighbor hash; the
     // naive OR-predicate join planned BroadcastNestedLoopJoin (page × span

@@ -31,6 +31,25 @@ class PulseChainSpec extends SparkSpec {
     assert(out.toSeq == Seq((-1L, -1L), (-1L, -1L)))
   }
 
+  test("repairByAdjacency matches the window repair on a contract-following chain") {
+    val byWindow = PulseChain.repairChain(pulses).orderBy("pulse_number")
+      .select("pulse_number", "prev_pulse_number", "next_pulse_number").collect().toSeq
+    val byJoin = PulseChain.repairByAdjacency(pulses, pulses).orderBy("pulse_number")
+      .select("pulse_number", "prev_pulse_number", "next_pulse_number").collect().toSeq
+    assert(byJoin == byWindow)
+  }
+
+  test("repairByAdjacency is exact for a page cut (probes run against the full dimension)") {
+    // cut a one-row "page" out of the middle: the full-table repair gives
+    // (11 -> prev 10, next -1); a window over the page alone could not
+    // see pulse 10 at all
+    val page = pulses.filter(col("pulse_number") === 11L)
+    val out = PulseChain.repairByAdjacency(page, pulses)
+      .select("prev_pulse_number", "next_pulse_number")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, -1L)))
+  }
+
   test("point lookups: nextPulse and aggregates") {
     import spark.implicits._
     val df = Seq((10L, 9L, true), (11L, 10L, true), (13L, 12L, false))
