@@ -763,19 +763,38 @@ object Queries {
   val AnnIvfKnnK = 3
   val AnnIvfKnnProbe = 8
 
-  /** The persisted index's (sample, unrefined) centroid set, captured per
-    * execution for the replay oracle — float32-exact through the parquet
-    * round-trip, so the replay sees the same literals whether the index
-    * was just built or read back.
-    */
-  @volatile private var ivfCents: Option[Array[Seq[Float]]] = None
+  // ---- replay-oracle capture registry ----
+  // Captures (IVF/kmeans centroids, LSH probe lists) are keyed by DATASET
+  // DIR, and the generated-oracle accessors read only the most recently
+  // captured dir's entries: a JVM that runs catalog queries against two
+  // datasets can never dump one dataset's literals into the other's
+  // oracle_sql.json — an uncaptured family is absent (rows-only), never
+  // stale-wrong. Values are float32-exact through the parquet round-trip,
+  // so the replay sees the same literals whether the index was just built
+  // or read back.
+  @volatile private var captureDir: String = ""
+  private val ivfCentsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Float]]]()
+  private val kmeansCentsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Float]]]()
+  private val lshProbesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+  private def ivfCents: Option[Array[Seq[Float]]] = Option(ivfCentsByDir.get(captureDir))
+  private def kmeansCents: Option[Array[Seq[Float]]] = Option(kmeansCentsByDir.get(captureDir))
+  private def lshProbes: Option[Seq[Long]] = Option(lshProbesByDir.get(captureDir))
+  private def captureIvf(dir: String, cs: Array[Seq[Float]]): Unit = {
+    ivfCentsByDir.put(dir, cs); captureDir = dir
+  }
+  private def captureLsh(dir: String, probes: Seq[Long]): Unit = {
+    lshProbesByDir.put(dir, probes); captureDir = dir
+  }
 
   val annIvf: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     import s.implicits._
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
     val path = graft.vector.AnnIndex.ivfPath(dir)
-    ivfCents = Some(graft.vector.AnnIndex.ensureIvf(emb, path))
+    captureIvf(dir, graft.vector.AnnIndex.ensureIvf(emb, path))
     // nProbe=6 of 16 cells: measured recall@10 ≈ 0.8 reading ~a third of
     // the corpus on this testdata (neighbor cosines are weak, 0.28-0.37,
     // so harder pruning costs recall — see RecallInvariantsSpec).
@@ -1001,10 +1020,9 @@ object Queries {
     * so the capture is populated there; when unset (kmeans never ran or
     * failed) the dynamic oracle entries are simply omitted → rows-only.
     */
-  @volatile private var kmeansCents: Option[Array[Seq[Float]]] = None
-  private def capturedCentroids(emb: DataFrame): Array[Seq[Float]] = {
+  private def capturedCentroids(emb: DataFrame, dir: String): Array[Seq[Float]] = {
     val cs = graft.vector.Clustering.centroids(emb, KmeansK, KmeansIters)
-    kmeansCents = Some(cs)
+    kmeansCentsByDir.put(dir, cs); captureDir = dir
     cs
   }
 
@@ -1014,7 +1032,7 @@ object Queries {
     */
   val embKmeans: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    graft.vector.Clustering.assignTo(emb, capturedCentroids(emb))
+    graft.vector.Clustering.assignTo(emb, capturedCentroids(emb, dir))
       .orderBy(col("vec_id"))
   }
 
@@ -1024,7 +1042,7 @@ object Queries {
     */
   val ddSemdedup: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    graft.vector.Clustering.semdedupPairsWith(emb, capturedCentroids(emb),
+    graft.vector.Clustering.semdedupPairsWith(emb, capturedCentroids(emb, dir),
         dim = 64, threshold = SemDedupThreshold, p = SemDedupProbe)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy(col("a_id"), col("b_id"))
@@ -1074,7 +1092,7 @@ object Queries {
     // path reads the artifact without running a single seeding job
     val comps = graft.operators.Components.ensureComponents(s,
       graft.vector.Clustering.semdedupPairsWith(emb,
-        capturedCentroids(emb), dim = 64, threshold = SemDedupThreshold,
+        capturedCentroids(emb, dir), dim = 64, threshold = SemDedupThreshold,
         p = SemDedupProbe),
       "a_id", "b_id",
       graft.vector.AnnIndex.indexRoot(dir) + s"/semdedup-clusters-$semdedupParamsTag")
@@ -1092,12 +1110,6 @@ object Queries {
     graft.text.Dedup.simhashPairs(t(s, dir, "documents"), radius = SimhashRadius)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Margin-ranked probe buckets of the last annLsh execution — the heap
-    * expansion is driver-side and deterministic, so capturing the
-    * resulting bucket list as literals replays the prune exactly.
-    */
-  @volatile private var lshProbes: Option[Seq[Long]] = None
-
   val annLsh: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     import s.implicits._
@@ -1106,7 +1118,9 @@ object Queries {
     // corpus. On this testdata's weak-signal neighbors that buys ~0.6
     // recall@10 — hyperplane LSH cannot reach 0.8 here without giving up
     // pruning (measured: 50% read → 0.7); ann_ivf is the ≥0.8 path.
-    lshProbes = Some(graft.vector.Similarity.marginProbeBuckets(
+    // margin-ranked probe buckets: the heap expansion is driver-side and
+    // deterministic, so capturing the bucket list replays the prune exactly
+    captureLsh(dir, graft.vector.Similarity.marginProbeBuckets(
       q, AnnLshBits, maxProbes = AnnLshMaxProbes))
     val path = graft.vector.AnnIndex.lshPath(dir, bits = AnnLshBits)
     graft.vector.AnnIndex.ensureLsh(emb, path, dim = q.length, bits = AnnLshBits)
@@ -1126,7 +1140,7 @@ object Queries {
   val annIvfKnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = graft.vector.AnnIndex.ivfPath(dir)
-    ivfCents = Some(graft.vector.AnnIndex.ensureIvf(emb, path))
+    captureIvf(dir, graft.vector.AnnIndex.ensureIvf(emb, path))
     graft.vector.AnnIndex.ivfKnnJoin(s, path,
         emb.filter(col("vec_id") < 10L).select(col("vec_id").as("query_id"), col("embedding")),
         k = AnnIvfKnnK, dim = 64, nProbe = AnnIvfKnnProbe,
@@ -1542,7 +1556,7 @@ object Queries {
     Map("dd_embed_lsh" -> embedLsh) ++ annLshEntry
   }
 
-  private val staticOracle: Map[String, String] = Map(
+  private[graft] val staticOracle: Map[String, String] = Map(
     // full MinHash-LSH replay — token/shingle/signature/band hashes all
     // reproduced bit-exactly via graft.functions.HashReplaySql
     "dd_minhash" -> graft.functions.HashReplaySql.minhashOracle(

@@ -94,7 +94,12 @@ object Sketches {
       val frac = pos - lo
       val vLo = element_at(col("vs"), (lo + 1).cast("int"))
       val vHi = element_at(col("vs"), least(lo + 2, m.cast("double")).cast("int"))
-      (vLo + (vHi - vLo) * frac).as(s"p${(q * 100).round}_value")
+      // all-null value/id inputs leave an empty sample: index 0 would
+      // throw at runtime ("SQL array indices start at 1") where the
+      // relational answer is NULL (CaseWhen leaves the untaken branch
+      // unevaluated, so the guard is enough)
+      when(m === 0, lit(null).cast("double"))
+        .otherwise(vLo + (vHi - vLo) * frac).as(s"p${(q * 100).round}_value")
     }
 
     kmv.join(pcts.select(col("g") +: pctCols: _*), Seq("g"))

@@ -32,8 +32,20 @@ object SketchStream {
       .groupByKey(_._1)
       .mapGroupsWithState[KmvState, GroupEstimate](GroupStateTimeout.NoTimeout()) {
         (g, rows, state) =>
-          val prev = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
-          val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          // fold the batch iterator incrementally into a bounded ordered
+          // set: per-trigger memory stays O(k) even for a hot group
+          // (materializing the whole batch before distinct/sort/take
+          // would be O(batch rows))
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.hashes.foreach(set.add(_)))
+          rows.foreach { r =>
+            val u = r._2
+            if (set.size < k) set.add(u)
+            else if (u < set.last && set.add(u)) set.pollLast()
+          }
+          val merged = new Array[Long](set.size)
+          val it = set.iterator(); var i = 0
+          while (it.hasNext) { merged(i) = it.next(); i += 1 }
           state.update(KmvState(merged))
           GroupEstimate(g, graft.operators.Sketches.kmvEstimate(merged, k))
       }

@@ -208,7 +208,6 @@ object Clustering {
       if (start.rdd.getNumPartitions >= parts) start
       else start.repartition(parts)
     val base = wide.persist()
-    base.count()
     val merged = scala.collection.mutable.Map.empty[Long, Array[Array[Float]]]
     val frozen = scala.collection.mutable.Set.empty[Long]
     var prevCounts = Map.empty[Long, Long]
@@ -265,89 +264,96 @@ object Clustering {
     var superseded: Option[DataFrame] = None
     var depth = 0
     var done = false
-    while (!done && depth < maxDepth) {
-      // ONE job per level: cell size and the xxhash64-ordered sample rank
-      // share a window pass, and the adaptive fanout cut (~4× the
-      // overshoot factor — over-provisioning costs nothing since children
-      // under maxCell just settle, while lopsided argmax Voronoi children
-      // make under-provisioned splits shrink slowly: fixed k=16 needed 9
-      // levels for 25k→256) is applied inline, so the collect returns
-      // exactly the seed rows tagged with their cell's count. This job
-      // also materializes the (lazy) working set into its cache.
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster")).orderBy(xxhash64(col("id")), col("id"))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
-      val fanoutCol = least(lit(MaxFanout.toLong),
-        greatest(lit(2L), lit(4L) * ceil(col("cnt").cast("double") / maxCell).cast("long")))
-      val seedRows = ws
-        .withColumn("cnt", count(lit(1)).over(wAll))
-        .filter(col("cnt") > maxCell)
-        .withColumn("rn", row_number().over(wOrd))
-        .filter(col("rn") <= fanoutCol)
-        .select(col("cluster"), col("cnt"), col("v"))
-        .collect()
-      // the previous level's cache is safe to drop now — this level's
-      // frame just materialized
-      superseded.foreach(_.unpersist(blocking = false))
-      superseded = None
-      val counts: Map[Long, Long] =
-        seedRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // a child as large as its just-split parent means no member moved:
-      // every vector argmaxes identically against any seed choice
-      counts.keys.foreach { c =>
-        if (prevCounts.get((c - 1) / enc).contains(counts(c))) frozen += c
-      }
-      val seeds: Map[Long, Array[Array[Float]]] = seedRows
-        .filterNot(r => frozen(r.getLong(0)))
-        .groupBy(_.getLong(0))
-        .map { case (label, rws) =>
-          label -> rws.map { r =>
-            val c = r.getSeq[Float](2)
-            val n = math.sqrt(c.iterator.map(x => x.toDouble * x.toDouble).sum)
-            (if (n == 0) c.map(_.toDouble) else c.map(_ / n)).map(_.toFloat).toArray
-          }
+    // a job failure mid-discovery must not strand cached blocks in the
+    // block manager (the serving path asserts cache-neutrality), so the
+    // unpersists run on EVERY exit path, not just success
+    try {
+      base.count()
+      while (!done && depth < maxDepth) {
+        // ONE job per level: cell size and the xxhash64-ordered sample rank
+        // share a window pass, and the adaptive fanout cut (~4× the
+        // overshoot factor — over-provisioning costs nothing since children
+        // under maxCell just settle, while lopsided argmax Voronoi children
+        // make under-provisioned splits shrink slowly: fixed k=16 needed 9
+        // levels for 25k→256) is applied inline, so the collect returns
+        // exactly the seed rows tagged with their cell's count. This job
+        // also materializes the (lazy) working set into its cache.
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(xxhash64(col("id")), col("id"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+        val fanoutCol = least(lit(MaxFanout.toLong),
+          greatest(lit(2L), lit(4L) * ceil(col("cnt").cast("double") / maxCell).cast("long")))
+        val seedRows = ws
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .filter(col("cnt") > maxCell)
+          .withColumn("rn", row_number().over(wOrd))
+          .filter(col("rn") <= fanoutCol)
+          .select(col("cluster"), col("cnt"), col("v"))
+          .collect()
+        // the previous level's cache is safe to drop now — this level's
+        // frame just materialized
+        superseded.foreach(_.unpersist(blocking = false))
+        superseded = None
+        val counts: Map[Long, Long] =
+          seedRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // a child as large as its just-split parent means no member moved:
+        // every vector argmaxes identically against any seed choice
+        counts.keys.foreach { c =>
+          if (prevCounts.get((c - 1) / enc).contains(counts(c))) frozen += c
         }
-      if (seeds.isEmpty) done = true
-      else {
-        merged ++= seeds
-        val bc = spark.sparkContext.broadcast(seeds)
-        val sp = if (depth < softLevels) softP else 1
-        // one split step — the same decision the final walk makes at this
-        // depth: top-sp children by dot, ties to the higher seed index.
-        // Rows of right-sized or frozen cells keep their label and are
-        // filtered out — the working set is exactly the split rows. The
-        // new frame stays LAZY; the next level's window job materializes
-        // it, so no extra count() action per level.
-        val step = udf { (label: Long, v: scala.collection.Seq[Float]) =>
-          bc.value.get(label).fold(Seq(label)) { ss =>
-            val dots = Array.tabulate(ss.length) { i =>
-              val p = ss(i)
-              var acc = 0.0
-              var j = 0
-              val n = math.min(v.length, p.length)
-              while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
-              acc
+        val seeds: Map[Long, Array[Array[Float]]] = seedRows
+          .filterNot(r => frozen(r.getLong(0)))
+          .groupBy(_.getLong(0))
+          .map { case (label, rws) =>
+            label -> rws.map { r =>
+              val c = r.getSeq[Float](2)
+              val n = math.sqrt(c.iterator.map(x => x.toDouble * x.toDouble).sum)
+              (if (n == 0) c.map(_.toDouble) else c.map(_ / n)).map(_.toFloat).toArray
             }
-            (0 until ss.length).sortBy(i => (-dots(i), -i)).take(sp)
-              .map(best => label * enc + 1 + best)
           }
+        if (seeds.isEmpty) done = true
+        else {
+          merged ++= seeds
+          val bc = spark.sparkContext.broadcast(seeds)
+          val sp = if (depth < softLevels) softP else 1
+          // one split step — the same decision the final walk makes at this
+          // depth: top-sp children by dot, ties to the higher seed index.
+          // Rows of right-sized or frozen cells keep their label and are
+          // filtered out — the working set is exactly the split rows. The
+          // new frame stays LAZY; the next level's window job materializes
+          // it, so no extra count() action per level.
+          val step = udf { (label: Long, v: scala.collection.Seq[Float]) =>
+            bc.value.get(label).fold(Seq(label)) { ss =>
+              val dots = Array.tabulate(ss.length) { i =>
+                val p = ss(i)
+                var acc = 0.0
+                var j = 0
+                val n = math.min(v.length, p.length)
+                while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
+                acc
+              }
+              (0 until ss.length).sortBy(i => (-dots(i), -i)).take(sp)
+                .map(best => label * enc + 1 + best)
+            }
+          }
+          val next = ws
+            .withColumn("parent", col("cluster"))
+            .withColumn("cluster", explode(step(col("parent"), col("v"))))
+            .filter(col("cluster") =!= col("parent"))
+            .drop("parent")
+            .persist()
+          superseded = wsPinned
+          wsPinned = Some(next)
+          ws = next
+          prevCounts = counts
         }
-        val next = ws
-          .withColumn("parent", col("cluster"))
-          .withColumn("cluster", explode(step(col("parent"), col("v"))))
-          .filter(col("cluster") =!= col("parent"))
-          .drop("parent")
-          .persist()
-        superseded = wsPinned
-        wsPinned = Some(next)
-        ws = next
-        prevCounts = counts
+        depth += 1
       }
-      depth += 1
+    } finally {
+      superseded.foreach(_.unpersist(blocking = false))
+      wsPinned.foreach(_.unpersist(blocking = false))
+      base.unpersist(blocking = false)
     }
-    superseded.foreach(_.unpersist(blocking = false))
-    wsPinned.foreach(_.unpersist(blocking = false))
-    base.unpersist(blocking = false)
     framed()
   }
 

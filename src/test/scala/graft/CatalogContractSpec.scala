@@ -21,12 +21,20 @@ class CatalogContractSpec extends AnyFunSuite {
     // gain a generated centroid-literal oracle once the kmeans family has
     // executed in this JVM (Verify's order guarantees it; suite order here
     // doesn't), so they are rows-only exactly while uncaptured.
-    val rowsOnly = Queries.catalog.keySet.diff(Queries.oracle.keySet)
+    // snapshot the three generated maps ONCE and derive both sides from
+    // it — reading the volatile capture state twice would flake if a
+    // concurrently running suite executes a kmeans/IVF/LSH query between
+    // the reads
+    val centroid = Queries.centroidOracle
+    val ivf = Queries.ivfOracle
+    val lsh = Queries.lshOracle
+    val oracled = Queries.staticOracle.keySet ++ centroid.keySet ++ ivf.keySet ++ lsh.keySet
+    val rowsOnly = Queries.catalog.keySet.diff(oracled)
     val declared = Set("ev_sketch") ++
       (Set("dd_semdedup", "emb_kmeans", "dd_semdedup_verdicts",
-        "dd_semdedup_fixed") -- Queries.centroidOracle.keySet) ++
-      (Set("ann_ivf", "ann_ivf_knn") -- Queries.ivfOracle.keySet) ++
-      (Set("ann_lsh") -- Queries.lshOracle.keySet)
+        "dd_semdedup_fixed") -- centroid.keySet) ++
+      (Set("ann_ivf", "ann_ivf_knn") -- ivf.keySet) ++
+      (Set("ann_lsh") -- lsh.keySet)
     assert(rowsOnly == declared,
       s"rows-only set drifted: extra=${rowsOnly.diff(declared)} missing=${declared.diff(rowsOnly)}")
   }

@@ -41,6 +41,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("a group whose values are all null yields null percentiles, not a runtime error") {
+    import spark.implicits._
+    val df = Seq(("g1", 1L, Option.empty[Double], Option.empty[Long]),
+        ("g1", 2L, None, None),
+        ("g2", 3L, Some(5.0), Some(30L)))
+      .toDF("grp", "key", "value", "sample_id")
+    val out = Sketches.eventSketch(df, group = col("grp"), key = col("key"),
+        value = col("value"), sampleId = col("sample_id"),
+        kDistinct = 8, kSample = 8, quantiles = Seq(0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out("g1").isEmpty, "empty sample must surface as NULL (the oracle's answer)")
+    assert(out("g2").contains(5.0))
+  }
+
   test("sampled percentiles are ordered and inside the value range") {
     val bounds = events.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
