@@ -1,0 +1,115 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.gen.Fixtures
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Heavymock-style replay exporter
+  * (`test/heavymock/exporter_impl.go:28-50`): serves a wire DataFrame
+  * pulse by pulse in `record_number` order, appends the next-pulse
+  * marker record after the pulse's last row, and can inject one
+  * mid-portion stream drop per pulse (first attempt only) — the
+  * reconnect case the real transport must survive.
+  */
+final class ReplayExporter(
+    wire: DataFrame,
+    pulseDelta: Long = Fixtures.PulseDelta,
+    dropOnceAt: Map[Long, Int] = Map.empty,
+    iterateFromOverride: Map[Long, Long] = Map.empty
+) extends Transport.RecordStream {
+
+  private val byPulse: Map[Long, Array[Row]] =
+    wire.collect().groupBy(_.getAs[Long]("pulse_number"))
+      .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
+  private var droppedOnce = Set.empty[Long]
+  @volatile var exportCalls = 0
+
+  override def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+    exportCalls += 1
+    val rows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
+    val slice = rows.slice(recordNumber, recordNumber + count)
+    val recs = slice.zipWithIndex.iterator
+      .map { case (r, i) => (recordNumber + i, Transport.Frame(pulse, r)) }
+    // the marker's payload is never consumed — end-of-pulse is decided
+    // on the frame header, like the extractor which closes the stream
+    // without storing the marker record
+    val frames =
+      if (recordNumber + slice.length >= rows.length)
+        recs ++ Iterator((rows.length,
+          Transport.Frame(pulse + pulseDelta, null, iterateFromOverride.get(pulse))))
+      else recs
+    frames.map { case (idx, f) =>
+      if (dropOnceAt.get(pulse).contains(idx) && !droppedOnce.contains(pulse)) {
+        droppedOnce += pulse
+        throw new Transport.StreamDropped(s"injected drop at record $idx of pulse $pulse")
+      }
+      f
+    }
+  }
+}
+
+class TransportSpec extends SparkSpec {
+
+  private val start = Fixtures.GenesisPulse + Fixtures.PulseDelta
+  private def noSleep: Long => Unit = _ => ()
+
+  test("portioned fetch crosses EOF boundaries and stops at the next-pulse marker") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 7,
+      startPulse = start)
+    val exporter = new ReplayExporter(wire)
+    // batch 3 over 7 records = 3 portions (2 EOF reopens) + marker
+    val fp = Transport.fetchPulse(exporter, start, batchSize = 3, sleep = noSleep).get
+    assert(fp.rows.length == 7)
+    assert(fp.rows.map(_.getAs[Long]("record_number")) == (0L until 7L))
+    assert(fp.iterateFrom == start + Fixtures.PulseDelta,
+      "without ShouldIterateFrom the marker record's own pulse is the hint")
+  }
+
+  test("mid-portion disconnect resumes at the cursor: no loss, no duplicates") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 7,
+      startPulse = start)
+    val exporter = new ReplayExporter(wire, dropOnceAt = Map(start -> 4))
+    val fp = Transport.fetchPulse(exporter, start, batchSize = 3, sleep = noSleep).get
+    val nums = fp.rows.map(_.getAs[Long]("record_number"))
+    assert(nums == (0L until 7L), s"resume must neither drop nor repeat records: $nums")
+  }
+
+  test("ShouldIterateFrom on the marker wins over the marker's pulse") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 2,
+      startPulse = start)
+    val exporter = new ReplayExporter(wire,
+      iterateFromOverride = Map(start -> (start + 5 * Fixtures.PulseDelta)))
+    val fp = Transport.fetchPulse(exporter, start, batchSize = 10, sleep = noSleep).get
+    assert(fp.iterateFrom == start + 5 * Fixtures.PulseDelta)
+  }
+
+  test("unknown pulse maps to None; a persistent drop throws after maxReopens") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 2,
+      startPulse = start)
+    assert(Transport.fetchPulse(new ReplayExporter(wire), start + 999,
+      sleep = noSleep).isEmpty)
+    val alwaysDown = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        throw new Transport.StreamDropped("down")
+    }
+    intercept[Transport.StreamDropped] {
+      Transport.fetchPulse(alwaysDown, start, maxReopens = 2, sleep = noSleep)
+    }
+  }
+
+  test("Pipeline drives ingest through the transport trait, surviving a reconnect (S1/S2)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-transport").toString
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 6,
+      startPulse = start)
+    // pulse start+10 drops its stream mid-second-portion on first attempt
+    val exporter = new ReplayExporter(wire, dropOnceAt = Map((start + 10) -> 3))
+    val pipe = new Pipeline(spark, base,
+      Transport.pulseSource(spark, exporter, batchSize = 2, sleep = noSleep))
+    val report = pipe.run(start, start + 20)
+    assert(report.ingested == Seq(start, start + 10, start + 20))
+    assert(report.missing.isEmpty)
+    val records = spark.read.parquet(s"$base/records")
+    assert(records.count() == 18, "reconnect must not lose or duplicate records")
+    assert(records.select("reference").distinct().count() == 18)
+  }
+}
