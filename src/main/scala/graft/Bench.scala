@@ -160,10 +160,14 @@ object Bench {
     telemetry += snap("b_indexes_done", spark)
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    def timedPass(recordFailures: Boolean): Seq[(String, Double)] =
+    // task-level per-query metrics (the instrumentation/metrics analog)
+    // ride the warm pass: job-group attribution via QueryMetrics.measure
+    val qMetrics = QueryMetrics.install(spark)
+    def timedPass(recordFailures: Boolean, metered: Boolean = false): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        def run(): Unit = { fn(spark, sfDir).count(); () }
+        try { if (metered) QueryMetrics.measure(spark, name)(run()) else run() } catch {
           case e: Throwable =>
             if (recordFailures) failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -177,8 +181,21 @@ object Bench {
     // same query shapes repeatedly sees.
     val results = timedPass(recordFailures = true)
     telemetry += snap("b_cold_done", spark)
-    val warm = timedPass(recordFailures = false)
+    val warm = timedPass(recordFailures = false, metered = true)
     telemetry += snap("b_warm_done", spark)
+    // one settle poll drains the async listener bus for every scope (all
+    // jobs are done; only event delivery may lag)
+    warm.lastOption.foreach { case (n, _) => QueryMetrics.settled(qMetrics, n) }
+    val taskMetricsJson = qMetrics.names.map { n =>
+      qMetrics.snapshot(n).fold("\"" + n + "\":{}") { s =>
+        "\"" + n + "\":" +
+          f"""{"task_ms":${s.taskTimeMs},"tasks":${s.tasks}""" +
+          f""","input_mb":${s.inputBytes / 1e6}%.1f,"input_rows":${s.inputRecords}""" +
+          f""","shuffle_r_mb":${s.shuffleReadBytes / 1e6}%.2f""" +
+          f""","shuffle_w_mb":${s.shuffleWriteBytes / 1e6}%.2f""" +
+          f""","spill_mb":${s.spilledBytes / 1e6}%.1f}"""
+      }
+    }.mkString("{", ",", "}")
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = toJson(results)
@@ -226,6 +243,7 @@ object Bench {
       f""","load_shape_stats":$loadStats""" +
       f""","load_first_min_qps":$firstMin%.2f,"load_first_per_shape_qps":$firstFlat,"load_first_errors":$firstErrs""" +
       f""","load_first_shape_stats":$firstStats""" +
+      s""","query_task_metrics":$taskMetricsJson""" +
       s""","telemetry":${telemetry.mkString("[", ",", "]")},"sf":"$sfDir"}"""
 
     // File copy FIRST: the stdout capture has truncated this line two

@@ -1,0 +1,121 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query execution metrics — the engine's observability layer (the
+  * reference ships prometheus counters per operation in
+  * `instrumentation/metrics`; the Spark-native analog is a
+  * SparkListener, the same hook the Spark UI itself is built on).
+  *
+  * Attribution rides Spark's job-group local property: [[QueryMetrics
+  * .measure]] tags the calling thread with `graft-metrics:<name>`, every
+  * job launched by the body inherits the tag, `onJobStart` maps the
+  * job's stages to the name, and `onTaskEnd` credits each finished
+  * task's metrics. Local properties are thread-local, so concurrent
+  * queries (a serving pool) attribute correctly.
+  *
+  * Listener events are delivered asynchronously on the bus thread, so
+  * totals read immediately after an action may still be in flight —
+  * [[QueryMetrics.settled]] polls until the task count stops moving.
+  */
+final class QueryMetricsListener extends SparkListener {
+  import QueryMetrics._
+
+  private val stageToName = new ConcurrentHashMap[Int, String]()
+  private val totals = new ConcurrentHashMap[String, Array[LongAdder]]()
+
+  private def slots(name: String): Array[LongAdder] =
+    totals.computeIfAbsent(name, _ => Array.fill(8)(new LongAdder))
+
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    val group = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+    if (group != null && group.startsWith(Prefix)) {
+      val name = group.substring(Prefix.length)
+      js.stageIds.foreach(sid => stageToName.put(sid, name))
+    }
+  }
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val name = stageToName.get(te.stageId)
+    val m = te.taskMetrics
+    if (name != null && m != null) {
+      val s = slots(name)
+      s(0).add(m.executorRunTime)
+      s(1).add(1L)
+      s(2).add(m.inputMetrics.bytesRead)
+      s(3).add(m.inputMetrics.recordsRead)
+      s(4).add(m.shuffleReadMetrics.totalBytesRead)
+      s(5).add(m.shuffleWriteMetrics.bytesWritten)
+      s(6).add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      s(7).add(m.resultSize)
+    }
+  }
+
+  /** Totals credited to `name` so far (absent = no finished tasks). */
+  def snapshot(name: String): Option[Snapshot] =
+    Option(totals.get(name)).map { s =>
+      Snapshot(taskTimeMs = s(0).sum, tasks = s(1).sum, inputBytes = s(2).sum,
+        inputRecords = s(3).sum, shuffleReadBytes = s(4).sum,
+        shuffleWriteBytes = s(5).sum, spilledBytes = s(6).sum, resultBytes = s(7).sum)
+    }
+
+  def names: Seq[String] = {
+    val it = totals.keys()
+    Iterator.continually(if (it.hasMoreElements) Some(it.nextElement()) else None)
+      .takeWhile(_.isDefined).flatten.toSeq.sorted
+  }
+}
+
+object QueryMetrics {
+
+  private[graft] val Prefix = "graft-metrics:"
+
+  final case class Snapshot(
+      taskTimeMs: Long,
+      tasks: Long,
+      inputBytes: Long,
+      inputRecords: Long,
+      shuffleReadBytes: Long,
+      shuffleWriteBytes: Long,
+      spilledBytes: Long,
+      resultBytes: Long)
+
+  /** Register a fresh listener on the session's bus. */
+  def install(spark: SparkSession): QueryMetricsListener = {
+    val l = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+
+  /** Run `body` with every job it launches credited to `name`. */
+  def measure[T](spark: SparkSession, name: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(Prefix + name, s"metrics scope $name", interruptOnCancel = false)
+    try body finally sc.clearJobGroup()
+  }
+
+  /** [[QueryMetricsListener.snapshot]] after the listener bus settles:
+    * polls until the credited task count is stable for one interval (or
+    * the timeout lapses) — events arrive on the bus thread after the
+    * action returns.
+    */
+  def settled(l: QueryMetricsListener, name: String,
+      timeoutMs: Long = 2000, intervalMs: Long = 25): Option[Snapshot] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var prev = l.snapshot(name).map(_.tasks).getOrElse(-1L)
+    var out = l.snapshot(name)
+    var stable = false
+    while (!stable && System.nanoTime() < deadline) {
+      Thread.sleep(intervalMs)
+      out = l.snapshot(name)
+      val n = out.map(_.tasks).getOrElse(-1L)
+      stable = n == prev && n >= 0
+      prev = n
+    }
+    out
+  }
+}

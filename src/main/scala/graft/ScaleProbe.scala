@@ -151,6 +151,55 @@ object ScaleProbe {
     val d1 = directOps(dirs(n1), n1).toMap
     val d2 = directOps(dirs(n2), n2).toMap
     d1.keys.toSeq.sorted.foreach(name => report(name, d1(name), d2(name)))
+
+    // ---- standing-artifact paths: build vs probe --------------------
+    // The serving posture at scale is "build the artifact once, then
+    // every read is a probe": build time must scale ~linearly with the
+    // corpus, probe time must NOT (it is bounded by page/batch size and
+    // probed-partition width). Measured by wiping the artifact, timing
+    // the catalog query cold (build + first serve), then re-timing it
+    // (pure probe against the standing artifact).
+    def wipe(paths: String*): Unit = paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.sources.RelationCache.invalidate(p)
+    }
+    val artifactSizes = (Seq(n1, n2) ++ args.drop(2).headOption.map(_.toLong)).distinct
+    println(f"[scale] ${"artifact (per size)"}%-28s ${"build+serve"}%12s ${"probe"}%12s")
+    artifactSizes.foreach { n =>
+      val dir = ensureCorpus(spark, root, n)
+      val idxRoot = graft.vector.AnnIndex.indexRoot(dir)
+      def row(name: String, wipePaths: Seq[String], q: () => Long): Unit = {
+        wipe(wipePaths: _*)
+        val (build, _) = time(q())
+        val (probe, rows) = time(q())
+        println(f"[scale] $name%-28s $build%10.2fs $probe%10.2fs   n=$n%d rows=$rows%d")
+      }
+      row("ann_ivf_knn(idx)", Seq(graft.vector.AnnIndex.ivfPath(dir)),
+        () => Queries.catalog("ann_ivf_knn")(spark, dir).count())
+      row("dd_incremental(idx)", Seq(idxRoot + "/hashidx-notsrc0"),
+        () => Queries.catalog("dd_incremental")(spark, dir).count())
+      row("dd_clusters(pairs+cc)",
+        Seq(idxRoot).flatMap { r =>
+          val f = new java.io.File(r)
+          Option(f.listFiles()).toSeq.flatten.map(_.toString)
+            .filter(p => p.contains("/ngram-pairs-") || p.contains("/ngram-clusters-"))
+        },
+        () => Queries.catalog("dd_clusters")(spark, dir).count())
+      // the flat-probe scale shape: cell count grows with the corpus so
+      // cell SIZE (and per-query probe work) stays bounded
+      val cells = math.max(16, (n / 4096).toInt)
+      val boundedPath = idxRoot + s"/ivf-scale-c$cells"
+      row(s"ivf_knn(cells=n/4096)", Seq(boundedPath), { () =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.vector.AnnIndex.ensureIvf(emb, boundedPath, nCells = cells)
+        graft.vector.AnnIndex.ivfKnnJoin(spark, boundedPath,
+          emb.filter(col("vec_id") < 10L)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 3, dim = 64, nProbe = 4,
+          corpusFilter = Some(col("vec_id") >= 10L)).count()
+      })
+    }
     spark.stop()
   }
 }
