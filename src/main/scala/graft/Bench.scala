@@ -146,12 +146,17 @@ object Bench {
     // ---- session B: the full historical bench, probe in LAST position.
     val spark = newSession(cpus)
 
-    // Warmup: run the whole catalog once against the smallest SF so JIT,
-    // codegen, and classloading are out of the timed numbers (steady-state
-    // engine speed, as a long-lived service would see).
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    // Warmup: run the whole catalog once against the two small SFs so
+    // JIT, codegen, and classloading are out of the timed numbers
+    // (steady-state engine speed, as a long-lived service would see).
+    // Two sizes because codegen is PLAN-shaped: at sf0.001 AQE broadcasts
+    // every join, so the shuffle-join/agg code the bench SF actually runs
+    // would otherwise meet the JIT for the first time inside the timed
+    // cold pass (r5: 74s cold vs 17s warm, all of it compilation).
+    for (warmDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
     }
     telemetry += snap("b_warmup_done", spark)
     // Standing indexes (write-path cost, reported separately by the

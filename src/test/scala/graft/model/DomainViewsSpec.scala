@@ -31,4 +31,18 @@ class DomainViewsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("user_id"),
       s"object filter must push to the events scan through the view:\n$plan")
   }
+
+  test("the materialized spine serves exactly the lazy views' rows (parquet round-trip)") {
+    // the serving artifacts are a pure materialization: same rows, same
+    // values, bit-for-bit — this is what keeps every be_* oracle valid
+    // after the read path switched from the lazy views to the spine
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+      df.select(cols: _*).orderBy(cols: _*).collect().toSeq
+    }
+    val lazyRecords = Domain.records(spark, dir)
+    assert(canon(Domain.servedRecords(spark, dir)) == canon(lazyRecords))
+    assert(canon(Domain.servedJetDrops(spark, dir)) == canon(Domain.jetDrops(lazyRecords)))
+    assert(canon(Domain.servedPulses(spark, dir)) == canon(Domain.pulses(lazyRecords)))
+  }
 }
