@@ -201,6 +201,9 @@ object Bench {
           f""","spill_mb":${s.spilledBytes / 1e6}%.1f}"""
       }
     }.mkString("{", ",", "}")
+    // metrics captured — detach so the ingest/load phases below don't pay
+    // the (tiny) per-event listener cost
+    QueryMetrics.uninstall(spark, qMetrics)
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = toJson(results)

@@ -39,6 +39,14 @@ final class QueryMetricsListener extends SparkListener {
     }
   }
 
+  // stage ids are monotonically increasing: evict each mapping once its
+  // stage completes (bus order guarantees every task-end precedes the
+  // stage-completed event), so the map stays bounded for a session's life
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    stageToName.remove(sc.stageInfo.stageId); ()
+  }
+
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val name = stageToName.get(te.stageId)
     val m = te.taskMetrics
@@ -99,23 +107,31 @@ object QueryMetrics {
   }
 
   /** [[QueryMetricsListener.snapshot]] after the listener bus settles:
-    * polls until the credited task count is stable for one interval (or
-    * the timeout lapses) — events arrive on the bus thread after the
-    * action returns.
+    * polls until the credited task count holds still for two consecutive
+    * intervals (or the timeout lapses) — events arrive on the bus thread
+    * after the action returns, and a single unchanged poll can be a
+    * mid-delivery stall (GC pause, event backlog), not a drained bus.
     */
   def settled(l: QueryMetricsListener, name: String,
       timeoutMs: Long = 2000, intervalMs: Long = 25): Option[Snapshot] = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var prev = l.snapshot(name).map(_.tasks).getOrElse(-1L)
     var out = l.snapshot(name)
-    var stable = false
-    while (!stable && System.nanoTime() < deadline) {
+    var stableFor = 0
+    while (stableFor < 2 && System.nanoTime() < deadline) {
       Thread.sleep(intervalMs)
       out = l.snapshot(name)
       val n = out.map(_.tasks).getOrElse(-1L)
-      stable = n == prev && n >= 0
+      stableFor = if (n == prev && n >= 0) stableFor + 1 else 0
       prev = n
     }
     out
   }
+
+  /** Detach the listener from the session's bus (a long-lived service
+    * measuring scoped requests should uninstall when done — the listener
+    * accumulates one totals slot per scope name for its lifetime).
+    */
+  def uninstall(spark: SparkSession, l: QueryMetricsListener): Unit =
+    spark.sparkContext.removeSparkListener(l)
 }

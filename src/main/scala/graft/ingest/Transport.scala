@@ -65,10 +65,12 @@ object Transport {
     * already held are never re-fetched and never lost. An empty portion
     * with no marker means the pulse is not final yet — pause and re-ask
     * (the reference sleeps half a pulse on `ErrNotFinalPulseData`).
-    * `maxReopens` bounds total reopen attempts: the reference retries
-    * forever under its controller's cancellation; here persistent
-    * failure surfaces as a throw, which [[Pipeline]] records as missing
-    * for the gap-reload path (ST3).
+    * `maxReopens` bounds CONSECUTIVE no-progress reopens — any reopen
+    * that advanced the cursor resets the budget, so an intermittently
+    * dropping stream that still makes forward progress ingests a pulse
+    * of any length (the reference retries forever under its controller's
+    * cancellation; here a genuine stall surfaces as a throw, which
+    * [[Pipeline]] records as missing for the gap-reload path, ST3).
     */
   def fetchPulse(
       stream: RecordStream,
@@ -78,10 +80,12 @@ object Transport {
       backoffMs: Long = 10,
       sleep: Long => Unit = Thread.sleep): Option[FetchedPulse] = {
     val acc = ArrayBuffer.empty[Row]
-    var reopens = 0
+    var noProgress = 0
+    var lastLen = 0
     def pause(e: => RuntimeException): Unit = {
-      reopens += 1
-      if (reopens > maxReopens) throw e
+      if (acc.length > lastLen) { noProgress = 0; lastLen = acc.length }
+      noProgress += 1
+      if (noProgress > maxReopens) throw e
       sleep(backoffMs)
     }
     while (true) {

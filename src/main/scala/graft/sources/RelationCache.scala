@@ -30,9 +30,20 @@ object RelationCache {
   def parquet(spark: SparkSession, path: String): DataFrame =
     cache.computeIfAbsent(key(spark, path), _ => spark.read.parquet(path))
 
-  /** Drop every session's entry for `path` (call after rewriting it). */
-  def invalidate(path: String): Unit =
-    cache.keySet().removeIf(_.endsWith(":" + path))
+  /** Drop every session's entry for `path` AND anything under it (call
+    * after rewriting a path). Subtree matching matters: artifact roots
+    * hold nested datasets (`<ivf>/vectors`, `<ivf>/centroids`) cached
+    * under their own keys — deleting the root recursively while an exact
+    * match survived would leave a stale file index pointing at removed
+    * part-files.
+    */
+  def invalidate(path: String): Unit = {
+    val prefix = if (path.endsWith("/")) path else path + "/"
+    cache.keySet().removeIf { k =>
+      val p = k.substring(k.indexOf(':') + 1)
+      p == path || p.startsWith(prefix)
+    }
+  }
 
   def clear(): Unit = cache.clear()
 }

@@ -83,6 +83,30 @@ class TransportSpec extends SparkSpec {
     assert(fp.iterateFrom == start + 5 * Fixtures.PulseDelta)
   }
 
+  test("reopen budget resets on progress: an intermittently dropping stream completes") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 9,
+      startPulse = start)
+    val inner = new ReplayExporter(wire)
+    // every portion yields two frames then drops the connection (unless
+    // the pulse already finished) — more total drops than maxReopens, but
+    // each one advances the cursor
+    val flaky = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        val base = inner.export(pulse, recordNumber, count)
+        val taken = base.take(2).toList
+        if (taken.length == 2 && base.hasNext)
+          taken.iterator ++
+            Iterator.continually[Transport.Frame](
+              throw new Transport.StreamDropped("flaky")).take(1)
+        else taken.iterator
+      }
+    }
+    val fp = Transport.fetchPulse(flaky, start, batchSize = 100, maxReopens = 2,
+      sleep = noSleep).get
+    assert(fp.rows.map(_.getAs[Long]("record_number")) == (0L until 9L),
+      "4 drops with forward progress must not exhaust a 2-reopen budget")
+  }
+
   test("unknown pulse maps to None; a persistent drop throws after maxReopens") {
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 2,
       startPulse = start)
