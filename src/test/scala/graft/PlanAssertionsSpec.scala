@@ -230,6 +230,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("jet drops page: spine scan with the pulse range pushed down") {
+    val p = plan("be_jet_drops_page")
+    assert(p.contains("spine/jet_drops"),
+      "drops endpoints must scan the materialized spine")
+    assert(p.contains("GreaterThanOrEqual(pulse_number,473600)"),
+      s"pulse bound must be a pushed parquet filter:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a pre-aggregated spine read needs no shuffle:\n$p")
+  }
+
   test("pulse chain: repair is adjacency joins, no unpartitioned window over the dimension") {
     val p = plan("be_pulse_chain") + plan("be_pulses_page")
     assert(!p.contains("Window"),
