@@ -259,6 +259,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "neighbor span must broadcast against the page")
   }
 
+  test("catalog-wide: nested-loop joins appear only in the declared all-pairs twins") {
+    // Any OR-predicate or non-equi join anywhere in the catalog silently
+    // degrades to BroadcastNestedLoopJoin (the round-5 be_jet_links_hash
+    // regression). Sweep EVERY query's physical plan; the only plans
+    // allowed to nested-loop are the two exact all-pairs oracle twins
+    // (whose scale paths are dd_embed_lsh / ann_ivf_knn) and txt_idf's
+    // one-row corpus-size scalar broadcast.
+    val allowed = Set("dd_embed", "ann_knn", "txt_idf")
+    val offenders = Queries.catalog.keys.toSeq.sorted.filterNot(allowed).filter { name =>
+      val p = plan(name)
+      p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian joins crept into: ${offenders.mkString(", ")}")
+  }
+
   test("txt_idf: top-50 is TakeOrderedAndProject, not a global sort") {
     val p = plan("txt_idf")
     assert(p.contains("TakeOrderedAndProject(limit=50"))
