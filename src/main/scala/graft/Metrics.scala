@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query execution metrics — the engine's observability layer (the
@@ -26,6 +26,7 @@ final class QueryMetricsListener extends SparkListener {
   import QueryMetrics._
 
   private val stageToName = new ConcurrentHashMap[Int, String]()
+  private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
   private val totals = new ConcurrentHashMap[String, Array[LongAdder]]()
 
   private def slots(name: String): Array[LongAdder] =
@@ -36,15 +37,17 @@ final class QueryMetricsListener extends SparkListener {
     if (group != null && group.startsWith(Prefix)) {
       val name = group.substring(Prefix.length)
       js.stageIds.foreach(sid => stageToName.put(sid, name))
+      jobStages.put(js.jobId, js.stageIds)
     }
   }
 
-  // stage ids are monotonically increasing: evict each mapping once its
-  // stage completes (bus order guarantees every task-end precedes the
-  // stage-completed event), so the map stays bounded for a session's life
-  override def onStageCompleted(
-      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-    stageToName.remove(sc.stageInfo.stageId); ()
+  // evict stage attribution at JOB end, not stage completion: a stage
+  // resubmitted after a fetch failure reuses its stage id (with a new
+  // attempt), and speculative/zombie task-ends can land after the stage
+  // completes — both must still credit their scope. Job end is the last
+  // event of the job on the bus, so the map stays bounded per session
+  override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+    Option(jobStages.remove(je.jobId)).foreach(_.foreach(stageToName.remove))
   }
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {

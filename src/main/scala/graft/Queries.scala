@@ -369,7 +369,7 @@ object Queries {
     */
   def ensureNgramPairs(s: SparkSession, dir: String): DataFrame =
     graft.sources.StandingArtifact.ensure(
-      s, graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-pairs-$ngramParamsTag")(
+      s, ngramPairsPath(dir))(
       ddNgramJaccard(s, dir))
 
   /** Near-dup clusters: connected components over the oracled exact
@@ -384,7 +384,7 @@ object Queries {
   val ddClusters: Q = (s, dir) =>
     graft.operators.Components
       .ensureComponents(s, ensureNgramPairs(s, dir), "a_id", "b_id",
-        graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-$ngramParamsTag")
+        ngramClustersPath(dir))
       .select(col("u").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy(col("doc_id"))
 
@@ -420,6 +420,17 @@ object Queries {
   val JaccardThreshold = 0.5
   private def ngramParamsTag: String =
     f"k$ShingleK-df$NgramMaxDf-t${(JaccardThreshold * 100).round}%03d"
+
+  /** Canonical standing-artifact paths for the near-dup pair graph and
+    * its component map. Harnesses that wipe-and-rebuild (ScaleProbe's
+    * build-vs-probe rows) must target exactly what the catalog builds —
+    * reconstructing these names elsewhere breaks silently on a tag
+    * change.
+    */
+  def ngramPairsPath(dir: String): String =
+    graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-pairs-$ngramParamsTag"
+  def ngramClustersPath(dir: String): String =
+    graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-$ngramParamsTag"
 
   /** Exact 3-gram Jaccard near-dup pairs via an inverted shingle index —
     * the relational (oracle-able) counterpart of MinHash: candidates come
@@ -829,7 +840,7 @@ object Queries {
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("exact_keeper"))
     val comps = graft.operators.Components.ensureComponents(s,
       ensureNgramPairs(s, dir), "a_id", "b_id",
-      graft.vector.AnnIndex.indexRoot(dir) + s"/ngram-clusters-$ngramParamsTag")
+      ngramClustersPath(dir))
     val contaminated = graft.text.Decontam.overlapReport(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 4)

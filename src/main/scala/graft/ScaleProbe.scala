@@ -179,12 +179,11 @@ object ScaleProbe {
         () => Queries.catalog("ann_ivf_knn")(spark, dir).count())
       row("dd_incremental(idx)", Seq(idxRoot + "/hashidx-notsrc0"),
         () => Queries.catalog("dd_incremental")(spark, dir).count())
+      // wipe through the catalog's own path constructors (a local-FS
+      // directory listing would silently no-op on hdfs/s3 roots and on
+      // any artifact-tag rename, turning the "build" column into a probe)
       row("dd_clusters(pairs+cc)",
-        Seq(idxRoot).flatMap { r =>
-          val f = new java.io.File(r)
-          Option(f.listFiles()).toSeq.flatten.map(_.toString)
-            .filter(p => p.contains("/ngram-pairs-") || p.contains("/ngram-clusters-"))
-        },
+        Seq(Queries.ngramPairsPath(dir), Queries.ngramClustersPath(dir)),
         () => Queries.catalog("dd_clusters")(spark, dir).count())
       // the flat-probe scale shape: cell count grows with the corpus so
       // cell SIZE (and per-query probe work) stays bounded

@@ -30,19 +30,22 @@ final class Pipeline(
     */
   private val missedData = new Resilience.MissedDataManager(reloadTtlMillis)
 
+  /** Spine + idempotent partition commit for one pulse's wire frame. */
+  private def commit(wire: DataFrame): Unit = {
+    val records = Spine(wire)
+    PulseWriter.writePulsePartition(records, "records", basePath)
+    val drops = records.groupBy(col("pulse_number"), col("jet_id"))
+      .agg(count(lit(1)).cast("int").as("record_amount"),
+        min(col("timestamp")).as("timestamp"))
+    PulseWriter.writePulsePartition(drops, "jet_drops", basePath)
+  }
+
   /** Ingest one pulse: spine + idempotent partition commit. Returns true
     * when the source had data for the pulse.
     */
   def ingestPulse(pulse: Long): Boolean =
     source(pulse) match {
-      case Some(wire) =>
-        val records = Spine(wire)
-        PulseWriter.writePulsePartition(records, "records", basePath)
-        val drops = records.groupBy(col("pulse_number"), col("jet_id"))
-          .agg(count(lit(1)).cast("int").as("record_amount"),
-            min(col("timestamp")).as("timestamp"))
-        PulseWriter.writePulsePartition(drops, "jet_drops", basePath)
-        true
+      case Some(wire) => commit(wire); true
       case None => false
     }
 
@@ -82,6 +85,45 @@ final class Pipeline(
         } catch { case _: Throwable => false }
     }
     Report(ingested, missing, reloaded)
+  }
+
+  /** Drive the exporter's own pulse chain over `[from, to]`: ingest each
+    * fetched pulse, then advance by the exporter's iterate-from hint
+    * (`ShouldIterateFrom`, or the end-of-pulse marker's own pulse —
+    * [[Transport.FetchedPulse]]) instead of fixed arithmetic stepping.
+    * Pulses the exporter redirects past are neither probed nor marked
+    * missing, so the ST3 reload loop never re-requests data the exporter
+    * already said does not exist (the reference extractor trusts the same
+    * hint, `etl/extractor/platform_impl.go:314-318`). A hint that fails
+    * to advance falls back to a `pulseDelta` step; not-found / failed
+    * pulses step by `pulseDelta` and are retried once through the
+    * TTL-deduped reload path, like [[run]].
+    */
+  def follow(rich: Long => Option[(DataFrame, Long)], from: Long, to: Long): Report = {
+    val ingested = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val missing = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var p = from
+    while (p <= to) {
+      (try rich(p) catch { case _: Throwable => None }) match {
+        case Some((wire, hint)) =>
+          val ok = try { commit(wire); true } catch { case _: Throwable => false }
+          if (ok) ingested += p else missing += p
+          p = if (hint > p) hint else p + pulseDelta
+        case None =>
+          missing += p
+          p += pulseDelta
+      }
+    }
+    val reloaded = missing.toSeq.filter { q =>
+      if (missedData.covered(q, q)) false
+      else
+        try {
+          val ok = rich(q).exists { case (wire, _) => commit(wire); true }
+          missedData.addIfNew(q, q)
+          ok
+        } catch { case _: Throwable => false }
+    }
+    Report(ingested.toSeq, missing.toSeq, reloaded)
   }
 
   /** The derived pulse-status view (A1 counters + ST2 + sequence). */

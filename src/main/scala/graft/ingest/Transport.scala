@@ -114,10 +114,30 @@ object Transport {
     sys.error("unreachable")
   }
 
-  /** [[Pipeline]]-shaped adapter: `pulse → Option[wire frame]`. The
+  /** [[Pipeline.follow]]-shaped adapter keeping the exporter's
+    * iterate-from hint: `pulse → Option[(wire frame, iterate-from)]`. The
     * per-pulse row set is driver-held exactly like the reference
     * extractor's `pulseData.Records` (one pulse's records, bounded by
     * the pulse cadence), then handed to the distributed [[Spine]].
+    */
+  def followingSource(
+      spark: SparkSession,
+      stream: RecordStream,
+      batchSize: Int = 100,
+      maxReopens: Int = 8,
+      backoffMs: Long = 10,
+      sleep: Long => Unit = Thread.sleep): Long => Option[(DataFrame, Long)] = { pulse =>
+    fetchPulse(stream, pulse, batchSize, maxReopens, backoffMs, sleep).map { fp =>
+      (spark.createDataFrame(fp.rows.asJava, graft.model.Schemas.wireRecords),
+        fp.iterateFrom)
+    }
+  }
+
+  /** [[Pipeline]]-constructor-shaped adapter: `pulse → Option[wire
+    * frame]`, for fixed-cadence drive loops ([[Pipeline.run]]) that step
+    * arithmetically. Chain-following drives should use
+    * [[followingSource]] + [[Pipeline.follow]] so `ShouldIterateFrom`
+    * redirects steer the loop instead of dying at this boundary.
     */
   def pulseSource(
       spark: SparkSession,
@@ -125,9 +145,8 @@ object Transport {
       batchSize: Int = 100,
       maxReopens: Int = 8,
       backoffMs: Long = 10,
-      sleep: Long => Unit = Thread.sleep): Long => Option[DataFrame] = { pulse =>
-    fetchPulse(stream, pulse, batchSize, maxReopens, backoffMs, sleep).map { fp =>
-      spark.createDataFrame(fp.rows.asJava, graft.model.Schemas.wireRecords)
-    }
+      sleep: Long => Unit = Thread.sleep): Long => Option[DataFrame] = {
+    val rich = followingSource(spark, stream, batchSize, maxReopens, backoffMs, sleep)
+    pulse => rich(pulse).map(_._1)
   }
 }

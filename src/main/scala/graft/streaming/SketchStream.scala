@@ -38,6 +38,10 @@ object SketchStream {
           // would be O(batch rows))
           val set = new java.util.TreeSet[java.lang.Long]()
           state.getOption.foreach(_.hashes.foreach(set.add(_)))
+          // restored state can exceed the current k (checkpoint written
+          // with a larger k): re-trim so the O(k) bound holds from the
+          // first trigger, not just for freshly-created groups
+          while (set.size > k) set.pollLast()
           rows.foreach { r =>
             val u = r._2
             if (set.size < k) set.add(u)

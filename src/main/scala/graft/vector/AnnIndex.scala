@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  // indexRoot runs on every catalog-query invocation: build the Hadoop
+  // config once, not per fingerprint
+  private lazy val fingerprintConf = new org.apache.hadoop.conf.Configuration()
+
   /** True when a prior successful write exists at `path` (checked through
     * the Hadoop FS API so any cluster filesystem works).
     */
@@ -189,10 +193,17 @@ object AnnIndex {
     * serve a stale index — the path changes and the index rebuilds.
     */
   def indexRoot(dir: String): String = {
-    val sig = Option(new java.io.File(dir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|"))
-      .getOrElse("")
+    // list through the Hadoop FS API, not java.io.File: on a non-local
+    // source dir a local listing returns null, the fingerprint collapses
+    // to a constant, and stale-index invalidation silently turns off
+    val sig = try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(fingerprintConf)
+        .listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+    } catch { case _: java.io.IOException => "" }
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
     sys.env.getOrElse("GRAFT_INDEX_DIR", "/tmp/graft-index") + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h

@@ -23,9 +23,11 @@ final class ReplayExporter(
       .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
   private var droppedOnce = Set.empty[Long]
   @volatile var exportCalls = 0
+  @volatile var probedPulses = Vector.empty[Long]
 
   override def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
     exportCalls += 1
+    probedPulses :+= pulse
     val rows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
     val slice = rows.slice(recordNumber, recordNumber + count)
     val recs = slice.zipWithIndex.iterator
@@ -135,5 +137,26 @@ class TransportSpec extends SparkSpec {
     val records = spark.read.parquet(s"$base/records")
     assert(records.count() == 18, "reconnect must not lose or duplicate records")
     assert(records.select("reference").distinct().count() == 18)
+  }
+
+  test("Pipeline.follow honors ShouldIterateFrom: redirected-past pulses are never probed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-follow").toString
+    // the exporter's chain jumps start → start+30: the two middle pulses
+    // do not exist anywhere, and the redirect says so up front
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 4, recordsPerPulse = 3,
+        startPulse = start)
+      .filter(org.apache.spark.sql.functions.col("pulse_number").isin(start, start + 30))
+    val exporter = new ReplayExporter(wire,
+      iterateFromOverride = Map(start -> (start + 30)))
+    val pipe = new Pipeline(spark, base,
+      Transport.pulseSource(spark, exporter, sleep = noSleep))
+    val report = pipe.follow(
+      Transport.followingSource(spark, exporter, sleep = noSleep), start, start + 30)
+    assert(report.ingested == Seq(start, start + 30))
+    assert(report.missing.isEmpty,
+      "pulses the exporter redirected past are not gaps and must not enter the reload loop")
+    assert(!exporter.probedPulses.exists(p => p == start + 10 || p == start + 20),
+      s"redirected-past pulses must never be requested, probed: ${exporter.probedPulses}")
+    assert(spark.read.parquet(s"$base/records").count() == 6)
   }
 }
