@@ -967,13 +967,14 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         sum(graft.text.TextAnalysis.alnumTokenCount(col("text"))).as("total_tokens"))
-    // Corpus-wide total as an unpartitioned window over the AGGREGATED
-    // frame: bounded by the number of (source, lang) cells, not by corpus
-    // size — same page-bounded reasoning as Pagination.pageWithTotal.
-    perCell
+    // Corpus-wide token total as a 1-row aggregate broadcast onto the
+    // per-cell frame — the partial sums ride the same map-side combine as
+    // the cell aggregate, and no single-task window appears anywhere.
+    val corpus = perCell.agg(sum(col("total_tokens")).as("_corpus_tokens"))
+    perCell.crossJoin(broadcast(corpus))
       .withColumn("token_share",
-        col("total_tokens").cast("double") /
-          sum(col("total_tokens")).over(Window.partitionBy()))
+        col("total_tokens").cast("double") / col("_corpus_tokens"))
+      .drop("_corpus_tokens")
       .orderBy(col("source"), col("lang"))
   }
 

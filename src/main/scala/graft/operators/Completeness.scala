@@ -29,16 +29,21 @@ object Completeness {
   }
 
   /** Sequence flag: a pulse is sequential iff it and every predecessor in
-    * the chain is complete (pulsemaintainer.go:86-143). Computed as a
-    * running conjunction over the pulse order — a single window over the
-    * small status frame.
+    * the chain is complete (pulsemaintainer.go:86-143). The running
+    * conjunction over pulse order collapses to a scalar: a pulse is
+    * sequential iff it precedes the FIRST incomplete pulse. Computed as a
+    * 1-row aggregate broadcast-joined back — fully parallel, no
+    * unpartitioned window, so the spine build stays shuffle-shaped even
+    * when the pulse dimension has grown for years.
     */
   def withSequential(status: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("pulse_number")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    status.withColumn("is_sequential",
-      min(col("is_complete").cast("int")).over(w) === 1)
+    val firstIncomplete = status.filter(!col("is_complete"))
+      .agg(min(col("pulse_number")).as("_first_incomplete"))
+    status.crossJoin(broadcast(firstIncomplete))
+      .withColumn("is_sequential",
+        col("_first_incomplete").isNull ||
+          col("pulse_number") < col("_first_incomplete"))
+      .drop("_first_incomplete")
   }
 
   /** ST3 — gap detection: expected pulse numbers minus present ones.

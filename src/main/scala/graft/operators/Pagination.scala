@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   *
   *  - `page`: sort + offset + limit (Spark `offset` is a logical operator
   *    since 3.4; with a unique total order the page is deterministic).
-  *  - `pageWithTotal`: one-pass variant that attaches `total` via an
-  *    unpartitioned `count(*) OVER ()` window. On a 100 TB fact table an
-  *    unpartitioned window would funnel everything to one task — but list
-  *    pages are bounded at 1000 rows by validation (P7), and the window runs
-  *    AFTER the pushed-down filters, on the filtered (small) set for every
-  *    real endpoint. For unfiltered counts prefer `df.count()` (two scans,
-  *    both parallel).
+  *  - `pageWithTotal`: attaches `total` by broadcasting the 1-row count of
+  *    the filtered set onto the cut page. Both sides stay fully parallel —
+  *    the count is a map-side-combined aggregate, the page is a top-k cut
+  *    (TakeOrderedAndProject) — exactly the reference's COUNT-plus-page
+  *    pair (`etl/storage/storage.go:229-255`) fused into one plan. The
+  *    obvious one-pass alternative, `count(*) OVER ()`, funnels the whole
+  *    filtered set through a single task: a pulse-range filter can span a
+  *    year, so the window form is a scale cliff, not an optimization.
   */
 object Pagination {
 
@@ -36,9 +37,7 @@ object Pagination {
 
   /** A3 — page plus total count of the filtered set in one logical plan. */
   def pageWithTotal(df: DataFrame, sort: Seq[Column], limit: Int, offset: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withTotal = df.withColumn("total", count(lit(1)).over(Window.partitionBy()))
-    val sorted = withTotal.orderBy(sort: _*)
-    (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
+    val total = df.agg(count(lit(1)).as("total"))
+    page(df, sort, limit, offset).crossJoin(broadcast(total))
   }
 }

@@ -87,6 +87,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("pulses dimension build: every window is partitioned; sequence flag is a broadcast aggregate") {
+    // the spine build must stay shuffle-shaped: the only window allowed is
+    // the partitioned W7 numbering; the is_sequential running conjunction
+    // must be the 1-row aggregate broadcast, never an unpartitioned window
+    // (a single-task sort of the whole dimension)
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val qe = graft.model.Domain.pulses(graft.model.Domain.records(spark, dir))
+      .queryExecution
+    qe.optimizedPlan.foreach {
+      case w: Window =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window in the pulses build: ${w.windowExpressions}")
+      case _ =>
+    }
+    assert(qe.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "is_sequential must join the broadcast 1-row first-incomplete aggregate")
+  }
+
   test("ann queries: vector math is native expressions, not UDFs") {
     val p = plan("ann_topk") + plan("dd_embed")
     assert(p.contains("vec_dot") || p.contains("VectorKernels") || p.contains("vec_norm"))
@@ -259,20 +277,40 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "neighbor span must broadcast against the page")
   }
 
-  test("catalog-wide: nested-loop joins appear only in the declared all-pairs twins") {
+  test("catalog-wide: nested-loop joins are all-pairs twins or 1-row scalar broadcasts") {
     // Any OR-predicate or non-equi join anywhere in the catalog silently
     // degrades to BroadcastNestedLoopJoin (the round-5 be_jet_links_hash
-    // regression). Sweep EVERY query's physical plan; the only plans
-    // allowed to nested-loop are the two exact all-pairs oracle twins
-    // (whose scale paths are dd_embed_lsh / ann_ivf_knn) and txt_idf's
-    // one-row corpus-size scalar broadcast.
-    val allowed = Set("dd_embed", "ann_knn", "txt_idf")
-    val offenders = Queries.catalog.keys.toSeq.sorted.filterNot(allowed).filter { name =>
-      val p = plan(name)
-      p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+    // regression: page × span scan). Sweep EVERY query's physical plan.
+    // A nested-loop node is legitimate in exactly two shapes:
+    //  - the declared exact all-pairs oracle twins (dd_embed, ann_knn —
+    //    their scale paths are dd_embed_lsh / ann_ivf_knn), and
+    //  - a scalar broadcast: one side is a group-less aggregate, so the
+    //    build side is ONE row and the "loop" is a constant attach (the
+    //    pageWithTotal total, txt_idf's corpus size, txt_mix's token sum).
+    // Anything else — both sides data-sized — is a genuine scan regression.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    @annotation.tailrec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case _: BaseAggregateExec => p
+      case u if u.children.length == 1 => unwrap(u.children.head)
+      case _ => p
+    }
+    def oneRowSide(p: SparkPlan): Boolean = unwrap(p) match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _ => false
+    }
+    val allPairsTwins = Set("dd_embed", "ann_knn")
+    val offenders = Queries.catalog.keys.toSeq.sorted.filterNot(allPairsTwins).filter { name =>
+      val sp = Queries.catalog(name)(spark, dir).queryExecution.sparkPlan
+      sp.collect {
+        case j: BroadcastNestedLoopJoinExec => (j.left, j.right)
+        case j: CartesianProductExec => (j.left, j.right)
+      }.exists { case (l, r) => !oneRowSide(l) && !oneRowSide(r) }
     }
     assert(offenders.isEmpty,
-      s"nested-loop/cartesian joins crept into: ${offenders.mkString(", ")}")
+      s"data-sized nested-loop/cartesian joins crept into: ${offenders.mkString(", ")}")
   }
 
   test("txt_idf: top-50 is TakeOrderedAndProject, not a global sort") {
