@@ -23,6 +23,15 @@ class PaginationPredicatesSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("pageWithTotal: empty filtered set yields an empty page, offset applies before total attach") {
+    // the broadcast 1-row count must not resurrect a row for an empty page
+    assert(Pagination.pageWithTotal(df.filter(col("k1") > 1000), Seq(col("k1")), 5).count() == 0)
+    // offset skips rows of the SORTED set; total still counts the whole filter
+    val out = Pagination.pageWithTotal(df.filter(col("k1") <= 50), Seq(col("k1")), limit = 3, offset = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((49L, 50L), (50L, 50L)))
+  }
+
   test("limit/offset validation bounds") {
     assert(Pagination.validLimit(1) && Pagination.validLimit(1000))
     assert(!Pagination.validLimit(0) && !Pagination.validLimit(1001))
