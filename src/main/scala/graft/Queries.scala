@@ -395,11 +395,18 @@ object Queries {
     */
   val ddIncremental: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val path = graft.vector.AnnIndex.indexRoot(dir) + "/hashidx-notsrc0"
+    val path = hashIndexPath(dir)
     graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"), path)
     graft.text.Dedup.incrementalVerdicts(docs.filter(col("source") === "src0"), path)
       .orderBy(col("doc_id"))
   }
+
+  /** Canonical path of the standing corpus hash index (same contract as
+    * [[ngramPairsPath]]: wipe-and-rebuild harnesses must target exactly
+    * what the catalog builds, so the name lives in one place).
+    */
+  def hashIndexPath(dir: String): String =
+    graft.vector.AnnIndex.indexRoot(dir) + "/hashidx-notsrc0"
 
   /** Document-frequency cap for the inverted-shingle self-join: shingles in
     * more than this many documents are dropped before pairing (mirrored in

@@ -116,7 +116,7 @@ object ScaleProbe {
       },
       "dd_incremental(idx standing)" -> { () =>
         val docs = spark.read.parquet(s"$dir/documents.parquet")
-        val path = graft.vector.AnnIndex.indexRoot(dir) + "/hashidx-notsrc0"
+        val path = Queries.hashIndexPath(dir)
         graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"), path)
         graft.text.Dedup
           .incrementalVerdicts(docs.filter(col("source") === "src0"), path).count()
@@ -133,7 +133,7 @@ object ScaleProbe {
       val dir = dirs(n)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       try graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"),
-        graft.vector.AnnIndex.indexRoot(dir) + "/hashidx-notsrc0")
+        Queries.hashIndexPath(dir))
       catch { case e: Throwable => println(s"[scale] prebuild hashidx: ${e.getMessage}") }
     }
 
@@ -163,6 +163,7 @@ object ScaleProbe {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
       graft.sources.RelationCache.invalidate(p)
+      graft.sources.StandingArtifact.forget(p)
     }
     val artifactSizes = (Seq(n1, n2) ++ args.drop(2).headOption.map(_.toLong)).distinct
     println(f"[scale] ${"artifact (per size)"}%-28s ${"build+serve"}%12s ${"probe"}%12s")
@@ -177,7 +178,7 @@ object ScaleProbe {
       }
       row("ann_ivf_knn(idx)", Seq(graft.vector.AnnIndex.ivfPath(dir)),
         () => Queries.catalog("ann_ivf_knn")(spark, dir).count())
-      row("dd_incremental(idx)", Seq(idxRoot + "/hashidx-notsrc0"),
+      row("dd_incremental(idx)", Seq(Queries.hashIndexPath(dir)),
         () => Queries.catalog("dd_incremental")(spark, dir).count())
       // wipe through the catalog's own path constructors (a local-FS
       // directory listing would silently no-op on hdfs/s3 roots and on

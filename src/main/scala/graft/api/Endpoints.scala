@@ -23,9 +23,13 @@ object Endpoints {
   // reference maintains these tables at write time and every read is an
   // indexed scan — per-request recomputation of a fact-wide window or
   // groupBy would not survive the 100 TB read path.
-  private def views(spark: SparkSession, dir: String) =
-    (Domain.servedRecords(spark, dir), Domain.servedJetDrops(spark, dir),
-      Domain.servedPulses(spark, dir))
+  // Each endpoint ensures only the table(s) it actually reads: eagerly
+  // touching all three would cost three artifact existence checks per
+  // request and, on a cold corpus, build spines the endpoint never scans
+  // (a pulses point lookup must not trigger the jet_drops build).
+  private def recordsView(spark: SparkSession, dir: String) = Domain.servedRecords(spark, dir)
+  private def dropsView(spark: SparkSession, dir: String) = Domain.servedJetDrops(spark, dir)
+  private def pulsesView(spark: SparkSession, dir: String) = Domain.servedPulses(spark, dir)
 
   /** GET /pulses — list with recomputed chain links, newest first, plus
     * the `{total}` count of the filtered set. Timestamp bounds are unix
@@ -39,7 +43,7 @@ object Endpoints {
   def pulses(spark: SparkSession, dir: String, page: PageParams = PageParams(),
       fromPulse: Option[Long] = None, toPulse: Option[Long] = None,
       fromTimestamp: Option[Long] = None, toTimestamp: Option[Long] = None): DataFrame = {
-    val (_, _, p) = views(spark, dir)
+    val p = pulsesView(spark, dir)
     val filtered = p
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
       .filter(Predicates.range(col("timestamp"), gte = fromTimestamp, lte = toTimestamp))
@@ -96,14 +100,14 @@ object Endpoints {
 
   /** GET /pulses/{pulse} — point lookup. */
   def pulse(spark: SparkSession, dir: String, pulseNumber: Long): DataFrame = {
-    val (_, _, p) = views(spark, dir)
+    val p = pulsesView(spark, dir)
     p.filter(col("pulse_number") === pulseNumber).limit(1)
   }
 
   /** GET /pulses/{pulse}/jet-drops — drops of one pulse, jet-id cursor. */
   def jetDropsByPulse(spark: SparkSession, dir: String, pulseNumber: Long,
       fromJetId: Option[String] = None, page: PageParams = PageParams()): DataFrame = {
-    val (_, d, _) = views(spark, dir)
+    val d = dropsView(spark, dir)
     val filtered = d.filter(col("pulse_number") === pulseNumber)
     val cursored = fromJetId.fold(filtered)(j => filtered.filter(col("jet_id") >= j))
     Mappers.jetDropToApi(
@@ -113,7 +117,7 @@ object Endpoints {
   /** GET /jet-drops/{jet_drop_id} — point lookup by "<jet>:<pulse>". */
   def jetDropById(spark: SparkSession, dir: String, jetDropId: String): Option[DataFrame] =
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
-      val (_, d, _) = views(spark, dir)
+      val d = dropsView(spark, dir)
       Mappers.jetDropToApi(
         d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1))
     }
@@ -122,7 +126,7 @@ object Endpoints {
   def jetDropRecords(spark: SparkSession, dir: String, jetDropId: String,
       fromIndex: Option[String] = None, page: PageParams = PageParams()): Option[DataFrame] =
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
-      val (r, _, _) = views(spark, dir)
+      val r = recordsView(spark, dir)
       val base = r.filter(col("pulse_number") === pulse && col("jet_id") === jet)
       val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(base) { case (p, o) =>
         base.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc = true))
@@ -143,7 +147,7 @@ object Endpoints {
       pulseAsc: Boolean = true, limit: Int = 1000,
       withLinks: Boolean = true): DataFrame = {
     require(Pagination.validLimit(limit), s"limit must be in [1,1000]: $limit")
-    val (_, d, _) = views(spark, dir)
+    val d = dropsView(spark, dir)
     val filtered = d
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
       .filter(JetFunctions.jetTreePredicate(col("jet_id"), jetPrefix))
@@ -178,7 +182,7 @@ object Endpoints {
       asc: Boolean = true, fromIndex: Option[String] = None,
       fromPulse: Option[Long] = None, toPulse: Option[Long] = None,
       page: PageParams = PageParams()): DataFrame = {
-    val (r, _, _) = views(spark, dir)
+    val r = recordsView(spark, dir)
     val base = r.filter(col("object_reference") === objectRef && col("type") === "state")
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
     val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(base) { case (p, o) =>
@@ -201,7 +205,7 @@ object Endpoints {
         // decode the 36-byte layout here
         ("lifeline", objectLifeline(spark, dir, java.nio.ByteBuffer.wrap(ref.takeRight(8)).getLong))
       case Search.RecordTarget(ref) =>
-        val (r, _, _) = views(spark, dir)
+        val r = recordsView(spark, dir)
         ("record", r.filter(col("reference") ===
           java.nio.ByteBuffer.wrap(ref.takeRight(8)).getLong).limit(1))
       case Search.NoMatch => ("none", spark.emptyDataFrame)

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  // indexRoot runs on every catalog-query invocation: build the Hadoop
-  // config once, not per fingerprint
-  private lazy val fingerprintConf = new org.apache.hadoop.conf.Configuration()
+  // indexRoot runs on every catalog-query invocation: reuse the active
+  // session's live Hadoop configuration (no copy) — a bare Configuration
+  // would lack spark.hadoop.* settings (object-store credentials,
+  // defaultFS), making listStatus fail and the fingerprint collapse to a
+  // constant, which silently disables stale-index invalidation
+  private def fingerprintConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** True when a prior successful write exists at `path` (checked through
     * the Hadoop FS API so any cluster filesystem works).
