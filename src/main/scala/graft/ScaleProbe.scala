@@ -163,7 +163,7 @@ object ScaleProbe {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
       graft.sources.RelationCache.invalidate(p)
-      graft.sources.StandingArtifact.forget(p)
+      graft.sources.ArtifactCache.forget(p)
     }
     val artifactSizes = (Seq(n1, n2) ++ args.drop(2).headOption.map(_.toLong)).distinct
     println(f"[scale] ${"artifact (per size)"}%-28s ${"build+serve"}%12s ${"probe"}%12s")

@@ -32,8 +32,13 @@ object LifelineLayout {
     */
   def ensure(records: DataFrame, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    val fs = p.getFileSystem(records.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) write(records, path)
+    // positive marker cached ([[graft.sources.ArtifactCache]]): the hot
+    // lifeline endpoint must not stat the layout on every request
+    if (!graft.sources.ArtifactCache.committed(p.toString)(
+        p.getFileSystem(records.sparkSession.sparkContext.hadoopConfiguration).exists(p))) {
+      write(records, path)
+      graft.sources.ArtifactCache.add(p.toString)
+    }
   }
 
   /** Materialize the layout from a records frame (any source — primary

@@ -1,0 +1,33 @@
+package graft.sources
+
+/** In-process positive-existence cache for write-once artifacts
+  * ([[StandingArtifact]], the standing hash index, the lifeline layout).
+  *
+  * Every serving call re-checks its artifact's commit marker; on an
+  * object store that is an HTTP HEAD per artifact per request. Under the
+  * write-once contract a positive check is permanently valid, so it is
+  * cached here and the steady-state cost becomes a set lookup. Negative
+  * results are never cached — an absent artifact must stay re-checkable
+  * until its build commits. Harnesses that wipe artifacts to re-time
+  * builds (ScaleProbe's build-vs-probe rows) must [[forget]] the wiped
+  * roots or later ensures would serve a deleted path.
+  */
+object ArtifactCache {
+
+  private val known = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** True when `key` is known committed; otherwise runs `check`, caching
+    * a positive result.
+    */
+  def committed(key: String)(check: => Boolean): Boolean =
+    known.contains(key) || { val ok = check; if (ok) known.add(key); ok }
+
+  /** Record a just-committed artifact. */
+  def add(key: String): Unit = { known.add(key); () }
+
+  /** Drop every cached key at or under `prefix`. */
+  def forget(prefix: String): Unit = {
+    val it = known.iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
+}

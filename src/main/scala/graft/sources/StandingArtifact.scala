@@ -25,24 +25,9 @@ object StandingArtifact {
 
   private val locks = new ConcurrentHashMap[String, Object]()
 
-  // Write-once contract: a committed path never changes, so a positive
-  // existence check is permanently cacheable in-process. Steady-state
-  // ensure() then costs a set lookup — not a filesystem stat (an HTTP
-  // HEAD per artifact per request on an object store) on every serving
-  // call. Harnesses that wipe artifacts to re-time builds must forget().
-  private val committed = ConcurrentHashMap.newKeySet[String]()
-
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path + "/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** Drop cached existence for every artifact at or under `prefix` (for
-    * wipe-and-rebuild harnesses, e.g. ScaleProbe's build-vs-probe rows).
-    */
-  def forget(prefix: String): Unit = {
-    val it = committed.iterator()
-    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
   }
 
   /** Build-if-absent, then hand back the relation-cached read. `build` is
@@ -57,23 +42,23 @@ object StandingArtifact {
     * temporary location, which is then renamed to `path` under the lock.
     */
   def ensureWith(spark: SparkSession, path: String)(writeTo: String => Unit): DataFrame = {
-    if (!committed.contains(path)) {
-      if (!exists(spark, path)) {
-        locks.computeIfAbsent(path, _ => new Object).synchronized {
-          if (!exists(spark, path)) {
-            val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val tmp = new Path(path + ".inprogress")
-            fs.delete(tmp, true)
-            writeTo(tmp.toString)
-            fs.delete(new Path(path), true) // stale partial write, never committed
-            fs.mkdirs(new Path(path).getParent)
-            if (!fs.rename(tmp, new Path(path)))
-              throw new java.io.IOException(s"rename $tmp -> $path failed")
-            RelationCache.invalidate(path)
-          }
+    // positive existence is cached ([[ArtifactCache]]): steady-state
+    // serving pays a set lookup here, not a filesystem stat per request
+    if (!ArtifactCache.committed(path)(exists(spark, path))) {
+      locks.computeIfAbsent(path, _ => new Object).synchronized {
+        if (!exists(spark, path)) {
+          val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = new Path(path + ".inprogress")
+          fs.delete(tmp, true)
+          writeTo(tmp.toString)
+          fs.delete(new Path(path), true) // stale partial write, never committed
+          fs.mkdirs(new Path(path).getParent)
+          if (!fs.rename(tmp, new Path(path)))
+            throw new java.io.IOException(s"rename $tmp -> $path failed")
+          RelationCache.invalidate(path)
         }
       }
-      committed.add(path)
+      ArtifactCache.add(path)
     }
     RelationCache.parquet(spark, path)
   }

@@ -59,13 +59,18 @@ object Dedup {
   ): Unit = {
     val spark = corpus.sparkSession
     val p = new org.apache.hadoop.fs.Path(path + "/batch=0/_done")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // serving calls re-check per invocation: cache the positive marker
+    // ([[graft.sources.ArtifactCache]]) so the steady-state cost is a set
+    // lookup, not a filesystem stat per query
+    if (!graft.sources.ArtifactCache.committed(p.toString)(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))) {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       appendHashBatch(
         corpus.select(md5(col(textCol)).as("content_hash"), col(idCol))
           .groupBy(col("content_hash")).agg(min(col(idCol)).as("corpus_keep_id")),
         path, batchId = 0L)
       fs.create(p).close()
+      graft.sources.ArtifactCache.add(p.toString)
     }
   }
 

@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ArtifactCacheSpec extends SparkSpec {
+
+  test("ensure builds once, then serves without re-building") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-artifact").toString
+    val path = s"$root/squares"
+    val builds = new AtomicInteger()
+    def served() = StandingArtifact.ensure(spark, path) {
+      builds.incrementAndGet()
+      (1 to 10).toDF("n").select(col("n"), (col("n") * col("n")).as("sq"))
+    }
+    assert(served().count() == 10)
+    assert(served().count() == 10)
+    assert(builds.get() == 1, "an existing artifact must never pay the build plan")
+  }
+
+  test("wipe + forget forces a rebuild; forget is prefix-scoped") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-artifact").toString
+    val path = s"$root/cubes"
+    val builds = new AtomicInteger()
+    def served() = StandingArtifact.ensure(spark, path) {
+      builds.incrementAndGet()
+      (1 to 5).toDF("n")
+    }
+    served().count()
+    // wipe the artifact the way ScaleProbe's build-vs-probe rows do
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    RelationCache.invalidate(path)
+    ArtifactCache.forget(path)
+    assert(served().count() == 5, "a forgotten artifact must rebuild and serve")
+    assert(builds.get() == 2, "the wipe+forget cycle must re-run the build")
+  }
+
+  test("negative existence is never cached") {
+    val checks = new AtomicInteger()
+    val key = s"/no/such/artifact-${System.nanoTime()}"
+    assert(!ArtifactCache.committed(key) { checks.incrementAndGet(); false })
+    assert(!ArtifactCache.committed(key) { checks.incrementAndGet(); false })
+    assert(checks.get() == 2, "absent artifacts must stay re-checkable until committed")
+    assert(ArtifactCache.committed(key) { checks.incrementAndGet(); true })
+    assert(ArtifactCache.committed(key) { checks.incrementAndGet(); fail("cached") })
+    assert(checks.get() == 3, "a positive check must cache")
+  }
+}
