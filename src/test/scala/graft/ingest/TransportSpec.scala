@@ -159,4 +159,46 @@ class TransportSpec extends SparkSpec {
       s"redirected-past pulses must never be requested, probed: ${exporter.probedPulses}")
     assert(spark.read.parquet(s"$base/records").count() == 6)
   }
+
+  test("Pipeline.follow: a non-advancing hint falls back to delta stepping; a still-absent pulse stays missing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-follow-fb").toString
+    // a hole with NO redirect (start+10 simply absent) and a hint on the
+    // first pulse that fails to advance (points at itself)
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 3,
+        startPulse = start)
+      .filter(org.apache.spark.sql.functions.col("pulse_number") =!= (start + 10))
+    val exporter = new ReplayExporter(wire, iterateFromOverride = Map(start -> start))
+    val pipe = new Pipeline(spark, base,
+      Transport.pulseSource(spark, exporter, sleep = noSleep))
+    val report = pipe.follow(
+      Transport.followingSource(spark, exporter, sleep = noSleep), start, start + 20)
+    assert(report.ingested == Seq(start, start + 20),
+      "a self-pointing hint must not stall the sweep")
+    assert(report.missing == Seq(start + 10), "an unredirected hole is a gap")
+    assert(report.reloaded.isEmpty, "a still-absent pulse cannot report as reloaded")
+    assert(spark.read.parquet(s"$base/records").count() == 6)
+  }
+
+  test("Pipeline.follow: the reload pass picks up a pulse that arrives late") {
+    val base = java.nio.file.Files.createTempDirectory("graft-follow-late").toString
+    val full = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 3,
+      startPulse = start)
+    val inner = new ReplayExporter(full)
+    @volatile var late = true
+    val gated = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        if (pulse == start + 10 && late) { late = false; throw new Transport.PulseNotFound(pulse) }
+        inner.export(pulse, recordNumber, count)
+      }
+    }
+    val pipe = new Pipeline(spark, base,
+      Transport.pulseSource(spark, gated, sleep = noSleep))
+    val report = pipe.follow(
+      Transport.followingSource(spark, gated, sleep = noSleep), start, start + 20)
+    assert(report.ingested == Seq(start, start + 20))
+    assert(report.missing == Seq(start + 10), "the first probe saw the pulse absent")
+    assert(report.reloaded == Seq(start + 10), "the reload pass must ingest the late pulse")
+    assert(spark.read.parquet(s"$base/records").count() == 9,
+      "all three pulses' records must land")
+  }
 }
