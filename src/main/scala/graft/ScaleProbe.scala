@@ -164,6 +164,7 @@ object ScaleProbe {
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
       graft.sources.RelationCache.invalidate(p)
       graft.sources.ArtifactCache.forget(p)
+      graft.vector.AnnIndex.forgetCached(p)
     }
     val artifactSizes = (Seq(n1, n2) ++ args.drop(2).headOption.map(_.toLong)).distinct
     println(f"[scale] ${"artifact (per size)"}%-28s ${"build+serve"}%12s ${"probe"}%12s")

@@ -32,11 +32,15 @@ object LifelineLayout {
     */
   def ensure(records: DataFrame, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = p.getFileSystem(records.sparkSession.sparkContext.hadoopConfiguration)
     // positive marker cached ([[graft.sources.ArtifactCache]]): the hot
-    // lifeline endpoint must not stat the layout on every request
-    if (!graft.sources.ArtifactCache.committed(p.toString)(
-        p.getFileSystem(records.sparkSession.sparkContext.hadoopConfiguration).exists(p))) {
-      write(records, path)
+    // lifeline endpoint must not stat the layout on every request. Cold
+    // builds serialize behind the per-path lock (two racing requests must
+    // not both run the overwrite) and re-check under it.
+    if (!graft.sources.ArtifactCache.committed(p.toString)(fs.exists(p))) {
+      graft.sources.ArtifactCache.lockFor(path).synchronized {
+        if (!fs.exists(p)) write(records, path)
+      }
       graft.sources.ArtifactCache.add(p.toString)
     }
   }

@@ -15,6 +15,7 @@ package graft.sources
 object ArtifactCache {
 
   private val known = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** True when `key` is known committed; otherwise runs `check`, caching
     * a positive result.
@@ -25,9 +26,23 @@ object ArtifactCache {
   /** Record a just-committed artifact. */
   def add(key: String): Unit = { known.add(key); () }
 
-  /** Drop every cached key at or under `prefix`. */
+  /** Per-path build lock: every check-then-build ensure must serialize
+    * concurrent cold-path builders behind this, or two racing requests
+    * both pass the existence check and the loser's `mode(overwrite)`
+    * deletes the winner's committed files under a third reader's scan.
+    * (In-process only — cross-JVM builders need the deterministic-write
+    * idempotence the artifacts already have.)
+    */
+  def lockFor(key: String): Object = locks.computeIfAbsent(key, _ => new Object)
+
+  /** Drop the cached key `prefix` itself and every key under it (path
+    * components only — `/idx/a` never evicts its sibling `/idx/a0`).
+    */
   def forget(prefix: String): Unit = {
     val it = known.iterator()
-    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k == prefix || k.startsWith(prefix + "/")) it.remove()
+    }
   }
 }

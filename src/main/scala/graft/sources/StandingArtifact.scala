@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -23,8 +21,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StandingArtifact {
 
-  private val locks = new ConcurrentHashMap[String, Object]()
-
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path + "/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -45,7 +41,7 @@ object StandingArtifact {
     // positive existence is cached ([[ArtifactCache]]): steady-state
     // serving pays a set lookup here, not a filesystem stat per request
     if (!ArtifactCache.committed(path)(exists(spark, path))) {
-      locks.computeIfAbsent(path, _ => new Object).synchronized {
+      ArtifactCache.lockFor(path).synchronized {
         if (!exists(spark, path)) {
           val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
           val tmp = new Path(path + ".inprogress")

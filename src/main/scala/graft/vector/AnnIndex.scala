@@ -27,18 +27,27 @@ object AnnIndex {
   // would lack spark.hadoop.* settings (object-store credentials,
   // defaultFS), making listStatus fail and the fingerprint collapse to a
   // constant, which silently disables stale-index invalidation
+  // getActiveSession is THREAD-local: a pool thread that never set one
+  // would otherwise fall through to a credential-less bare Configuration
+  // and resolve a different fingerprint than the driver thread — the
+  // process-wide default session is the correct fallback
   private def fingerprintConf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** True when a prior successful write exists at `path` (checked through
-    * the Hadoop FS API so any cluster filesystem works).
+    * the Hadoop FS API so any cluster filesystem works). Positive results
+    * are cached ([[graft.sources.ArtifactCache]]): ann_ivf/ann_lsh are
+    * serving shapes, and a commit-marker stat per request is the exact
+    * steady-state cost the cache exists to remove.
     */
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    graft.sources.ArtifactCache.committed(path) {
+      val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
 
   // ---------------- IVF ----------------
 
@@ -55,17 +64,23 @@ object AnnIndex {
   ): Array[Seq[Float]] = {
     val spark = embeddings.sparkSession
     if (!exists(spark, s"$path/vectors")) {
-      val cents = Ivf.centroids(embeddings, nCells, idCol, vecCol)
-      embeddings
-        .withColumn("cell", Ivf.cellOf(col(vecCol), cents))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-      graft.sources.RelationCache.invalidate(s"$path/vectors")
-      import spark.implicits._
-      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      cents
-    } else readCentroids(spark, path)
+      // cold builds serialize per path and re-check under the lock: two
+      // racing requests must not both run the partitioned overwrite
+      graft.sources.ArtifactCache.lockFor(path).synchronized {
+        if (!exists(spark, s"$path/vectors")) {
+          val cents = Ivf.centroids(embeddings, nCells, idCol, vecCol)
+          embeddings
+            .withColumn("cell", Ivf.cellOf(col(vecCol), cents))
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+          graft.sources.RelationCache.invalidate(s"$path/vectors")
+          import spark.implicits._
+          cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
+            .toDF("cell", "centroid")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        }
+      }
+    }
+    readCentroids(spark, path)
   }
 
   /** Centroid sets are tiny and immutable once written — memoize per path
@@ -80,6 +95,19 @@ object AnnIndex {
       spark.read.parquet(s"$p/centroids")
         .orderBy("cell").select("centroid").as[Seq[Float]].collect()
     })
+
+  /** Drop memoized centroids at or under `prefix`. Wipe-and-rebuild
+    * harnesses must call this with the wiped root: probing a rebuilt
+    * index with the OLD centroid array silently corrupts kNN (cell ids
+    * would no longer correspond to the pruning centroids).
+    */
+  def forgetCached(prefix: String): Unit = {
+    val it = centroidCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k == prefix || k.startsWith(prefix + "/")) it.remove()
+    }
+  }
 
   /** IVF top-k against a persisted index: prune to the query's nProbe best
     * cells (partition pruning — only those directories are read), exact
@@ -158,10 +186,14 @@ object AnnIndex {
   ): Unit = {
     val spark = embeddings.sparkSession
     if (!exists(spark, s"$path/vectors")) {
-      embeddings
-        .withColumn("sig", Similarity.lshSignature(col(vecCol), dim, bits, seed))
-        .write.mode("overwrite").partitionBy("sig").parquet(s"$path/vectors")
-      graft.sources.RelationCache.invalidate(s"$path/vectors")
+      graft.sources.ArtifactCache.lockFor(path).synchronized {
+        if (!exists(spark, s"$path/vectors")) {
+          embeddings
+            .withColumn("sig", Similarity.lshSignature(col(vecCol), dim, bits, seed))
+            .write.mode("overwrite").partitionBy("sig").parquet(s"$path/vectors")
+          graft.sources.RelationCache.invalidate(s"$path/vectors")
+        }
+      }
     }
   }
 

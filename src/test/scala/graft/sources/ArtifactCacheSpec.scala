@@ -40,6 +40,18 @@ class ArtifactCacheSpec extends SparkSpec {
     assert(builds.get() == 2, "the wipe+forget cycle must re-run the build")
   }
 
+  test("forget is separator-scoped: a sibling name extending the prefix survives") {
+    val a = s"/idx/ivf-scale-c16-${System.nanoTime()}"
+    val sibling = a + "0" // a distinct artifact, not a child of `a`
+    ArtifactCache.add(a)
+    ArtifactCache.add(a + "/vectors")
+    ArtifactCache.add(sibling)
+    ArtifactCache.forget(a)
+    assert(!ArtifactCache.committed(a)(false), "the prefix itself must be forgotten")
+    assert(!ArtifactCache.committed(a + "/vectors")(false), "children must be forgotten")
+    assert(ArtifactCache.committed(sibling)(fail("sibling must stay cached")))
+  }
+
   test("negative existence is never cached") {
     val checks = new AtomicInteger()
     val key = s"/no/such/artifact-${System.nanoTime()}"
