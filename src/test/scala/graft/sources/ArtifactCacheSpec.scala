@@ -21,6 +21,29 @@ class ArtifactCacheSpec extends SparkSpec {
     assert(builds.get() == 1, "an existing artifact must never pay the build plan")
   }
 
+  test("concurrent cold ensures serialize to exactly one build") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-artifact").toString
+    val path = s"$root/concurrent"
+    val builds = new AtomicInteger()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = StandingArtifact.ensure(spark, path) {
+            builds.incrementAndGet()
+            Thread.sleep(50) // widen the race window
+            (1 to 10).toDF("n")
+          }.count()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 10L),
+        "every racing caller must see the committed artifact")
+      assert(builds.get() == 1,
+        "racing cold builders must serialize behind the per-path lock")
+    } finally pool.shutdown()
+  }
+
   test("wipe + forget forces a rebuild; forget is prefix-scoped") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-artifact").toString
