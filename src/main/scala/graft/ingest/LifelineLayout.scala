@@ -30,20 +30,13 @@ object LifelineLayout {
     * (cache-on-first-use for the catalog queries; a production deployment
     * rebuilds per maintenance window).
     */
-  def ensure(records: DataFrame, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    val fs = p.getFileSystem(records.sparkSession.sparkContext.hadoopConfiguration)
-    // positive marker cached ([[graft.sources.ArtifactCache]]): the hot
-    // lifeline endpoint must not stat the layout on every request. Cold
-    // builds serialize behind the per-path lock (two racing requests must
-    // not both run the overwrite) and re-check under it.
-    if (!graft.sources.ArtifactCache.committed(p.toString)(fs.exists(p))) {
-      graft.sources.ArtifactCache.lockFor(path).synchronized {
-        if (!fs.exists(p)) write(records, path)
-      }
-      graft.sources.ArtifactCache.add(p.toString)
-    }
-  }
+  def ensure(records: DataFrame, path: String): Unit =
+    // one shared commit protocol (cached positive marker, per-path build
+    // lock, side-directory write + atomic rename) — the hot lifeline
+    // endpoint must not stat the layout per request, and two racing cold
+    // requests must not both run the overwrite
+    graft.sources.StandingArtifact.ensureCommitted(records.sparkSession, path)(
+      tmp => write(records, tmp))
 
   /** Materialize the layout from a records frame (any source — primary
     * store scan or the Domain view).

@@ -38,15 +38,39 @@ object StandingArtifact {
     * temporary location, which is then renamed to `path` under the lock.
     */
   def ensureWith(spark: SparkSession, path: String)(writeTo: String => Unit): DataFrame = {
+    ensureCommitted(spark, path)(writeTo)
+    RelationCache.parquet(spark, path)
+  }
+
+  /** The write-once commit protocol alone, for builders whose artifact is
+    * not a single root-level parquet dataset read through [[RelationCache]]:
+    * partitioned layouts with their own accessors ([[graft.ingest.LifelineLayout]]),
+    * artifact TREES ([[graft.vector.AnnIndex]]'s `vectors/` + `centroids/`),
+    * and marker-file indexes (the standing hash index's `batch=0/_done`).
+    *
+    * One protocol, pinned once (ArtifactCacheSpec), shared by every ensure
+    * site: cached-positive existence on `path/marker`, per-path build lock
+    * with a raw re-check under it, build into a side directory, touch the
+    * marker if `writeTo` didn't, atomic rename into place. Readers only
+    * ever observe `path` absent or fully committed — a crash mid-build
+    * leaves only the `.inprogress` directory, which the next builder
+    * deletes and redoes; in particular a multi-dataset tree can never be
+    * seen (or cached) half-built, whatever order `writeTo` writes in.
+    */
+  def ensureCommitted(spark: SparkSession, path: String, marker: String = "_SUCCESS")(
+      writeTo: String => Unit): Unit = {
+    val markerPath = path + "/" + marker
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // positive existence is cached ([[ArtifactCache]]): steady-state
     // serving pays a set lookup here, not a filesystem stat per request
-    if (!ArtifactCache.committed(path)(exists(spark, path))) {
+    if (!ArtifactCache.committed(markerPath)(fs.exists(new Path(markerPath)))) {
       ArtifactCache.lockFor(path).synchronized {
-        if (!exists(spark, path)) {
-          val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new Path(markerPath))) {
           val tmp = new Path(path + ".inprogress")
           fs.delete(tmp, true)
           writeTo(tmp.toString)
+          val tmpMarker = new Path(tmp, marker)
+          if (!fs.exists(tmpMarker)) fs.create(tmpMarker).close()
           fs.delete(new Path(path), true) // stale partial write, never committed
           fs.mkdirs(new Path(path).getParent)
           if (!fs.rename(tmp, new Path(path)))
@@ -54,8 +78,7 @@ object StandingArtifact {
           RelationCache.invalidate(path)
         }
       }
-      ArtifactCache.add(path)
+      ArtifactCache.add(markerPath)
     }
-    RelationCache.parquet(spark, path)
   }
 }

@@ -56,28 +56,18 @@ object Dedup {
       path: String,
       idCol: String = "doc_id",
       textCol: String = "text"
-  ): Unit = {
-    val spark = corpus.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path + "/batch=0/_done")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // serving calls re-check per invocation: cache the positive marker
-    // ([[graft.sources.ArtifactCache]]) so the steady-state cost is a set
-    // lookup, not a filesystem stat per query. Cold builds serialize
-    // behind the per-path lock and re-check under it — two racing
-    // requests must not both write batch 0.
-    if (!graft.sources.ArtifactCache.committed(p.toString)(fs.exists(p))) {
-      graft.sources.ArtifactCache.lockFor(path).synchronized {
-        if (!fs.exists(p)) {
-          appendHashBatch(
-            corpus.select(md5(col(textCol)).as("content_hash"), col(idCol))
-              .groupBy(col("content_hash")).agg(min(col(idCol)).as("corpus_keep_id")),
-            path, batchId = 0L)
-          fs.create(p).close()
-        }
-      }
-      graft.sources.ArtifactCache.add(p.toString)
+  ): Unit =
+    // one shared commit protocol (cached positive marker, per-path build
+    // lock, side-directory write + atomic rename): the marker lives under
+    // the batch-0 partition so later appendHashBatch calls — which rewrite
+    // OTHER batch partitions in place — never disturb it
+    graft.sources.StandingArtifact.ensureCommitted(
+      corpus.sparkSession, path, marker = "batch=0/_done") { tmp =>
+      appendHashBatch(
+        corpus.select(md5(col(textCol)).as("content_hash"), col(idCol))
+          .groupBy(col("content_hash")).agg(min(col(idCol)).as("corpus_keep_id")),
+        tmp, batchId = 0L)
     }
-  }
 
   /** Admit one micro-batch's KEPT hashes into the standing index —
     * continuous corpus admission for a streaming ingest. The batch id is

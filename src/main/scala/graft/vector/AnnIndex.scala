@@ -37,23 +37,17 @@ object AnnIndex {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  /** True when a prior successful write exists at `path` (checked through
-    * the Hadoop FS API so any cluster filesystem works). Positive results
-    * are cached ([[graft.sources.ArtifactCache]]): ann_ivf/ann_lsh are
-    * serving shapes, and a commit-marker stat per request is the exact
-    * steady-state cost the cache exists to remove.
-    */
-  private def exists(spark: SparkSession, path: String): Boolean =
-    graft.sources.ArtifactCache.committed(path) {
-      val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-
   // ---------------- IVF ----------------
 
   /** Build (if absent) the IVF index under `path`: `vectors/` partitioned
     * by cell + `centroids/`. Returns the centroid set (normalized — cell
     * assignment is true cosine-argmax).
+    *
+    * The two datasets commit as ONE artifact
+    * ([[graft.sources.StandingArtifact.ensureCommitted]] — side-directory
+    * build, atomic rename): a reader can never observe vectors without
+    * centroids, and a crash between the writes leaves the path absent —
+    * rebuilt next call — instead of permanently half-built.
     */
   def ensureIvf(
       embeddings: DataFrame,
@@ -63,22 +57,15 @@ object AnnIndex {
       vecCol: String = "embedding"
   ): Array[Seq[Float]] = {
     val spark = embeddings.sparkSession
-    if (!exists(spark, s"$path/vectors")) {
-      // cold builds serialize per path and re-check under the lock: two
-      // racing requests must not both run the partitioned overwrite
-      graft.sources.ArtifactCache.lockFor(path).synchronized {
-        if (!exists(spark, s"$path/vectors")) {
-          val cents = Ivf.centroids(embeddings, nCells, idCol, vecCol)
-          embeddings
-            .withColumn("cell", Ivf.cellOf(col(vecCol), cents))
-            .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-          graft.sources.RelationCache.invalidate(s"$path/vectors")
-          import spark.implicits._
-          cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
-            .toDF("cell", "centroid")
-            .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-        }
-      }
+    graft.sources.StandingArtifact.ensureCommitted(spark, path) { tmp =>
+      val cents = Ivf.centroids(embeddings, nCells, idCol, vecCol)
+      embeddings
+        .withColumn("cell", Ivf.cellOf(col(vecCol), cents))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/vectors")
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
     }
     readCentroids(spark, path)
   }
@@ -183,19 +170,12 @@ object AnnIndex {
       bits: Int = 8,
       seed: Long = 42L,
       vecCol: String = "embedding"
-  ): Unit = {
-    val spark = embeddings.sparkSession
-    if (!exists(spark, s"$path/vectors")) {
-      graft.sources.ArtifactCache.lockFor(path).synchronized {
-        if (!exists(spark, s"$path/vectors")) {
-          embeddings
-            .withColumn("sig", Similarity.lshSignature(col(vecCol), dim, bits, seed))
-            .write.mode("overwrite").partitionBy("sig").parquet(s"$path/vectors")
-          graft.sources.RelationCache.invalidate(s"$path/vectors")
-        }
-      }
+  ): Unit =
+    graft.sources.StandingArtifact.ensureCommitted(embeddings.sparkSession, path) { tmp =>
+      embeddings
+        .withColumn("sig", Similarity.lshSignature(col(vecCol), dim, bits, seed))
+        .write.mode("overwrite").partitionBy("sig").parquet(s"$tmp/vectors")
     }
-  }
 
   /** Multi-probe LSH top-k against a persisted index: reads only the
     * `maxProbes` margin-ranked buckets (the flip-sets a true neighbour is

@@ -75,6 +75,46 @@ class ArtifactCacheSpec extends SparkSpec {
     assert(ArtifactCache.committed(sibling)(fail("sibling must stay cached")))
   }
 
+  test("a failed build commits nothing; the next ensure rebuilds the whole tree") {
+    val root = java.nio.file.Files.createTempDirectory("graft-artifact").toString
+    val path = s"$root/tree"
+    val attempts = new AtomicInteger()
+    def run(): Unit = StandingArtifact.ensureCommitted(spark, path) { tmp =>
+      spark.range(3).toDF("n").write.parquet(s"$tmp/vectors")
+      if (attempts.incrementAndGet() == 1)
+        throw new RuntimeException("job died between the tree's writes")
+      spark.range(2).toDF("c").write.parquet(s"$tmp/centroids")
+    }
+    intercept[RuntimeException](run())
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+      "a build that dies mid-tree must leave the path absent, never half-built")
+    run()
+    for (sub <- Seq("_SUCCESS", "vectors/_SUCCESS", "centroids/_SUCCESS"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub")),
+        s"the rebuilt artifact must be fully committed ($sub)")
+    assert(attempts.get() == 2, "the failed path must stay rebuildable")
+  }
+
+  test("a nested marker the builder does not write is touched at commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-artifact").toString
+    val path = s"$root/marked"
+    val builds = new AtomicInteger()
+    def run(): Unit =
+      StandingArtifact.ensureCommitted(spark, path, marker = "batch=0/_done") { tmp =>
+        builds.incrementAndGet()
+        spark.range(3).toDF("n").write.parquet(s"$tmp/batch=0")
+      }
+    run()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/batch=0/_done")),
+      "the commit must create the marker the existence check keys on")
+    run()
+    assert(builds.get() == 1, "the touched marker must satisfy the next ensure")
+  }
+
   test("negative existence is never cached") {
     val checks = new AtomicInteger()
     val key = s"/no/such/artifact-${System.nanoTime()}"
