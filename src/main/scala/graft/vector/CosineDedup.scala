@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object CosineDedup {
 
+  /** Bring a narrow input up to session parallelism; a frame already at
+    * or above it keeps its layout (re-shuffling a wide corpus to
+    * "parallelize" it would BE the bottleneck).
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
+  }
+
   /** Exact all-pairs cosine near-dup pairs (a_id < b_id, cosine >= τ).
     * Norms are hoisted per VECTOR (not per pair) — bit-identical values,
     * one third the per-pair flops.
@@ -29,7 +38,11 @@ object CosineDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // The streamed side of the nested-loop keeps the scan's partitioning —
+    // a small corpus arrives in 1-2 parquet splits, single-threading the
+    // O(n²) kernel. Widen it to session parallelism (only when narrower:
+    // a corpus already wider keeps its layout).
+    val base = widen(embeddings).select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.normFixed(col(vecCol), dim).as("nrm"))
     val a = base.select(col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
     val b = base.select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
@@ -87,6 +100,14 @@ object CosineDedup {
     // configuration; revisit only if per-pair verification cost drops
     // below the shuffle cost of a candidate row.
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // The bucket self-join is compute-dense per BYTE (in-bucket pair
+    // fan-out is quadratic), so AQE's byte-targeted partition coalescing
+    // under-parallelizes it — measured 12 post-coalesce tasks carrying 3s
+    // of pair CPU. An explicit partition count on the bucket key pins the
+    // join's width to the session's shuffle parallelism (explicit counts
+    // are exempt from AQE coalescing) and co-partitions both aliases, so
+    // the self-join adds no further shuffle.
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val banded = base.select(
       col("id"),
       explode(array((0 until tables).map { t =>
@@ -94,6 +115,7 @@ object CosineDedup {
           Similarity.lshSignature(col("v"), dim, bits, seed = 42L + t).as("sig"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.table"), col("bk.sig"))
+      .repartition(parts, col("table"), col("sig"))
     val pairs = banded.alias("x")
       .join(banded.alias("y"),
         col("x.table") === col("y.table") && col("x.sig") === col("y.sig") &&
