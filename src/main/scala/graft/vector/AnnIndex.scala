@@ -204,13 +204,33 @@ object AnnIndex {
 
   // ---------------- catalog plumbing ----------------
 
+  // dir → (deadline, resolved root). indexRoot runs on EVERY catalog
+  // query (the spine and every standing index derive their path from
+  // it), and its fingerprint listing was the one per-request filesystem
+  // call left on the serving path — on an object store, a LIST per
+  // request, the same steady-state cost class ArtifactCache removes for
+  // commit markers. Source corpora are write-once here, so a resolution
+  // is cached with a bounded TTL: serving amortizes the LIST to once per
+  // TTL per dataset, while a long-lived service pointed at re-generated
+  // data still re-fingerprints within the TTL and rebuilds under the new
+  // path.
+  private val rootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  @volatile private[vector] var rootTtlNanos: Long = 60L * 1000000000L
+
   /** Scratch location for per-dataset indexes (cache-on-first-use by the
     * catalog queries; any durable deployment would point this at the
     * warehouse). The path embeds a fingerprint of the source files
     * (name, size, mtime), so regenerated source data can NEVER silently
-    * serve a stale index — the path changes and the index rebuilds.
+    * serve a stale index — the path changes and the index rebuilds
+    * (within [[rootTtlNanos]] of the change; the fingerprint listing is
+    * TTL-cached per dataset, see [[rootCache]]).
     */
   def indexRoot(dir: String): String = {
+    val now = System.nanoTime()
+    val cached = rootCache.get(dir)
+    // entries carry their resolution time; the TTL applies at read time
+    if (cached != null && now - cached._1 < rootTtlNanos) return cached._2
     // list through the Hadoop FS API, not java.io.File: on a non-local
     // source dir a local listing returns null, the fingerprint collapses
     // to a constant, and stale-index invalidation silently turns off
@@ -223,8 +243,10 @@ object AnnIndex {
         .mkString("|")
     } catch { case _: java.io.IOException => "" }
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
-    sys.env.getOrElse("GRAFT_INDEX_DIR", "/tmp/graft-index") + "/" +
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "/tmp/graft-index") + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
+    rootCache.put(dir, (now, root))
+    root
   }
 
   /** Canonical index paths — the build PARAMETERS are part of the path,
