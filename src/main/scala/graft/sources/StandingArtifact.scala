@@ -21,11 +21,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StandingArtifact {
 
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path + "/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** Build-if-absent, then hand back the relation-cached read. `build` is
     * by-name: an existing artifact never pays the build plan at all.
     */

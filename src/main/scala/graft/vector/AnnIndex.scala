@@ -204,7 +204,7 @@ object AnnIndex {
 
   // ---------------- catalog plumbing ----------------
 
-  // dir → (deadline, resolved root). indexRoot runs on EVERY catalog
+  // dir → (resolved-at nanos, root). indexRoot runs on EVERY catalog
   // query (the spine and every standing index derive their path from
   // it), and its fingerprint listing was the one per-request filesystem
   // call left on the serving path — on an object store, a LIST per

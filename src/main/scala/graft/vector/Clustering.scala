@@ -198,16 +198,9 @@ object Clustering {
     require(softP >= 1 && softP <= k, s"softP must be in [1, k], got $softP")
     val spark = start.sparkSession
     val enc = MaxFanout + 1
-    // Bring narrow inputs up to session parallelism — the sf-scale parquet
-    // arrives in 1-4 partitions, single-threading every UDF pass (measured
-    // 46s for one 200k-row pass). A corpus already wider than the session
-    // keeps its layout: re-shuffling 100 TB to "parallelize" it would BE
-    // the bottleneck.
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val wide =
-      if (start.rdd.getNumPartitions >= parts) start
-      else start.repartition(parts)
-    val base = wide.persist()
+    // Narrow inputs single-thread every UDF pass (measured 46s for one
+    // 200k-row pass) — widen to session parallelism ([[Similarity.widen]]).
+    val base = Similarity.widen(start).persist()
     val merged = scala.collection.mutable.Map.empty[Long, Array[Array[Float]]]
     val frozen = scala.collection.mutable.Set.empty[Long]
     var prevCounts = Map.empty[Long, Long]

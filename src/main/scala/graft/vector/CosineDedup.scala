@@ -18,15 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object CosineDedup {
 
-  /** Bring a narrow input up to session parallelism; a frame already at
-    * or above it keeps its layout (re-shuffling a wide corpus to
-    * "parallelize" it would BE the bottleneck).
-    */
-  private def widen(df: DataFrame): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
-  }
-
   /** Exact all-pairs cosine near-dup pairs (a_id < b_id, cosine >= τ).
     * Norms are hoisted per VECTOR (not per pair) — bit-identical values,
     * one third the per-pair flops.
@@ -39,10 +30,8 @@ object CosineDedup {
       vecCol: String = "embedding"
   ): DataFrame = {
     // The streamed side of the nested-loop keeps the scan's partitioning —
-    // a small corpus arrives in 1-2 parquet splits, single-threading the
-    // O(n²) kernel. Widen it to session parallelism (only when narrower:
-    // a corpus already wider keeps its layout).
-    val base = widen(embeddings).select(col(idCol).as("id"), col(vecCol).as("v"),
+    // widen it ([[Similarity.widen]]) or the O(n²) kernel single-threads.
+    val base = Similarity.widen(embeddings).select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.normFixed(col(vecCol), dim).as("nrm"))
     val a = base.select(col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
     val b = base.select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Bring a narrow input up to session parallelism — the sf-scale parquet
+    * arrives in 1-4 splits, single-threading compute-dense per-row kernels.
+    * A frame already at or above session width keeps its layout:
+    * re-shuffling 100 TB to "parallelize" it would BE the bottleneck.
+    */
+  private[vector] def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
+  }
+
   // ---- dynamic-dimension (interpreted HOF) forms ----
 
   /** Dot product of two float-array columns, computed in double. */
