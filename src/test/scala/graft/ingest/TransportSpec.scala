@@ -67,6 +67,28 @@ class TransportSpec extends SparkSpec {
       "without ShouldIterateFrom the marker record's own pulse is the hint")
   }
 
+  test("rate limiting pauses, backs off, and resumes at the cursor") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 5,
+      startPulse = start)
+    val inner = new ReplayExporter(wire)
+    // every other open is rejected with the exporter's rate limit; the
+    // fetch must sleep (backoff observed) and reopen at the SAME cursor
+    var opens = 0
+    var slept = 0L
+    val limited = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        opens += 1
+        if (opens % 2 == 1) throw new Transport.RateLimited("429")
+        inner.export(pulse, recordNumber, count)
+      }
+    }
+    val fp = Transport.fetchPulse(limited, start, batchSize = 2,
+      sleep = ms => slept += ms).get
+    assert(fp.rows.map(_.getAs[Long]("record_number")) == (0L until 5L),
+      "rate-limited reopens must lose and duplicate nothing")
+    assert(slept > 0, "a rate-limited open must back off before retrying")
+  }
+
   test("mid-portion disconnect resumes at the cursor: no loss, no duplicates") {
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 7,
       startPulse = start)
