@@ -57,16 +57,19 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): Unit =
-    // one shared commit protocol (cached positive marker, per-path build
-    // lock, side-directory write + atomic rename): the marker lives under
-    // the batch-0 partition so later appendHashBatch calls — which rewrite
-    // OTHER batch partitions in place — never disturb it
-    graft.sources.StandingArtifact.ensureCommitted(
-      corpus.sparkSession, path, marker = "batch=0/_done") { tmp =>
+    // IN-PLACE commit protocol (cached positive marker, per-path build
+    // lock), NOT the tmp+rename one: the index is append-able — batch=N
+    // partitions admitted by appendHashBatch may already exist under this
+    // path and must survive the base build. appendHashBatch is
+    // write-idempotent (dynamic overwrite of its own partition), so a
+    // crashed retry rewrites batch 0 to the same bytes before the marker
+    // lands.
+    graft.sources.StandingArtifact.ensureMarkedInPlace(
+      corpus.sparkSession, path, marker = "batch=0/_done") {
       appendHashBatch(
         corpus.select(md5(col(textCol)).as("content_hash"), col(idCol))
           .groupBy(col("content_hash")).agg(min(col(idCol)).as("corpus_keep_id")),
-        tmp, batchId = 0L)
+        path, batchId = 0L)
     }
 
   /** Admit one micro-batch's KEPT hashes into the standing index —

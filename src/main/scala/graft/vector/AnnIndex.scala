@@ -233,19 +233,36 @@ object AnnIndex {
     if (cached != null && now - cached._1 < rootTtlNanos) return cached._2
     // list through the Hadoop FS API, not java.io.File: on a non-local
     // source dir a local listing returns null, the fingerprint collapses
-    // to a constant, and stale-index invalidation silently turns off
+    // to a constant, and stale-index invalidation silently turns off.
+    // Dataset ENTRIES that are directories (Spark-written `t.parquet/`
+    // trees) report len 0 and, on object stores, no stable mtime — so the
+    // fingerprint descends one level and hashes the contained files,
+    // whose (name, len, mtime) DO move on regeneration. The extra LISTs
+    // are amortized by the TTL cache.
+    var listingFailed = false
     val sig = try {
       val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(fingerprintConf)
-        .listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      val fs = p.getFileSystem(fingerprintConf)
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .flatMap { s =>
+          val self = s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+          if (!s.isDirectory) Array(self)
+          else self +: fs.listStatus(s.getPath).filter(_.isFile)
+            .sortBy(_.getPath.getName)
+            .map(f => s"${s.getPath.getName}/${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        }
         .mkString("|")
-    } catch { case _: java.io.IOException => "" }
+    } catch { case _: java.io.IOException => listingFailed = true; "" }
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "/tmp/graft-index") + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
-    rootCache.put(dir, (now, root))
+    // never cache a failed listing: its constant-fingerprint root is not
+    // derived from the data, and pinning it for a TTL window would point
+    // every query at a bogus root (and, across a regeneration, at the
+    // SAME bogus root — the exact silent staleness the fingerprint
+    // exists to prevent). A transient LIST error stays a one-call blip.
+    if (!listingFailed) rootCache.put(dir, (now, root))
     root
   }
 

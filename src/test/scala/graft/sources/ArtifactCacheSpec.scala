@@ -115,6 +115,24 @@ class ArtifactCacheSpec extends SparkSpec {
     assert(builds.get() == 1, "the touched marker must satisfy the next ensure")
   }
 
+  test("in-place ensure preserves sibling data the build did not write") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-artifact").toString
+    val path = s"$root/appendable"
+    // a partition admitted BEFORE the base ensure (append-able artifact)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Seq((7L, 5L)).toDF("v", "batch")
+      .write.mode("overwrite").partitionBy("batch").parquet(path)
+    StandingArtifact.ensureMarkedInPlace(spark, path, marker = "batch=0/_done") {
+      Seq((1L, 0L)).toDF("v", "batch")
+        .write.mode("overwrite").partitionBy("batch").parquet(path)
+    }
+    val batches = spark.read.parquet(path).select("batch").distinct()
+      .collect().map(_.get(0).toString.toLong).sorted.toSeq
+    assert(batches == Seq(0L, 5L),
+      "the in-place base build must never destroy previously admitted partitions")
+  }
+
   test("negative existence is never cached") {
     val checks = new AtomicInteger()
     val key = s"/no/such/artifact-${System.nanoTime()}"
