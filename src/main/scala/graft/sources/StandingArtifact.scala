@@ -59,31 +59,6 @@ object StandingArtifact {
     * old IVF path could crash with vectors committed and centroids
     * absent), so rebuild is the only safe upgrade.
     */
-  /** The commit protocol for APPEND-ABLE artifacts: same cached-positive
-    * marker check and per-path build lock as [[ensureCommitted]], but the
-    * build writes IN PLACE and only the marker is touched afterwards — no
-    * side directory, no delete, no rename. Required when sibling data may
-    * already live under `path` that a wholesale tmp+rename would destroy
-    * (the standing hash index admits `batch=N` partitions independently
-    * of the base build; `build` must therefore be write-idempotent: a
-    * crashed retry must overwrite its own partitions to the same bytes).
-    */
-  def ensureMarkedInPlace(spark: SparkSession, path: String, marker: String)(
-      build: => Unit): Unit = {
-    val markerPath = new Path(path + "/" + marker)
-    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!ArtifactCache.committed(markerPath.toString)(fs.exists(markerPath))) {
-      ArtifactCache.lockFor(path).synchronized {
-        if (!fs.exists(markerPath)) {
-          build
-          fs.create(markerPath).close()
-          RelationCache.invalidate(path)
-        }
-      }
-      ArtifactCache.add(markerPath.toString)
-    }
-  }
-
   def ensureCommitted(spark: SparkSession, path: String, marker: String = "_SUCCESS")(
       writeTo: String => Unit): Unit = {
     val markerPath = path + "/" + marker
@@ -106,6 +81,35 @@ object StandingArtifact {
         }
       }
       ArtifactCache.add(markerPath)
+    }
+  }
+
+  /** The commit protocol for APPEND-ABLE artifacts: same cached-positive
+    * marker check and per-path build lock as [[ensureCommitted]], but the
+    * build writes IN PLACE and only the marker is touched afterwards — no
+    * side directory, no delete, no rename. Required when sibling data may
+    * already live under `path` that a wholesale tmp+rename would destroy
+    * (the standing hash index admits `batch=N` partitions independently
+    * of the base build; `build` must therefore be write-idempotent: a
+    * crashed retry must overwrite its own partitions to the same bytes).
+    */
+  def ensureMarkedInPlace(spark: SparkSession, path: String, marker: String)(
+      build: => Unit): Unit = {
+    // cache/forget keys are raw `path + "/" + marker` strings in BOTH
+    // protocols — a Path-normalized key here would diverge from the raw
+    // prefixes wipe harnesses pass to ArtifactCache.forget
+    val markerKey = path + "/" + marker
+    val markerPath = new Path(markerKey)
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!ArtifactCache.committed(markerKey)(fs.exists(markerPath))) {
+      ArtifactCache.lockFor(path).synchronized {
+        if (!fs.exists(markerPath)) {
+          build
+          fs.create(markerPath).close()
+          RelationCache.invalidate(path)
+        }
+      }
+      ArtifactCache.add(markerKey)
     }
   }
 }

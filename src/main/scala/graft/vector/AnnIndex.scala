@@ -217,6 +217,7 @@ object AnnIndex {
   private val rootCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
   @volatile private[vector] var rootTtlNanos: Long = 60L * 1000000000L
+  private val failTtlNanos: Long = 5L * 1000000000L
 
   /** Scratch location for per-dataset indexes (cache-on-first-use by the
     * catalog queries; any durable deployment would point this at the
@@ -246,9 +247,14 @@ object AnnIndex {
       fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
         .flatMap { s =>
-          val self = s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
-          if (!s.isDirectory) Array(self)
-          else self +: fs.listStatus(s.getPath).filter(_.isFile)
+          // a directory ENTRY contributes its name only — its own
+          // len/mtime are exactly the values declared unreliable above,
+          // and transient child churn (a .spark-staging dir) bumps dir
+          // mtime without a data change; the descended FILES carry the
+          // len/mtime that move on regeneration
+          if (!s.isDirectory)
+            Array(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          else s.getPath.getName +: fs.listStatus(s.getPath).filter(_.isFile)
             .sortBy(_.getPath.getName)
             .map(f => s"${s.getPath.getName}/${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
         }
@@ -257,12 +263,16 @@ object AnnIndex {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "/tmp/graft-index") + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
-    // never cache a failed listing: its constant-fingerprint root is not
-    // derived from the data, and pinning it for a TTL window would point
-    // every query at a bogus root (and, across a regeneration, at the
-    // SAME bogus root — the exact silent staleness the fingerprint
-    // exists to prevent). A transient LIST error stays a one-call blip.
-    if (!listingFailed) rootCache.put(dir, (now, root))
+    // A failed listing must not pin its constant-fingerprint root for the
+    // positive TTL (across a regeneration it would resolve to the SAME
+    // bogus root — silent staleness), but it must not re-LIST per request
+    // either (a persistent store outage would put a failing round-trip on
+    // every serving call). Failed resolutions get a short negative TTL:
+    // backdate the entry so it expires failTtl from now.
+    val resolvedAt =
+      if (listingFailed) now - (rootTtlNanos - math.min(failTtlNanos, rootTtlNanos))
+      else now
+    rootCache.put(dir, (resolvedAt, root))
     root
   }
 
