@@ -269,6 +269,18 @@ object Bench {
       java.nio.file.Files.write(p, json.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(json)
+    // The driver's stdout capture keeps only a ~2000-char tail, which the
+    // full line above (telemetry + task metrics) always overflows — its
+    // `parsed` field has been null every round. Emit a compact summary as
+    // the LAST line so a tail-bounded parser finds one complete JSON
+    // object; target/bench.json above stays the lossless artifact.
+    val qsCompact = results
+      .map { case (n, t) => s""""$n":${f"$t%.2f"}""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact""" +
+      f""","warm_total":$warmTotal%.3f,"ingest_sec":$ingestSec%.3f""" +
+      f""","load_min_shape_qps":$loadMin%.2f,"load_first_min_qps":$firstMin%.2f""" +
+      s""","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,13 +35,30 @@ object Domain {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.RelationCache.parquet(spark, s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP_NANOS which Spark reads as LongType
-    * nanos under the legacy flag (set defensively here — Verify/Bench set
-    * it at session build too).
+  /** The event feed with `ts` normalized to LongType epoch NANOS — the
+    * representation every downstream view and oracle assumes (`ts DIV
+    * PulseNs` etc., DuckDB `epoch_ns(ts)`).
+    *
+    * The driver's parquet has shipped `ts` in two physical forms across
+    * rounds: INT64 TIMESTAMP(NANOS) — LongType under the legacy flag —
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) — TimestampNTZType.
+    * Branching on the resolved type keeps both (and plain TIMESTAMP)
+    * working: timestamp-typed columns are cast through TimestampType
+    * under a UTC session zone (set here, defensively) so wall-clock →
+    * epoch is identity, then scaled micros→nanos. DuckDB's `epoch_ns`
+    * performs the identical micros*1000 widening, so oracles stay
+    * bit-exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 
   /** The `records` fact view (reference: `etl/models/models.go:31-44`). */
