@@ -515,7 +515,7 @@ object Queries {
 
   /** Brute-force cosine top-10 against the vec_id=0 embedding. */
   val annTopK: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     import s.implicits._
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
     graft.vector.Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0L), q, 10)
@@ -526,7 +526,7 @@ object Queries {
     * vectors, broadcast-probe style (W-family rank + fixed-dim kernel).
     */
   val annKnn: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     graft.vector.Similarity.topKJoin(
         emb.filter(col("vec_id") >= 10L), emb.filter(col("vec_id") < 10L), k = 3, dim = 64)
       .select(col("query_id"), col("neighbor_id"),
@@ -745,7 +745,7 @@ object Queries {
     */
   val ddEmbed: Q = (s, dir) => {
     graft.vector.CosineDedup.exactPairs(
-        t(s, dir, "embeddings").filter(col("vec_id") < 2000L), dim = 64, threshold = 0.45)
+        Domain.embeddings(s, dir).filter(col("vec_id") < 2000L), dim = 64, threshold = 0.45)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -765,7 +765,7 @@ object Queries {
   val AnnLshMaxProbes = 16
 
   val ddEmbedLsh: Q = (s, dir) => {
-    graft.vector.CosineDedup.lshPairs(t(s, dir, "embeddings"), dim = 64,
+    graft.vector.CosineDedup.lshPairs(Domain.embeddings(s, dir), dim = 64,
         threshold = EmbLshThreshold, bits = EmbLshBits, tables = EmbLshTables)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -808,7 +808,7 @@ object Queries {
   }
 
   val annIvf: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     import s.implicits._
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
     val path = graft.vector.AnnIndex.ivfPath(dir)
@@ -987,12 +987,12 @@ object Queries {
 
   /** Int8 scalar quantization of the embedding corpus (row form). */
   val embQuant: Q = (s, dir) =>
-    graft.vector.Quantize.int8Rows(t(s, dir, "embeddings"))
+    graft.vector.Quantize.int8Rows(Domain.embeddings(s, dir))
       .orderBy(col("vec_id"), col("dim_i"))
 
   /** Per-label embedding centroids (ordered-fold mean per dimension). */
   val embCentroids: Q = (s, dir) =>
-    graft.vector.Quantize.labelCentroids(t(s, dir, "embeddings"))
+    graft.vector.Quantize.labelCentroids(Domain.embeddings(s, dir))
       .orderBy(col("label"), col("dim_i"))
 
   /** Rolling-hash fingerprint (UDF — rows-only check). */
@@ -1050,7 +1050,7 @@ object Queries {
     * generated centroid-literal oracle).
     */
   val embKmeans: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     graft.vector.Clustering.assignTo(emb, capturedCentroids(emb, dir))
       .orderBy(col("vec_id"))
   }
@@ -1060,7 +1060,7 @@ object Queries {
     * bounded in RecallInvariantsSpec).
     */
   val ddSemdedup: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     graft.vector.Clustering.semdedupPairsWith(emb, capturedCentroids(emb, dir),
         dim = 64, threshold = SemDedupThreshold, p = SemDedupProbe)
       .withColumn("cosine", round(col("cosine"), 6))
@@ -1084,7 +1084,7 @@ object Queries {
   val SemDedupMaxCell = 64
   val SemDedupSplitProbe = 3
   val ddSemdedupFixed: Q = (s, dir) =>
-    graft.vector.Clustering.semdedupPairsFixed(t(s, dir, "embeddings"),
+    graft.vector.Clustering.semdedupPairsFixed(Domain.embeddings(s, dir),
         dim = 64, threshold = SemDedupThreshold, maxCell = SemDedupMaxCell,
         k = KmeansK, iterations = KmeansIters, p = SemDedupProbe,
         softP = SemDedupSplitProbe)
@@ -1105,7 +1105,7 @@ object Queries {
     * reachability the dd_clusters oracle uses.
     */
   val ddSemdedupVerdicts: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     // pair construction (incl. the centroid-seeding driver jobs inside
     // capturedCentroids) is deferred into the by-name param — the warm
     // path reads the artifact without running a single seeding job
@@ -1130,7 +1130,7 @@ object Queries {
       .orderBy(col("a_id"), col("b_id"))
 
   val annLsh: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     import s.implicits._
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
     // 6-bit signatures, margin-ranked 16 of 64 buckets: reads ~25% of the
@@ -1157,7 +1157,7 @@ object Queries {
     * bound vs the exact join (measured 0.67, bounded ≥0.6).
     */
   val annIvfKnn: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = Domain.embeddings(s, dir)
     val path = graft.vector.AnnIndex.ivfPath(dir)
     captureIvf(dir, graft.vector.AnnIndex.ensureIvf(emb, path))
     graft.vector.AnnIndex.ivfKnnJoin(s, path,

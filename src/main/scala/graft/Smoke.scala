@@ -72,7 +72,7 @@ object Smoke {
 
     // ---- training-pipeline ops on real tables ----
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = graft.model.Domain.embeddings(spark, sfDir)
     check("dedup exact classes")(text.Dedup.exact(docs).count())
     check("dedup minhash pairs")(text.Dedup.minhashPairs(docs, threshold = 0.5).count())
     check("dedup simhash pairs")(text.Dedup.simhashPairs(docs).count())

@@ -53,11 +53,35 @@ object Domain {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, dir, "events")
-    df.schema("ts").dataType match {
+    val tsNorm = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case _ =>
         df.withColumn("ts",
           unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+    // `value` is DOUBLE today; a decimal/float regeneration would shift
+    // every aggregate's result type (schema mismatch, not an error) —
+    // coerce on drift only, so the common case stays a bare scan.
+    tsNorm.schema("value").dataType match {
+      case org.apache.spark.sql.types.DoubleType => tsNorm
+      case _ => tsNorm.withColumn("value", col("value").cast("double"))
+    }
+  }
+
+  /** The embedding corpus with `embedding` normalized to ARRAY<FLOAT> —
+    * the element type every vector kernel (native expressions included)
+    * and centroid-literal oracle assumes. Same drift posture as
+    * [[events]]: the driver regenerates this table between rounds, and a
+    * float→double element drift would break the whole ANN/dedup family at
+    * analysis; branching on the resolved type makes either form serve.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = table(spark, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
     }
   }
 

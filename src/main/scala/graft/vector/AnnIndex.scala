@@ -291,7 +291,7 @@ object AnnIndex {
     * standing index in production).
     */
   def ensureAll(spark: SparkSession, dir: String, dim: Int = 64): Unit = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = graft.model.Domain.embeddings(spark, dir)
     ensureIvf(emb, ivfPath(dir))
     ensureLsh(emb, lshPath(dir, bits = 6), dim, bits = 6)
   }

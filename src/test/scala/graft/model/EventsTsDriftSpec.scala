@@ -60,4 +60,37 @@ class EventsTsDriftSpec extends SparkSpec {
     assertNanos(writeAndRead(
       _.withColumn("ts", timestamp_micros(col("ts_us")))))
   }
+
+  test("events.value coerces to DOUBLE when the file carries another numeric type") {
+    val dir = Files.createTempDirectory("ts-drift").toString
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * lit(1000L)).drop("ts_us")
+      .withColumn("value", col("value").cast(DecimalType(10, 3)))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Domain.events(spark, dir)
+    assert(df.schema("value").dataType == DoubleType)
+    assert(df.agg(sum("value")).as[Double].head() == 4.0)
+  }
+
+  test("embeddings.embedding coerces to ARRAY<FLOAT> from a double-element file") {
+    val dir = Files.createTempDirectory("emb-drift").toString
+    Seq((1L, Seq(1.0d, 0.0d), 0), (2L, Seq(0.5d, 0.5d), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Domain.embeddings(spark, dir)
+    assert(df.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+    val v = df.filter(col("vec_id") === 2L).select("embedding")
+      .as[Seq[Float]].head()
+    assert(v == Seq(0.5f, 0.5f))
+  }
+
+  test("embeddings with native float elements pass through without a cast") {
+    val dir = Files.createTempDirectory("emb-native").toString
+    Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Domain.embeddings(spark, dir)
+    assert(df.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    assert(df.queryExecution.analyzed.toString.indexOf("cast(embedding") < 0)
+  }
 }
