@@ -76,11 +76,9 @@ object Bench {
   }
 
   private def newSession(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val s = Sessions.withDriftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // The catalog has ~63 queries x several codegen stages; the default
@@ -92,7 +90,7 @@ object Bench {
       // FAIR so the load-probe section's concurrent jobs share the pool
       // the way LoadProbe's standalone run schedules them
       .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

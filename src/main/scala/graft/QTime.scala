@@ -11,13 +11,11 @@ object QTime {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q1_agg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
+    val builder = Sessions.withDriftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
     // ad-hoc knob experiments: SPARK_GRAFT_CONF="k=v;k=v" overlays the
     // defaults above, so A/B runs don't need a recompile
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>

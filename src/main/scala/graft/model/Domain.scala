@@ -28,62 +28,81 @@ object Domain {
   val PulseNs: Long = 3600000000000L
   val SecNs: Long = 1000000000L
 
-  /** Relation-cached read: the resolved file index is reused across
-    * queries (serving-layer behavior) while pruning/pushdown still plan
-    * per query — see [[graft.sources.RelationCache]].
+  /** Relation-cached read, drift-normalized: the resolved file index is
+    * reused across queries (serving-layer behavior) while pruning/pushdown
+    * still plan per query — see [[graft.sources.RelationCache]]. EVERY
+    * table read routes through [[DriftAdapters.normalize]], so a
+    * regenerated parquet with a changed physical type surfaces as a
+    * coercion (or a loud failure) here, never as a mid-round schema
+    * mismatch in some downstream view. For the events feed the
+    * drift-defense session configs must already be in place (they change
+    * how the scan itself resolves) — asserted, not set: see
+    * [[graft.Sessions.assertDriftConfs]].
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.RelationCache.parquet(spark, s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") graft.Sessions.assertDriftConfs(spark)
+    val path = s"$dir/$name.parquet"
+    DriftAdapters.normalize(name, path, graft.sources.RelationCache.parquet(spark, path))
+  }
 
   /** The event feed with `ts` normalized to LongType epoch NANOS — the
     * representation every downstream view and oracle assumes (`ts DIV
-    * PulseNs` etc., DuckDB `epoch_ns(ts)`).
-    *
-    * The driver's parquet has shipped `ts` in two physical forms across
-    * rounds: INT64 TIMESTAMP(NANOS) — LongType under the legacy flag —
-    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) — TimestampNTZType.
-    * Branching on the resolved type keeps both (and plain TIMESTAMP)
-    * working: timestamp-typed columns are cast through TimestampType
-    * under a UTC session zone (set here, defensively) so wall-clock →
-    * epoch is identity, then scaled micros→nanos. DuckDB's `epoch_ns`
-    * performs the identical micros*1000 widening, so oracles stay
-    * bit-exact.
+    * PulseNs` etc., DuckDB `epoch_ns(ts)`). Physical-form drift handling
+    * lives in [[DriftAdapters.normalizeEvents]].
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val df = table(spark, dir, "events")
-    val tsNorm = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ =>
-        df.withColumn("ts",
-          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+
+  /** [[events]] restricted to pulses `[fromPulse, untilPulse)`, with the
+    * bound applied to the RAW `ts` column in its resolved physical type —
+    * so it reaches the parquet scan as a pushed row-group filter under
+    * every drift form. A bound on the normalized epoch-nanos column would
+    * sit above the type-branching projection, where Catalyst cannot push
+    * arithmetic back through the cast; for serving shapes whose neighbor
+    * scans must stay page-bounded at 100 TB (J4, `be_jet_links`) that is
+    * the difference between reading a dozen row groups and the corpus.
+    * Pulse boundaries are whole seconds, so every unit's literal is exact.
+    */
+  def eventsInPulseRange(spark: SparkSession, dir: String,
+      fromPulse: Long, untilPulse: Long): DataFrame = {
+    graft.Sessions.assertDriftConfs(spark)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val raw = graft.sources.RelationCache.parquet(spark, path)
+    val loNs = fromPulse * PulseNs
+    val hiNs = untilPulse * PulseNs
+    val bounded = raw.schema("ts").dataType match {
+      case LongType =>
+        val m = DriftAdapters.longTsNanosMultiplier(path, raw)
+        raw.filter(col("ts") >= lit(loNs / m) && col("ts") < lit(hiNs / m))
+      case TimestampNTZType =>
+        raw.filter(col("ts") >= lit(ntzLiteral(loNs)) && col("ts") < lit(ntzLiteral(hiNs)))
+      case TimestampType =>
+        raw.filter(col("ts") >= lit(java.time.Instant.ofEpochSecond(loNs / SecNs)) &&
+          col("ts") < lit(java.time.Instant.ofEpochSecond(hiNs / SecNs)))
+      case _ => raw // unknown form: normalization below still bounds correctness-wise
     }
-    // `value` is DOUBLE today; a decimal/float regeneration would shift
-    // every aggregate's result type (schema mismatch, not an error) —
-    // coerce on drift only, so the common case stays a bare scan.
-    tsNorm.schema("value").dataType match {
-      case org.apache.spark.sql.types.DoubleType => tsNorm
-      case _ => tsNorm.withColumn("value", col("value").cast("double"))
-    }
+    DriftAdapters.normalizeEvents(path, bounded)
+      .filter(col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
   }
+
+  private def ntzLiteral(ns: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(ns / SecNs, (ns % SecNs).toInt,
+      java.time.ZoneOffset.UTC)
 
   /** The embedding corpus with `embedding` normalized to ARRAY<FLOAT> —
     * the element type every vector kernel (native expressions included)
-    * and centroid-literal oracle assumes. Same drift posture as
-    * [[events]]: the driver regenerates this table between rounds, and a
-    * float→double element drift would break the whole ANN/dedup family at
-    * analysis; branching on the resolved type makes either form serve.
+    * and centroid-literal oracle assumes. Drift handling:
+    * [[DriftAdapters.normalizeEmbeddings]].
     */
-  def embeddings(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val df = table(spark, dir, "embeddings")
-    df.schema("embedding").dataType match {
-      case ArrayType(FloatType, _) => df
-      case _ =>
-        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
-    }
-  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  /** The document corpus under its canonical logical schema
+    * ([[DriftAdapters.normalizeDocuments]]).
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
 
   /** The `records` fact view (reference: `etl/models/models.go:31-44`). */
   def records(spark: SparkSession, dir: String): DataFrame = {

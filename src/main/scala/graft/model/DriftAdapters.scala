@@ -1,0 +1,135 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Physical-type drift defense for the driver-regenerated parquet corpora.
+  *
+  * The driver rewrites the testdata between rounds, and the PHYSICAL
+  * parquet types have already drifted twice: `events.ts` went from INT64
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+  * silently dropped 22 catalog queries for a round), and
+  * `embeddings.embedding` has shipped with both float and double
+  * elements. This module is the single choke point that asserts the
+  * LOGICAL type every downstream view and oracle assumes — per (table,
+  * column) — and coerces the known-safe physical variants onto it.
+  * [[Domain.table]] routes every read through [[normalize]], so no call
+  * site can reach a raw scan with a drifted schema.
+  *
+  * Canonical logical schemas (what every query + DuckDB oracle assumes):
+  *
+  *  - events:     event_id/user_id BIGINT, ts BIGINT epoch-NANOS,
+  *                event_type/props STRING, value DOUBLE
+  *  - documents:  doc_id/n_chars BIGINT, text/lang/source STRING
+  *  - embeddings: vec_id BIGINT, embedding ARRAY<FLOAT>
+  *
+  * Non-obvious cases:
+  *
+  *  - A LongType `ts` is *assumed* nanos only after a magnitude check:
+  *    plain INT64 micros (no parquet timestamp annotation) would pass
+  *    through 1000x off and shift every pulse bucket silently. The check
+  *    reads max(ts) ONCE per file path (memoized) and scales
+  *    seconds/millis/micros up to nanos with a loud stderr note; an
+  *    implausible magnitude fails hard instead of guessing.
+  *  - Embedding elements are coerced to FLOAT, not double: every vector
+  *    kernel (native expressions included) and every centroid literal is
+  *    float, and the DuckDB oracles replay the same float32 rounding. If
+  *    a double-element regeneration ever lands, the float cast keeps the
+  *    Spark side consistent, but oracle SQL comparing against raw parquet
+  *    doubles may still diverge in late decimals — the float-element form
+  *    is the only oracle-exact one, so the coercion trades a possible
+  *    6-dp mismatch for the whole family failing analysis.
+  *  - Coercions apply ONLY on drift: with the expected physical types
+  *    every branch returns the scan unchanged (no cast in the plan, so
+  *    pushdown/pruning are untouched — pinned by EventsTsDriftSpec).
+  */
+object DriftAdapters {
+
+  /** Route a raw table scan through its per-table adapter. Tables without
+    * a declared contract (the TPC-H anchors) pass through untouched.
+    */
+  def normalize(name: String, path: String, df: DataFrame): DataFrame = name match {
+    case "events"     => normalizeEvents(path, df)
+    case "documents"  => normalizeDocuments(df)
+    case "embeddings" => normalizeEmbeddings(df)
+    case _            => df
+  }
+
+  // ---- events ----------------------------------------------------------
+
+  def normalizeEvents(path: String, df: DataFrame): DataFrame = {
+    val tsNorm = df.schema("ts").dataType match {
+      case LongType =>
+        val m = longTsNanosMultiplier(path, df)
+        if (m == 1L) df else df.withColumn("ts", col("ts") * lit(m))
+      case _ =>
+        // TIMESTAMP(MICROS) in either NTZ or session-zoned form: cast
+        // through TimestampType under the asserted UTC session zone
+        // (wall-clock → epoch is identity), then widen micros→nanos —
+        // the exact widening DuckDB's epoch_ns performs, so oracles stay
+        // bit-exact.
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+    val vNorm = coerce(tsNorm, "value", DoubleType)
+    Seq("event_id" -> LongType, "user_id" -> LongType,
+        "event_type" -> StringType, "props" -> StringType)
+      .foldLeft(vNorm) { case (d, (c, t)) => coerce(d, c, t) }
+  }
+
+  /** Epoch-unit guard for an un-annotated integer `ts` (ADVICE r7): the
+    * scale is decided from max(ts) — for any plausible date, seconds ≈
+    * 1e9, millis ≈ 1e12, micros ≈ 1e15, nanos ≈ 1e18; the bands are 100x
+    * wide on either side, so no real dataset straddles a boundary. One
+    * bounded scan per file path per JVM (memoized; at scale this is a
+    * single-column min/max over footer-pruned row groups, the same cost
+    * class as the corpus fingerprint listing).
+    */
+  private val tsScaleCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private[model] def longTsNanosMultiplier(path: String, df: DataFrame): Long =
+    tsScaleCache.computeIfAbsent(path, { _ =>
+      val row = df.agg(max(col("ts"))).head()
+      if (row.isNullAt(0)) 1L // empty table: nothing to scale
+      else {
+        val mx = row.getLong(0)
+        val m =
+          if (mx >= 100000000000000000L) 1L            // >= 1e17: nanos
+          else if (mx >= 100000000000000L) 1000L       // >= 1e14: micros
+          else if (mx >= 100000000000L) 1000000L       // >= 1e11: millis
+          else if (mx >= 100000000L) 1000000000L       // >= 1e8:  seconds
+          else throw new IllegalStateException(
+            s"events.ts at $path is INT64 with max=$mx - no epoch unit is plausible; " +
+            "refusing to guess a scale (regenerated data drifted beyond the known forms)")
+        if (m != 1L)
+          System.err.println(s"[drift] events.ts at $path looks like epoch/${1000000000L / m}" +
+            s" (max=$mx); scaling x$m to nanos")
+        m
+      }
+    })
+
+  // ---- documents -------------------------------------------------------
+
+  def normalizeDocuments(df: DataFrame): DataFrame =
+    Seq("doc_id" -> LongType, "n_chars" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType)
+      .foldLeft(df) { case (d, (c, t)) => coerce(d, c, t) }
+
+  // ---- embeddings ------------------------------------------------------
+
+  def normalizeEmbeddings(df: DataFrame): DataFrame = {
+    val e = df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ => df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    }
+    coerce(e, "vec_id", LongType)
+  }
+
+  /** Cast `colName` to `want` iff present with a different type — absent
+    * columns are tolerated (fixture parquet in specs writes partial
+    * schemas) and matching types add nothing to the plan.
+    */
+  private def coerce(df: DataFrame, colName: String, want: DataType): DataFrame =
+    if (!df.columns.contains(colName) || df.schema(colName).dataType == want) df
+    else df.withColumn(colName, col(colName).cast(want))
+}

@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 object ProbeTune {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.Sessions.withDriftDefaults(SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

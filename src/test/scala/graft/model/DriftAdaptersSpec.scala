@@ -1,0 +1,95 @@
+package graft.model
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Round-8 generalization of the drift defense (EventsTsDriftSpec pins the
+  * events.ts timestamp forms): every driver table now has a declared
+  * canonical logical schema in [[DriftAdapters]], reached through
+  * [[Domain.table]], so a regenerated parquet with a changed physical
+  * type is coerced (or fails loudly) at the single choke point instead of
+  * surfacing as a mid-round schema mismatch in whichever query reads the
+  * column first.
+  */
+class DriftAdaptersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("documents: BINARY text and INT32 ids coerce to the canonical schema") {
+    val dir = tmp("doc-drift")
+    Seq((1, "alpha beta", "en", "web", 10), (2, "gamma", "de", "book", 5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("text", col("text").cast(BinaryType))
+      .withColumn("lang", col("lang").cast(BinaryType))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = Domain.documents(spark, dir)
+    assert(df.schema("doc_id").dataType == LongType)
+    assert(df.schema("n_chars").dataType == LongType)
+    assert(df.schema("text").dataType == StringType)
+    assert(df.schema("lang").dataType == StringType)
+    val row = df.filter(col("doc_id") === 1L)
+      .select("text", "lang").as[(String, String)].head()
+    assert(row == ("alpha beta", "en"))
+  }
+
+  test("documents: the canonical physical form passes through with no casts in the plan") {
+    val dir = tmp("doc-native")
+    Seq((1L, "alpha", "en", "web", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = Domain.documents(spark, dir)
+    assert(!df.queryExecution.analyzed.toString.contains("cast("))
+  }
+
+  test("events: plain INT64 micros (no timestamp annotation) is detected and scaled to nanos") {
+    // ADVICE r7: before the magnitude guard this form passed through
+    // 1000x off, silently shifting every pulse bucket.
+    val dir = tmp("ts-micros-long")
+    val baseMicros = 1705300200000000L
+    Seq((1L, baseMicros, 10L, "view", 1.5),
+        (2L, baseMicros + 1000000L, 11L, "click", 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Domain.events(spark, dir)
+    assert(df.schema("ts").dataType == LongType)
+    val got = df.select("event_id", "ts").as[(Long, Long)].collect().toMap
+    assert(got(1L) == baseMicros * 1000L)
+    assert(got(2L) == (baseMicros + 1000000L) * 1000L)
+  }
+
+  test("events: INT64 seconds and millis scale to nanos too") {
+    val sec = 1705300200L
+    for ((unit, mult) <- Seq("sec" -> 1L, "millis" -> 1000L)) {
+      val dir = tmp(s"ts-$unit-long")
+      Seq((1L, sec * mult, 10L, "view", 1.5))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Domain.events(spark, dir).select("ts").as[Long].head()
+      assert(got == sec * 1000000000L, s"unit=$unit")
+    }
+  }
+
+  test("events: an implausible INT64 ts magnitude fails loudly instead of guessing") {
+    val dir = tmp("ts-bogus")
+    Seq((1L, 12345L, 10L, "view", 1.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Domain.events(spark, dir))
+    assert(e.getMessage.contains("no epoch unit is plausible"))
+  }
+
+  test("the events accessor asserts the drift-defense session configs instead of setting them") {
+    // a session built without the configs must fail at the first events
+    // read with an actionable message — not resolve a wrong-schema scan
+    val bare = spark.newSession()
+    bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val e = intercept[IllegalStateException](
+      Domain.events(bare, "/root/testdata/sf0.001"))
+    assert(e.getMessage.contains("nanosAsLong"))
+    assert(e.getMessage.contains("Sessions.withDriftDefaults"))
+  }
+}
