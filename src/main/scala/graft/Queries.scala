@@ -268,13 +268,17 @@ object Queries {
   }
 
   /** ST3 gap detection: hours with no 'result' record, bounded by the
-    * observed pulse range (anti-join of a generated dense range).
+    * observed pulse range (anti-join of a generated dense range). Served
+    * ENTIRELY from the pulses spine: per-type presence was counted once
+    * at spine build (`result_amount`), so the query touches one row per
+    * pulse — time-bounded, not data-bounded — instead of re-scanning and
+    * distinct-ing the fact per call (the round-7 steady-state minimum).
     */
   val beMissingPulses: Q = (s, dir) => {
-    val r = Domain.servedRecords(s, dir)
-    val expected = r.agg(min(col("pulse_number")).as("mn"), max(col("pulse_number")).as("mx"))
+    val p = Domain.servedPulses(s, dir)
+    val expected = p.agg(min(col("pulse_number")).as("mn"), max(col("pulse_number")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("pulse_number"))
-    val present = r.filter(col("type") === "result").select(col("pulse_number")).distinct()
+    val present = p.filter(col("result_amount") > 0).select(col("pulse_number"))
     expected.join(present, Seq("pulse_number"), "left_anti").orderBy(col("pulse_number"))
   }
 
@@ -301,20 +305,24 @@ object Queries {
 
   /** J4 sibling linkage over a variable-depth jet tree: per drop, how many
     * drops at pulse±1 are its parent/self/children.
+    *
+    * The whole query — page AND both neighbor sides — derives from ONE
+    * statically pulse-bounded event scan ([[Domain.eventsInPulseRange]],
+    * page range ±1): the join predicates relate neighbors to the page
+    * only through a two-sided condition Catalyst cannot prune through, so
+    * without the static bound every call re-aggregated the full corpus
+    * (the round-7 `weak` finding — a serving endpoint that degenerates to
+    * a batch job at 100x). The bound rides the raw ts column, so it
+    * reaches the parquet scan as a pushed row-group filter
+    * (PlanAssertionsSpec pins it).
     */
   val beJetLinks: Q = (s, dir) => {
-    val drops = Domain.events(s, dir).select(
+    val drops = Domain.eventsInPulseRange(s, dir, 473499L, 473522L).select(
         expr(s"CAST(ts DIV ${Domain.PulseNs} AS BIGINT)").as("pulse_number"),
         expr("lpad(bin(user_id % (1 << (1 + user_id % 3))), CAST(1 + user_id % 3 AS INT), '0')").as("jet_id"))
       .groupBy(col("pulse_number"), col("jet_id"))
       .agg(count(lit(1)).cast("long").as("record_amount"))
     val page = drops.filter(col("pulse_number").between(473500L, 473520L))
-    def linkCond(d: DataFrame, n: DataFrame, delta: Int): Column =
-      n("pulse_number") === d("pulse_number") + delta && (
-        n("jet_id") === d("jet_id") ||
-        n("jet_id") === JetFunctions.jetParent(d("jet_id")) ||
-        n("jet_id") === concat(d("jet_id"), lit("0")) ||
-        n("jet_id") === concat(d("jet_id"), lit("1")))
     val prevN = drops.select(col("pulse_number").as("n_pn"), col("jet_id").as("n_jet"))
     val withPrev = page.join(prevN,
         col("n_pn") === col("pulse_number") - 1 && (col("n_jet") === col("jet_id") ||

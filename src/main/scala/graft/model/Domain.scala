@@ -166,10 +166,13 @@ object Domain {
   /** Root for the per-corpus spine artifacts. Shares the fingerprinted
     * scratch root with the ANN indexes ([[graft.vector.AnnIndex.indexRoot]])
     * so regenerated source data rebuilds under a new path, never serving
-    * stale rows.
+    * stale rows. The schema version is part of the path for the same
+    * reason in the other direction: a spine column added by a code change
+    * (v2: `result_amount` on pulses) must rebuild rather than serve an
+    * artifact written by the previous build.
     */
   def spineRoot(dir: String): String =
-    graft.vector.AnnIndex.indexRoot(dir) + "/spine"
+    graft.vector.AnnIndex.indexRoot(dir) + "/spine-v2"
 
   /** The records fact, persisted ONCE per corpus and served from parquet
     * thereafter — the reference's actual storage shape: row order and
@@ -231,6 +234,10 @@ object Domain {
     val status = records.groupBy(col("pulse_number")).agg(
       countDistinct(col("jet_id")).as("jet_drop_amount"),
       count(lit(1)).as("record_amount"),
+      // per-type presence counters, materialized at build time so the
+      // gap/status endpoints (ST3 `be_missing_pulses`) serve from the
+      // pulse dimension instead of re-scanning + distinct-ing the fact
+      count(when(col("type") === "result", lit(1))).as("result_amount"),
       min(col("ts_sec")).as("timestamp"),
       cover(col("jet_id")).as("is_complete"))
       .withColumn("prev_pulse_number", col("pulse_number") - 1)

@@ -79,7 +79,7 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("records page: serves the spine artifact with pulse bounds pushed to the scan") {
     val p = plan("be_records_page")
-    assert(p.contains("spine/records"),
+    assert(p.contains("spine-v2/records"),
       "list endpoints must scan the materialized spine, not re-derive the fact view")
     assert(p.contains("GreaterThanOrEqual(pulse_number,473500)"),
       s"pulse range must be a pushed parquet filter on the stored column:\n$p")
@@ -250,7 +250,7 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("jet drops page: spine scan with the pulse range pushed down") {
     val p = plan("be_jet_drops_page")
-    assert(p.contains("spine/jet_drops"),
+    assert(p.contains("spine-v2/jet_drops"),
       "drops endpoints must scan the materialized spine")
     assert(p.contains("GreaterThanOrEqual(pulse_number,473600)"),
       s"pulse bound must be a pushed parquet filter:\n$p")
@@ -318,5 +318,32 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject(limit=50"))
     assert(!p.contains("Exchange rangepartitioning"),
       s"limit must not force a full range-partitioned sort:\n$p")
+  }
+
+  test("be_jet_links: every event scan (page AND neighbor sides) carries the pushed pulse bound") {
+    // The round-7 `weak` finding: prevN/nextN derived from the unfiltered
+    // corpus, related to the page only through a two-sided join predicate
+    // Catalyst cannot prune through — every call re-aggregated the full
+    // event feed. The static ±1 pulse bound must reach EVERY events scan
+    // as a pushed parquet filter (on the raw ts column, whatever its
+    // physical drift form resolves to).
+    val scanLines = plan("be_jet_links").linesIterator
+      .filter(_.contains("events.parquet")).toSeq
+    assert(scanLines.nonEmpty, "be_jet_links must scan the event feed")
+    scanLines.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(ts,") && l.contains("LessThan(ts,"),
+        s"unbounded events scan in be_jet_links:\n$l")
+    }
+  }
+
+  test("be_missing_pulses: serves the pulses spine only, never the fact") {
+    // ST3 gap detection was the round-7 steady-state serving minimum
+    // (re-scan + distinct of typed records per call). Per-type presence
+    // is now a build-time spine counter, so the read path may touch only
+    // the pulse dimension — one row per pulse, time-bounded.
+    val p = plan("be_missing_pulses")
+    assert(p.contains("spine-v2/pulses"), s"gap detection must read the pulses spine:\n$p")
+    assert(!p.contains("spine-v2/records") && !p.contains("events.parquet"),
+      s"gap detection must not touch the fact table:\n$p")
   }
 }
