@@ -54,7 +54,17 @@ object LoadProbe {
     graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
       graft.vector.AnnIndex.indexRoot(sfDir) + "/lifeline")
     // Warm pass: codegen + file-index caches out of the measured window.
-    shapes.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    // CONCURRENT (mirroring the attack shape): under FAIR + N attackers
+    // AQE picks concurrent-path physical plans whose codegen a serial
+    // warm execution never compiles — the round-7 fresh-session cliff.
+    shapes.foreach { case (_, fn) =>
+      for (_ <- 1 to 2) {
+        val ts = (0 until 4).map(_ => new Thread(() => {
+          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        }))
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+    }
 
     for (round <- 1 to rounds) {
       val errors = new AtomicLong()
