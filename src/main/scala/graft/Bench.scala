@@ -109,43 +109,12 @@ object Bench {
       ()
     } catch { case e: Throwable => System.err.println(s"[bench] index build failed: ${e.getMessage}") }
 
-  /** Warm every serving shape with CONCURRENT bursts until its latency
-    * stabilizes (or a per-shape time budget runs out). A single serial
-    * execution per shape is not enough (the round-7 fresh-session gate
-    * miss): under FAIR + 8 attackers, AQE plans the same query from
-    * concurrent-path runtime sizes and can pick different physical plans
-    * whose codegen then compiles for the first time INSIDE the attack
-    * window. And one concurrent wave is not enough either (measured this
-    * round): with codegen fully warm (janino_n flat across the probe),
-    * C2 JIT was still compiling 146s of method time during the first
-    * probe, surfacing as 6-8s latency outliers on the heaviest shapes.
-    * Bursts mirror the attack's thread count; a shape stops warming when
-    * a burst stops improving on the best one seen (within 30%), so light
-    * shapes exit after ~2 bursts and heavy ones keep driving the JIT.
+  /** Warm every serving shape with concurrent bursts to a latency
+    * plateau — see [[LoadProbe.warmToPlateau]] for the method and the
+    * measured rationale (round-7/8 fresh-session JIT cliff).
     */
-  private def warmConcurrently(
-      spark: SparkSession, sfDir: String, par: Int = 8,
-      budgetMsPerShape: Long = 3000L): Unit =
-    loadShapes.foreach { case (_, fn) =>
-      val t0 = System.nanoTime()
-      var best = Double.MaxValue
-      var stable = false
-      var bursts = 0
-      while (!stable && (System.nanoTime() - t0) / 1e6 < budgetMsPerShape) {
-        val b0 = System.nanoTime()
-        val threads = (0 until par).map(_ => new Thread(() => {
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-        }))
-        threads.foreach(_.start())
-        threads.foreach(_.join())
-        val burstMs = (System.nanoTime() - b0) / 1e6
-        bursts += 1
-        // plateau = this burst failed to beat the best by >23%; keep
-        // warming while bursts still improve markedly (JIT still landing)
-        stable = bursts >= 2 && burstMs >= best * 0.77
-        if (burstMs < best) best = burstMs
-      }
-    }
+  private def warmConcurrently(spark: SparkSession, sfDir: String): Unit =
+    LoadProbe.warmToPlateau(spark, sfDir, loadShapes)
 
   /** Attack every serving shape; returns (minQps, perShapeJson, statsJson, errors). */
   private def loadSection(

@@ -54,17 +54,7 @@ object LoadProbe {
     graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
       graft.vector.AnnIndex.indexRoot(sfDir) + "/lifeline")
     // Warm pass: codegen + file-index caches out of the measured window.
-    // CONCURRENT (mirroring the attack shape): under FAIR + N attackers
-    // AQE picks concurrent-path physical plans whose codegen a serial
-    // warm execution never compiles — the round-7 fresh-session cliff.
-    shapes.foreach { case (_, fn) =>
-      for (_ <- 1 to 2) {
-        val ts = (0 until 4).map(_ => new Thread(() => {
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-        }))
-        ts.foreach(_.start()); ts.foreach(_.join())
-      }
-    }
+    warmToPlateau(spark, sfDir, shapes)
 
     for (round <- 1 to rounds) {
       val errors = new AtomicLong()
@@ -82,6 +72,45 @@ object LoadProbe {
     }
     spark.stop()
   }
+
+  /** Warm every shape with CONCURRENT bursts until its latency stabilizes
+    * (or a per-shape time budget runs out). A single serial execution per
+    * shape is not enough (the round-7 fresh-session gate miss): under
+    * FAIR + N attackers, AQE plans the same query from concurrent-path
+    * runtime sizes and can pick different physical plans whose codegen
+    * then compiles for the first time inside the attack window. One
+    * concurrent wave is not enough either (measured round 8): with
+    * codegen fully warm (janino count flat across the probe), C2 JIT was
+    * still compiling ~146s of method time during the attack, surfacing
+    * as 6-8s latency outliers on the heaviest shapes. Bursts mirror the
+    * attack's thread count; a shape stops warming when a burst stops
+    * improving on the best one seen (within 23%), so light shapes exit
+    * after ~2 bursts and heavy ones keep driving the JIT.
+    */
+  def warmToPlateau(
+      spark: SparkSession,
+      sfDir: String,
+      shapes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      par: Int = 8,
+      budgetMsPerShape: Long = 3000L): Unit =
+    shapes.foreach { case (_, fn) =>
+      val t0 = System.nanoTime()
+      var best = Double.MaxValue
+      var stable = false
+      var bursts = 0
+      while (!stable && (System.nanoTime() - t0) / 1e6 < budgetMsPerShape) {
+        val b0 = System.nanoTime()
+        val threads = (0 until par).map(_ => new Thread(() => {
+          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        }))
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        val burstMs = (System.nanoTime() - b0) / 1e6
+        bursts += 1
+        stable = bursts >= 2 && burstMs >= best * 0.77
+        if (burstMs < best) best = burstMs
+      }
+    }
 
   /** Per-shape attack result: throughput plus the latency distribution —
     * under machine contention q/s collapses even when per-query latency is

@@ -323,20 +323,24 @@ object Queries {
       .groupBy(col("pulse_number"), col("jet_id"))
       .agg(count(lit(1)).cast("long").as("record_amount"))
     val page = drops.filter(col("pulse_number").between(473500L, 473520L))
+    // Link candidates {self, parent, child0, child1} are pairwise distinct
+    // (different depths; the two children differ in their last bit; a
+    // depth-1 jet's parent is "" which matches no drop), so exploding them
+    // and equi-joining on (pulse, jet) counts exactly the rows the 4-way
+    // OR matched — but as a true 2-key hash join instead of a pulse-only
+    // key with an OR post-filter (the `hashLinkIds` form, r7 nit).
+    def candidates(jet: Column): Column = array(
+      jet, JetFunctions.jetParent(jet), concat(jet, lit("0")), concat(jet, lit("1")))
+    val exploded = page.withColumn("cand_jet", explode(candidates(col("jet_id"))))
     val prevN = drops.select(col("pulse_number").as("n_pn"), col("jet_id").as("n_jet"))
-    val withPrev = page.join(prevN,
-        col("n_pn") === col("pulse_number") - 1 && (col("n_jet") === col("jet_id") ||
-          col("n_jet") === JetFunctions.jetParent(col("jet_id")) ||
-          col("n_jet") === concat(col("jet_id"), lit("0")) ||
-          col("n_jet") === concat(col("jet_id"), lit("1"))), "left")
+    val withPrev = exploded.join(prevN,
+        col("n_pn") === col("pulse_number") - 1 && col("n_jet") === col("cand_jet"), "left")
       .groupBy(col("pulse_number"), col("jet_id"), col("record_amount"))
       .agg(count(col("n_jet")).as("prev_count"))
     val nextN = drops.select(col("pulse_number").as("m_pn"), col("jet_id").as("m_jet"))
-    withPrev.join(nextN,
-        col("m_pn") === col("pulse_number") + 1 && (col("m_jet") === col("jet_id") ||
-          col("m_jet") === JetFunctions.jetParent(col("jet_id")) ||
-          col("m_jet") === concat(col("jet_id"), lit("0")) ||
-          col("m_jet") === concat(col("jet_id"), lit("1"))), "left")
+    withPrev.withColumn("cand_jet", explode(candidates(col("jet_id"))))
+      .join(nextN,
+        col("m_pn") === col("pulse_number") + 1 && col("m_jet") === col("cand_jet"), "left")
       .groupBy(col("pulse_number"), col("jet_id"), col("record_amount"), col("prev_count"))
       .agg(count(col("m_jet")).as("next_count"))
       .orderBy(col("pulse_number"), col("jet_id"))

@@ -327,13 +327,17 @@ class PlanAssertionsSpec extends SparkSpec {
     // event feed. The static ±1 pulse bound must reach EVERY events scan
     // as a pushed parquet filter (on the raw ts column, whatever its
     // physical drift form resolves to).
-    val scanLines = plan("be_jet_links").linesIterator
-      .filter(_.contains("events.parquet")).toSeq
+    val p = plan("be_jet_links")
+    val scanLines = p.linesIterator.filter(_.contains("events.parquet")).toSeq
     assert(scanLines.nonEmpty, "be_jet_links must scan the event feed")
     scanLines.foreach { l =>
       assert(l.contains("GreaterThanOrEqual(ts,") && l.contains("LessThan(ts,"),
         s"unbounded events scan in be_jet_links:\n$l")
     }
+    // the candidate explode makes both neighbor joins 2-key hash joins
+    // (no OR post-filter riding a pulse-only key)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"neighbor linkage must stay an equi join:\n$p")
   }
 
   test("be_missing_pulses: serves the pulses spine only, never the fact") {
