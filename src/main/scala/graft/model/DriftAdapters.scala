@@ -46,15 +46,31 @@ import org.apache.spark.sql.types._
   */
 object DriftAdapters {
 
-  /** Route a raw table scan through its per-table adapter. Tables without
-    * a declared contract (the TPC-H anchors) pass through untouched.
+  /** Route a raw table scan through its per-table adapter. The TPC-H
+    * anchor tables get a numeric canon only: their measure columns are
+    * DOUBLE today, and a DECIMAL regeneration would silently change
+    * every aggregate's result type (Spark `sum(decimal(12,2))` widens to
+    * `decimal(22,2)` while DuckDB widens to `decimal(38,2)` — a schema
+    * mismatch, not an error). Dates/keys pass through: the queries
+    * compare them against string literals (drift-form-agnostic) and emit
+    * them as-is, so a coercion would CHANGE output values, the one thing
+    * an adapter must never do. Tables without a declared contract pass
+    * through untouched.
     */
   def normalize(name: String, path: String, df: DataFrame): DataFrame = name match {
     case "events"     => normalizeEvents(path, df)
     case "documents"  => normalizeDocuments(df)
     case "embeddings" => normalizeEmbeddings(df)
+    case "lineitem"   => doubles(df, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    case "orders"     => doubles(df, Seq("o_totalprice"))
+    case "customer"   => doubles(df, Seq("c_acctbal"))
+    case "supplier"   => doubles(df, Seq("s_acctbal"))
+    case "part"       => doubles(df, Seq("p_retailprice"))
     case _            => df
   }
+
+  private def doubles(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => coerce(d, c, DoubleType))
 
   // ---- events ----------------------------------------------------------
 

@@ -82,6 +82,22 @@ class DriftAdaptersSpec extends SparkSpec {
     assert(e.getMessage.contains("no epoch unit is plausible"))
   }
 
+  test("lineitem: DECIMAL measure columns coerce to DOUBLE so aggregate result types hold") {
+    val dir = tmp("li-drift")
+    Seq((1L, 17.0, 1000.50, 0.04, 0.02, "N", "O"),
+        (2L, 36.0, 2500.25, 0.10, 0.05, "R", "F"))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus")
+      .withColumn("l_quantity", col("l_quantity").cast(DecimalType(12, 2)))
+      .withColumn("l_extendedprice", col("l_extendedprice").cast(DecimalType(12, 2)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val df = Domain.table(spark, dir, "lineitem")
+    assert(df.schema("l_quantity").dataType == DoubleType)
+    assert(df.schema("l_extendedprice").dataType == DoubleType)
+    val s = df.agg(sum("l_quantity")).schema.head.dataType
+    assert(s == DoubleType, s"sum over coerced quantity must stay DOUBLE, got $s")
+  }
+
   test("the events accessor asserts the drift-defense session configs instead of setting them") {
     // a session built without the configs must fail at the first events
     // read with an actionable message — not resolve a wrong-schema scan
