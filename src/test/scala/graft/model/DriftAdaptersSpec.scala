@@ -98,6 +98,41 @@ class DriftAdaptersSpec extends SparkSpec {
     assert(s == DoubleType, s"sum over coerced quantity must stay DOUBLE, got $s")
   }
 
+  test("eventsInPulseRange bounds identically under every ts physical form") {
+    // be_jet_links serves through this accessor; a driver regeneration
+    // that flips the physical form must not change which rows the pulse
+    // bound admits (nor their normalized nanos values). Rows straddle
+    // the bound on both sides so an off-by-one in any branch's literal
+    // conversion shows up as a row-count change.
+    val pulse = 473500L
+    val loNs = pulse * Domain.PulseNs
+    // straddle values are whole MICROS so every physical form (micros
+    // precision included) round-trips the same instants losslessly
+    val tsNs = Seq(loNs - 1000L, loNs, loNs + Domain.PulseNs,
+      loNs + 2L * Domain.PulseNs - 1000L, loNs + 2L * Domain.PulseNs)
+    val base = tsNs.zipWithIndex.map { case (ns, i) =>
+      (i.toLong, ns, 10L + i, "view", 1.0)
+    }.toDF("event_id", "ts_ns", "user_id", "event_type", "value")
+    val forms: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "nanos-long" -> (_.withColumn("ts", col("ts_ns"))),
+      "micros-long" -> (_.withColumn("ts", expr("ts_ns DIV 1000"))),
+      "ntz" -> (_.withColumn("ts",
+        timestamp_micros(expr("ts_ns DIV 1000")).cast(TimestampNTZType))),
+      "ltz" -> (_.withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))))
+    for ((label, mkTs) <- forms) {
+      val dir = tmp(s"range-$label")
+      mkTs(base).drop("ts_ns")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Domain.eventsInPulseRange(spark, dir, pulse, pulse + 2L)
+        .select("event_id", "ts").as[(Long, Long)].collect().toMap
+      // rows 1, 2, 3 are in [pulse, pulse+2); 0 and 4 are outside
+      assert(got.keySet == Set(1L, 2L, 3L), s"form=$label got=${got.keySet}")
+      assert(got(1L) == loNs && got(3L) == loNs + 2L * Domain.PulseNs - 1000L,
+        s"form=$label must normalize to exact epoch nanos")
+    }
+  }
+
   test("the events accessor asserts the drift-defense session configs instead of setting them") {
     // a session built without the configs must fail at the first events
     // read with an actionable message — not resolve a wrong-schema scan
