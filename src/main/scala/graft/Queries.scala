@@ -1347,7 +1347,7 @@ object Queries {
   private def affinityPrefix(cs: Array[Seq[Float]]): String =
     s"""WITH cents AS (SELECT * FROM (VALUES ${centsValuesSql(cs)}) AS t(cell, i, cv)),
        |e AS (
-       |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
        |dots AS (
        |  SELECT e.vec_id, c.cell,
@@ -1519,7 +1519,7 @@ object Queries {
          |  SELECT * FROM (VALUES ${planeValues(EmbLshTables, EmbLshBits, 42L)})
          |  AS t(tbl, bit, i, pv)),
          |e AS (
-         |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
          |  FROM embeddings),
          |pd AS (
          |  SELECT e.vec_id, p.tbl, p.bit,
@@ -1556,7 +1556,7 @@ object Queries {
            |  SELECT * FROM (VALUES ${planeValues(1, AnnLshBits, 42L)})
            |  AS t(tbl, bit, i, pv)),
            |e AS (
-           |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+           |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
            |  FROM embeddings),
            |q AS (SELECT v AS qv, i FROM e WHERE vec_id = 0),
            |qn AS (
@@ -2053,10 +2053,10 @@ object Queries {
 
     "ann_topk" ->
       """WITH q AS (
-        |  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+        |  SELECT unnest(CAST(embedding AS FLOAT[])) AS qv, generate_subscripts(embedding, 1) AS i
         |  FROM embeddings WHERE vec_id = 0),
         |e AS (
-        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
         |  FROM embeddings WHERE vec_id <> 0),
         |dots AS (
         |  SELECT e.vec_id,
@@ -2074,10 +2074,10 @@ object Queries {
 
     "ann_knn" ->
       """WITH q AS (
-        |  SELECT vec_id AS query_id, unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+        |  SELECT vec_id AS query_id, unnest(CAST(embedding AS FLOAT[])) AS qv, generate_subscripts(embedding, 1) AS i
         |  FROM embeddings WHERE vec_id < 10),
         |e AS (
-        |  SELECT vec_id AS neighbor_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  SELECT vec_id AS neighbor_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
         |  FROM embeddings WHERE vec_id >= 10),
         |dots AS (
         |  SELECT q.query_id, e.neighbor_id,
@@ -2160,7 +2160,7 @@ object Queries {
 
     "dd_embed" ->
       """WITH e AS (
-        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
         |  FROM embeddings WHERE vec_id < 2000),
         |dots AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2405,7 +2405,7 @@ object Queries {
 
     "emb_quant" ->
       """WITH e AS (
-        |  SELECT vec_id, unnest(embedding) AS v,
+        |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v,
         |         generate_subscripts(embedding, 1) - 1 AS i
         |  FROM embeddings),
         |s AS (SELECT vec_id, max(abs(CAST(v AS DOUBLE))) AS mx FROM e GROUP BY vec_id)
@@ -2417,7 +2417,7 @@ object Queries {
 
     "emb_centroids" ->
       """WITH e AS (
-        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |  SELECT label, vec_id, unnest(CAST(embedding AS FLOAT[])) AS v,
         |         generate_subscripts(embedding, 1) - 1 AS i
         |  FROM embeddings)
         |SELECT label, CAST(i AS BIGINT) AS dim_i,

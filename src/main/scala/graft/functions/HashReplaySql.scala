@@ -261,7 +261,7 @@ private[graft] object HashReplaySql {
 
     s"""WITH cents AS (SELECT * FROM (VALUES $centsValues) AS t(cell, i, cv)),
        |e AS MATERIALIZED (
-       |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
        |dots AS MATERIALIZED (
        |  SELECT e.vec_id, c.cell,
