@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The API server binary (`cmd/api/main.go` analog): bind the eight
+  * explorer endpoints over the graft engine and serve until killed.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   SPARK_GRAFT_HTTP_PORT=8080 sbt "runMain graft.Serve"
+  *
+  * Startup mirrors what the serving bench proved out: FAIR scheduling for
+  * concurrent requests, standing spines/indexes ensured before the first
+  * request, and a plateau warmup of every endpoint shape so the first
+  * client doesn't pay the JIT/codegen cliff (LoadProbe.warmToPlateau —
+  * round-7's measured 2.4 q/s fresh-session floor without it).
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "8080").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.withDriftDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-api")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.model.Domain.servedRecords(spark, sfDir)
+    graft.model.Domain.servedJetDrops(spark, sfDir)
+    graft.model.Domain.servedPulses(spark, sfDir)
+    LoadProbe.warmToPlateau(spark, sfDir,
+      SparkEntry.queries.toSeq.filter(_._1.startsWith("be_")).sortBy(_._1))
+
+    val handle = graft.api.HttpApi.start(spark, sfDir, port)
+    println(s"""{"metric":"serving","port":${handle.port},"sf":"$sfDir"}""")
+    sys.addShutdownHook { handle.stop(); spark.stop() }
+    Thread.currentThread.join() // serve until killed
+  }
+}

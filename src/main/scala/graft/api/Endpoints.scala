@@ -42,7 +42,8 @@ object Endpoints {
     */
   def pulses(spark: SparkSession, dir: String, page: PageParams = PageParams(),
       fromPulse: Option[Long] = None, toPulse: Option[Long] = None,
-      fromTimestamp: Option[Long] = None, toTimestamp: Option[Long] = None): DataFrame = {
+      fromTimestamp: Option[Long] = None, toTimestamp: Option[Long] = None,
+      asc: Boolean = false): DataFrame = {
     val p = pulsesView(spark, dir)
     val filtered = p
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
@@ -51,10 +52,13 @@ object Endpoints {
     // (the reference's per-page loop, storage.go:326-356): the window in
     // repairChain only ever sees one page, never the whole dimension.
     // (repairChain's window leaves the page ascending; restore the
-    // endpoint's newest-first presentation order — a ≤1000-row sort.)
+    // endpoint's presentation order — a ≤1000-row sort. Default is the
+    // reference's newest-first; `sort_by=pulse_number_asc` flips it,
+    // storage.go:310-314.)
+    val pageSort = if (asc) col("pulse_number").asc else col("pulse_number").desc
     val paged = PulseChain.repairChain(Pagination.pageWithTotal(filtered,
-      Seq(col("pulse_number").desc), page.limit, page.offset))
-      .orderBy(col("pulse_number").desc)
+      Seq(pageSort), page.limit, page.offset))
+      .orderBy(pageSort)
     patchPageEdges(p, paged)
   }
 
@@ -122,14 +126,20 @@ object Endpoints {
         d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1))
     }
 
-  /** GET /jet-drops/{jet_drop_id}/records — records of one drop, keyset. */
+  /** GET /jet-drops/{jet_drop_id}/records — records of one drop, keyset.
+    * `recordType` narrows to one of request/result/state
+    * (`api/handlers.go:108-118`); validation of the enum is the HTTP
+    * frame's job, like the reference's.
+    */
   def jetDropRecords(spark: SparkSession, dir: String, jetDropId: String,
-      fromIndex: Option[String] = None, page: PageParams = PageParams()): Option[DataFrame] =
+      fromIndex: Option[String] = None, page: PageParams = PageParams(),
+      recordType: Option[String] = None): Option[DataFrame] =
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
       val r = recordsView(spark, dir)
       val base = r.filter(col("pulse_number") === pulse && col("jet_id") === jet)
-      val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(base) { case (p, o) =>
-        base.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc = true))
+      val typed = recordType.fold(base)(t => base.filter(col("type") === t))
+      val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(typed) { case (p, o) =>
+        typed.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc = true))
       }
       Pagination.pageWithTotal(cursored,
         Seq(col("pulse_number").asc, col("order").asc, col("reference").asc),
@@ -177,14 +187,19 @@ object Endpoints {
     Mappers.jetDropToApi(out)
   }
 
-  /** GET /lifeline/{object_ref}/records — the object lifeline. */
+  /** GET /lifeline/{object_ref}/records — the object lifeline. Timestamp
+    * bounds are unix seconds against the record's `ts_sec`, the analog of
+    * the reference's record-timestamp filter (`api/handlers.go:616-622`).
+    */
   def objectLifeline(spark: SparkSession, dir: String, objectRef: Long,
       asc: Boolean = true, fromIndex: Option[String] = None,
       fromPulse: Option[Long] = None, toPulse: Option[Long] = None,
+      fromTimestamp: Option[Long] = None, toTimestamp: Option[Long] = None,
       page: PageParams = PageParams()): DataFrame = {
     val r = recordsView(spark, dir)
     val base = r.filter(col("object_reference") === objectRef && col("type") === "state")
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
+      .filter(Predicates.range(col("ts_sec"), gte = fromTimestamp, lte = toTimestamp))
     val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(base) { case (p, o) =>
       base.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc))
     }

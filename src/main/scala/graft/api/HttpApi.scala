@@ -1,0 +1,391 @@
+package graft.api
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Codecs
+
+/** The reference's HTTP frame (`cmd/api/main.go`, generated echo router)
+  * over the [[Endpoints]] functions, on the JDK's built-in
+  * `com.sun.net.httpserver` — zero dependencies beyond the JDK.
+  *
+  * Eight GET routes under `/api/v1` (paths from `api/handlers_test.go`):
+  *
+  *   /pulses                         /pulses/{pulse}
+  *   /pulses/{pulse}/jet-drops       /jet-drops/{jet_drop_id}
+  *   /jet-drops/{jet_drop_id}/records
+  *   /jets/{jet_id}/jet-drops        /lifeline/{object_ref}/records
+  *   /search?value=
+  *
+  * Contract mirrored from `api/handlers.go`:
+  *  - list endpoints return `{"total": N, "result": [...]}`
+  *  - point lookups return the bare object, 404 `{}` when absent
+  *  - invalid params return 400 with the CodeValidationError shape
+  *    (`code`, `message`, `validation_failures:[{failure_reason,
+  *    property}]`), failures ACCUMULATED across params like
+  *    `checkLimitOffset` — one response names every bad param
+  *  - limit defaults 20, range [1,1000]; offset defaults 0, non-negative
+  *
+  * Concurrency: a fixed pool sized like the reference's load suite's
+  * attacker count; each request submits independent Spark jobs, so FAIR
+  * scheduling in the session keeps one heavy page from starving point
+  * lookups (the exact shape LoadProbe measures).
+  *
+  * Serialization is driver-side string building over the ≤1000-row page
+  * (validation bounds it) — the API boundary, not a distributed op. The
+  * query itself stays a Catalyst plan end to end; `.collect()` happens
+  * here and nowhere deeper.
+  */
+object HttpApi {
+
+  private val JetIdPattern = "^(\\*|[01]{1,216})$".r
+  private val InvalidParamsMessage = "Invalid query or path parameters"
+
+  final class Handle private[HttpApi] (server: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+  }
+
+  /** Bind and start. `port=0` picks an ephemeral port (tests). */
+  def start(spark: SparkSession, dir: String, port: Int = 0, poolSize: Int = 8): Handle = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val pool = Executors.newFixedThreadPool(poolSize)
+    server.setExecutor(pool)
+    server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, ex))
+    server.start()
+    new Handle(server, pool)
+  }
+
+  // ---- routing ---------------------------------------------------------
+
+  private def handle(spark: SparkSession, dir: String, ex: HttpExchange): Unit = {
+    val (status, body) =
+      try route(spark, dir, ex)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[http] ${ex.getRequestURI} failed: ${e.getMessage}")
+          (500, "{}")
+      }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def route(spark: SparkSession, dir: String, ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "GET") return (405, "{}")
+    val segs = ex.getRequestURI.getPath.stripPrefix("/api/v1").split("/")
+      .filter(_.nonEmpty).map(URLDecoder.decode(_, "UTF-8")).toList
+    val q = parseQuery(Option(ex.getRequestURI.getRawQuery))
+    segs match {
+      case "pulses" :: Nil                       => pulsesList(spark, dir, q)
+      case "pulses" :: p :: Nil                  => pulsePoint(spark, dir, p)
+      case "pulses" :: p :: "jet-drops" :: Nil   => dropsByPulse(spark, dir, p, q)
+      case "jet-drops" :: id :: Nil              => dropPoint(spark, dir, id)
+      case "jet-drops" :: id :: "records" :: Nil => dropRecords(spark, dir, id, q)
+      case "jets" :: jet :: "jet-drops" :: Nil   => dropsByJet(spark, dir, jet, q)
+      case "lifeline" :: ref :: "records" :: Nil => lifeline(spark, dir, ref, q)
+      case "search" :: Nil                       => search(spark, dir, q)
+      case _                                     => (404, "{}")
+    }
+  }
+
+  private def parseQuery(raw: Option[String]): Map[String, String] =
+    raw.fold(Map.empty[String, String]) {
+      _.split("&").filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+          case Array(k)    => URLDecoder.decode(k, "UTF-8") -> ""
+        }
+      }.toMap
+    }
+
+  // ---- param validation (api/handlers.go:677-703) ----------------------
+
+  private type Failures = List[(String, String)] // (property, failure_reason)
+
+  private def limitOffset(q: Map[String, String]): (Int, Int, Failures) = {
+    var failures: Failures = Nil
+    val limit = q.get("limit").map(s => s.toIntOption match {
+      case Some(v) => v
+      case None => failures ::= ("limit", "should be integer"); -1
+    }).getOrElse(20)
+    if (limit <= 0 || limit > 1000) failures ::= ("limit", "should be in range [1, 1000]")
+    val offset = q.get("offset").map(s => s.toIntOption match {
+      case Some(v) => v
+      case None => failures ::= ("offset", "should be integer"); -1
+    }).getOrElse(0)
+    if (offset < 0) failures ::= ("offset", "should not be negative")
+    (limit, offset, failures)
+  }
+
+  /** Pulse-number query param: integer and a plausible pulse
+    * (`pulse.IsValidAsPulseNumber`: >= MinTimePulse).
+    */
+  private def pulseParam(q: Map[String, String], name: String): (Option[Long], Failures) =
+    q.get(name) match {
+      case None => (None, Nil)
+      case Some(s) => s.toLongOption match {
+        case Some(v) if v >= Search.MinTimePulse => (Some(v), Nil)
+        case _ => (None, List((name, "invalid value")))
+      }
+    }
+
+  private def longParam(q: Map[String, String], name: String): (Option[Long], Failures) =
+    q.get(name) match {
+      case None => (None, Nil)
+      case Some(s) => s.toLongOption match {
+        case Some(v) => (Some(v), Nil)
+        case None => (None, List((name, "should be integer")))
+      }
+    }
+
+  private def sortParam(q: Map[String, String], ascValue: String,
+      descValue: String): (Boolean, Failures) =
+    q.get("sort_by") match {
+      case None => (false, Nil)
+      case Some(s) if s == ascValue => (true, Nil)
+      case Some(s) if s == descValue => (false, Nil)
+      case Some(_) =>
+        (false, List(("sort_by", s"should be '$descValue' or '$ascValue'")))
+    }
+
+  private def badRequest(failures: Failures): (Int, String) = {
+    val fs = failures.reverse.map { case (prop, reason) =>
+      s"""{"failure_reason":${JsonOut.str(reason)},"property":${JsonOut.str(prop)}}"""
+    }.mkString("[", ",", "]")
+    (400, s"""{"code":"Bad Request","message":"$InvalidParamsMessage","validation_failures":$fs}""")
+  }
+
+  /** Lifeline path refs: the domain's numeric object ids directly, or a
+    * full base58 insolar reference (classified exactly like
+    * [[Endpoints.search]] — the low 8 bytes carry the id).
+    */
+  private def parseObjectRef(s: String): Option[Long] = {
+    val t = s.trim
+    if (t.isEmpty) None
+    else t.toLongOption.orElse(
+      Codecs.parseReference(t).map(b => java.nio.ByteBuffer.wrap(b.takeRight(8)).getLong))
+  }
+
+  // ---- handlers --------------------------------------------------------
+
+  private def pulsesList(spark: SparkSession, dir: String, q: Map[String, String]): (Int, String) = {
+    val (limit, offset, f1) = limitOffset(q)
+    val (fromPulse, f2) = pulseParam(q, "from_pulse_number")
+    val (pnLte, f3) = pulseParam(q, "pulse_number_lte")
+    val (pnLt, f4) = pulseParam(q, "pulse_number_lt")
+    val (pnGte, f5) = pulseParam(q, "pulse_number_gte")
+    val (pnGt, f6) = pulseParam(q, "pulse_number_gt")
+    val (tsLte, f7) = longParam(q, "timestamp_lte")
+    val (tsGte, f8) = longParam(q, "timestamp_gte")
+    val (asc, f9) = sortParam(q, "pulse_number_asc", "pulse_number_desc")
+    val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ f7 ++ f8 ++ f9
+    if (failures.nonEmpty) return badRequest(failures)
+    // strict bounds ride the inclusive predicate builders: pulse numbers
+    // are integral, so lt v == lte v-1 (filterByPulseNumber, storage.go)
+    val lte = Seq(fromPulse, pnLte, pnLt.map(_ - 1)).flatten.reduceOption(_ min _)
+    val gte = Seq(pnGte, pnGt.map(_ + 1)).flatten.reduceOption(_ max _)
+    val page = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit, offset),
+      fromPulse = gte, toPulse = lte, fromTimestamp = tsGte, toTimestamp = tsLte, asc = asc)
+    (200, JsonOut.pageEnvelope(page.collect()))
+  }
+
+  private def pulsePoint(spark: SparkSession, dir: String, p: String): (Int, String) =
+    p.toLongOption match {
+      case None => badRequest(List(("pulse", "should be integer")))
+      case Some(pn) =>
+        val rows = Endpoints.pulse(spark, dir, pn).collect()
+        if (rows.isEmpty) (404, "{}") else (200, JsonOut.obj(rows.head))
+    }
+
+  private def dropsByPulse(spark: SparkSession, dir: String, p: String,
+      q: Map[String, String]): (Int, String) = {
+    val (limit, offset, f1) = limitOffset(q)
+    p.toLongOption match {
+      case None => badRequest(f1 :+ (("pulse", "should be integer")))
+      case Some(pn) =>
+        if (f1.nonEmpty) return badRequest(f1)
+        val page = Endpoints.jetDropsByPulse(spark, dir, pn,
+          fromJetId = q.get("from_jet_drop_id").flatMap(Codecs.parseJetDropId).map(_._1),
+          page = Endpoints.PageParams(limit, offset))
+        (200, JsonOut.pageEnvelope(page.collect()))
+    }
+  }
+
+  private def dropPoint(spark: SparkSession, dir: String, id: String): (Int, String) =
+    Endpoints.jetDropById(spark, dir, id) match {
+      case None => badRequest(List(("jet drop id", "invalid")))
+      case Some(df) =>
+        val rows = df.collect()
+        if (rows.isEmpty) (404, "{}") else (200, JsonOut.obj(rows.head))
+    }
+
+  private def dropRecords(spark: SparkSession, dir: String, id: String,
+      q: Map[String, String]): (Int, String) = {
+    var (limit, offset, failures) = limitOffset(q)
+    val fromIndex = q.get("from_index")
+    if (fromIndex.exists(Codecs.parseIndex(_).isEmpty))
+      failures = failures :+ (("from_index", "invalid"))
+    val recordType = q.get("type")
+    if (recordType.exists(t => !Set("request", "result", "state").contains(t)))
+      failures = failures :+ (("type", "should be 'request', 'result' or 'state'"))
+    Endpoints.jetDropRecords(spark, dir, id, fromIndex,
+      Endpoints.PageParams(math.max(1, math.min(1000, limit)), math.max(0, offset)),
+      recordType) match {
+      case None => badRequest(failures :+ (("jet_drop_id", "invalid")))
+      case Some(df) =>
+        if (failures.nonEmpty) badRequest(failures)
+        else (200, JsonOut.pageEnvelope(withIndex(df).collect()))
+    }
+  }
+
+  private def dropsByJet(spark: SparkSession, dir: String, jet: String,
+      q: Map[String, String]): (Int, String) = {
+    val (limit, _, f1) = limitOffset(q)
+    val (asc, f2) = sortParam(q, "pulse_number_asc_jet_id_desc", "pulse_number_desc_jet_id_asc")
+    val (pnLte, f3) = pulseParam(q, "pulse_number_lte")
+    val (pnGte, f4) = pulseParam(q, "pulse_number_gte")
+    val jetTrim = jet.trim
+    val jetFail: Failures =
+      if (JetIdPattern.matches(jetTrim)) Nil
+      else if (jetTrim.isEmpty) List(("jet-id path parameter", "empty value of path parameter"))
+      else List(("jet-id path parameter", "invalid value of path parameter"))
+    val failures = f1 ++ f2 ++ f3 ++ f4 ++ jetFail
+    if (failures.nonEmpty) return badRequest(failures)
+    // "*" is the root jet: every drop is in its subtree (empty prefix)
+    val prefix = if (jetTrim == "*") "" else jetTrim
+    val page = Endpoints.jetDropsByJetId(spark, dir, prefix,
+      fromPulse = pnGte, toPulse = pnLte, pulseAsc = asc, limit = limit)
+    (200, JsonOut.pageEnvelope(page.collect()))
+  }
+
+  private def lifeline(spark: SparkSession, dir: String, ref: String,
+      q: Map[String, String]): (Int, String) = {
+    val (limit, offset, f1) = limitOffset(q)
+    val (asc, f2) = sortParam(q, "index_asc", "index_desc")
+    val (pnLt, f3) = pulseParam(q, "pulse_number_lt")
+    val (pnGt, f4) = pulseParam(q, "pulse_number_gt")
+    val (tsLte, f5) = longParam(q, "timestamp_lte")
+    val (tsGte, f6) = longParam(q, "timestamp_gte")
+    val fromIndex = q.get("from_index")
+    val f7: Failures =
+      if (fromIndex.exists(Codecs.parseIndex(_).isEmpty)) List(("from_index", "invalid")) else Nil
+    val objectRef = parseObjectRef(ref)
+    val f8: Failures = if (objectRef.isEmpty) List(("object_reference", "wrong format")) else Nil
+    val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ f7 ++ f8
+    if (failures.nonEmpty) return badRequest(failures)
+    val page = Endpoints.objectLifeline(spark, dir, objectRef.get, asc = asc,
+      fromIndex = fromIndex, fromPulse = pnGt.map(_ + 1), toPulse = pnLt.map(_ - 1),
+      fromTimestamp = tsGte, toTimestamp = tsLte,
+      page = Endpoints.PageParams(limit, offset))
+    (200, JsonOut.pageEnvelope(withIndex(page).collect()))
+  }
+
+  /** Search answers with a typed redirect hint (`{type, meta}`), not the
+    * data page — `api/handlers.go:458-553`. Only the record branch touches
+    * storage (the reference includes the record's index in the hint).
+    */
+  private def search(spark: SparkSession, dir: String, q: Map[String, String]): (Int, String) =
+    q.get("value") match {
+      case None | Some("") =>
+        badRequest(List(("value", "empty")))
+      case Some(value) => Search.dispatch(value) match {
+        case Search.PulseTarget(p) =>
+          (200, s"""{"type":"pulse","meta":{"pulse_number":$p}}""")
+        case Search.JetDropTarget(_, _) =>
+          (200, s"""{"type":"jet-drop","meta":{"jet_drop_id":${JsonOut.str(value)}}}""")
+        case Search.LifelineTarget(_) =>
+          (200, s"""{"type":"lifeline","meta":{"object_reference":${JsonOut.str(value)}}}""")
+        case Search.RecordTarget(_) =>
+          val rows = Endpoints.search(spark, dir, value)._2.collect()
+          if (rows.isEmpty) badRequest(List(("value", "record reference not found")))
+          else {
+            val r = rows.head
+            val idx = s"${r.getAs[Long]("pulse_number")}:${r.getAs[Int]("order")}"
+            (200, s"""{"type":"record","meta":{"index":${JsonOut.str(idx)},""" +
+              s""""object_reference":"${r.getAs[Long]("object_reference")}"}}""")
+          }
+        case Search.NoMatch =>
+          badRequest(List(("value", "is neither pulse number, jet drop id nor reference")))
+      }
+    }
+
+  /** Records pages carry the API `index` string ("pulse:order",
+    * `api/mappers.go`) — the cursor token `from_index` consumes.
+    */
+  private def withIndex(df: DataFrame): DataFrame =
+    df.withColumn("index", Codecs.indexString(col("pulse_number"), col("order")))
+}
+
+/** Minimal JSON rendering for the bounded API pages. The served views
+  * produce only scalars, strings, and string/long arrays (binary columns
+  * are base64'd to strings by [[Mappers]] before this layer), so a
+  * hand-rolled writer is complete — and deterministic, which the spec
+  * relies on.
+  */
+object JsonOut {
+
+  def str(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def value(v: Any): String = v match {
+    case null => "null"
+    case s: String => str(s)
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => renderDouble(n.toDouble)
+    case n: Double => renderDouble(n)
+    case d: java.math.BigDecimal => d.toPlainString
+    case b: Array[Byte] => str(java.util.Base64.getEncoder.encodeToString(b))
+    case seq: scala.collection.Seq[_] => seq.map(value).mkString("[", ",", "]")
+    case arr: Array[_] => arr.map(value).mkString("[", ",", "]")
+    case r: Row => obj(r)
+    case other => str(other.toString)
+  }
+
+  private def renderDouble(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
+
+  /** One row as a JSON object, fields in schema order, `total` skipped
+    * (it belongs to the envelope, not the row).
+    */
+  def obj(row: Row): String =
+    row.schema.fields.iterator.zipWithIndex
+      .filter { case (f, _) => f.name != "total" }
+      .map { case (f, i) => s"${str(f.name)}:${value(row.get(i))}" }
+      .mkString("{", ",", "}")
+
+  /** `{total, result}` — total from the pass-through `total` column when
+    * the page carries one (the count of the FILTERED set, A3), else the
+    * page length.
+    */
+  def pageEnvelope(rows: Array[Row]): String = {
+    val total =
+      if (rows.nonEmpty && rows.head.schema.fieldNames.contains("total"))
+        rows.head.getAs[Long]("total")
+      else rows.length.toLong
+    rows.iterator.map(obj).mkString(s"""{"total":$total,"result":[""", ",", "]}")
+  }
+}
