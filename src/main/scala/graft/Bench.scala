@@ -76,21 +76,10 @@ object Bench {
   }
 
   private def newSession(cpus: String): SparkSession = {
-    val s = Sessions.withDriftDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // The catalog has ~63 queries x several codegen stages; the default
-      // 100-entry codegen cache thrashes, recompiling every stage every
-      // pass (measured via CodegenMetrics janino_n). A long-lived service
-      // must hold its working set of generated classes.
-      .config("spark.sql.codegen.cache.maxEntries", "3000")
+    // the shared serving configuration (Sessions.ServiceConfs) so this
+    // bench measures exactly what Serve/LoadProbe run
+    val s = Sessions.serviceBuilder(cpus, "graft-bench")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      // FAIR so the load-probe section's concurrent jobs share the pool
-      // the way LoadProbe's standalone run schedules them
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

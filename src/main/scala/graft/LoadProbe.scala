@@ -28,15 +28,9 @@ object LoadProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val attackers = sys.env.getOrElse("SPARK_GRAFT_ATTACKERS", "8").toInt
     val seconds = sys.env.getOrElse("SPARK_GRAFT_SECONDS", "10").toInt
-    val spark = Sessions.withDriftDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // FAIR keeps one heavy shape from starving the others' jobs, the
-      // way an API server's request pool would schedule.
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    // the shared serving configuration — FAIR keeps one heavy shape from
+    // starving the others' jobs, the way an API server's pool schedules
+    val spark = Sessions.serviceBuilder(cpus, "graft-load").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_SHAPES: comma-separated shape names to attack (default:

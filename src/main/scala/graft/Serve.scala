@@ -19,14 +19,7 @@ object Serve {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "8080").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.withDriftDefaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-api")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    val spark = Sessions.serviceBuilder(cpus, "graft-api").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     graft.model.Domain.servedRecords(spark, sfDir)

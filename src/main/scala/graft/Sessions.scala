@@ -34,6 +34,49 @@ object Sessions {
   def withDriftDefaults(b: SparkSession.Builder): SparkSession.Builder =
     DriftConfs.foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
 
+  /** The long-lived-service configs the bench measured as load-bearing
+    * (`Bench.newSession` was where they first proved out):
+    *
+    *  - AQE + skew-join: runtime re-plan and skew splitting at the bench SF.
+    *  - `codegen.cache.maxEntries=3000`: the catalog has ~67 queries x
+    *    several codegen stages; the default 100-entry cache thrashes,
+    *    recompiling every stage every pass (measured via CodegenMetrics).
+    *    Any long-lived entry point — the API server above all — must hold
+    *    its working set of generated classes.
+    *  - FAIR scheduling: concurrent requests (or attack threads) share
+    *    the pool instead of FIFO-starving point lookups behind one heavy
+    *    page.
+    *
+    * Every serving entry point (Serve, Bench, LoadProbe) builds through
+    * [[serviceBuilder]] so the production binary runs the exact
+    * configuration the bench proved; ServiceConfsSpec pins the set.
+    */
+  val ServiceConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.codegen.cache.maxEntries" -> "3000",
+    "spark.scheduler.mode" -> "FAIR",
+    "spark.ui.enabled" -> "false")
+
+  /** The COMPLETE conf set [[serviceBuilder]] applies — drift defenses,
+    * service configs, and shuffle parallelism matched to the core count.
+    * Exposed as data so SessionsSpec can pin it without reflecting into
+    * the builder.
+    */
+  def serviceConfPairs(cpus: String): Seq[(String, String)] =
+    DriftConfs ++ ServiceConfs :+ ("spark.sql.shuffle.partitions" -> cpus)
+
+  /** Session builder for every serving entry point: drift defenses plus
+    * the benched service configs, `local[cpus]` with shuffle parallelism
+    * matched to the core count (a 1000-executor deployment would swap the
+    * master URL and scale `shuffle.partitions` with the cluster; nothing
+    * else here is local-mode-specific).
+    */
+  def serviceBuilder(cpus: String, appName: String): SparkSession.Builder =
+    serviceConfPairs(cpus).foldLeft(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName)
+    ) { case (acc, (k, v)) => acc.config(k, v) }
+
   /** Assert (never set) the drift-defense configs on a live session —
     * called by the [[graft.model.Domain]] accessors before the events
     * relation can resolve. Setting here instead would mask the ordering

@@ -166,14 +166,40 @@ object HttpApi {
 
   /** Lifeline path refs: the domain's numeric object ids directly, or a
     * full base58 insolar reference (classified exactly like
-    * [[Endpoints.search]] — the low 8 bytes carry the id).
+    * [[Endpoints.search]] — the low 8 bytes carry the id). The decoded
+    * reference must be the full 36-byte layout (the shape
+    * `Search.classifyReference` requires and the reference's
+    * `checkReference` rejects with 400 'wrong format'): a short base58
+    * string decodes to fewer bytes and must not silently query an
+    * arbitrary id.
     */
   private def parseObjectRef(s: String): Option[Long] = {
     val t = s.trim
     if (t.isEmpty) None
     else t.toLongOption.orElse(
-      Codecs.parseReference(t).map(b => java.nio.ByteBuffer.wrap(b.takeRight(8)).getLong))
+      Codecs.parseReference(t).filter(_.length == 36)
+        .map(b => java.nio.ByteBuffer.wrap(b.takeRight(8)).getLong))
   }
+
+  /** The `total` carried by a collected page (0 for an empty page). */
+  private def totalOf(rows: Array[Row]): Long =
+    if (rows.nonEmpty && rows.head.schema.fieldNames.contains("total"))
+      rows.head.getAs[Long]("total")
+    else rows.length.toLong
+
+  /** `{total, result}` with the reference's empty-page contract: the
+    * count runs over the same filtered query regardless of the page
+    * (`etl/storage/storage.go:229-255`), so an offset past the last row
+    * returns the TRUE total with an empty result — not `{"total":0}`.
+    * The pass-through `total` column (A3) carries the count whenever the
+    * page has rows; only the empty-page-at-nonzero-offset corner needs
+    * the separate 1-row probe (`firstPage`, the same filtered query at
+    * offset 0), exactly the case where paginating clients stop.
+    */
+  private def envelope(rows: Array[Row], offset: Int,
+      firstPage: => Array[Row]): String =
+    if (rows.isEmpty && offset > 0) JsonOut.pageEnvelope(rows, totalOf(firstPage))
+    else JsonOut.pageEnvelope(rows, totalOf(rows))
 
   // ---- handlers --------------------------------------------------------
 
@@ -193,9 +219,10 @@ object HttpApi {
     // are integral, so lt v == lte v-1 (filterByPulseNumber, storage.go)
     val lte = Seq(fromPulse, pnLte, pnLt.map(_ - 1)).flatten.reduceOption(_ min _)
     val gte = Seq(pnGte, pnGt.map(_ + 1)).flatten.reduceOption(_ max _)
-    val page = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit, offset),
+    def page(pp: Endpoints.PageParams) = Endpoints.pulses(spark, dir, pp,
       fromPulse = gte, toPulse = lte, fromTimestamp = tsGte, toTimestamp = tsLte, asc = asc)
-    (200, JsonOut.pageEnvelope(page.collect()))
+    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
+      page(Endpoints.PageParams(1, 0)).collect()))
   }
 
   private def pulsePoint(spark: SparkSession, dir: String, p: String): (Int, String) =
@@ -208,15 +235,23 @@ object HttpApi {
 
   private def dropsByPulse(spark: SparkSession, dir: String, p: String,
       q: Map[String, String]): (Int, String) = {
-    val (limit, offset, f1) = limitOffset(q)
+    var (limit, offset, failures) = limitOffset(q)
+    // an unparseable cursor is a 400 ('jet drop id: invalid',
+    // api/handlers.go:416-425), never a silently-uncursored page
+    val fromJet = q.get("from_jet_drop_id").map { s =>
+      Codecs.parseJetDropId(s) match {
+        case Some((jet, _)) => jet
+        case None => failures = failures :+ (("jet drop id", "invalid")); ""
+      }
+    }
     p.toLongOption match {
-      case None => badRequest(f1 :+ (("pulse", "should be integer")))
+      case None => badRequest(failures :+ (("pulse", "should be integer")))
       case Some(pn) =>
-        if (f1.nonEmpty) return badRequest(f1)
-        val page = Endpoints.jetDropsByPulse(spark, dir, pn,
-          fromJetId = q.get("from_jet_drop_id").flatMap(Codecs.parseJetDropId).map(_._1),
-          page = Endpoints.PageParams(limit, offset))
-        (200, JsonOut.pageEnvelope(page.collect()))
+        if (failures.nonEmpty) return badRequest(failures)
+        def page(pp: Endpoints.PageParams) =
+          Endpoints.jetDropsByPulse(spark, dir, pn, fromJetId = fromJet, page = pp)
+        (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
+          page(Endpoints.PageParams(1, 0)).collect()))
     }
   }
 
@@ -230,6 +265,8 @@ object HttpApi {
 
   private def dropRecords(spark: SparkSession, dir: String, id: String,
       q: Map[String, String]): (Int, String) = {
+    // validate EVERYTHING first (accumulated like checkLimitOffset), then
+    // build — no clamped params ever reach the query builder
     var (limit, offset, failures) = limitOffset(q)
     val fromIndex = q.get("from_index")
     if (fromIndex.exists(Codecs.parseIndex(_).isEmpty))
@@ -237,34 +274,44 @@ object HttpApi {
     val recordType = q.get("type")
     if (recordType.exists(t => !Set("request", "result", "state").contains(t)))
       failures = failures :+ (("type", "should be 'request', 'result' or 'state'"))
-    Endpoints.jetDropRecords(spark, dir, id, fromIndex,
-      Endpoints.PageParams(math.max(1, math.min(1000, limit)), math.max(0, offset)),
-      recordType) match {
-      case None => badRequest(failures :+ (("jet_drop_id", "invalid")))
-      case Some(df) =>
-        if (failures.nonEmpty) badRequest(failures)
-        else (200, JsonOut.pageEnvelope(withIndex(df).collect()))
-    }
+    if (Codecs.parseJetDropId(id).isEmpty)
+      failures = failures :+ (("jet_drop_id", "invalid"))
+    if (failures.nonEmpty) return badRequest(failures)
+    def page(pp: Endpoints.PageParams) =
+      withIndex(Endpoints.jetDropRecords(spark, dir, id, fromIndex, pp, recordType).get)
+    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
+      page(Endpoints.PageParams(1, 0)).collect()))
   }
 
   private def dropsByJet(spark: SparkSession, dir: String, jet: String,
       q: Map[String, String]): (Int, String) = {
-    val (limit, _, f1) = limitOffset(q)
+    val (parsedLimit, _, f1) = limitOffset(q)
+    // an absent limit means 1000 here, not the global default of 20
+    // (handlers.go:153-156, the PENV-505 fixme the reference ships with)
+    val limit = if (q.contains("limit")) parsedLimit else 1000
     val (asc, f2) = sortParam(q, "pulse_number_asc_jet_id_desc", "pulse_number_desc_jet_id_asc")
     val (pnLte, f3) = pulseParam(q, "pulse_number_lte")
-    val (pnGte, f4) = pulseParam(q, "pulse_number_gte")
+    val (pnLt, f4) = pulseParam(q, "pulse_number_lt")
+    val (pnGte, f5) = pulseParam(q, "pulse_number_gte")
+    val (pnGt, f6) = pulseParam(q, "pulse_number_gt")
     val jetTrim = jet.trim
     val jetFail: Failures =
       if (JetIdPattern.matches(jetTrim)) Nil
       else if (jetTrim.isEmpty) List(("jet-id path parameter", "empty value of path parameter"))
       else List(("jet-id path parameter", "invalid value of path parameter"))
-    val failures = f1 ++ f2 ++ f3 ++ f4 ++ jetFail
+    val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ jetFail
     if (failures.nonEmpty) return badRequest(failures)
     // "*" is the root jet: every drop is in its subtree (empty prefix)
     val prefix = if (jetTrim == "*") "" else jetTrim
-    val page = Endpoints.jetDropsByJetId(spark, dir, prefix,
-      fromPulse = pnGte, toPulse = pnLte, pulseAsc = asc, limit = limit)
-    (200, JsonOut.pageEnvelope(page.collect()))
+    // strict bounds fold into the inclusive builders: integral pulses, so
+    // lt v == lte v-1 (same as pulsesList / storage.go filterByPulseNumber)
+    val lte = Seq(pnLte, pnLt.map(_ - 1)).flatten.reduceOption(_ min _)
+    val gte = Seq(pnGte, pnGt.map(_ + 1)).flatten.reduceOption(_ max _)
+    val rows = Endpoints.jetDropsByJetId(spark, dir, prefix,
+      fromPulse = gte, toPulse = lte, pulseAsc = asc, limit = limit).collect()
+    // limit-only endpoint (no offset): an empty page means the filter
+    // matched nothing, so the page's own total is already the truth
+    (200, JsonOut.pageEnvelope(rows, totalOf(rows)))
   }
 
   private def lifeline(spark: SparkSession, dir: String, ref: String,
@@ -282,11 +329,12 @@ object HttpApi {
     val f8: Failures = if (objectRef.isEmpty) List(("object_reference", "wrong format")) else Nil
     val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ f7 ++ f8
     if (failures.nonEmpty) return badRequest(failures)
-    val page = Endpoints.objectLifeline(spark, dir, objectRef.get, asc = asc,
-      fromIndex = fromIndex, fromPulse = pnGt.map(_ + 1), toPulse = pnLt.map(_ - 1),
-      fromTimestamp = tsGte, toTimestamp = tsLte,
-      page = Endpoints.PageParams(limit, offset))
-    (200, JsonOut.pageEnvelope(withIndex(page).collect()))
+    def page(pp: Endpoints.PageParams) =
+      withIndex(Endpoints.objectLifeline(spark, dir, objectRef.get, asc = asc,
+        fromIndex = fromIndex, fromPulse = pnGt.map(_ + 1), toPulse = pnLt.map(_ - 1),
+        fromTimestamp = tsGte, toTimestamp = tsLte, page = pp))
+    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
+      page(Endpoints.PageParams(1, 0)).collect()))
   }
 
   /** Search answers with a typed redirect hint (`{type, meta}`), not the
@@ -377,15 +425,10 @@ object JsonOut {
       .map { case (f, i) => s"${str(f.name)}:${value(row.get(i))}" }
       .mkString("{", ",", "}")
 
-  /** `{total, result}` — total from the pass-through `total` column when
-    * the page carries one (the count of the FILTERED set, A3), else the
-    * page length.
+  /** `{total, result}` — total is the count of the FILTERED set (A3),
+    * supplied by the handler (which knows how to recover it when the
+    * page itself is empty — see `HttpApi.envelope`).
     */
-  def pageEnvelope(rows: Array[Row]): String = {
-    val total =
-      if (rows.nonEmpty && rows.head.schema.fieldNames.contains("total"))
-        rows.head.getAs[Long]("total")
-      else rows.length.toLong
+  def pageEnvelope(rows: Array[Row], total: Long): String =
     rows.iterator.map(obj).mkString(s"""{"total":$total,"result":[""", ",", "]}")
-  }
 }

@@ -1,0 +1,268 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Domain
+
+/** End-to-end tests of the HTTP frame: a live [[HttpApi]] server on an
+  * ephemeral port over the sf0.001 testdata, driven through a real HTTP
+  * client — the analog of the reference's live-server handler tests
+  * (`api/handlers_test.go:42-80` and the `test/api/` endpoint suites).
+  *
+  * Coverage contract: every route in `HttpApi.route` gets at least one
+  * happy-path assertion (body checked against the [[Endpoints]] result
+  * rendered through the same [[JsonOut]] writer — the HTTP layer must add
+  * nothing but the frame) and the reference's error contract: accumulated
+  * `validation_failures` across bad params, 404-`{}` point lookups, and
+  * the empty-page `{total}` rule (the count runs over the filtered query
+  * regardless of the page, `etl/storage/storage.go:229-255`).
+  */
+class HttpApiSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val handle = HttpApi.start(spark, dir, port = 0, poolSize = 4)
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    try handle.stop() finally super.afterAll()
+  }
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://localhost:${handle.port}/api/v1$path")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def totalIn(body: String): Long =
+    """"total":(-?\d+)""".r.findFirstMatchIn(body)
+      .getOrElse(fail(s"no total in: ${body.take(200)}")).group(1).toLong
+
+  /** Rows in the `result` array. The served rows contain arrays of
+    * scalars but never nested objects, so counting `{` after `"result":[`
+    * is exact.
+    */
+  private def resultRows(body: String): Int = {
+    val i = body.indexOf(""""result":[""")
+    assert(i >= 0, s"no result array in: ${body.take(200)}")
+    body.substring(i).count(_ == '{')
+  }
+
+  private def failureProps(body: String): Set[String] =
+    """"property":"([^"]+)"""".r.findAllMatchIn(body).map(_.group(1)).toSet
+
+  // fixture probes, derived from the data (drift-proof, never hardcoded)
+  private lazy val somePulse: Long =
+    Domain.servedPulses(spark, dir).agg(min("pulse_number")).collect().head.getLong(0)
+  private lazy val pulseCount: Long = Domain.servedPulses(spark, dir).count()
+  private lazy val someDrop: (String, Long) = {
+    val r = Domain.servedJetDrops(spark, dir)
+      .orderBy("pulse_number", "jet_id").select("jet_id", "pulse_number").head()
+    (r.getString(0), r.getLong(1))
+  }
+  private lazy val recordedDrop: (String, Long) = {
+    val r = Domain.servedRecords(spark, dir)
+      .groupBy("jet_id", "pulse_number").count()
+      .orderBy(desc("count")).head()
+    (r.getString(0), r.getLong(1))
+  }
+  private lazy val someObject: Long =
+    Domain.servedRecords(spark, dir).filter(col("type") === "state")
+      .groupBy("object_reference").count().orderBy(desc("count"))
+      .head().getLong(0)
+
+  // ---- /pulses ---------------------------------------------------------
+
+  test("GET /pulses: body is exactly the Endpoints page through JsonOut") {
+    val (status, body) = get("/pulses?limit=3")
+    assert(status == 200)
+    val rows = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3)).collect()
+    assert(body == JsonOut.pageEnvelope(rows, rows.head.getAs[Long]("total")))
+    assert(resultRows(body) == 3)
+    assert(totalIn(body) == pulseCount)
+  }
+
+  test("GET /pulses: range + sort params reach the query") {
+    val (status, body) = get(s"/pulses?from_pulse_number=$somePulse" +
+      s"&pulse_number_lte=${somePulse + 5}&sort_by=pulse_number_asc&limit=100")
+    assert(status == 200)
+    val pns = """"pulse_number":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    // first pulse_number per row is the row's own (prev/next follow it)
+    assert(pns.nonEmpty)
+    assert(pns.min >= somePulse - 1 && pns.max <= somePulse + 6,
+      "page must stay inside the requested range (±1 for prev/next links)")
+  }
+
+  test("GET /pulses: offset past the end returns the TRUE total, empty result") {
+    val (status, body) = get("/pulses?offset=100000")
+    assert(status == 200)
+    assert(resultRows(body) == 0)
+    assert(totalIn(body) == pulseCount,
+      "the count runs over the filtered query regardless of the page (storage.go:229-255)")
+  }
+
+  test("GET /pulses: validation failures accumulate across params") {
+    val (status, body) = get("/pulses?limit=5000&offset=-2&sort_by=bogus&from_pulse_number=abc")
+    assert(status == 400)
+    assert(body.contains(""""code":"Bad Request""""))
+    assert(failureProps(body) == Set("limit", "offset", "sort_by", "from_pulse_number"),
+      "one response must name every bad param, like checkLimitOffset")
+  }
+
+  // ---- /pulses/{pulse} -------------------------------------------------
+
+  test("GET /pulses/{pulse}: 200 bare object, 404 {}, 400 non-integer") {
+    val (s1, b1) = get(s"/pulses/$somePulse")
+    assert(s1 == 200)
+    assert(b1.contains(s""""pulse_number":$somePulse"""))
+    assert(!b1.contains(""""total""""), "point lookups return the bare object, no envelope")
+    val (s2, b2) = get("/pulses/999999999")
+    assert(s2 == 404 && b2 == "{}")
+    val (s3, _) = get("/pulses/abc")
+    assert(s3 == 400)
+  }
+
+  // ---- /pulses/{pulse}/jet-drops --------------------------------------
+
+  test("GET /pulses/{pulse}/jet-drops: page matches Endpoints; bad cursor is 400") {
+    val (jet, pn) = someDrop
+    val (status, body) = get(s"/pulses/$pn/jet-drops")
+    assert(status == 200)
+    val rows = Endpoints.jetDropsByPulse(spark, dir, pn).collect()
+    assert(body == JsonOut.pageEnvelope(rows, rows.head.getAs[Long]("total")))
+    assert(body.contains(s""""jet_drop_id":"$jet:$pn""""))
+    // unparseable from_jet_drop_id: 400 'jet drop id: invalid'
+    // (handlers.go:416-425), never a silently-uncursored page
+    val (s2, b2) = get(s"/pulses/$pn/jet-drops?from_jet_drop_id=zzz")
+    assert(s2 == 400)
+    assert(failureProps(b2) == Set("jet drop id"))
+    assert(b2.contains(""""failure_reason":"invalid""""))
+  }
+
+  // ---- /jet-drops/{id} -------------------------------------------------
+
+  test("GET /jet-drops/{id}: 200 bare object, 404 {} on absent, 400 on malformed") {
+    val (jet, pn) = someDrop
+    val (s1, b1) = get(s"/jet-drops/$jet:$pn")
+    assert(s1 == 200)
+    assert(b1.contains(s""""jet_drop_id":"$jet:$pn"""") && !b1.contains(""""total""""))
+    val (s2, b2) = get(s"/jet-drops/$jet:999999999")
+    assert(s2 == 404 && b2 == "{}")
+    val (s3, _) = get("/jet-drops/garbage")
+    assert(s3 == 400)
+  }
+
+  // ---- /jet-drops/{id}/records ----------------------------------------
+
+  test("GET /jet-drops/{id}/records: page with index column; offset past end keeps the true total") {
+    val (jet, pn) = recordedDrop
+    val (status, body) = get(s"/jet-drops/$jet:$pn/records?limit=2")
+    assert(status == 200)
+    val total = totalIn(body)
+    assert(total > 0 && resultRows(body) <= 2)
+    assert(body.contains(s""""index":"$pn:"""),
+      "records pages carry the API index string (api/mappers.go)")
+    val (s2, b2) = get(s"/jet-drops/$jet:$pn/records?offset=5000")
+    assert(s2 == 200)
+    assert(resultRows(b2) == 0 && totalIn(b2) == total,
+      "empty page at high offset must keep the filtered count")
+  }
+
+  test("GET /jet-drops/{id}/records: failures accumulate incl. the bad drop id") {
+    val (status, body) = get("/jet-drops/garbage/records?type=bogus&from_index=xx&limit=0")
+    assert(status == 400)
+    assert(failureProps(body) == Set("jet_drop_id", "type", "from_index", "limit"))
+  }
+
+  // ---- /jets/{jet}/jet-drops ------------------------------------------
+
+  test("GET /jets/*/jet-drops: absent limit defaults to 1000, not 20") {
+    val (status, body) = get("/jets/*/jet-drops")
+    assert(status == 200)
+    val dropCount = Domain.servedJetDrops(spark, dir).count()
+    assert(totalIn(body) == dropCount)
+    assert(resultRows(body) == math.min(dropCount, 1000L).toInt,
+      "handlers.go:153-156 (PENV-505): unparameterized requests page 1000 rows")
+    assert(resultRows(body) > 20, "the global default of 20 must NOT apply here")
+  }
+
+  test("GET /jets/{jet}/jet-drops: strict pulse bounds pulse_number_lt/gt are honored") {
+    val lo = somePulse + 1
+    val hi = somePulse + 10
+    val (status, body) = get(s"/jets/*/jet-drops?pulse_number_gt=$lo&pulse_number_lt=$hi")
+    assert(status == 200)
+    val expected = Endpoints.jetDropsByJetId(spark, dir, "",
+      fromPulse = Some(lo + 1), toPulse = Some(hi - 1)).collect()
+    assert(totalIn(body) == expected.head.getAs[Long]("total"))
+    val pns = """"pulse_number":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    assert(pns.nonEmpty && pns.forall(p => p > lo && p < hi),
+      "lt/gt are STRICT bounds (handlers.go:166-182)")
+  }
+
+  test("GET /jets/{jet}/jet-drops: bad jet id is 400") {
+    val (s1, b1) = get("/jets/xyz/jet-drops")
+    assert(s1 == 400)
+    assert(failureProps(b1) == Set("jet-id path parameter"))
+    val (s2, _) = get("/jets/01/jet-drops")
+    assert(s2 == 200, "binary jet prefixes are valid")
+  }
+
+  // ---- /lifeline/{ref}/records ----------------------------------------
+
+  test("GET /lifeline/{ref}/records: page matches Endpoints; offset past end keeps total") {
+    val (status, body) = get(s"/lifeline/$someObject/records?limit=5")
+    assert(status == 200)
+    val total = totalIn(body)
+    assert(total > 0 && resultRows(body) == math.min(total, 5L).toInt)
+    assert(body.contains(s""""object_reference":$someObject"""))
+    val (s2, b2) = get(s"/lifeline/$someObject/records?offset=100000")
+    assert(s2 == 200)
+    assert(resultRows(b2) == 0 && totalIn(b2) == total)
+  }
+
+  test("GET /lifeline/{ref}/records: short base58 ref is 400 wrong format") {
+    // "1z" decodes to a single byte — not the 36-byte reference layout;
+    // the reference's checkReference rejects it, never a 500 or a silent
+    // query of an arbitrary id
+    val (status, body) = get("/lifeline/1z/records")
+    assert(status == 400)
+    assert(failureProps(body) == Set("object_reference"))
+    assert(body.contains("wrong format"))
+  }
+
+  // ---- /search ---------------------------------------------------------
+
+  test("GET /search: pulse hint, empty 400, garbage 400") {
+    val (s1, b1) = get(s"/search?value=$somePulse")
+    assert(s1 == 200)
+    assert(b1 == s"""{"type":"pulse","meta":{"pulse_number":$somePulse}}""")
+    val (s2, _) = get("/search")
+    assert(s2 == 400)
+    val (s3, b3) = get("/search?value=%20%21%3F")
+    assert(s3 == 400)
+    assert(failureProps(b3) == Set("value"))
+  }
+
+  test("GET /search: jet drop id hint") {
+    val (jet, pn) = someDrop
+    val (status, body) = get(s"/search?value=$jet:$pn")
+    assert(status == 200)
+    assert(body == s"""{"type":"jet-drop","meta":{"jet_drop_id":"$jet:$pn"}}""")
+  }
+
+  // ---- frame -----------------------------------------------------------
+
+  test("unknown routes are 404, non-GET is 405") {
+    assert(get("/nope")._1 == 404)
+    assert(get("/pulses/1/extra/deep")._1 == 404)
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://localhost:${handle.port}/api/v1/pulses"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build()
+    assert(client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+  }
+}
