@@ -95,6 +95,10 @@ object Bench {
       graft.model.Domain.servedRecords(spark, sfDir)
       graft.model.Domain.servedJetDrops(spark, sfDir)
       graft.model.Domain.servedPulses(spark, sfDir)
+      // semdedup's components artifact, same discipline: the verdicts
+      // query's cold number must measure the read path (r8's cold spike
+      // included a first-touch rebuild after the spine-v2 schema bump)
+      Queries.ensureSemdedupArtifacts(spark, sfDir)
       ()
     } catch { case e: Throwable => System.err.println(s"[bench] index build failed: ${e.getMessage}") }
 
@@ -116,9 +120,14 @@ object Bench {
     * first-attempt number alongside — so a genuine regression (slow on
     * both attempts) still reads as a miss.
     */
+  /** (minQps, minQpsFirstAttempt, perShapeJson, statsJson, errors) — the
+    * second value is the retry-free floor (min over every shape's FIRST
+    * attempt), so a contention-free run is distinguishable from one the
+    * transparent retry rescued.
+    */
   private def loadSection(
       spark: SparkSession, sfDir: String, millisPerShape: Long
-  ): (Double, String, String, Long) = {
+  ): (Double, Double, String, String, Long) = {
     val errors = new java.util.concurrent.atomic.AtomicLong()
     val per0 = loadShapes.map { case (n, fn) =>
       (n, fn, LoadProbe.attackStats(spark, sfDir, fn, attackers = 8, millisPerShape, errors))
@@ -136,7 +145,39 @@ object Bench {
       val retry = retried.fold("")(other => f""","retried":true,"other_attempt_qps":$other%.2f""")
       "\"" + n + "\":" + f"""{"qps":${s.qps}%.2f,"n":${s.n},"p50_ms":${s.p50Ms}%.0f,"p95_ms":${s.p95Ms}%.0f,"max_ms":${s.maxMs}%.0f$retry}"""
     }.mkString("{", ",", "}")
-    (per.map(_._2.qps).min, flat, stats, errors.get())
+    (per.map(_._2.qps).min, per0.map(_._3.qps).min, flat, stats, errors.get())
+  }
+
+  /** HTTP-mode load section: attack the eight endpoint shapes through a
+    * live [[graft.api.HttpApi]] server on this session (the reference's
+    * load suite attacks HTTP, `load/run_configs/all_sequence.yaml` — the
+    * DataFrame floors prove the engine, this proves the whole stack:
+    * routing, validation, API-boundary collect, JSON rendering).
+    * Returns (minQps, perShapeJson, errors).
+    */
+  private def httpLoadSection(
+      spark: SparkSession, sfDir: String, millisPerShape: Long
+  ): (Double, String, Long) = {
+    val handle = graft.api.HttpApi.start(spark, sfDir, port = 0)
+    try {
+      val base = s"http://localhost:${handle.port}"
+      val shapes = LoadProbe.httpShapes(spark, sfDir)
+      val warmErrs = new java.util.concurrent.atomic.AtomicLong()
+      // brief concurrent warm per URL: the HTTP client pool + handler
+      // paths compile outside the attack window (same rationale as
+      // warmToPlateau; the underlying plans are already plateau-warm)
+      shapes.foreach { case (_, path) =>
+        LoadProbe.attackHttp(base + path, attackers = 8, millis = 300, warmErrs)
+      }
+      val errors = new java.util.concurrent.atomic.AtomicLong()
+      val per = shapes.map { case (n, path) =>
+        n -> LoadProbe.attackHttp(base + path, attackers = 8, millisPerShape, errors)
+      }
+      val flat = per.map { case (n, s) =>
+        "\"" + n + "\":" + f"""{"qps":${s.qps}%.2f,"n":${s.n},"p50_ms":${s.p50Ms}%.0f,"p95_ms":${s.p95Ms}%.0f}"""
+      }.mkString("{", ",", "}")
+      (per.map(_._2.qps).min, flat, errors.get())
+    } finally handle.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -152,7 +193,14 @@ object Bench {
     // one-time concurrent-path compile, dominates the fresh-session gate.
     val firstMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_FIRST_MS", "10000").toLong
     val lastMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_MS", "2000").toLong
-    val (firstMin, firstFlat, firstStats, firstErrs) = {
+    // SPARK_GRAFT_FIRST_PROBE=0 skips session A entirely — the bisect
+    // switch for attributing cold-pass deltas to the JVM-wide JIT load
+    // session A's warmup+attacks leave behind (r8's dd_semdedup cold
+    // question). Gate fields then read -1 (absent), never fabricated.
+    val runFirst = !sys.env.get("SPARK_GRAFT_FIRST_PROBE").contains("0")
+    val (firstMin, firstMinRaw, firstFlat, firstStats, firstErrs) = if (!runFirst) {
+      (-1.0, -1.0, "{}", "{}", 0L)
+    } else {
       val sA = newSession(cpus)
       telemetry += snap("a_start", sA)
       ensureIndexes(sA, sfDir)
@@ -258,22 +306,35 @@ object Bench {
     // endpoint, zero errors), LAST position: after ~190 catalog
     // executions, the state a long-lived service degrades into if
     // anything session-lifetime leaks. Gate number = MINIMUM per-shape q/s.
-    val (loadMin, loadFlat, loadStats, loadErrs) = try {
+    val (loadMin, loadMinRaw, loadFlat, loadStats, loadErrs) = try {
       warmConcurrently(spark, sfDir)
       loadSection(spark, sfDir, millisPerShape = lastMs)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] load probe failed: ${e.getMessage}")
-      (-1.0, "{}", "{}", 0L)
+      (-1.0, -1.0, "{}", "{}", 0L)
     }
     telemetry += snap("b_load_last_done", spark)
+
+    // HTTP mode: the same gate through the full serving stack.
+    val httpMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_HTTP_MS", "2000").toLong
+    val (httpMin, httpFlat, httpErrs) = try {
+      httpLoadSection(spark, sfDir, millisPerShape = httpMs)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] http load probe failed: ${e.getMessage}")
+      (-1.0, "{}", 0L)
+    }
+    telemetry += snap("b_load_http_done", spark)
 
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson""" +
       f""","warm_total":$warmTotal%.3f,"queries_warm":$qsWarm,"ingest_sec":$ingestSec%.3f""" +
-      f""","load_min_shape_qps":$loadMin%.2f,"load_per_shape_qps":$loadFlat,"load_errors":$loadErrs""" +
+      f""","load_min_shape_qps":$loadMin%.2f,"load_min_shape_qps_first_attempt":$loadMinRaw%.2f""" +
+      f""","load_per_shape_qps":$loadFlat,"load_errors":$loadErrs""" +
       f""","load_shape_stats":$loadStats""" +
-      f""","load_first_min_qps":$firstMin%.2f,"load_first_per_shape_qps":$firstFlat,"load_first_errors":$firstErrs""" +
+      f""","load_first_min_qps":$firstMin%.2f,"load_first_min_qps_first_attempt":$firstMinRaw%.2f""" +
+      f""","load_first_per_shape_qps":$firstFlat,"load_first_errors":$firstErrs""" +
       f""","load_first_shape_stats":$firstStats""" +
+      f""","load_http_min_qps":$httpMin%.2f,"load_http_per_shape":$httpFlat,"load_http_errors":$httpErrs""" +
       s""","query_task_metrics":$taskMetricsJson""" +
       s""","telemetry":${telemetry.mkString("[", ",", "]")},"sf":"$sfDir"}"""
 
@@ -300,6 +361,7 @@ object Bench {
       f""","queries":$qsCompact""" +
       f""","warm_total":$warmTotal%.3f,"ingest_sec":$ingestSec%.3f""" +
       f""","load_min_shape_qps":$loadMin%.2f,"load_first_min_qps":$firstMin%.2f""" +
+      f""","load_http_min_qps":$httpMin%.2f,"load_http_errors":$httpErrs""" +
       s""","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

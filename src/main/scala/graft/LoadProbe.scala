@@ -160,4 +160,70 @@ object LoadProbe {
     AttackStats(ls.length / elapsed, ls.length, pct(0.50), pct(0.95),
       if (ls.isEmpty) -1.0 else ls.last / 1e6)
   }
+
+  // ---- HTTP mode -------------------------------------------------------
+  //
+  // The reference's load suite attacks HTTP endpoints
+  // (`load/run_configs/all_sequence.yaml`), not storage functions; the
+  // DataFrame-layer floors above prove the engine, these prove the whole
+  // serving stack — routing, validation, the collect at the API boundary,
+  // and JSON rendering — through a real [[graft.api.HttpApi]] server.
+
+  /** The eight endpoint shapes as URL paths, parameterized from the
+    * corpus itself (fixture-probe queries, run once before the attack).
+    */
+  def httpShapes(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val pulse = graft.model.Domain.servedPulses(spark, dir)
+      .agg(min("pulse_number")).collect().head.getLong(0)
+    val drop = graft.model.Domain.servedJetDrops(spark, dir)
+      .orderBy("pulse_number", "jet_id").select("jet_id", "pulse_number").head()
+    val (jet, dropPulse) = (drop.getString(0), drop.getLong(1))
+    val obj = graft.model.Domain.servedRecords(spark, dir)
+      .filter(col("type") === "state").groupBy("object_reference").count()
+      .orderBy(desc("count")).head().getLong(0)
+    Seq(
+      "http_pulses"       -> "/api/v1/pulses?limit=20",
+      "http_pulse_point"  -> s"/api/v1/pulses/$pulse",
+      "http_drops_by_pulse" -> s"/api/v1/pulses/$dropPulse/jet-drops",
+      "http_drop_point"   -> s"/api/v1/jet-drops/$jet:$dropPulse",
+      "http_drop_records" -> s"/api/v1/jet-drops/$jet:$dropPulse/records",
+      "http_drops_by_jet" -> s"/api/v1/jets/$jet/jet-drops?limit=100",
+      "http_lifeline"     -> s"/api/v1/lifeline/$obj/records",
+      "http_search"       -> s"/api/v1/search?value=$pulse")
+  }
+
+  /** Hammer one URL with `attackers` threads for `millis`; a non-200
+    * response or transport failure counts into `errors`.
+    */
+  def attackHttp(url: String, attackers: Int, millis: Long,
+      errors: AtomicLong): AttackStats = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val done = new AtomicBoolean(false)
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until attackers).map { _ =>
+      new Thread(() => {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+        while (!done.get()) {
+          val q0 = System.nanoTime()
+          try {
+            val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+            if (resp.statusCode() == 200) lat.add(System.nanoTime() - q0)
+            else errors.incrementAndGet()
+          } catch { case _: Throwable => errors.incrementAndGet() }
+        }
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    Thread.sleep(millis)
+    done.set(true)
+    threads.foreach(_.join())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val ls = lat.asScala.toArray.sorted
+    def pct(p: Double): Double =
+      if (ls.isEmpty) -1.0 else ls(math.min(ls.length - 1, (ls.length * p).toInt)) / 1e6
+    AttackStats(ls.length / elapsed, ls.length, pct(0.50), pct(0.95),
+      if (ls.isEmpty) -1.0 else ls.last / 1e6)
+  }
 }
