@@ -109,6 +109,31 @@ object Bench {
   private def warmConcurrently(spark: SparkSession, sfDir: String): Unit =
     LoadProbe.warmToPlateau(spark, sfDir, loadShapes)
 
+  /** Block until the JVM's JIT compiler quiesces (compile-time delta
+    * under `quietMs` per 2s window), bounded by `maxWaitMs`.
+    *
+    * Session A's plateau warmup + attacks enqueue hundreds of seconds of
+    * C2 method compilation that is still landing when session B's timed
+    * cold pass starts — measured in round 8 as dd_semdedup 0.74→3.98s /
+    * dd_semdedup_fixed 2.35→9.70s cold-only regressions (warm flat;
+    * plans unchanged and pinned; re-run without session A restores
+    * 0.78s/2.36s exactly). The barrier makes the cold number measure the
+    * engine, not the attack's leftover compile queue.
+    */
+  private def settleJit(maxWaitMs: Long = 90000, quietMs: Long = 200): Unit = {
+    val comp = ManagementFactory.getCompilationMXBean
+    if (comp == null || !comp.isCompilationTimeMonitoringSupported) return
+    val t0 = System.nanoTime()
+    var prev = comp.getTotalCompilationTime
+    var quiet = false
+    while (!quiet && (System.nanoTime() - t0) / 1e6 < maxWaitMs) {
+      Thread.sleep(2000)
+      val cur = comp.getTotalCompilationTime
+      quiet = cur - prev < quietMs
+      prev = cur
+    }
+  }
+
   /** Attack every serving shape; returns (minQps, perShapeJson, statsJson, errors).
     *
     * A shape that lands under the 5 q/s gate gets ONE visible retry after
@@ -232,6 +257,10 @@ object Bench {
     // ingest bench) so indexed query numbers measure the read path.
     ensureIndexes(spark, sfDir)
     telemetry += snap("b_indexes_done", spark)
+    // let the compile queue from session A + the warmups drain so the
+    // cold pass below times the engine, not background C2 compilation
+    settleJit()
+    telemetry += snap("b_jit_settled", spark)
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // task-level per-query metrics (the instrumentation/metrics analog)

@@ -50,10 +50,23 @@ object LoadProbe {
     // Warm pass: codegen + file-index caches out of the measured window.
     warmToPlateau(spark, sfDir, shapes)
 
+    // SPARK_GRAFT_HTTP=1: attack the endpoints through a live HttpApi
+    // server instead of the DataFrame layer (the reference's load suite
+    // attacks HTTP) — same gate, full serving stack.
+    val httpMode = sys.env.get("SPARK_GRAFT_HTTP").contains("1")
+    val httpHandle = if (httpMode) Some(graft.api.HttpApi.start(spark, sfDir, port = 0)) else None
+    val httpBase = httpHandle.map(h => s"http://localhost:${h.port}")
+    val urls = httpBase.map(b => httpShapes(spark, sfDir).map { case (n, p) => (n, b + p) })
+
     for (round <- 1 to rounds) {
       val errors = new AtomicLong()
-      val perShape = shapes.map { case (name, fn) =>
-        name -> LoadProbe.attackStats(spark, sfDir, fn, attackers, seconds * 1000L, errors)
+      val perShape = urls match {
+        case Some(us) => us.map { case (name, url) =>
+          name -> LoadProbe.attackHttp(url, attackers, seconds * 1000L, errors)
+        }
+        case None => shapes.map { case (name, fn) =>
+          name -> LoadProbe.attackStats(spark, sfDir, fn, attackers, seconds * 1000L, errors)
+        }
       }
       val perShapeJson = perShape
         .map { case (n, s) => "\"" + n + "\":" + f"""{"qps":${s.qps}%.2f,"p50_ms":${s.p50Ms}%.0f,"p95_ms":${s.p95Ms}%.0f}""" }
@@ -62,8 +75,10 @@ object LoadProbe {
       val meanQps = perShape.map(_._2.qps).sum / perShape.length
       val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
-      println(f"""{"metric":"load_min_shape_qps","round":$round,"value":$minQps%.2f,"unit":"q/s","mean_qps":$meanQps%.2f,"attackers":$attackers,"seconds_per_shape":$seconds,"shapes":${shapes.length},"per_shape":$perShapeJson,"errors":${errors.get()},"gc_ms":$gcMs,"sf":"$sfDir"}""")
+      val metric = if (httpMode) "load_http_min_qps" else "load_min_shape_qps"
+      println(f"""{"metric":"$metric","round":$round,"value":$minQps%.2f,"unit":"q/s","mean_qps":$meanQps%.2f,"attackers":$attackers,"seconds_per_shape":$seconds,"shapes":${perShape.length},"per_shape":$perShapeJson,"errors":${errors.get()},"gc_ms":$gcMs,"sf":"$sfDir"}""")
     }
+    httpHandle.foreach(_.stop())
     spark.stop()
   }
 

@@ -257,6 +257,17 @@ class HttpApiSpec extends SparkSpec {
 
   // ---- frame -----------------------------------------------------------
 
+  test("LoadProbe.httpShapes: every probe URL serves 200 on this corpus") {
+    // the bench's HTTP load gate attacks these exact paths; a shape that
+    // 404s or 400s would silently zero the gate (attackHttp counts
+    // non-200 as error) — pin them against the live server here
+    graft.LoadProbe.httpShapes(spark, dir).foreach { case (name, path) =>
+      val (status, body) = get(path.stripPrefix("/api/v1"))
+      assert(status == 200, s"$name -> $path returned $status: ${body.take(120)}")
+      assert(body.nonEmpty)
+    }
+  }
+
   test("unknown routes are 404, non-GET is 405") {
     assert(get("/nope")._1 == 404)
     assert(get("/pulses/1/extra/deep")._1 == 404)
