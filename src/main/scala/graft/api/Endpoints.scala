@@ -102,10 +102,30 @@ object Endpoints {
     }
   }
 
-  /** GET /pulses/{pulse} — point lookup. */
+  /** GET /pulses/{pulse} — point lookup. `GetPulse`
+    * (`etl/storage/storage.go:286-300`) repairs BOTH links with point
+    * probes before returning: `next` is the pulse whose stored prev
+    * points here (`updateNextPulse`, first match in pulse order, else
+    * -1) and `prev` is the stored prev only if that pulse actually
+    * exists (`updatePrevPulse`, else -1). Mirrored as one partition-
+    * pruned probe over the pulses spine — bounded driver logic, like the
+    * reference's two point queries.
+    */
   def pulse(spark: SparkSession, dir: String, pulseNumber: Long): DataFrame = {
     val p = pulsesView(spark, dir)
-    p.filter(col("pulse_number") === pulseNumber).limit(1)
+    val row = p.filter(col("pulse_number") === pulseNumber).limit(1)
+    val rows = row.collect()
+    if (rows.isEmpty) return row // empty frame; the caller 404s
+    val storedPrev = rows.head.getAs[Long]("prev_pulse_number")
+    val probe = p
+      .filter(col("prev_pulse_number") === pulseNumber || col("pulse_number") === storedPrev)
+      .select(col("pulse_number"), col("prev_pulse_number")).collect()
+    val next = probe.filter(_.getLong(1) == pulseNumber).map(_.getLong(0))
+      .sorted.headOption.getOrElse(PulseChain.Unknown)
+    val prev = if (probe.exists(_.getLong(0) == storedPrev)) storedPrev else PulseChain.Unknown
+    row
+      .withColumn("next_pulse_number", lit(next))
+      .withColumn("prev_pulse_number", lit(prev))
   }
 
   /** GET /pulses/{pulse}/jet-drops — drops of one pulse, jet-id cursor. */
@@ -118,12 +138,60 @@ object Endpoints {
       Pagination.pageWithTotal(cursored, Seq(col("jet_id").asc), page.limit, page.offset))
   }
 
-  /** GET /jet-drops/{jet_drop_id} — point lookup by "<jet>:<pulse>". */
+  /** API link element: `server.NextPrevJetDrop` rendered by
+    * `transformPrevNextResp` (`api/handlers.go:785-792`).
+    */
+  final case class JetDropLink(jet_drop_id: String, jet_id: String, pulse_number: Long)
+
+  /** GET /jet-drops/{jet_drop_id} — point lookup by "<jet>:<pulse>",
+    * enriched with SIBLING-scoped prev/next drop links like
+    * `GetJetDropByID` (`etl/storage/storage.go:496-531`): next drops live
+    * at the probed next pulse (`updateNextPulse` — the pulse whose stored
+    * prev points here; skipped when none), prev drops at the STORED prev
+    * pulse (no existence repair there), both restricted to the jet's
+    * sibling set {self, self+"0", self+"1", parent}
+    * (`models.Siblings()`, `etl/models/models.go:57-64`). Note this
+    * differs from the by-jet-id LIST endpoint, which links by drop
+    * hashes — the reference ships both semantics and so do we.
+    * Driver-side point probes over partition-pruned scans, mirroring the
+    * reference's three point queries.
+    */
   def jetDropById(spark: SparkSession, dir: String, jetDropId: String): Option[DataFrame] =
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
       val d = dropsView(spark, dir)
-      Mappers.jetDropToApi(
-        d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1))
+      val row = d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1)
+      val pulseRow = pulsesView(spark, dir)
+        .filter(col("pulse_number") === pulse)
+        .select(col("prev_pulse_number")).collect()
+      val (prevLinks, nextLinks) =
+        if (pulseRow.isEmpty) (Seq.empty[JetDropLink], Seq.empty[JetDropLink])
+        else {
+          val storedPrev = pulseRow.head.getLong(0)
+          val nextPulse = pulsesView(spark, dir)
+            .filter(col("prev_pulse_number") === pulse)
+            .agg(min(col("pulse_number"))).collect().head match {
+              case r if r.isNullAt(0) => PulseChain.Unknown
+              case r => r.getLong(0)
+            }
+          val siblings = Seq(jet, jet + "0", jet + "1") ++
+            (if (jet.nonEmpty) Seq(jet.substring(0, jet.length - 1)) else Nil)
+          val neighbors = d
+            .filter((col("pulse_number") === nextPulse || col("pulse_number") === storedPrev) &&
+              col("jet_id").isin(siblings: _*))
+            .select(col("pulse_number"), col("jet_id")).collect()
+            .map { r =>
+              val (pn, j) = (r.getLong(0), r.getString(1))
+              (pn, JetDropLink(s"${if (j.isEmpty) "*" else j}:$pn",
+                if (j.isEmpty) "*" else j, pn))
+            }
+          (neighbors.collect { case (pn, l) if pn == storedPrev => l }
+             .sortBy(_.jet_drop_id).toSeq,
+           neighbors.collect { case (pn, l) if pn == nextPulse && nextPulse != PulseChain.Unknown => l }
+             .sortBy(_.jet_drop_id).toSeq)
+        }
+      Mappers.jetDropToApi(row
+        .withColumn("prev_jet_drop_id", typedLit(prevLinks))
+        .withColumn("next_jet_drop_id", typedLit(nextLinks)))
     }
 
   /** GET /jet-drops/{jet_drop_id}/records — records of one drop, keyset.
@@ -223,6 +291,6 @@ object Endpoints {
         val r = recordsView(spark, dir)
         ("record", r.filter(col("reference") ===
           java.nio.ByteBuffer.wrap(ref.takeRight(8)).getLong).limit(1))
-      case Search.NoMatch => ("none", spark.emptyDataFrame)
+      case Search.InvalidPulse(_) | Search.NoMatch => ("none", spark.emptyDataFrame)
     }
 }

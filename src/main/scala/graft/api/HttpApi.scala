@@ -111,30 +111,39 @@ object HttpApi {
 
   private type Failures = List[(String, String)] // (property, failure_reason)
 
+  /** checkLimitOffset (handlers.go:677-703): failures accumulate in
+    * limit-then-offset order. Non-integer values fail the reference's
+    * binding layer; surfaced here as "should be integer" failures.
+    */
   private def limitOffset(q: Map[String, String]): (Int, Int, Failures) = {
     var failures: Failures = Nil
     val limit = q.get("limit").map(s => s.toIntOption match {
       case Some(v) => v
-      case None => failures ::= ("limit", "should be integer"); -1
+      case None => failures :+= (("limit", "should be integer")); -1
     }).getOrElse(20)
-    if (limit <= 0 || limit > 1000) failures ::= ("limit", "should be in range [1, 1000]")
+    if (limit <= 0 || limit > 1000) failures :+= (("limit", "should be in range [1, 1000]"))
     val offset = q.get("offset").map(s => s.toIntOption match {
       case Some(v) => v
-      case None => failures ::= ("offset", "should be integer"); -1
+      case None => failures :+= (("offset", "should be integer")); -1
     }).getOrElse(0)
-    if (offset < 0) failures ::= ("offset", "should not be negative")
+    if (offset < 0) failures :+= (("offset", "should not be negative"))
     (limit, offset, failures)
   }
 
-  /** Pulse-number query param: integer and a plausible pulse
-    * (`pulse.IsValidAsPulseNumber`: >= MinTimePulse).
+  /** Pulse-number query param: integer and a valid pulse
+    * (`pulse.IsValidAsPulseNumber` via `getPulseNumberValue`,
+    * `api/handlers.go:299-308` — failure reason "invalid value"). A
+    * non-integer value fails the reference at the generated binding
+    * layer; we surface it as an accumulated failure instead of a
+    * short-circuit, same property name.
     */
   private def pulseParam(q: Map[String, String], name: String): (Option[Long], Failures) =
     q.get(name) match {
       case None => (None, Nil)
       case Some(s) => s.toLongOption match {
-        case Some(v) if v >= Search.MinTimePulse => (Some(v), Nil)
-        case _ => (None, List((name, "invalid value")))
+        case Some(v) if Search.isValidPulse(v) => (Some(v), Nil)
+        case Some(_) => (None, List((name, "invalid value")))
+        case None => (None, List((name, "should be integer")))
       }
     }
 
@@ -147,21 +156,34 @@ object HttpApi {
       }
     }
 
+  /** `sort_by` validation. The reference's reason string differs per
+    * endpoint: the shared helpers prefix "query parameter 'sort_by' "
+    * and name asc first (`checkSortByPulseParameter` /
+    * `checkSortByPulseNumberParameter`, handlers.go:705-747) while
+    * ObjectLifeline's inline check names desc first with no prefix
+    * (handlers.go:566-576) — so the caller supplies the full reason.
+    */
   private def sortParam(q: Map[String, String], ascValue: String,
-      descValue: String): (Boolean, Failures) =
+      descValue: String, reason: String): (Boolean, Failures) =
     q.get("sort_by") match {
       case None => (false, Nil)
       case Some(s) if s == ascValue => (true, Nil)
       case Some(s) if s == descValue => (false, Nil)
-      case Some(_) =>
-        (false, List(("sort_by", s"should be '$descValue' or '$ascValue'")))
+      case Some(_) => (false, List(("sort_by", reason)))
     }
 
-  private def badRequest(failures: Failures): (Int, String) = {
-    val fs = failures.reverse.map { case (prop, reason) =>
+  /** CodeValidationError frame. `code` is "Bad Request" (http.StatusText)
+    * on most endpoints but the literal "400" (strconv.Itoa) on
+    * JetDropByID and JetDropsByPulseNumber (handlers.go:49,428); the
+    * message rides `"message"` everywhere except the Search branch,
+    * which populates `"description"` instead (handlers.go:484-532).
+    */
+  private def badRequest(failures: Failures, code: String = "Bad Request",
+      field: String = "message"): (Int, String) = {
+    val fs = failures.map { case (prop, reason) =>
       s"""{"failure_reason":${JsonOut.str(reason)},"property":${JsonOut.str(prop)}}"""
     }.mkString("[", ",", "]")
-    (400, s"""{"code":"Bad Request","message":"$InvalidParamsMessage","validation_failures":$fs}""")
+    (400, s"""{"code":${JsonOut.str(code)},"$field":"$InvalidParamsMessage","validation_failures":$fs}""")
   }
 
   /** Lifeline path refs: the domain's numeric object ids directly, or a
@@ -205,22 +227,34 @@ object HttpApi {
 
   private def pulsesList(spark: SparkSession, dir: String, q: Map[String, String]): (Int, String) = {
     val (limit, offset, f1) = limitOffset(q)
-    val (fromPulse, f2) = pulseParam(q, "from_pulse_number")
-    val (pnLte, f3) = pulseParam(q, "pulse_number_lte")
-    val (pnLt, f4) = pulseParam(q, "pulse_number_lt")
-    val (pnGte, f5) = pulseParam(q, "pulse_number_gte")
-    val (pnGt, f6) = pulseParam(q, "pulse_number_gt")
-    val (tsLte, f7) = longParam(q, "timestamp_lte")
-    val (tsGte, f8) = longParam(q, "timestamp_gte")
-    val (asc, f9) = sortParam(q, "pulse_number_asc", "pulse_number_desc")
+    // from_pulse_number's invalid-pulse failure is reported under the
+    // property "pulse" with reason "invalid" (handlers.go:318-327), NOT
+    // under its own name like the lt/gt/lte/gte bounds
+    val (fromPulse, f2) = q.get("from_pulse_number") match {
+      case None => (None, Nil)
+      case Some(s) => s.toLongOption match {
+        case Some(v) if Search.isValidPulse(v) => (Some(v), Nil)
+        case Some(_) => (None, List(("pulse", "invalid")))
+        case None => (None, List(("from_pulse_number", "should be integer")))
+      }
+    }
+    // reference check order: gt, gte, lt, lte (handlers.go:330-342)
+    val (pnGt, f3) = pulseParam(q, "pulse_number_gt")
+    val (pnGte, f4) = pulseParam(q, "pulse_number_gte")
+    val (pnLt, f5) = pulseParam(q, "pulse_number_lt")
+    val (pnLte, f6) = pulseParam(q, "pulse_number_lte")
+    val (asc, f7) = sortParam(q, "pulse_number_asc", "pulse_number_desc",
+      "query parameter 'sort_by' should be 'pulse_number_asc' or 'pulse_number_desc'")
+    val (tsLte, f8) = longParam(q, "timestamp_lte")
+    val (tsGte, f9) = longParam(q, "timestamp_gte")
     val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ f7 ++ f8 ++ f9
     if (failures.nonEmpty) return badRequest(failures)
     // strict bounds ride the inclusive predicate builders: pulse numbers
     // are integral, so lt v == lte v-1 (filterByPulseNumber, storage.go)
     val lte = Seq(fromPulse, pnLte, pnLt.map(_ - 1)).flatten.reduceOption(_ min _)
     val gte = Seq(pnGte, pnGt.map(_ + 1)).flatten.reduceOption(_ max _)
-    def page(pp: Endpoints.PageParams) = Endpoints.pulses(spark, dir, pp,
-      fromPulse = gte, toPulse = lte, fromTimestamp = tsGte, toTimestamp = tsLte, asc = asc)
+    def page(pp: Endpoints.PageParams) = presentPulses(Endpoints.pulses(spark, dir, pp,
+      fromPulse = gte, toPulse = lte, fromTimestamp = tsGte, toTimestamp = tsLte, asc = asc))
     (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
       page(Endpoints.PageParams(1, 0)).collect()))
   }
@@ -229,35 +263,49 @@ object HttpApi {
     p.toLongOption match {
       case None => badRequest(List(("pulse", "should be integer")))
       case Some(pn) =>
-        val rows = Endpoints.pulse(spark, dir, pn).collect()
+        val rows = presentPulses(Endpoints.pulse(spark, dir, pn)).collect()
         if (rows.isEmpty) (404, "{}") else (200, JsonOut.obj(rows.head))
     }
 
+  /** JetDropsByPulseNumber (handlers.go:404-440). Check order: limit/
+    * offset, pulse validity ("pulse"/"invalid"), from_jet_drop_id
+    * ("jet drop id"/"invalid"); this endpoint's error `code` is the
+    * literal "400" (strconv.Itoa, handlers.go:426-431), not the
+    * status text.
+    */
   private def dropsByPulse(spark: SparkSession, dir: String, p: String,
       q: Map[String, String]): (Int, String) = {
     var (limit, offset, failures) = limitOffset(q)
+    val pulseNum = p.toLongOption
+    pulseNum match {
+      case Some(pn) if Search.isValidPulse(pn) => ()
+      case Some(_) => failures :+= (("pulse", "invalid"))
+      case None => failures :+= (("pulse", "should be integer"))
+    }
     // an unparseable cursor is a 400 ('jet drop id: invalid',
     // api/handlers.go:416-425), never a silently-uncursored page
     val fromJet = q.get("from_jet_drop_id").map { s =>
       Codecs.parseJetDropId(s) match {
         case Some((jet, _)) => jet
-        case None => failures = failures :+ (("jet drop id", "invalid")); ""
+        case None => failures :+= (("jet drop id", "invalid")); ""
       }
     }
-    p.toLongOption match {
-      case None => badRequest(failures :+ (("pulse", "should be integer")))
-      case Some(pn) =>
-        if (failures.nonEmpty) return badRequest(failures)
-        def page(pp: Endpoints.PageParams) =
-          Endpoints.jetDropsByPulse(spark, dir, pn, fromJetId = fromJet, page = pp)
-        (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
-          page(Endpoints.PageParams(1, 0)).collect()))
-    }
+    if (failures.nonEmpty) return badRequest(failures, code = "400")
+    val pn = pulseNum.get
+    def page(pp: Endpoints.PageParams) =
+      presentEmptyLinks(Endpoints.jetDropsByPulse(spark, dir, pn, fromJetId = fromJet, page = pp))
+    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
+      page(Endpoints.PageParams(1, 0)).collect()))
   }
 
+  /** JetDropByID (handlers.go:45-58): a malformed id fails with reason
+    * `errors.Wrapf(NewJetDropIDFromString's "wrong jet drop id format",
+    * "invalid")` and the literal "400" code.
+    */
   private def dropPoint(spark: SparkSession, dir: String, id: String): (Int, String) =
     Endpoints.jetDropById(spark, dir, id) match {
-      case None => badRequest(List(("jet drop id", "invalid")))
+      case None =>
+        badRequest(List(("jet drop id", "invalid: wrong jet drop id format")), code = "400")
       case Some(df) =>
         val rows = df.collect()
         if (rows.isEmpty) (404, "{}") else (200, JsonOut.obj(rows.head))
@@ -266,16 +314,18 @@ object HttpApi {
   private def dropRecords(spark: SparkSession, dir: String, id: String,
       q: Map[String, String]): (Int, String) = {
     // validate EVERYTHING first (accumulated like checkLimitOffset), then
-    // build — no clamped params ever reach the query builder
+    // build — no clamped params ever reach the query builder. Check order
+    // mirrors JetDropRecords (handlers.go:83-120): limit/offset,
+    // jet_drop_id, from_index, type
     var (limit, offset, failures) = limitOffset(q)
+    if (Codecs.parseJetDropId(id).isEmpty)
+      failures :+= (("jet_drop_id", "invalid"))
     val fromIndex = q.get("from_index")
     if (fromIndex.exists(Codecs.parseIndex(_).isEmpty))
-      failures = failures :+ (("from_index", "invalid"))
+      failures :+= (("from_index", "invalid"))
     val recordType = q.get("type")
     if (recordType.exists(t => !Set("request", "result", "state").contains(t)))
-      failures = failures :+ (("type", "should be 'request', 'result' or 'state'"))
-    if (Codecs.parseJetDropId(id).isEmpty)
-      failures = failures :+ (("jet_drop_id", "invalid"))
+      failures :+= (("type", "should be 'request', 'state' or 'result'"))
     if (failures.nonEmpty) return badRequest(failures)
     def page(pp: Endpoints.PageParams) =
       withIndex(Endpoints.jetDropRecords(spark, dir, id, fromIndex, pp, recordType).get)
@@ -285,21 +335,31 @@ object HttpApi {
 
   private def dropsByJet(spark: SparkSession, dir: String, jet: String,
       q: Map[String, String]): (Int, String) = {
-    val (parsedLimit, _, f1) = limitOffset(q)
+    // JetDropsByJetID passes nil for offset (handlers.go:151:
+    // `checkLimitOffset(params.Limit, nil)`) — the offset query param is
+    // IGNORED on this endpoint, never validated, never applied
+    val (parsedLimit, _, f1) = limitOffset(q - "offset")
     // an absent limit means 1000 here, not the global default of 20
     // (handlers.go:153-156, the PENV-505 fixme the reference ships with)
     val limit = if (q.contains("limit")) parsedLimit else 1000
-    val (asc, f2) = sortParam(q, "pulse_number_asc_jet_id_desc", "pulse_number_desc_jet_id_asc")
-    val (pnLte, f3) = pulseParam(q, "pulse_number_lte")
-    val (pnLt, f4) = pulseParam(q, "pulse_number_lt")
-    val (pnGte, f5) = pulseParam(q, "pulse_number_gte")
-    val (pnGt, f6) = pulseParam(q, "pulse_number_gt")
+    // check order (handlers.go:149-184): limit, jet id, sort_by, then
+    // pulse bounds gt, gte, lt, lte
     val jetTrim = jet.trim
     val jetFail: Failures =
       if (JetIdPattern.matches(jetTrim)) Nil
-      else if (jetTrim.isEmpty) List(("jet-id path parameter", "empty value of path parameter"))
-      else List(("jet-id path parameter", "invalid value of path parameter"))
-    val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ jetFail
+      else if (jetTrim.isEmpty)
+        // checkJetID stacks BOTH failures for an empty value: the empty
+        // check and the regexp mismatch (handlers.go:749-776)
+        List(("jet-id path parameter", "empty value of path parameter"),
+          ("jet-id path parameter", "parameter does not match with jetID valid value"))
+      else List(("jet-id path parameter", "parameter does not match with jetID valid value"))
+    val (asc, f2) = sortParam(q, "pulse_number_asc_jet_id_desc", "pulse_number_desc_jet_id_asc",
+      "query parameter 'sort_by' should be 'pulse_number_asc_jet_id_desc' or 'pulse_number_desc_jet_id_asc'")
+    val (pnGt, f3) = pulseParam(q, "pulse_number_gt")
+    val (pnGte, f4) = pulseParam(q, "pulse_number_gte")
+    val (pnLt, f5) = pulseParam(q, "pulse_number_lt")
+    val (pnLte, f6) = pulseParam(q, "pulse_number_lte")
+    val failures = f1 ++ jetFail ++ f2 ++ f3 ++ f4 ++ f5 ++ f6
     if (failures.nonEmpty) return badRequest(failures)
     // "*" is the root jet: every drop is in its subtree (empty prefix)
     val prefix = if (jetTrim == "*") "" else jetTrim
@@ -307,8 +367,8 @@ object HttpApi {
     // lt v == lte v-1 (same as pulsesList / storage.go filterByPulseNumber)
     val lte = Seq(pnLte, pnLt.map(_ - 1)).flatten.reduceOption(_ min _)
     val gte = Seq(pnGte, pnGt.map(_ + 1)).flatten.reduceOption(_ max _)
-    val rows = Endpoints.jetDropsByJetId(spark, dir, prefix,
-      fromPulse = gte, toPulse = lte, pulseAsc = asc, limit = limit).collect()
+    val rows = presentDropLinks(Endpoints.jetDropsByJetId(spark, dir, prefix,
+      fromPulse = gte, toPulse = lte, pulseAsc = asc, limit = limit)).collect()
     // limit-only endpoint (no offset): an empty page means the filter
     // matched nothing, so the page's own total is already the truth
     (200, JsonOut.pageEnvelope(rows, totalOf(rows)))
@@ -316,17 +376,22 @@ object HttpApi {
 
   private def lifeline(spark: SparkSession, dir: String, ref: String,
       q: Map[String, String]): (Int, String) = {
+    // ObjectLifeline check order (handlers.go:556-605): limit/offset,
+    // object_reference, sort_by, from_index, pulse_number_gt,
+    // pulse_number_lt; the timestamp params carry no handler-level
+    // validation there (binding-layer analogs appended last here)
     val (limit, offset, f1) = limitOffset(q)
-    val (asc, f2) = sortParam(q, "index_asc", "index_desc")
-    val (pnLt, f3) = pulseParam(q, "pulse_number_lt")
-    val (pnGt, f4) = pulseParam(q, "pulse_number_gt")
-    val (tsLte, f5) = longParam(q, "timestamp_lte")
-    val (tsGte, f6) = longParam(q, "timestamp_gte")
-    val fromIndex = q.get("from_index")
-    val f7: Failures =
-      if (fromIndex.exists(Codecs.parseIndex(_).isEmpty)) List(("from_index", "invalid")) else Nil
     val objectRef = parseObjectRef(ref)
-    val f8: Failures = if (objectRef.isEmpty) List(("object_reference", "wrong format")) else Nil
+    val f2: Failures = if (objectRef.isEmpty) List(("object_reference", "wrong format")) else Nil
+    val (asc, f3) = sortParam(q, "index_asc", "index_desc",
+      "should be 'index_desc' or 'index_asc'")
+    val fromIndex = q.get("from_index")
+    val f4: Failures =
+      if (fromIndex.exists(Codecs.parseIndex(_).isEmpty)) List(("from_index", "invalid")) else Nil
+    val (pnGt, f5) = pulseParam(q, "pulse_number_gt")
+    val (pnLt, f6) = pulseParam(q, "pulse_number_lt")
+    val (tsLte, f7) = longParam(q, "timestamp_lte")
+    val (tsGte, f8) = longParam(q, "timestamp_gte")
     val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ f7 ++ f8
     if (failures.nonEmpty) return badRequest(failures)
     def page(pp: Endpoints.PageParams) =
@@ -340,21 +405,30 @@ object HttpApi {
   /** Search answers with a typed redirect hint (`{type, meta}`), not the
     * data page — `api/handlers.go:458-553`. Only the record branch touches
     * storage (the reference includes the record's index in the hint).
+    * The Search branch's validation errors ride the `description` field
+    * (handlers.go:484-532), unlike every other endpoint's `message`; a
+    * MISSING `value` param never reaches the handler at all — the
+    * generated binding layer rejects it with echo's `{"message"}` shape.
     */
   private def search(spark: SparkSession, dir: String, q: Map[String, String]): (Int, String) =
     q.get("value") match {
-      case None | Some("") =>
-        badRequest(List(("value", "empty")))
+      case None =>
+        (400, """{"message":"Query argument value is required, but not found"}""")
       case Some(value) => Search.dispatch(value) match {
         case Search.PulseTarget(p) =>
           (200, s"""{"type":"pulse","meta":{"pulse_number":$p}}""")
+        case Search.InvalidPulse(_) =>
+          // an integer that is not a valid pulse number is its own 400
+          // (searchResponsePulse, handlers.go:494-506)
+          badRequest(List(("value", "not valid pulse number")), field = "description")
         case Search.JetDropTarget(_, _) =>
           (200, s"""{"type":"jet-drop","meta":{"jet_drop_id":${JsonOut.str(value)}}}""")
         case Search.LifelineTarget(_) =>
           (200, s"""{"type":"lifeline","meta":{"object_reference":${JsonOut.str(value)}}}""")
         case Search.RecordTarget(_) =>
           val rows = Endpoints.search(spark, dir, value)._2.collect()
-          if (rows.isEmpty) badRequest(List(("value", "record reference not found")))
+          if (rows.isEmpty)
+            badRequest(List(("value", "record reference not found")), field = "description")
           else {
             val r = rows.head
             val idx = s"${r.getAs[Long]("pulse_number")}:${r.getAs[Int]("order")}"
@@ -362,7 +436,8 @@ object HttpApi {
               s""""object_reference":"${r.getAs[Long]("object_reference")}"}}""")
           }
         case Search.NoMatch =>
-          badRequest(List(("value", "is neither pulse number, jet drop id nor reference")))
+          badRequest(List(("value", "is neither pulse number, jet drop id nor reference")),
+            field = "description")
       }
     }
 
@@ -371,6 +446,50 @@ object HttpApi {
     */
   private def withIndex(df: DataFrame): DataFrame =
     df.withColumn("index", Codecs.indexString(col("pulse_number"), col("order")))
+
+  /** HTTP presentation of pulse rows: the `-1` unknown-link sentinel the
+    * storage layer (and our oracle-checked DataFrame contract) carries is
+    * an UNSET pointer in the API body — `PulseToAPI` only assigns
+    * prev/next when != -1 (`api/mappers.go:57-74`), and `omitempty` drops
+    * the field. Nulling here lets the omitempty-aware writer do exactly
+    * that, without touching the -1 contract underneath.
+    */
+  /** HTTP presentation of jet-drop link lists: the comma-joined sorted
+    * `jet_drop_id` strings the oracle-checked layer carries
+    * (`JetLinkage.hashLinkIds`) become arrays of NextPrevJetDrop objects
+    * `{jet_drop_id, jet_id, pulse_number}` (`transformPrevNextResp`,
+    * `api/handlers.go:785-792`) under the API's field names. Pure column
+    * algebra over the ≤1000-row page.
+    */
+  private def presentDropLinks(df: DataFrame): DataFrame =
+    if (!df.columns.contains("prev_ids")) df
+    else {
+      def links(c: org.apache.spark.sql.Column) = transform(
+        filter(split(c, ","), x => length(x) > 0),
+        id => struct(
+          id.as("jet_drop_id"),
+          regexp_extract(id, "^(.*):", 1).as("jet_id"),
+          regexp_extract(id, "([+-]?\\d+)$", 1).cast("long").as("pulse_number")))
+      df.withColumn("prev_jet_drop_id", links(col("prev_ids")))
+        .withColumn("next_jet_drop_id", links(col("next_ids")))
+        .drop("prev_ids", "next_ids")
+    }
+
+  /** JetDropsByPulseNumber renders every drop with EMPTY link arrays —
+    * the reference passes `[]server.NextPrevJetDrop{}` for both sides
+    * (`api/handlers.go:446-449`).
+    */
+  private def presentEmptyLinks(df: DataFrame): DataFrame = df
+    .withColumn("prev_jet_drop_id", lit(Array.empty[String]))
+    .withColumn("next_jet_drop_id", lit(Array.empty[String]))
+
+  private def presentPulses(df: DataFrame): DataFrame = df
+    .withColumn("prev_pulse_number",
+      when(col("prev_pulse_number") === -1L, lit(null).cast("long"))
+        .otherwise(col("prev_pulse_number")))
+    .withColumn("next_pulse_number",
+      when(col("next_pulse_number") === -1L, lit(null).cast("long"))
+        .otherwise(col("next_pulse_number")))
 }
 
 /** Minimal JSON rendering for the bounded API pages. The served views
@@ -417,11 +536,15 @@ object JsonOut {
     if (d.isNaN || d.isInfinite) "null" else d.toString
 
   /** One row as a JSON object, fields in schema order, `total` skipped
-    * (it belongs to the envelope, not the row).
+    * (it belongs to the envelope, not the row). Null-valued fields are
+    * OMITTED, not rendered as JSON null — the reference's generated
+    * models mark optional fields `omitempty`, so an unset pointer (an
+    * empty record reference, `api/mappers.go:32-47`; a `-1` pulse link,
+    * `api/mappers.go:57-74`) vanishes from the body.
     */
   def obj(row: Row): String =
     row.schema.fields.iterator.zipWithIndex
-      .filter { case (f, _) => f.name != "total" }
+      .filter { case (f, i) => f.name != "total" && !row.isNullAt(i) }
       .map { case (f, i) => s"${str(f.name)}:${value(row.get(i))}" }
       .mkString("{", ",", "}")
 

@@ -36,7 +36,8 @@ object Mappers {
     * and `total` columns pass through when the caller enriched them.
     */
   def jetDropToApi(drops: DataFrame): DataFrame = {
-    val links = Seq("prev_ids", "next_ids", "total").filter(drops.columns.contains).map(col)
+    val links = Seq("prev_ids", "next_ids", "prev_jet_drop_id", "next_jet_drop_id", "total")
+      .filter(drops.columns.contains).map(col)
     drops.select(Seq(
       Codecs.jetDropIdString(col("jet_id"), col("pulse_number")).as("jet_drop_id"),
       col("jet_id"),

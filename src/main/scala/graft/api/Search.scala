@@ -15,14 +15,34 @@ import graft.functions.Codecs
   */
 object Search {
 
-  /** Insolar MinTimePulse — smallest valid pulse number. */
+  /** Insolar MinTimePulse — smallest valid pulse number (1 << 16; the
+    * first 65536 numbers are reserved for the system).
+    */
   val MinTimePulse = 65536L
+
+  /** Largest valid time pulse: pulse numbers are uint32 with the top two
+    * bits reserved for special pulses, so MaxTimePulse = 2^30 - 1 (the
+    * public insolar `pulse` package's bound behind
+    * `pulse.IsValidAsPulseNumber`, `api/handlers.go:494`).
+    */
+  val MaxTimePulse = (1L << 30) - 1
+
+  /** `pulse.IsValidAsPulseNumber` — the validity check every pulse-valued
+    * query param runs through (`api/handlers.go:299-308`).
+    */
+  def isValidPulse(p: Long): Boolean = p >= MinTimePulse && p <= MaxTimePulse
 
   sealed trait Target
   final case class PulseTarget(pulse: Long) extends Target
   final case class JetDropTarget(jetId: String, pulse: Long) extends Target
   final case class LifelineTarget(objectRef: Array[Byte]) extends Target
   final case class RecordTarget(recordRef: Array[Byte]) extends Target
+
+  /** The value parsed as an integer but is not a valid pulse number — its
+    * own 400 ("not valid pulse number", `api/handlers.go:494-506`),
+    * distinct from [[NoMatch]]'s "is neither ...".
+    */
+  final case class InvalidPulse(value: Long) extends Target
   case object NoMatch extends Target
 
   /** Reference layout: 36 bytes; a SELF-scoped reference (object) has its
@@ -37,15 +57,18 @@ object Search {
   def dispatch(value: String): Target = {
     val trimmed = value.trim
     if (trimmed.isEmpty) return NoMatch
-    // numeric → pulse
-    if (trimmed.forall(_.isDigit) && trimmed.length <= 18) {
-      val p = trimmed.toLong
-      return if (p >= MinTimePulse) PulseTarget(p) else NoMatch
+    // integer (ParseInt semantics: optional sign, int64 range) → the
+    // pulse branch, valid or not (`api/handlers.go:460-464`); an
+    // overflowing digit string falls through like ParseInt's error does
+    trimmed.toLongOption match {
+      case Some(p) => return if (isValidPulse(p)) PulseTarget(p) else InvalidPulse(p)
+      case None => ()
     }
-    // "<jet>:<pulse>" → jet drop
+    // "<jet>:<pulse>" → jet drop; NewJetDropIDFromString puts no validity
+    // bound on the pulse part (`etl/models/models.go:94-113`), so neither
+    // do we
     Codecs.parseJetDropId(trimmed) match {
-      case Some((jet, pulse)) if pulse >= MinTimePulse => return JetDropTarget(jet, pulse)
-      case Some(_) => return NoMatch
+      case Some((jet, pulse)) => return JetDropTarget(jet, pulse)
       case None => ()
     }
     // base58 reference → object / record

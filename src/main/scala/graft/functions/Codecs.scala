@@ -14,12 +14,15 @@ object Codecs {
   def indexString(pulse: Column, order: Column): Column =
     concat_ws(":", pulse.cast("string"), order.cast("string"))
 
-  /** Parse `"P:O"` → (pulse, order); caller validates shape (P7). */
+  /** Parse `"P:O"` → (pulse, order); caller validates shape (P7).
+    * ParseInt-strict like `storage.CheckIndex` (storage.go:147-163) — no
+    * whitespace tolerance, sign accepted.
+    */
   def parseIndex(s: String): Option[(Long, Long)] = {
     val parts = s.split(":", -1)
     if (parts.length != 2) None
     else
-      try Some((parts(0).trim.toLong, parts(1).trim.toLong))
+      try Some((parts(0).toLong, parts(1).toLong))
       catch { case _: NumberFormatException => None }
   }
 
@@ -31,9 +34,13 @@ object Codecs {
       when(length(jetId) === 0, lit("*")).otherwise(jetId),
       pulse.cast("string"))
 
-  private val JetDropIdRe = "^(\\*|[0-1]{1,216}):(\\d+)$".r
+  private val JetDropIdRe = "^(\\*|[0-1]{1,216}):([+-]?\\d+)$".r
 
-  /** Parse `"<jet>:<pulse>"`; "*" → root "". models.go:94-113. */
+  /** Parse `"<jet>:<pulse>"`; "*" → root "". models.go:94-113 —
+    * `NewJetDropIDFromString` parses the pulse part with ParseInt, so a
+    * signed pulse is shape-valid (validity, where required, is the
+    * caller's check).
+    */
   def parseJetDropId(s: String): Option[(String, Long)] = s match {
     case JetDropIdRe(jet, pulse) =>
       try Some((if (jet == "*") "" else jet, pulse.toLong))

@@ -43,14 +43,26 @@ class HttpApiSpec extends SparkSpec {
     """"total":(-?\d+)""".r.findFirstMatchIn(body)
       .getOrElse(fail(s"no total in: ${body.take(200)}")).group(1).toLong
 
-  /** Rows in the `result` array. The served rows contain arrays of
-    * scalars but never nested objects, so counting `{` after `"result":[`
-    * is exact.
+  /** Rows in the `result` array: top-level objects only (jet-drop rows
+    * nest NextPrevJetDrop link objects, which must not count).
     */
   private def resultRows(body: String): Int = {
     val i = body.indexOf(""""result":[""")
     assert(i >= 0, s"no result array in: ${body.take(200)}")
-    body.substring(i).count(_ == '{')
+    var depth = 0; var rows = 0; var inStr = false; var esc = false
+    body.substring(i + """"result":[""".length).foreach { c =>
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1; if (depth == 1) rows += 1
+        case '}' => depth -= 1
+        case _ => ()
+      }
+    }
+    rows
   }
 
   private def failureProps(body: String): Set[String] =
@@ -78,13 +90,39 @@ class HttpApiSpec extends SparkSpec {
 
   // ---- /pulses ---------------------------------------------------------
 
+  /** The HTTP layer's pulse presentation: -1 link sentinels become null
+    * (then omitted by the omitempty-aware writer), like PulseToAPI's
+    * conditional assignment (`api/mappers.go:57-74`).
+    */
+  private def present(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("prev_pulse_number",
+      when(col("prev_pulse_number") === -1L, lit(null).cast("long"))
+        .otherwise(col("prev_pulse_number")))
+    .withColumn("next_pulse_number",
+      when(col("next_pulse_number") === -1L, lit(null).cast("long"))
+        .otherwise(col("next_pulse_number")))
+
   test("GET /pulses: body is exactly the Endpoints page through JsonOut") {
     val (status, body) = get("/pulses?limit=3")
     assert(status == 200)
-    val rows = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3)).collect()
+    val rows = present(Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3))).collect()
     assert(body == JsonOut.pageEnvelope(rows, rows.head.getAs[Long]("total")))
     assert(resultRows(body) == 3)
     assert(totalIn(body) == pulseCount)
+  }
+
+  test("GET /pulses: unknown -1 link sentinels are OMITTED from the body, not rendered") {
+    // PulseToAPI only assigns prev/next when != -1 and omitempty drops
+    // the unset field (api/mappers.go:66-73); the stored sentinel must
+    // never leak into the HTTP body
+    val (status, body) = get(s"/pulses/$somePulse") // the corpus's oldest pulse
+    assert(status == 200)
+    assert(!body.contains(""""prev_pulse_number""""),
+      "the oldest pulse has no predecessor: the field must be absent")
+    assert(!body.contains("-1"))
+    val (s2, b2) = get("/pulses?limit=1000")
+    assert(s2 == 200)
+    assert(!b2.contains(":-1"), "no -1 sentinel anywhere in a full pulses page")
   }
 
   test("GET /pulses: range + sort params reach the query") {
@@ -133,9 +171,16 @@ class HttpApiSpec extends SparkSpec {
     val (jet, pn) = someDrop
     val (status, body) = get(s"/pulses/$pn/jet-drops")
     assert(status == 200)
-    val rows = Endpoints.jetDropsByPulse(spark, dir, pn).collect()
+    val rows = Endpoints.jetDropsByPulse(spark, dir, pn)
+      .withColumn("prev_jet_drop_id", lit(Array.empty[String]))
+      .withColumn("next_jet_drop_id", lit(Array.empty[String]))
+      .collect()
     assert(body == JsonOut.pageEnvelope(rows, rows.head.getAs[Long]("total")))
     assert(body.contains(s""""jet_drop_id":"$jet:$pn""""))
+    // JetDropsByPulseNumber renders EMPTY link arrays on every drop
+    // (api/handlers.go:446-449), present but never populated
+    assert(body.contains(""""prev_jet_drop_id":[]"""))
+    assert(body.contains(""""next_jet_drop_id":[]"""))
     // unparseable from_jet_drop_id: 400 'jet drop id: invalid'
     // (handlers.go:416-425), never a silently-uncursored page
     val (s2, b2) = get(s"/pulses/$pn/jet-drops?from_jet_drop_id=zzz")
@@ -253,6 +298,142 @@ class HttpApiSpec extends SparkSpec {
     val (status, body) = get(s"/search?value=$jet:$pn")
     assert(status == 200)
     assert(body == s"""{"type":"jet-drop","meta":{"jet_drop_id":"$jet:$pn"}}""")
+  }
+
+  // ---- fine-grained handlers.go conformance ---------------------------
+
+  private def failureReasons(body: String): Seq[String] =
+    """"failure_reason":"([^"]+)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+
+  test("GET /pulses: integer-but-invalid from_pulse_number fails as ('pulse','invalid')") {
+    // handlers.go:318-327 — the property is "pulse", not the param name
+    val (status, body) = get("/pulses?from_pulse_number=65535")
+    assert(status == 400)
+    assert(failureProps(body) == Set("pulse"))
+    assert(failureReasons(body) == Seq("invalid"))
+    // above MaxTimePulse (2^30 - 1) is equally invalid
+    val (s2, b2) = get(s"/pulses?from_pulse_number=${1L << 30}")
+    assert(s2 == 400 && failureProps(b2) == Set("pulse"))
+  }
+
+  test("GET /pulses: failures keep checkLimitOffset-first order; sort reason is the shared helper's") {
+    val (status, body) = get("/pulses?sort_by=bogus&limit=0")
+    assert(status == 400)
+    assert(failureReasons(body) == Seq(
+      "should be in range [1, 1000]",
+      "query parameter 'sort_by' should be 'pulse_number_asc' or 'pulse_number_desc'"),
+      "limit/offset failures come first (handlers.go:313), and the sort reason " +
+        "carries the checkSortByPulseNumberParameter prefix, asc named first")
+  }
+
+  test("GET /pulses/{pulse}/jet-drops: error code is the literal '400', invalid pulse is ('pulse','invalid')") {
+    // handlers.go:426-431 — this endpoint's code is strconv.Itoa(400),
+    // not http.StatusText's "Bad Request"
+    val (s1, b1) = get("/pulses/65535/jet-drops")
+    assert(s1 == 400)
+    assert(b1.contains(""""code":"400""""))
+    assert(failureProps(b1) == Set("pulse"))
+    assert(failureReasons(b1) == Seq("invalid"))
+    val (jet @ _, pn) = someDrop
+    val (s2, b2) = get(s"/pulses/$pn/jet-drops?from_jet_drop_id=zzz")
+    assert(s2 == 400 && b2.contains(""""code":"400""""))
+  }
+
+  test("GET /jet-drops/{id}: malformed id reason is the wrapped parse error, code '400'") {
+    // handlers.go:49-56 — errors.Wrapf(err, "invalid") over
+    // NewJetDropIDFromString's "wrong jet drop id format"
+    val (status, body) = get("/jet-drops/garbage")
+    assert(status == 400)
+    assert(body.contains(""""code":"400""""))
+    assert(failureReasons(body) == Seq("invalid: wrong jet drop id format"))
+  }
+
+  test("GET /jet-drops/{id}/records: type reason names request, state, result in that order") {
+    val (jet, pn) = recordedDrop
+    val (status, body) = get(s"/jet-drops/$jet:$pn/records?type=bogus")
+    assert(status == 400)
+    assert(failureReasons(body) == Seq("should be 'request', 'state' or 'result'"),
+      "handlers.go:110 — 'request', 'state' or 'result'")
+  }
+
+  test("GET /jets/{jet}/jet-drops: offset is ignored, never validated (checkLimitOffset(limit, nil))") {
+    // handlers.go:151 passes nil for offset — a negative offset that
+    // would 400 on any other list endpoint is silently ignored here
+    val (status, body) = get("/jets/*/jet-drops?offset=-5&limit=3")
+    assert(status == 200)
+    assert(resultRows(body) == 3)
+  }
+
+  test("GET /jets/{jet}/jet-drops: jet regexp failure reason matches checkJetID") {
+    val (status, body) = get("/jets/xyz/jet-drops")
+    assert(status == 400)
+    assert(failureReasons(body) == Seq("parameter does not match with jetID valid value"))
+    val (s2, b2) = get("/jets/01/jet-drops?sort_by=bogus")
+    assert(s2 == 400)
+    assert(failureReasons(b2) == Seq("query parameter 'sort_by' should be " +
+      "'pulse_number_asc_jet_id_desc' or 'pulse_number_desc_jet_id_asc'"))
+  }
+
+  test("GET /search: errors ride 'description', not 'message'; invalid integer is 'not valid pulse number'") {
+    // handlers.go:484-532 — the Search branch populates Description where
+    // every other endpoint populates Message
+    val (s1, b1) = get("/search?value=65535")
+    assert(s1 == 400)
+    assert(b1.contains(""""description":"""") && !b1.contains(""""message":""""))
+    assert(failureReasons(b1) == Seq("not valid pulse number"))
+    val (s2, b2) = get("/search?value=-7")
+    assert(s2 == 400 && failureReasons(b2) == Seq("not valid pulse number"))
+    val (s3, b3) = get("/search?value=%21%3F")
+    assert(s3 == 400)
+    assert(b3.contains(""""description":""""))
+    assert(failureReasons(b3) == Seq("is neither pulse number, jet drop id nor reference"))
+  }
+
+  test("GET /search: jet drop id with an out-of-range pulse still resolves (no validity bound)") {
+    // NewJetDropIDFromString puts no bound on the pulse part
+    // (models.go:94-113), so '1010:5' is a jet-drop hint, not a 400
+    val (status, body) = get("/search?value=1010%3A5")
+    assert(status == 200)
+    assert(body == """{"type":"jet-drop","meta":{"jet_drop_id":"1010:5"}}""")
+  }
+
+  test("GET /jet-drops/{id}: sibling-scoped prev/next link arrays (GetJetDropByID semantics)") {
+    // the point lookup links by PULSE ADJACENCY + the jet sibling set
+    // {self, self0, self1, parent} (storage.go:496-531), not by hashes;
+    // pick a drop on a middle pulse so at least one side is populated
+    val mid = Domain.servedJetDrops(spark, dir)
+      .groupBy("pulse_number").count().orderBy("pulse_number")
+      .collect().map(_.getLong(0))
+    assert(mid.length >= 3, "fixture needs 3+ pulses")
+    val r = Domain.servedJetDrops(spark, dir)
+      .filter(col("pulse_number") === mid(1)).orderBy("jet_id").head()
+    val (jet, pn) = (r.getString(r.fieldIndex("jet_id")), r.getLong(r.fieldIndex("pulse_number")))
+    val (status, body) = get(s"/jet-drops/${if (jet.isEmpty) "*" else jet}:$pn")
+    assert(status == 200)
+    assert(body.contains(""""prev_jet_drop_id":[""") && body.contains(""""next_jet_drop_id":["""))
+    // every link element carries the NextPrevJetDrop shape
+    val linkObjs = """\{"jet_drop_id":"[^"]+","jet_id":"[^"]+","pulse_number":\d+\}""".r
+      .findAllIn(body).toSeq
+    val arrays = body.substring(body.indexOf("prev_jet_drop_id"))
+    assert(linkObjs.nonEmpty == (arrays.contains("""[{""")),
+      s"link arrays must hold NextPrevJetDrop objects: ${body.take(400)}")
+  }
+
+  test("GET /jets/{jet}/jet-drops: hash-linked prev/next render as NextPrevJetDrop arrays") {
+    val (status, body) = get("/jets/*/jet-drops?limit=50")
+    assert(status == 200)
+    assert(body.contains(""""prev_jet_drop_id":""") && body.contains(""""next_jet_drop_id":"""))
+    assert(!body.contains(""""prev_ids""""), "the internal comma-joined form must not leak")
+    // at least one drop in a 50-row page links to a parent (the fixture
+    // has split/merge drops); its element is a full object
+    assert(""""(?:prev|next)_jet_drop_id":\[\{"jet_drop_id":"[^"]+","jet_id":"[^"]+","pulse_number":\d+\}""".r
+      .findFirstIn(body).nonEmpty, s"expected at least one populated link array: ${body.take(300)}")
+  }
+
+  test("GET /search without value: the binding layer's echo-style message shape") {
+    val (status, body) = get("/search")
+    assert(status == 400)
+    assert(body == """{"message":"Query argument value is required, but not found"}""")
   }
 
   // ---- frame -----------------------------------------------------------

@@ -9,11 +9,20 @@ class SearchMappersSpec extends SparkSpec {
   test("search dispatch: pulse / jet drop / reference / garbage (J7)") {
     assert(Search.dispatch("65537") == Search.PulseTarget(65537L))
     assert(Search.dispatch(" 70010 ") == Search.PulseTarget(70010L))
-    assert(Search.dispatch("65535") == Search.NoMatch) // below MinTimePulse
+    // an integer that is not a valid pulse is its own branch — the
+    // reference 400s with "not valid pulse number" (handlers.go:494),
+    // it does NOT fall through to the jet-drop/reference checks
+    assert(Search.dispatch("65535") == Search.InvalidPulse(65535L)) // below MinTimePulse
+    assert(Search.dispatch("-5") == Search.InvalidPulse(-5L))       // ParseInt accepts signs
+    assert(Search.dispatch(((1L << 30)).toString) == Search.InvalidPulse(1L << 30)) // above MaxTimePulse
+    assert(Search.dispatch(Search.MaxTimePulse.toString) == Search.PulseTarget(Search.MaxTimePulse))
+    // a digit string overflowing int64 falls through like ParseInt's error
+    assert(Search.dispatch("99999999999999999999999") == Search.NoMatch)
     assert(Search.dispatch("1010:70000") == Search.JetDropTarget("1010", 70000L))
     assert(Search.dispatch("*:70000") == Search.JetDropTarget("", 70000L))
     assert(Search.dispatch("012:70000") == Search.NoMatch) // not a bit string
-    assert(Search.dispatch("1010:5") == Search.NoMatch)    // pulse below minimum
+    // NewJetDropIDFromString has no pulse-validity bound (models.go:94-113)
+    assert(Search.dispatch("1010:5") == Search.JetDropTarget("1010", 5L))
     assert(Search.dispatch("") == Search.NoMatch)
     assert(Search.dispatch("!!garbage!!") == Search.NoMatch)
   }
