@@ -160,19 +160,21 @@ object Endpoints {
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
       val d = dropsView(spark, dir)
       val row = d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1)
-      val pulseRow = pulsesView(spark, dir)
-        .filter(col("pulse_number") === pulse)
-        .select(col("prev_pulse_number")).collect()
+      // ONE spine probe answers both point queries the reference makes:
+      // the row `pulse_number == pulse` carries the stored prev, the rows
+      // `prev_pulse_number == pulse` are the next-pulse candidates
+      // (updateNextPulse takes the first in pulse order)
+      val probe = pulsesView(spark, dir)
+        .filter(col("pulse_number") === pulse || col("prev_pulse_number") === pulse)
+        .select(col("pulse_number"), col("prev_pulse_number")).collect()
+      val pulseRow = probe.find(_.getLong(0) == pulse)
       val (prevLinks, nextLinks) =
         if (pulseRow.isEmpty) (Seq.empty[JetDropLink], Seq.empty[JetDropLink])
         else {
-          val storedPrev = pulseRow.head.getLong(0)
-          val nextPulse = pulsesView(spark, dir)
-            .filter(col("prev_pulse_number") === pulse)
-            .agg(min(col("pulse_number"))).collect().head match {
-              case r if r.isNullAt(0) => PulseChain.Unknown
-              case r => r.getLong(0)
-            }
+          val storedPrev = pulseRow.get.getLong(1)
+          val nextPulse = probe
+            .filter(r => r.getLong(1) == pulse && r.getLong(0) != pulse)
+            .map(_.getLong(0)).sorted.headOption.getOrElse(PulseChain.Unknown)
           val siblings = Seq(jet, jet + "0", jet + "1") ++
             (if (jet.nonEmpty) Seq(jet.substring(0, jet.length - 1)) else Nil)
           val neighbors = d
@@ -236,19 +238,44 @@ object Endpoints {
     val out = if (!withLinks) paged else {
       val page = paged.withColumn("jet_drop_id",
         Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
-      // The neighbor set must stay bounded even with no caller-supplied
-      // pulse bounds: derive the span from the PAGE's actual min/max
-      // pulse (one agg over the ≤1000-row page, like the reference's
-      // findEdgePNInJetDrops) — never hand the unbounded fact-derived
-      // drops view to a broadcast.
+      // The linkable set mirrors the reference exactly (handlers.go:
+      // 207-223 + getEnrichingJetDrops 244-268): the PAGE's own drops
+      // plus the drops of two EDGE pulses — the oldest page pulse's
+      // chain predecessor (its stored prev, only if that pulse exists —
+      // GetPulse semantics) and the next SAVED pulse after the newest
+      // (min pulse_number > hi, so links jump pulse gaps). Bounded by
+      // construction: ≤1000 page rows + two pulses of drops, never a
+      // span scan — and an in-span drop outside the page is NOT
+      // linkable, same as the reference's maps.
       val edge = page.agg(min(col("pulse_number")), max(col("pulse_number"))).collect().head
       if (edge.isNullAt(0)) paged
       else {
         val (lo, hi) = (edge.getLong(0), edge.getLong(1))
-        val neighbors = d
-          .filter(col("pulse_number").between(lo - 1, hi + 1))
-          .withColumn("jet_drop_id",
-            Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+        // one pushed-down pass over the pulses dimension answers both
+        // edges. The reference's extra existence check on the stored prev
+        // (GetPulse's updatePrevPulse) only gates whether it queries that
+        // pulse's drops — querying drops at a nonexistent pulse returns
+        // the same nothing, so the probe is skipped here (drops exist
+        // only for saved pulses by spine construction).
+        val edges = pulsesView(spark, dir)
+          .filter(col("pulse_number") === lo || col("pulse_number") > hi)
+          .agg(
+            max(when(col("pulse_number") === lo, col("prev_pulse_number"))).as("prev_stored"),
+            min(when(col("pulse_number") > hi, col("pulse_number"))).as("next_saved"))
+          .collect().head
+        val prevEdge = (if (edges.isNullAt(0)) None else Some(edges.getLong(0))).filter(_ > 0)
+        val nextEdge = if (edges.isNullAt(1)) None else Some(edges.getLong(1))
+        val linkCols = Seq(col("jet_drop_id"), col("hash"), col("first_prev_hash"),
+          col("second_prev_hash"))
+        val edgePulses = prevEdge.toSeq ++ nextEdge.toSeq
+        val pageSide = page.select(linkCols: _*)
+        val neighbors =
+          if (edgePulses.isEmpty) pageSide
+          else pageSide.unionByName(d
+            .filter(col("pulse_number").isin(edgePulses: _*))
+            .withColumn("jet_drop_id",
+              Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+            .select(linkCols: _*))
         JetLinkage.hashLinkIds(page, neighbors).orderBy(sorted: _*)
       }
     }

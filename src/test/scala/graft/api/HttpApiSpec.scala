@@ -430,6 +430,33 @@ class HttpApiSpec extends SparkSpec {
       .findFirstIn(body).nonEmpty, s"expected at least one populated link array: ${body.take(300)}")
   }
 
+  test("GET /search: record reference branch hits storage and returns index + object_reference") {
+    // the only search branch that touches storage (handlers.go:516-552):
+    // the hint carries the record's "pulse:order" index and its object
+    // reference; an unknown record ref is 400 'record reference not found'
+    import graft.functions.Codecs
+    val r = Domain.servedRecords(spark, dir)
+      .select("reference", "pulse_number", "order", "object_reference")
+      .orderBy("pulse_number", "order").head()
+    val (ref, pn, ord, obj) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+    // a record-scoped 36-byte reference embedding the numeric id in the
+    // low 8 bytes (the domain adaptation Search/Endpoints use)
+    def refString(id: Long): String = {
+      val bytes = Array[Byte](0, 1, 0, 0) ++ Array.fill[Byte](24)(0) ++
+        java.nio.ByteBuffer.allocate(8).putLong(id).array()
+      Codecs.referenceToString(bytes)
+    }
+    val (status, body) = get(s"/search?value=${refString(ref)}")
+    assert(status == 200, body.take(200))
+    assert(body == s"""{"type":"record","meta":{"index":"$pn:$ord","object_reference":"$obj"}}""")
+    // unknown record id → the reference's storage-miss 400
+    val (s2, b2) = get(s"/search?value=${refString(-987654321L)}")
+    assert(s2 == 400)
+    assert(failureReasons(b2) == Seq("record reference not found"))
+    assert(b2.contains(""""description":""""))
+  }
+
   test("GET /search without value: the binding layer's echo-style message shape") {
     val (status, body) = get("/search")
     assert(status == 400)
