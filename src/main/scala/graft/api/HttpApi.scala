@@ -441,11 +441,18 @@ object HttpApi {
       }
     }
 
-  /** Records pages carry the API `index` string ("pulse:order",
-    * `api/mappers.go`) — the cursor token `from_index` consumes.
+  /** Records pages in the API shape (`RecordToAPI`, `api/mappers.go:
+    * 19-55`): the `index` string ("pulse:order" — the `from_index`
+    * cursor token), the containing `jet_drop_id`, and the reference's
+    * field name `timestamp`; the raw `order`/`ts_sec` columns are
+    * internal and never served (the index carries the order). The
+    * domain's own payload analogs (event_type, value) stay.
     */
-  private def withIndex(df: DataFrame): DataFrame =
-    df.withColumn("index", Codecs.indexString(col("pulse_number"), col("order")))
+  private def withIndex(df: DataFrame): DataFrame = df
+    .withColumn("index", Codecs.indexString(col("pulse_number"), col("order")))
+    .withColumn("jet_drop_id", Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
+    .withColumnRenamed("ts_sec", "timestamp")
+    .drop("order")
 
   /** HTTP presentation of pulse rows: the `-1` unknown-link sentinel the
     * storage layer (and our oracle-checked DataFrame contract) carries is
@@ -490,6 +497,10 @@ object HttpApi {
     .withColumn("next_pulse_number",
       when(col("next_pulse_number") === -1L, lit(null).cast("long"))
         .otherwise(col("next_pulse_number")))
+    // PulseToAPI serves exactly {pulse_number, prev/next, is_complete,
+    // jet_drop_amount, record_amount, timestamp}; the sequential flag and
+    // per-type counters are storage-internal (api/mappers.go:57-74)
+    .drop("is_sequential", "result_amount")
 }
 
 /** Minimal JSON rendering for the bounded API pages. The served views

@@ -101,6 +101,7 @@ class HttpApiSpec extends SparkSpec {
     .withColumn("next_pulse_number",
       when(col("next_pulse_number") === -1L, lit(null).cast("long"))
         .otherwise(col("next_pulse_number")))
+    .drop("is_sequential", "result_amount")
 
   test("GET /pulses: body is exactly the Endpoints page through JsonOut") {
     val (status, body) = get("/pulses?limit=3")
@@ -395,6 +396,24 @@ class HttpApiSpec extends SparkSpec {
     val (status, body) = get("/search?value=1010%3A5")
     assert(status == 200)
     assert(body == """{"type":"jet-drop","meta":{"jet_drop_id":"1010:5"}}""")
+  }
+
+  test("HTTP bodies serve the API field set, not storage internals") {
+    // PulseToAPI (api/mappers.go:57-74) serves no is_sequential or
+    // result_amount; RecordToAPI (19-55) serves jet_drop_id + timestamp
+    // and no raw order/ts_sec (the index string carries the order)
+    val (s1, b1) = get("/pulses?limit=2")
+    assert(s1 == 200)
+    assert(!b1.contains(""""is_sequential"""") && !b1.contains(""""result_amount""""))
+    val (jet, pn) = recordedDrop
+    val (s2, b2) = get(s"/jet-drops/$jet:$pn/records?limit=2")
+    assert(s2 == 200)
+    assert(b2.contains(s""""jet_drop_id":"$jet:$pn""""))
+    assert(b2.contains(""""timestamp":"""))
+    assert(!b2.contains(""""order":""") && !b2.contains(""""ts_sec":"""))
+    val (s3, b3) = get(s"/lifeline/$someObject/records?limit=2")
+    assert(s3 == 200)
+    assert(b3.contains(""""jet_drop_id":""") && !b3.contains(""""ts_sec":"""))
   }
 
   test("GET /jet-drops/{id}: sibling-scoped prev/next link arrays (GetJetDropByID semantics)") {
