@@ -350,4 +350,46 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("spine-v2/records") && !p.contains("events.parquet"),
       s"gap detection must not touch the fact table:\n$p")
   }
+
+  // ---- HTTP endpoint plans (the serving paths LoadProbe attacks) -------
+
+  test("endpoint by-jet-id page: link join broadcast, neighbor scan edge-pulse pruned") {
+    val df = api.Endpoints.jetDropsByJetId(spark, dir, "", limit = 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"hash linkage must broadcast the bounded neighbor side:\n$p")
+    // the only tolerated nested-loops are the 1-row total-attach Cross
+    // joins (A3 count broadcast, same as the catalog-wide sweep)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")),
+      s"only 1-row scalar attaches may nested-loop in a serving plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in a serving plan:\n$p")
+    // the edge-pulse neighbor side reads only the two edge pulses: a
+    // pushed IN(pulse_number, [...]) on the drops spine, never an
+    // unbounded drops scan
+    assert("In\\(pulse_number, \\[".r.findFirstIn(p).nonEmpty,
+      s"neighbor drops scan must be edge-pulse pruned:\n$p")
+  }
+
+  test("endpoint point lookups and pages: keys filter the spine scans") {
+    // PushedFilters lists are toString-truncated, so pin the Filter nodes
+    val pn = model.Domain.servedPulses(spark, dir)
+      .agg(org.apache.spark.sql.functions.min("pulse_number")).collect().head.getLong(0)
+    val p1 = api.Endpoints.jetDropsByPulse(spark, dir, pn)
+      .queryExecution.executedPlan.toString
+    assert(s"pulse_number#\\d+L = $pn".r.findFirstIn(p1).nonEmpty &&
+      p1.contains(s"EqualTo(pulse_number,$pn"),
+      s"drops-by-pulse must push the pulse equality:\n$p1")
+    val p2 = api.Endpoints.objectLifeline(spark, dir, 1L,
+      fromPulse = Some(pn), toPulse = Some(pn + 5))
+      .queryExecution.executedPlan.toString
+    assert(s"pulse_number#\\d+L >= $pn".r.findFirstIn(p2).nonEmpty &&
+      s"pulse_number#\\d+L <= ${pn + 5}".r.findFirstIn(p2).nonEmpty,
+      s"lifeline pulse bounds must reach the scan filter:\n$p2")
+    assert("object_reference#\\d+L = 1\\)".r.findFirstIn(p2).nonEmpty,
+      s"lifeline object key must reach the scan filter:\n$p2")
+    val p3 = api.Endpoints.pulse(spark, dir, pn).queryExecution.executedPlan.toString
+    assert(s"pulse_number#\\d+L = $pn".r.findFirstIn(p3).nonEmpty,
+      s"pulse point lookup must filter on its key:\n$p3")
+  }
 }
