@@ -56,49 +56,50 @@ object Endpoints {
     // reference's newest-first; `sort_by=pulse_number_asc` flips it,
     // storage.go:310-314.)
     val pageSort = if (asc) col("pulse_number").asc else col("pulse_number").desc
-    val paged = PulseChain.repairChain(Pagination.pageWithTotal(filtered,
+    val pageQuery = PulseChain.repairChain(Pagination.pageWithTotal(filtered,
       Seq(pageSort), page.limit, page.offset))
       .orderBy(pageSort)
-    patchPageEdges(p, paged)
+    // Materialize the ≤1000-row page ONCE: the edge patch and the caller's
+    // final read then work on a LocalRelation instead of re-running the
+    // scan + window per consumer (the reference holds the page rows the
+    // same way, storage.go:326-356).
+    val rows = pageQuery.collect()
+    if (rows.isEmpty) pageQuery
+    else spark.createDataFrame(
+      java.util.Arrays.asList(patchPageEdges(spark, dir, rows): _*), pageQuery.schema)
   }
 
   /** J2 page-edge patching — bounded-page driver logic (pages are ≤1000
-    * rows by validation, so the point lookups mirror the reference's
-    * per-page DB queries, not a distributed operation). Shaped as TWO
-    * driver jobs total in the common case: one min/max agg over the page,
-    * then one combined lookup fetching the newest row's successor, the
-    * oldest row's stored prev, AND that predecessor's row in a single
-    * filter (a third query fires only when the stored prev is not the
-    * adjacent pulse — unusual under the hourly contract).
+    * rows by validation). Both edge lookups — the newest row's successor
+    * (the pulse whose stored prev points at it) and the oldest row's
+    * stored prev, existence-checked — answer from the driver-held chain
+    * index with ZERO Spark jobs; the patch itself is a pure row rewrite
+    * of the collected page, so a pulses page costs exactly one job.
     */
-  private def patchPageEdges(allPulses: DataFrame, paged: DataFrame): DataFrame = {
-    val edge = paged.agg(min(col("pulse_number")), max(col("pulse_number"))).collect().head
-    if (edge.isNullAt(0)) paged
-    else {
-      val (lo, hi) = (edge.getLong(0), edge.getLong(1))
-      val info = allPulses
-        .filter(col("prev_pulse_number") === hi ||
-          col("pulse_number") === lo || col("pulse_number") === lo - 1)
-        .select(col("pulse_number"), col("prev_pulse_number")).collect()
-      // successor of the newest row: the pulse whose stored prev points at it
-      val nextOfHi = info.filter(_.getLong(1) == hi).map(_.getLong(0))
-        .sorted.headOption.getOrElse(PulseChain.Unknown)
-      // predecessor of the oldest row: its stored prev, if that pulse exists
-      val prevOfLo = info.find(_.getLong(0) == lo).map(_.getLong(1)) match {
-        case Some(pv) if pv == lo - 1 =>
-          if (info.exists(_.getLong(0) == lo - 1)) pv else PulseChain.Unknown
-        case Some(pv) =>
-          if (allPulses.filter(col("pulse_number") === pv).limit(1).count() > 0) pv
-          else PulseChain.Unknown
-        case None => PulseChain.Unknown
+  private def patchPageEdges(spark: SparkSession, dir: String,
+      rows: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
+    val pns = rows.map(_.getAs[Long]("pulse_number"))
+    val (lo, hi) = (pns.min, pns.max)
+    val chain = Domain.pulseChainIndex(spark, dir)
+    // successor of the newest row: the pulse whose stored prev points at it
+    val nextOfHi = chain.nextByPrev(hi).getOrElse(PulseChain.Unknown)
+    // predecessor of the oldest row: its stored prev, if that pulse exists
+    val prevOfLo = chain.storedPrev(lo).filter(chain.exists).getOrElse(PulseChain.Unknown)
+    val schema = rows.head.schema
+    val nextIdx = schema.fieldIndex("next_pulse_number")
+    val prevIdx = schema.fieldIndex("prev_pulse_number")
+    val pnIdx = schema.fieldIndex("pulse_number")
+    rows.map { r =>
+      val pn = r.getLong(pnIdx)
+      val patchNext = pn == hi && r.getLong(nextIdx) == PulseChain.Unknown
+      val patchPrev = pn == lo && r.getLong(prevIdx) == PulseChain.Unknown
+      if (!patchNext && !patchPrev) r
+      else {
+        val vals = r.toSeq.toArray
+        if (patchNext) vals(nextIdx) = nextOfHi
+        if (patchPrev) vals(prevIdx) = prevOfLo
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, schema)
       }
-      paged
-        .withColumn("next_pulse_number",
-          when(col("pulse_number") === hi && col("next_pulse_number") === PulseChain.Unknown,
-            lit(nextOfHi)).otherwise(col("next_pulse_number")))
-        .withColumn("prev_pulse_number",
-          when(col("pulse_number") === lo && col("prev_pulse_number") === PulseChain.Unknown,
-            lit(prevOfLo)).otherwise(col("prev_pulse_number")))
     }
   }
 
@@ -114,18 +115,18 @@ object Endpoints {
   def pulse(spark: SparkSession, dir: String, pulseNumber: Long): DataFrame = {
     val p = pulsesView(spark, dir)
     val row = p.filter(col("pulse_number") === pulseNumber).limit(1)
-    val rows = row.collect()
-    if (rows.isEmpty) return row // empty frame; the caller 404s
-    val storedPrev = rows.head.getAs[Long]("prev_pulse_number")
-    val probe = p
-      .filter(col("prev_pulse_number") === pulseNumber || col("pulse_number") === storedPrev)
-      .select(col("pulse_number"), col("prev_pulse_number")).collect()
-    val next = probe.filter(_.getLong(1) == pulseNumber).map(_.getLong(0))
-      .sorted.headOption.getOrElse(PulseChain.Unknown)
-    val prev = if (probe.exists(_.getLong(0) == storedPrev)) storedPrev else PulseChain.Unknown
-    row
-      .withColumn("next_pulse_number", lit(next))
-      .withColumn("prev_pulse_number", lit(prev))
+    // both repair probes answer from the driver-held chain index — the
+    // row fetch is the request's ONLY Spark job
+    val chain = Domain.pulseChainIndex(spark, dir)
+    chain.storedPrev(pulseNumber) match {
+      case None => row // pulse absent; the caller 404s on the empty frame
+      case Some(storedPrev) =>
+        val next = chain.nextByPrev(pulseNumber).getOrElse(PulseChain.Unknown)
+        val prev = if (chain.exists(storedPrev)) storedPrev else PulseChain.Unknown
+        row
+          .withColumn("next_pulse_number", lit(next))
+          .withColumn("prev_pulse_number", lit(prev))
+    }
   }
 
   /** GET /pulses/{pulse}/jet-drops — drops of one pulse, jet-id cursor. */
@@ -160,36 +161,30 @@ object Endpoints {
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
       val d = dropsView(spark, dir)
       val row = d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1)
-      // ONE spine probe answers both point queries the reference makes:
-      // the row `pulse_number == pulse` carries the stored prev, the rows
-      // `prev_pulse_number == pulse` are the next-pulse candidates
-      // (updateNextPulse takes the first in pulse order)
-      val probe = pulsesView(spark, dir)
-        .filter(col("pulse_number") === pulse || col("prev_pulse_number") === pulse)
-        .select(col("pulse_number"), col("prev_pulse_number")).collect()
-      val pulseRow = probe.find(_.getLong(0) == pulse)
+      // both point queries the reference makes (the stored prev and the
+      // updateNextPulse successor probe) answer from the driver-held
+      // chain index — zero extra Spark jobs
+      val chain = Domain.pulseChainIndex(spark, dir)
       val (prevLinks, nextLinks) =
-        if (pulseRow.isEmpty) (Seq.empty[JetDropLink], Seq.empty[JetDropLink])
-        else {
-          val storedPrev = pulseRow.get.getLong(1)
-          val nextPulse = probe
-            .filter(r => r.getLong(1) == pulse && r.getLong(0) != pulse)
-            .map(_.getLong(0)).sorted.headOption.getOrElse(PulseChain.Unknown)
-          val siblings = Seq(jet, jet + "0", jet + "1") ++
-            (if (jet.nonEmpty) Seq(jet.substring(0, jet.length - 1)) else Nil)
-          val neighbors = d
-            .filter((col("pulse_number") === nextPulse || col("pulse_number") === storedPrev) &&
-              col("jet_id").isin(siblings: _*))
-            .select(col("pulse_number"), col("jet_id")).collect()
-            .map { r =>
-              val (pn, j) = (r.getLong(0), r.getString(1))
-              (pn, JetDropLink(s"${if (j.isEmpty) "*" else j}:$pn",
-                if (j.isEmpty) "*" else j, pn))
-            }
-          (neighbors.collect { case (pn, l) if pn == storedPrev => l }
-             .sortBy(_.jet_drop_id).toSeq,
-           neighbors.collect { case (pn, l) if pn == nextPulse && nextPulse != PulseChain.Unknown => l }
-             .sortBy(_.jet_drop_id).toSeq)
+        chain.storedPrev(pulse) match {
+          case None => (Seq.empty[JetDropLink], Seq.empty[JetDropLink])
+          case Some(storedPrev) =>
+            val nextPulse = chain.nextByPrev(pulse).getOrElse(PulseChain.Unknown)
+            val siblings = Seq(jet, jet + "0", jet + "1") ++
+              (if (jet.nonEmpty) Seq(jet.substring(0, jet.length - 1)) else Nil)
+            val neighbors = d
+              .filter((col("pulse_number") === nextPulse || col("pulse_number") === storedPrev) &&
+                col("jet_id").isin(siblings: _*))
+              .select(col("pulse_number"), col("jet_id")).collect()
+              .map { r =>
+                val (pn, j) = (r.getLong(0), r.getString(1))
+                (pn, JetDropLink(s"${if (j.isEmpty) "*" else j}:$pn",
+                  if (j.isEmpty) "*" else j, pn))
+              }
+            (neighbors.collect { case (pn, l) if pn == storedPrev => l }
+               .sortBy(_.jet_drop_id).toSeq,
+             neighbors.collect { case (pn, l) if pn == nextPulse && nextPulse != PulseChain.Unknown => l }
+               .sortBy(_.jet_drop_id).toSeq)
         }
       Mappers.jetDropToApi(row
         .withColumn("prev_jet_drop_id", typedLit(prevLinks))
@@ -236,35 +231,36 @@ object Endpoints {
       else Seq(col("pulse_number").desc, col("jet_id").asc)
     val paged = Pagination.pageWithTotal(filtered, sorted, limit)
     val out = if (!withLinks) paged else {
-      val page = paged.withColumn("jet_drop_id",
+      // Materialize the ≤1000-row page ONCE (the reference holds the page
+      // rows in memory the same way, handlers.go:207-223). Without this
+      // the linkage plan re-executes the page subtree — scan, sort,
+      // count — on every join side (~5× per request, measured); with it,
+      // one distributed job produces the page and everything downstream
+      // joins a LocalRelation.
+      val pageQuery = paged.withColumn("jet_drop_id",
         Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
-      // The linkable set mirrors the reference exactly (handlers.go:
-      // 207-223 + getEnrichingJetDrops 244-268): the PAGE's own drops
-      // plus the drops of two EDGE pulses — the oldest page pulse's
-      // chain predecessor (its stored prev, only if that pulse exists —
-      // GetPulse semantics) and the next SAVED pulse after the newest
-      // (min pulse_number > hi, so links jump pulse gaps). Bounded by
-      // construction: ≤1000 page rows + two pulses of drops, never a
-      // span scan — and an in-span drop outside the page is NOT
-      // linkable, same as the reference's maps.
-      val edge = page.agg(min(col("pulse_number")), max(col("pulse_number"))).collect().head
-      if (edge.isNullAt(0)) paged
+      val pageRows = pageQuery.collect()
+      if (pageRows.isEmpty) paged
       else {
-        val (lo, hi) = (edge.getLong(0), edge.getLong(1))
-        // one pushed-down pass over the pulses dimension answers both
-        // edges. The reference's extra existence check on the stored prev
-        // (GetPulse's updatePrevPulse) only gates whether it queries that
-        // pulse's drops — querying drops at a nonexistent pulse returns
-        // the same nothing, so the probe is skipped here (drops exist
-        // only for saved pulses by spine construction).
-        val edges = pulsesView(spark, dir)
-          .filter(col("pulse_number") === lo || col("pulse_number") > hi)
-          .agg(
-            max(when(col("pulse_number") === lo, col("prev_pulse_number"))).as("prev_stored"),
-            min(when(col("pulse_number") > hi, col("pulse_number"))).as("next_saved"))
-          .collect().head
-        val prevEdge = (if (edges.isNullAt(0)) None else Some(edges.getLong(0))).filter(_ > 0)
-        val nextEdge = if (edges.isNullAt(1)) None else Some(edges.getLong(1))
+        val page = spark.createDataFrame(
+          java.util.Arrays.asList(pageRows: _*), pageQuery.schema)
+        // The linkable set mirrors the reference exactly (handlers.go:
+        // 207-223 + getEnrichingJetDrops 244-268): the PAGE's own drops
+        // plus the drops of two EDGE pulses — the oldest page pulse's
+        // chain predecessor (its stored prev, only if that pulse exists —
+        // GetPulse semantics) and the next SAVED pulse after the newest
+        // (min pulse_number > hi, so links jump pulse gaps). Bounded by
+        // construction: ≤1000 page rows + two pulses of drops, never a
+        // span scan — and an in-span drop outside the page is NOT
+        // linkable, same as the reference's maps.
+        val pns = pageRows.map(_.getAs[Long]("pulse_number"))
+        val (lo, hi) = (pns.min, pns.max)
+        // both edge pulses answer from the driver-held chain index with
+        // zero Spark jobs, including GetPulse's existence check on the
+        // stored prev (updatePrevPulse semantics)
+        val chain = Domain.pulseChainIndex(spark, dir)
+        val prevEdge = chain.storedPrev(lo).filter(_ > 0).filter(chain.exists)
+        val nextEdge = chain.nextSavedAfter(hi)
         val linkCols = Seq(col("jet_drop_id"), col("hash"), col("first_prev_hash"),
           col("second_prev_hash"))
         val edgePulses = prevEdge.toSeq ++ nextEdge.toSeq

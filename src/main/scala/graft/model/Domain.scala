@@ -210,6 +210,57 @@ object Domain {
         .sortWithinPartitions("pulse_number")
     }
 
+  /** Driver-held pulse-chain index over the pulses spine: sorted primitive
+    * arrays answering the four point questions every serving endpoint asks
+    * — does pulse P exist, what is its stored prev, which pulse's stored
+    * prev points at P (`updateNextPulse`), and what is the next saved
+    * pulse after P (`GetNextSavedPulse`) — in O(log n) driver time with
+    * ZERO Spark jobs. The chain dimension grows with wall-clock time, not
+    * data volume (one row per 10s pulse ≈ 3M rows/year ≈ 50 MB/decade as
+    * two long arrays), so holding it on the driver is scale-safe where
+    * caching any fact-derived structure would not be. Keyed by the
+    * fingerprinted spine path, so a regenerated corpus rebuilds the index
+    * exactly when it rebuilds the artifact.
+    */
+  final class PulseChainIndex(byPulse: Array[Long], prevOfPulse: Array[Long],
+      byPrev: Array[Long], pulseOfPrev: Array[Long]) {
+    def size: Int = byPulse.length
+    def exists(pn: Long): Boolean = java.util.Arrays.binarySearch(byPulse, pn) >= 0
+    def storedPrev(pn: Long): Option[Long] = {
+      val i = java.util.Arrays.binarySearch(byPulse, pn)
+      if (i >= 0) Some(prevOfPulse(i)) else None
+    }
+    /** Smallest pulse whose stored prev == pn (`updateNextPulse`'s First). */
+    def nextByPrev(pn: Long): Option[Long] = {
+      var i = java.util.Arrays.binarySearch(byPrev, pn)
+      if (i < 0) None
+      else {
+        while (i > 0 && byPrev(i - 1) == pn) i -= 1 // leftmost == min pulse (sorted pairs)
+        Some(pulseOfPrev(i))
+      }
+    }
+    /** Smallest saved pulse strictly greater than pn (`GetNextSavedPulse`). */
+    def nextSavedAfter(pn: Long): Option[Long] = {
+      val i = java.util.Arrays.binarySearch(byPulse, pn + 1)
+      val at = if (i >= 0) i else -(i + 1)
+      if (at < byPulse.length) Some(byPulse(at)) else None
+    }
+  }
+
+  private val chainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PulseChainIndex]()
+
+  def pulseChainIndex(spark: SparkSession, dir: String): PulseChainIndex =
+    chainCache.computeIfAbsent(spineRoot(dir), _ => {
+      val pairs = servedPulses(spark, dir)
+        .select(col("pulse_number"), col("prev_pulse_number")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val byPulse = pairs.sortBy(_._1)
+      val byPrev = pairs.sortBy(p => (p._2, p._1))
+      new PulseChainIndex(byPulse.map(_._1), byPulse.map(_._2),
+        byPrev.map(_._2), byPrev.map(_._1))
+    })
+
   /** Register the three domain tables as temp views (plus the library's
     * native SQL functions), so SQL-first users query `records`,
     * `jet_drops` and `pulses` directly with `spark.sql` — the relational

@@ -364,10 +364,10 @@ class PlanAssertionsSpec extends SparkSpec {
       .forall(_.contains("Cross")),
       s"only 1-row scalar attaches may nested-loop in a serving plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in a serving plan:\n$p")
-    // the edge-pulse neighbor side reads only the two edge pulses: a
-    // pushed IN(pulse_number, [...]) on the drops spine, never an
-    // unbounded drops scan
-    assert("In\\(pulse_number, \\[".r.findFirstIn(p).nonEmpty,
+    // the edge-pulse neighbor side reads only the (≤2) edge pulses: a
+    // pushed IN/equality on the drops spine, never an unbounded drops
+    // scan (a single surviving edge renders as EqualTo, two as In)
+    assert("In\\(pulse_number, \\[|EqualTo\\(pulse_number,".r.findFirstIn(p).nonEmpty,
       s"neighbor drops scan must be edge-pulse pruned:\n$p")
   }
 
