@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Domain
 import graft.functions.{Codecs, JetFunctions}
-import graft.operators.{JetLinkage, Pagination, Predicates, PulseChain}
+import graft.operators.{Pagination, Predicates, PulseChain}
 
 /** The reference's eight read endpoints (`api/handlers.go`) as pure
   * functions SparkSession → params → DataFrame page: validate → build the
@@ -242,8 +242,6 @@ object Endpoints {
       val pageRows = pageQuery.collect()
       if (pageRows.isEmpty) paged
       else {
-        val page = spark.createDataFrame(
-          java.util.Arrays.asList(pageRows: _*), pageQuery.schema)
         // The linkable set mirrors the reference exactly (handlers.go:
         // 207-223 + getEnrichingJetDrops 244-268): the PAGE's own drops
         // plus the drops of two EDGE pulses — the oldest page pulse's
@@ -261,22 +259,50 @@ object Endpoints {
         val chain = Domain.pulseChainIndex(spark, dir)
         val prevEdge = chain.storedPrev(lo).filter(_ > 0).filter(chain.exists)
         val nextEdge = chain.nextSavedAfter(hi)
-        val linkCols = Seq(col("jet_drop_id"), col("hash"), col("first_prev_hash"),
-          col("second_prev_hash"))
         val edgePulses = prevEdge.toSeq ++ nextEdge.toSeq
-        val pageSide = page.select(linkCols: _*)
-        val neighbors =
-          if (edgePulses.isEmpty) pageSide
-          else pageSide.unionByName(d
-            .filter(col("pulse_number").isin(edgePulses: _*))
-            .withColumn("jet_drop_id",
-              Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
-            .select(linkCols: _*))
-        JetLinkage.hashLinkIds(page, neighbors).orderBy(sorted: _*)
+        // link assembly is the reference's in-memory map build
+        // (createNextPrevMaps, handlers.go:269-297) over bounded inputs:
+        // the ≤1000 collected page rows plus one collect of the two edge
+        // pulses' drops — driver maps, zero joins, exactly the J5
+        // hash-link semantics JetLinkage.hashLinkIds pins distributively
+        // for the oracle twin (be_jet_links_hash)
+        val sch = pageQuery.schema
+        val (idI, hI, fpI, spI) = (sch.fieldIndex("jet_drop_id"), sch.fieldIndex("hash"),
+          sch.fieldIndex("first_prev_hash"), sch.fieldIndex("second_prev_hash"))
+        val pageTriples = pageRows.map(r =>
+          (r.getString(idI), r.getString(hI), r.getString(fpI)))
+        val edgeTriples =
+          if (edgePulses.isEmpty) Array.empty[(String, String, String)]
+          else d.filter(col("pulse_number").isin(edgePulses: _*))
+            .select(Codecs.jetDropIdString(col("jet_id"), col("pulse_number")),
+              col("hash"), col("first_prev_hash")).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        val neighbors = pageTriples ++ edgeTriples
+        val idsByPrevHash = neighbors.filter(_._3 != null)
+          .groupBy(_._3).map { case (k, g) => k -> g.map(_._1) }
+        val idsByHash = neighbors.filter(_._2 != null)
+          .groupBy(_._2).map { case (k, g) => k -> g.map(_._1) }
+        val linked: Array[org.apache.spark.sql.Row] = pageRows.map { r =>
+          val nextIds = idsByPrevHash.getOrElse(r.getString(hI), Array.empty[String])
+            .sorted.mkString(",")
+          val prevIds = Seq(r.getString(fpI), r.getString(spI)).filter(_ != null).distinct
+            .flatMap(h => idsByHash.getOrElse(h, Array.empty[String]))
+            .sorted.mkString(",")
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            r.toSeq.toArray :+ (nextIds: Any) :+ (prevIds: Any), linkedSchema(sch))
+        }
+        spark.createDataFrame(java.util.Arrays.asList(linked: _*), linkedSchema(sch))
       }
     }
     Mappers.jetDropToApi(out)
   }
+
+  private def linkedSchema(page: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(page.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("next_ids",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("prev_ids",
+        org.apache.spark.sql.types.StringType, nullable = false)))
 
   /** GET /lifeline/{object_ref}/records — the object lifeline. Timestamp
     * bounds are unix seconds against the record's `ts_sec`, the analog of

@@ -353,22 +353,26 @@ class PlanAssertionsSpec extends SparkSpec {
 
   // ---- HTTP endpoint plans (the serving paths LoadProbe attacks) -------
 
-  test("endpoint by-jet-id page: link join broadcast, neighbor scan edge-pulse pruned") {
+  test("endpoint by-jet-id page: served as a materialized local page; page query pruned") {
+    // the linked page is assembled driver-side over the ≤1000 collected
+    // rows (the reference's createNextPrevMaps) — the served frame must
+    // be a LocalRelation, never a re-executed distributed subtree
     val df = api.Endpoints.jetDropsByJetId(spark, dir, "", limit = 100)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"hash linkage must broadcast the bounded neighbor side:\n$p")
-    // the only tolerated nested-loops are the 1-row total-attach Cross
-    // joins (A3 count broadcast, same as the catalog-wide sweep)
-    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LocalTableScan"),
+      s"linked page must serve from the materialized local rows:\n$p")
+    assert(!p.contains("FileScan"), s"no re-scan after materialization:\n$p")
+    // the underlying page query stays a pruned top-k scan: jet prefix
+    // pushed, TakeOrderedAndProject, nested-loop only for the 1-row
+    // total attach (same tolerance as the catalog-wide sweep)
+    val pq = api.Endpoints.jetDropsByJetId(spark, dir, "01", limit = 100,
+      withLinks = false).queryExecution.executedPlan.toString
+    assert(pq.contains("TakeOrderedAndProject"), s"page must be top-k, not global sort:\n$pq")
+    assert(pq.contains("StringStartsWith(jet_id,01)"), s"jet prefix must be pushed:\n$pq")
+    assert(pq.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
       .forall(_.contains("Cross")),
-      s"only 1-row scalar attaches may nested-loop in a serving plan:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian in a serving plan:\n$p")
-    // the edge-pulse neighbor side reads only the (≤2) edge pulses: a
-    // pushed IN/equality on the drops spine, never an unbounded drops
-    // scan (a single surviving edge renders as EqualTo, two as In)
-    assert("In\\(pulse_number, \\[|EqualTo\\(pulse_number,".r.findFirstIn(p).nonEmpty,
-      s"neighbor drops scan must be edge-pulse pruned:\n$p")
+      s"only 1-row scalar attaches may nested-loop in a serving plan:\n$pq")
+    assert(!pq.contains("CartesianProduct"), s"no cartesian in a serving plan:\n$pq")
   }
 
   test("endpoint point lookups and pages: keys filter the spine scans") {
