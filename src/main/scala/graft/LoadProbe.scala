@@ -57,6 +57,11 @@ object LoadProbe {
     val httpHandle = if (httpMode) Some(graft.api.HttpApi.start(spark, sfDir, port = 0)) else None
     val httpBase = httpHandle.map(h => s"http://localhost:${h.port}")
     val urls = httpBase.map(b => httpShapes(spark, sfDir).map { case (n, p) => (n, b + p) })
+    // the DataFrame-layer warmup above does not execute the Endpoints/
+    // HttpApi code paths the attack drives — warm the full HTTP stack to
+    // its own plateau so the windows measure serving, not first-request
+    // JIT (the reference's load suite warms through HTTP the same way)
+    urls.foreach(us => warmHttpToPlateau(us.map(_._2), attackers))
 
     for (round <- 1 to rounds) {
       val errors = new AtomicLong()
@@ -206,6 +211,37 @@ object LoadProbe {
       "http_drops_by_jet" -> s"/api/v1/jets/$jet/jet-drops?limit=100",
       "http_lifeline"     -> s"/api/v1/lifeline/$obj/records",
       "http_search"       -> s"/api/v1/search?value=$pulse")
+  }
+
+  /** Concurrent warm bursts against each URL until a burst stops
+    * improving on the best seen (same plateau rule as
+    * [[warmToPlateau]]), so the attack window measures the warm serving
+    * stack — routing, validation, collect, JSON — not its first-request
+    * compilation.
+    */
+  def warmHttpToPlateau(urls: Seq[String], par: Int,
+      budgetMsPerUrl: Long = 3000L): Unit = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    urls.foreach { url =>
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+      val t0 = System.nanoTime()
+      var best = Double.MaxValue
+      var bursts = 0
+      var stable = false
+      while (!stable && (System.nanoTime() - t0) / 1e6 < budgetMsPerUrl) {
+        val b0 = System.nanoTime()
+        val threads = (0 until par).map(_ => new Thread(() => {
+          try { client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()); () }
+          catch { case _: Throwable => () }
+        }))
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        val burstMs = (System.nanoTime() - b0) / 1e6
+        bursts += 1
+        stable = bursts >= 3 && burstMs >= best * 0.77
+        if (burstMs < best) best = burstMs
+      }
+    }
   }
 
   /** Hammer one URL with `attackers` threads for `millis`; a non-200

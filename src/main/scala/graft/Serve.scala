@@ -29,6 +29,12 @@ object Serve {
       SparkEntry.queries.toSeq.filter(_._1.startsWith("be_")).sortBy(_._1))
 
     val handle = graft.api.HttpApi.start(spark, sfDir, port)
+    // warm the full HTTP stack (routing → Endpoints → collect → JSON) so
+    // the first real client hits a compiled path, like the load probe's
+    // attack windows
+    LoadProbe.warmHttpToPlateau(
+      LoadProbe.httpShapes(spark, sfDir).map { case (_, p) => s"http://localhost:${handle.port}$p" },
+      par = 8)
     println(s"""{"metric":"serving","port":${handle.port},"sf":"$sfDir"}""")
     sys.addShutdownHook { handle.stop(); spark.stop() }
     Thread.currentThread.join() // serve until killed
