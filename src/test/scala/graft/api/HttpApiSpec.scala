@@ -301,6 +301,75 @@ class HttpApiSpec extends SparkSpec {
     assert(body == s"""{"type":"jet-drop","meta":{"jet_drop_id":"$jet:$pn"}}""")
   }
 
+  // ---- handlers_test.go case parity -----------------------------------
+
+  test("GET /pulses: timestamp range bounds the page (TestPulses_TimestampRange)") {
+    val ts = Domain.servedPulses(spark, dir)
+      .orderBy("pulse_number").select("timestamp").collect().map(_.getLong(0))
+    val (lo, hi) = (ts(1), ts(math.min(5, ts.length - 1)))
+    val (status, body) = get(s"/pulses?timestamp_gte=$lo&timestamp_lte=$hi&limit=100")
+    assert(status == 200)
+    val served = """"timestamp":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    assert(served.nonEmpty && served.forall(t => t >= lo && t <= hi))
+  }
+
+  test("GET /pulses: pulse_number_gt/gte/lt/lte are honored (TestPulses_PulseNumberFilters)") {
+    val pns = Domain.servedPulses(spark, dir)
+      .orderBy("pulse_number").select("pulse_number").collect().map(_.getLong(0))
+    val (a, b) = (pns(1), pns(math.min(8, pns.length - 1)))
+    val (s1, b1) = get(s"/pulses?pulse_number_gt=$a&pulse_number_lt=$b&limit=1000")
+    assert(s1 == 200)
+    val served = """"pulse_number":(\d+)""".r.findAllMatchIn(b1).map(_.group(1).toLong).toSeq
+    // first pulse_number per row is the row's own; prev/next may sit ±1 outside
+    assert(served.nonEmpty)
+    assert(totalIn(b1) == pns.count(p => p > a && p < b).toLong,
+      "gt/lt are strict; the total counts exactly the open interval")
+    val (s2, b2) = get(s"/pulses?pulse_number_gte=$a&pulse_number_lte=$b&limit=1000")
+    assert(s2 == 200)
+    assert(totalIn(b2) == pns.count(p => p >= a && p <= b).toLong,
+      "gte/lte are inclusive")
+  }
+
+  test("GET /lifeline: sort_by=index_asc flips the order; timestamp range filters (lifeline suites)") {
+    val (s1, b1) = get(s"/lifeline/$someObject/records?sort_by=index_asc&limit=50")
+    val (s2, b2) = get(s"/lifeline/$someObject/records?sort_by=index_desc&limit=50")
+    assert(s1 == 200 && s2 == 200)
+    def indexes(b: String) = """"index":"(\d+):(\d+)"""".r.findAllMatchIn(b)
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    val (asc, desc) = (indexes(b1), indexes(b2))
+    assert(asc.nonEmpty && asc == asc.sorted, "index_asc pages ascend")
+    assert(desc.nonEmpty && desc == desc.sorted.reverse, "index_desc pages descend")
+    // timestamp bounds reach the query (TestObjectLifeline_TimestampRange)
+    val tsAll = Domain.servedRecords(spark, dir)
+      .filter(col("object_reference") === someObject && col("type") === "state")
+      .select("ts_sec").collect().map(_.getLong(0)).sorted
+    val (tLo, tHi) = (tsAll.head, tsAll(tsAll.length / 2))
+    val (s3, b3) = get(s"/lifeline/$someObject/records?timestamp_gte=$tLo&timestamp_lte=$tHi&limit=1000")
+    assert(s3 == 200)
+    assert(totalIn(b3) == tsAll.count(t => t >= tLo && t <= tHi).toLong)
+  }
+
+  test("GET /lifeline: a valid but unknown object serves {total:0,result:[]} (TestObjectLifeline_NoRecords)") {
+    val (status, body) = get("/lifeline/987654321/records")
+    assert(status == 200)
+    assert(body == """{"total":0,"result":[]}""")
+  }
+
+  test("GET /search: object reference resolves to a lifeline hint echoing the value (TestSearch_Object)") {
+    import graft.functions.Codecs
+    val bytes = Array.fill[Byte](4)(0) ++ Array.fill[Byte](24)(0) ++
+      java.nio.ByteBuffer.allocate(8).putLong(someObject).array()
+    val ref = Codecs.referenceToString(bytes)
+    val (status, body) = get(s"/search?value=${java.net.URLEncoder.encode(ref, "UTF-8")}")
+    assert(status == 200)
+    assert(body == s"""{"type":"lifeline","meta":{"object_reference":"$ref"}}""")
+  }
+
+  test("GET /pulses/{pulse}: int64-overflowing path is the binding layer's 400 (TestPulse_Pulse_GreaterThanMax)") {
+    val (status, _) = get("/pulses/92233720368547758071")
+    assert(status == 400)
+  }
+
   // ---- fine-grained handlers.go conformance ---------------------------
 
   private def failureReasons(body: String): Seq[String] =
