@@ -564,6 +564,35 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: hostile params and paths never surface a 500") {
+    // the reference's handlers answer every malformed input with a typed
+    // 400/404, never an unhandled panic (checkReference, checkJetID,
+    // NewJetDropIDFromString all total) — pin the same totality here with
+    // a deterministic hostile corpus over every route template
+    val rnd = new scala.util.Random(20260814L)
+    val hostile = Seq("", "-1", "0", "1z", "%2e%2e%2f..%2f", "null", "NaN",
+      "999999999999999999999999", "insolar:1", "insolar:1zz", "*", "0101",
+      ":::", "0:0:0", "a" * 300, "%00", "+5", " 70000 ", " x", "%ff",
+      "11" * 120, "70000.5", "-9223372036854775808")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val templates: Seq[String => String] = Seq(
+      v => s"/pulses?limit=${enc(v)}",
+      v => s"/pulses?from_pulse_number=${enc(v)}&offset=${enc(v)}",
+      v => s"/pulses/${enc(v)}",
+      v => s"/pulses/${enc(v)}/jet-drops?from_jet_drop_id=${enc(v)}",
+      v => s"/jet-drops/${enc(v)}",
+      v => s"/jet-drops/${enc(v)}/records?type=${enc(v)}&from_index=${enc(v)}",
+      v => s"/jets/${enc(v)}/jet-drops?sort_by=${enc(v)}&pulse_number_gt=${enc(v)}",
+      v => s"/lifeline/${enc(v)}/records?sort_by=${enc(v)}&limit=${enc(v)}",
+      v => s"/search?value=${enc(v)}")
+    val probes = for (t <- templates; v <- hostile ++ Seq.fill(5)(rnd.nextString(8))) yield t(v)
+    probes.foreach { path =>
+      val (status, body) = get(path)
+      assert(Set(200, 400, 404).contains(status),
+        s"$path -> $status: ${body.take(200)}")
+    }
+  }
+
   test("unknown routes are 404, non-GET is 405") {
     assert(get("/nope")._1 == 404)
     assert(get("/pulses/1/extra/deep")._1 == 404)
