@@ -1,0 +1,86 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+/** Per-route serving metrics — the `echo-prometheus` middleware +
+  * metrics listener the reference's API binary runs
+  * (`cmd/api/main.go:62-76`: request counts and latency summaries per
+  * route, exposed in Prometheus text format; storage-call summaries are
+  * `gbe_storage_stats_*Duration`, `etl/storage/storage_metrics.go`).
+  * Hand-rolled because the engine takes no dependencies beyond Spark:
+  * a LongAdder counter per (route, status) and a fixed ring of recent
+  * latencies per route for the reference's {0.5, 0.9, 0.99} quantiles.
+  * The catalog-side analog is [[graft.QueryMetrics]] (task-level
+  * attribution); this is the HTTP boundary's view.
+  */
+object ApiMetrics {
+
+  /** Streaming latency summary: exact count/sum plus quantiles over the
+    * last `capacity` observations (a bounded sliding window — honest
+    * about being recent-window quantiles, which is what a serving
+    * dashboard wants; an unbounded exact summary would grow forever).
+    */
+  final class Summary(capacity: Int = 1024) {
+    private val ring = new Array[Long](capacity)
+    private val writes = new AtomicLong()
+    val count = new LongAdder
+    val sumNanos = new LongAdder
+
+    def record(nanos: Long): Unit = {
+      count.increment()
+      sumNanos.add(nanos)
+      val i = ((writes.getAndIncrement() % capacity) + capacity) % capacity
+      ring(i.toInt) = nanos
+    }
+
+    def quantiles(qs: Seq[Double]): Seq[(Double, Double)] = {
+      val n = math.min(writes.get(), capacity.toLong).toInt
+      if (n == 0) qs.map(_ -> Double.NaN)
+      else {
+        val snap = ring.take(n).sorted
+        qs.map(q => q -> snap(math.min(n - 1, (q * n).toInt)) / 1e9)
+      }
+    }
+  }
+
+  private val requests = new ConcurrentHashMap[(String, Int), LongAdder]()
+  private val latencies = new ConcurrentHashMap[String, Summary]()
+
+  def record(route: String, status: Int, nanos: Long): Unit = {
+    requests.computeIfAbsent((route, status), _ => new LongAdder).increment()
+    latencies.computeIfAbsent(route, _ => new Summary()).record(nanos)
+  }
+
+  /** Prometheus text exposition (the format the reference's metrics
+    * listener serves) — counters first, then per-route summaries with
+    * the reference's quantile set.
+    */
+  def render(): String = {
+    val sb = new StringBuilder
+    sb.append("# HELP gbe_api_requests_total Requests served per route and status\n")
+    sb.append("# TYPE gbe_api_requests_total counter\n")
+    import scala.jdk.CollectionConverters._
+    requests.asScala.toSeq.sortBy { case ((r, s), _) => (r, s) }.foreach {
+      case ((route, status), n) =>
+        sb.append(s"""gbe_api_requests_total{route="$route",status="$status"} ${n.sum}""").append('\n')
+    }
+    sb.append("# HELP gbe_api_request_duration_seconds Request latency per route\n")
+    sb.append("# TYPE gbe_api_request_duration_seconds summary\n")
+    latencies.asScala.toSeq.sortBy(_._1).foreach { case (route, s) =>
+      s.quantiles(Seq(0.5, 0.9, 0.99)).foreach { case (q, v) =>
+        if (!v.isNaN)
+          sb.append(f"""gbe_api_request_duration_seconds{route="$route",quantile="$q"} $v%.6f""")
+            .append('\n')
+      }
+      sb.append(f"""gbe_api_request_duration_seconds_sum{route="$route"} ${s.sumNanos.sum / 1e9}%.6f""")
+        .append('\n')
+      sb.append(s"""gbe_api_request_duration_seconds_count{route="$route"} ${s.count.sum}""")
+        .append('\n')
+    }
+    sb.toString
+  }
+
+  /** Test isolation. */
+  def reset(): Unit = { requests.clear(); latencies.clear() }
+}

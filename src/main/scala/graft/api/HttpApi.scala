@@ -52,12 +52,24 @@ object HttpApi {
     def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
   }
 
-  /** Bind and start. `port=0` picks an ephemeral port (tests). */
+  /** Bind and start. `port=0` picks an ephemeral port (tests). The
+    * Prometheus text endpoint rides the same listener at `/metrics`
+    * (the reference starts it as its metrics HTTP server,
+    * `cmd/api/main.go:66-76`; one port here — no second listener in
+    * the sandbox).
+    */
   def start(spark: SparkSession, dir: String, port: Int = 0, poolSize: Int = 8): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val pool = Executors.newFixedThreadPool(poolSize)
     server.setExecutor(pool)
     server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, ex))
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      val bytes = ApiMetrics.render().getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
     server.start()
     new Handle(server, pool)
   }
@@ -65,6 +77,7 @@ object HttpApi {
   // ---- routing ---------------------------------------------------------
 
   private def handle(spark: SparkSession, dir: String, ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
     val (status, body) =
       try route(spark, dir, ex)
       catch {
@@ -72,11 +85,32 @@ object HttpApi {
           System.err.println(s"[http] ${ex.getRequestURI} failed: ${e.getMessage}")
           (500, "{}")
       }
+    ApiMetrics.record(routeTemplate(ex), status, System.nanoTime() - t0)
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+
+  /** The route TEMPLATE a request matched (path params masked), the
+    * per-route metric label echo-prometheus derives the same way —
+    * bounded cardinality regardless of what clients request.
+    */
+  private def routeTemplate(ex: HttpExchange): String = {
+    val segs = ex.getRequestURI.getPath.stripPrefix("/api/v1").split("/")
+      .filter(_.nonEmpty).toList
+    segs match {
+      case "pulses" :: Nil                      => "/api/v1/pulses"
+      case "pulses" :: _ :: Nil                 => "/api/v1/pulses/:pulse"
+      case "pulses" :: _ :: "jet-drops" :: Nil  => "/api/v1/pulses/:pulse/jet-drops"
+      case "jet-drops" :: _ :: Nil              => "/api/v1/jet-drops/:id"
+      case "jet-drops" :: _ :: "records" :: Nil => "/api/v1/jet-drops/:id/records"
+      case "jets" :: _ :: "jet-drops" :: Nil    => "/api/v1/jets/:jet/jet-drops"
+      case "lifeline" :: _ :: "records" :: Nil  => "/api/v1/lifeline/:ref/records"
+      case "search" :: Nil                      => "/api/v1/search"
+      case _                                    => "unmatched"
+    }
   }
 
   private def route(spark: SparkSession, dir: String, ex: HttpExchange): (Int, String) = {

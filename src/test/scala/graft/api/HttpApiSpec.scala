@@ -593,6 +593,30 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("GET /metrics: per-route counters and latency summaries in Prometheus text format") {
+    // the echo-prometheus + metrics-listener analog (cmd/api/main.go:
+    // 62-76): counts per (route template, status), recent-window
+    // quantiles per route, bounded label cardinality
+    ApiMetrics.reset()
+    get(s"/pulses/$somePulse"); get(s"/pulses/$somePulse"); get("/pulses/999999999")
+    get("/pulses?limit=0") // 400
+    get("/search?value=70000")
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://localhost:${handle.port}/metrics")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    val m = resp.body()
+    assert(m.contains("""gbe_api_requests_total{route="/api/v1/pulses/:pulse",status="200"} 2"""))
+    assert(m.contains("""gbe_api_requests_total{route="/api/v1/pulses/:pulse",status="404"} 1"""))
+    assert(m.contains("""gbe_api_requests_total{route="/api/v1/pulses",status="400"} 1"""))
+    assert(m.contains("""gbe_api_requests_total{route="/api/v1/search",status="200"} 1"""))
+    assert(m.contains("""gbe_api_request_duration_seconds{route="/api/v1/pulses/:pulse",quantile="0.5"}"""))
+    assert(m.contains("""gbe_api_request_duration_seconds_count{route="/api/v1/pulses/:pulse"} 3"""))
+    // path params are masked into the template: no raw pulse number may
+    // appear as a route label (bounded cardinality)
+    assert(!m.contains(s"""route="/api/v1/pulses/$somePulse""""))
+  }
+
   test("unknown routes are 404, non-GET is 405") {
     assert(get("/nope")._1 == 404)
     assert(get("/pulses/1/extra/deep")._1 == 404)
