@@ -108,9 +108,9 @@ object Endpoints {
     * probes before returning: `next` is the pulse whose stored prev
     * points here (`updateNextPulse`, first match in pulse order, else
     * -1) and `prev` is the stored prev only if that pulse actually
-    * exists (`updatePrevPulse`, else -1). Mirrored as one partition-
-    * pruned probe over the pulses spine — bounded driver logic, like the
-    * reference's two point queries.
+    * exists (`updatePrevPulse`, else -1). Both answered by the
+    * driver-held chain index; the pruned row fetch is the request's only
+    * Spark job.
     */
   def pulse(spark: SparkSession, dir: String, pulseNumber: Long): DataFrame = {
     val p = pulsesView(spark, dir)
@@ -153,9 +153,9 @@ object Endpoints {
     * sibling set {self, self+"0", self+"1", parent}
     * (`models.Siblings()`, `etl/models/models.go:57-64`). Note this
     * differs from the by-jet-id LIST endpoint, which links by drop
-    * hashes — the reference ships both semantics and so do we.
-    * Driver-side point probes over partition-pruned scans, mirroring the
-    * reference's three point queries.
+    * hashes — the reference ships both semantics and so do we. The two
+    * chain questions answer from the driver-held index; the row fetch
+    * and the sibling-drop collect are the request's only Spark jobs.
     */
   def jetDropById(spark: SparkSession, dir: String, jetDropId: String): Option[DataFrame] =
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
