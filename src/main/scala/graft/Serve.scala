@@ -15,26 +15,39 @@ import org.apache.spark.sql.SparkSession
   * round-7's measured 2.4 q/s fresh-session floor without it).
   */
 object Serve {
+
+  /** Everything `main` does short of blocking: ensure the standing
+    * spines, warm the endpoint plans to their concurrent plateau, bind
+    * the listener, then warm the full HTTP stack (routing → Endpoints →
+    * collect → JSON) so the first real client hits a compiled path —
+    * exactly the startup the serving bench measures. Returns the live
+    * handle; callers own `stop()`. `warmBudgetMsPerShape` exists so the
+    * spec can drive the REAL startup path on a small corpus without the
+    * production plateau budget.
+    */
+  def bootstrap(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      port: Int, warmBudgetMsPerShape: Long = 3000L): graft.api.HttpApi.Handle = {
+    graft.model.Domain.servedRecords(spark, sfDir)
+    graft.model.Domain.servedJetDrops(spark, sfDir)
+    graft.model.Domain.servedPulses(spark, sfDir)
+    LoadProbe.warmToPlateau(spark, sfDir,
+      SparkEntry.queries.toSeq.filter(_._1.startsWith("be_")).sortBy(_._1),
+      budgetMsPerShape = warmBudgetMsPerShape)
+
+    val handle = graft.api.HttpApi.start(spark, sfDir, port)
+    LoadProbe.warmHttpToPlateau(
+      LoadProbe.httpShapes(spark, sfDir).map { case (_, p) => s"http://localhost:${handle.port}$p" },
+      par = 8, budgetMsPerUrl = warmBudgetMsPerShape)
+    handle
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "8080").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.serviceBuilder(cpus, "graft-api").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    graft.model.Domain.servedRecords(spark, sfDir)
-    graft.model.Domain.servedJetDrops(spark, sfDir)
-    graft.model.Domain.servedPulses(spark, sfDir)
-    LoadProbe.warmToPlateau(spark, sfDir,
-      SparkEntry.queries.toSeq.filter(_._1.startsWith("be_")).sortBy(_._1))
-
-    val handle = graft.api.HttpApi.start(spark, sfDir, port)
-    // warm the full HTTP stack (routing → Endpoints → collect → JSON) so
-    // the first real client hits a compiled path, like the load probe's
-    // attack windows
-    LoadProbe.warmHttpToPlateau(
-      LoadProbe.httpShapes(spark, sfDir).map { case (_, p) => s"http://localhost:${handle.port}$p" },
-      par = 8)
+    val handle = bootstrap(spark, sfDir, port)
     println(s"""{"metric":"serving","port":${handle.port},"sf":"$sfDir"}""")
     sys.addShutdownHook { handle.stop(); spark.stop() }
     Thread.currentThread.join() // serve until killed

@@ -1,0 +1,71 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.atomic.AtomicLong
+
+/** The production server's startup path (`Serve.bootstrap` — what
+  * `Serve.main` runs short of blocking) and the HTTP attack probe that
+  * grades it. HttpApiSpec proves the routes; this proves the BINARY's
+  * boot sequence: spines ensured, plans plateau-warmed, listener bound,
+  * HTTP stack warmed — and that a bootstrapped server actually serves
+  * every probe shape. The reduced warm budget drives the identical code
+  * path at spec speed.
+  */
+class ServeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("Serve.bootstrap brings up a serving endpoint stack end to end") {
+    val handle = Serve.bootstrap(spark, dir, port = 0, warmBudgetMsPerShape = 120L)
+    try {
+      val client = HttpClient.newHttpClient()
+      // every probe shape the load suite attacks serves 200 with a body
+      LoadProbe.httpShapes(spark, dir).foreach { case (name, path) =>
+        val resp = client.send(
+          HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${handle.port}$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, s"$name -> ${resp.statusCode()}: ${resp.body().take(200)}")
+        assert(resp.body().nonEmpty, name)
+      }
+    } finally handle.stop()
+  }
+
+  test("a stopped handle releases the port; bootstrap can rebind it") {
+    val first = Serve.bootstrap(spark, dir, port = 0, warmBudgetMsPerShape = 60L)
+    val port = first.port
+    first.stop()
+    // rebinding the SAME fixed port proves stop() fully released it —
+    // the restart story a long-lived deployment depends on
+    val second = Serve.bootstrap(spark, dir, port = port, warmBudgetMsPerShape = 60L)
+    try assert(second.port == port)
+    finally second.stop()
+  }
+
+  test("LoadProbe.attackHttp measures a live URL with zero errors") {
+    val handle = Serve.bootstrap(spark, dir, port = 0, warmBudgetMsPerShape = 60L)
+    try {
+      val errors = new AtomicLong()
+      val stats = LoadProbe.attackHttp(
+        s"http://localhost:${handle.port}/api/v1/pulses?limit=5",
+        attackers = 2, millis = 500L, errors)
+      assert(errors.get() == 0)
+      assert(stats.n > 0)
+      assert(stats.qps > 0.0)
+      assert(stats.p50Ms > 0.0 && stats.p95Ms >= stats.p50Ms)
+    } finally handle.stop()
+  }
+
+  test("LoadProbe.attackHttp counts non-200 responses as errors, not latencies") {
+    val handle = Serve.bootstrap(spark, dir, port = 0, warmBudgetMsPerShape = 60L)
+    try {
+      val errors = new AtomicLong()
+      val stats = LoadProbe.attackHttp(
+        s"http://localhost:${handle.port}/api/v1/pulses?limit=0", // 400: out of range
+        attackers = 2, millis = 300L, errors)
+      assert(errors.get() > 0)
+      assert(stats.n == 0)
+    } finally handle.stop()
+  }
+}
