@@ -37,8 +37,18 @@ class ServeSpec extends SparkSpec {
     val port = first.port
     first.stop()
     // rebinding the SAME fixed port proves stop() fully released it —
-    // the restart story a long-lived deployment depends on
-    val second = Serve.bootstrap(spark, dir, port = port, warmBudgetMsPerShape = 60L)
+    // the restart story a long-lived deployment depends on. Lingering
+    // TIME_WAIT sockets from the first handle's own warm connections can
+    // hold the port briefly; a bounded retry separates that OS-level
+    // transient from a genuine leak.
+    val deadline = System.nanoTime() + 5_000_000_000L
+    def rebind(): graft.api.HttpApi.Handle =
+      try Serve.bootstrap(spark, dir, port = port, warmBudgetMsPerShape = 60L)
+      catch {
+        case e: java.net.BindException if System.nanoTime() < deadline =>
+          Thread.sleep(250); rebind()
+      }
+    val second = rebind()
     try assert(second.port == port)
     finally second.stop()
   }
