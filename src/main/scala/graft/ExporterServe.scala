@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The exporter-api binary (`cmd/exporter-api/main.go` analog): serve
+  * `exporter.PulseExporter/GetNextPulse` — the reference's gRPC service,
+  * exact proto layout — over the engine's pulse/record tables until
+  * killed.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   SPARK_GRAFT_GRPC_PORT=8090 sbt "runMain graft.ExporterServe"
+  *
+  * The per-stream poll is a broadcast join against one candidate pulse
+  * row of the pulses spine ([[graft.streaming.PulseFeed]]'s oracled
+  * `be_exporter_next` body), so a thousand concurrent subscriber streams
+  * cost one spine probe each per pulse period — the fact table is only
+  * touched for the filtered recount of the single admitted pulse.
+  */
+object ExporterServe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val port = sys.env.getOrElse("SPARK_GRAFT_GRPC_PORT", "8090").toInt
+    val periodMs = sys.env.getOrElse("SPARK_GRAFT_PULSE_PERIOD_MS", "10000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.serviceBuilder(cpus, "graft-exporter-api").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pulses = graft.model.Domain.servedPulses(spark, sfDir)
+    // a store whose records carry no prototype column (the driver
+    // testdata domain) still serves unfiltered subscriptions; a
+    // prototype-filtered request then matches nothing, like a filter no
+    // record satisfies
+    val recs = graft.model.Domain.servedRecords(spark, sfDir)
+    val records =
+      if (recs.columns.contains("prototype_reference")) recs
+      else recs.withColumn("prototype_reference", lit(null).cast("binary"))
+
+    val handle = graft.streaming.GrpcPulseExporter.start(pulses, records, port, periodMs)
+    println(s"""{"metric":"exporter_serving","port":${handle.port},"sf":"$sfDir"}""")
+    sys.addShutdownHook { handle.stop(); spark.stop() }
+    Thread.currentThread.join() // serve until killed
+  }
+}

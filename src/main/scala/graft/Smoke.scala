@@ -87,6 +87,21 @@ object Smoke {
     check("exporter feed")(streaming.PulseFeed.nextCompletePulseFiltered(
       status.withColumn("prev_pulse_number", col("pulse_number") - 10),
       withOrder, 65526L, Seq.empty).count())
+    // the same feed over the REAL wire: netty gRPC server + client on a
+    // localhost socket, the reference's exporter-api service/method
+    check("grpc exporter wire") {
+      val pulsesDf = status.withColumn("prev_pulse_number", col("pulse_number") - 10)
+      val handle = streaming.GrpcPulseExporter.start(pulsesDf, withOrder, port = 0,
+        pulsePeriodMs = 50L)
+      val ch = ingest.GrpcTransport.channel("localhost", handle.port)
+      try {
+        val first = org.sparkproject.connect.grpc.stub.ClientCalls.blockingServerStreamingCall(
+          ch, ingest.GrpcWire.GetNextPulseMethod,
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT,
+          ingest.GrpcWire.GetNextPulseRequest(65526L)).next()
+        s"pulse=${first.pulseNumber} records=${first.recordAmount}"
+      } finally { ingest.GrpcTransport.close(ch); handle.stop() }
+    }
 
     // ---- driver-loop pipeline on generated fixtures ----
     val base = java.nio.file.Files.createTempDirectory("graft-smoke-pipe").toString

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.sparkproject.connect.grpc.CallOptions
+import org.sparkproject.connect.grpc.stub.ClientCalls
+
+import graft.SparkSpec
+import graft.ingest.{GrpcTransport, GrpcWire}
+
+/** The exporter-api service over a real netty socket: the
+  * `exporter.PulseExporter/GetNextPulse` stream (exact reference proto,
+  * `etl/exporter/pulse_exporter.proto`) serves the chain of complete
+  * pulses with the prototype-filtered recount, long-polls when caught
+  * up, and ends when the client cancels — `pulse_exporter_server.go:
+  * 20-51` driven through a live client channel.
+  */
+class GrpcPulseExporterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // chain 70000 -> 70010 -> 70020 -> 70030; 70020 incomplete (skipped by
+  // the feed); 70030 chains over it via prev=70010? No — the feed walks
+  // stored prev links, so the complete successor of 70010 must name it.
+  private def pulses = Seq(
+    (70010L, 70000L, true), (70020L, 70010L, false), (70030L, 70010L, true))
+    .toDF("pulse_number", "prev_pulse_number", "is_complete")
+
+  private def records = Seq(
+    (70010L, "a"), (70010L, "b"), (70010L, "b"),
+    (70030L, "a"), (70030L, "c"))
+    .toDF("pulse_number", "payload")
+    .withColumn("prototype_reference", encode(col("payload"), "UTF-8"))
+    .drop("payload")
+
+  private def withServer[A](pulsePeriodMs: Long = 50L)(
+      body: (GrpcPulseExporter.Handle, org.sparkproject.connect.grpc.ManagedChannel) => A): A = {
+    val handle = GrpcPulseExporter.start(pulses, records, port = 0, pulsePeriodMs = pulsePeriodMs)
+    val ch = GrpcTransport.channel("localhost", handle.port)
+    try body(handle, ch)
+    finally { GrpcTransport.close(ch); handle.stop() }
+  }
+
+  private def take(ch: org.sparkproject.connect.grpc.ManagedChannel,
+      from: Long, n: Int, prototypes: Seq[Array[Byte]] = Nil): List[GrpcWire.GetNextPulseResponse] =
+    ClientCalls.blockingServerStreamingCall(
+      ch, GrpcWire.GetNextPulseMethod, CallOptions.DEFAULT,
+      GrpcWire.GetNextPulseRequest(from, prototypes))
+      .asInstanceOf[java.util.Iterator[GrpcWire.GetNextPulseResponse]]
+      .asScala.take(n).toList
+
+  implicit private class RichIt[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext
+      def next() = it.next()
+    }
+  }
+
+  test("streams the chain of complete pulses with the filtered recount") {
+    withServer() { (_, ch) =>
+      val got = take(ch, 70000L, 2)
+      assert(got.map(_.pulseNumber) == List(70010L, 70030L),
+        "the incomplete 70020 must be skipped; 70030 chains from 70010")
+      assert(got.map(_.prevPulseNumber) == List(70000L, 70010L))
+      assert(got.map(_.recordAmount) == List(3L, 2L),
+        "RecordAmount is the pulse's record count (storage.go:563-585 recount)")
+    }
+  }
+
+  test("prototype filter narrows both admission and the recount") {
+    withServer() { (_, ch) =>
+      val got = take(ch, 70000L, 2, prototypes = Seq("b".getBytes, "c".getBytes))
+      assert(got.map(_.pulseNumber) == List(70010L, 70030L))
+      assert(got.map(_.recordAmount) == List(2L, 1L),
+        "only records whose prototype_reference matches count")
+    }
+  }
+
+  test("long-poll: a caught-up stream stays open and the client ends it by cancelling") {
+    withServer(pulsePeriodMs = 20L) { (_, ch) =>
+      val it = ClientCalls.blockingServerStreamingCall(
+        ch, GrpcWire.GetNextPulseMethod, CallOptions.DEFAULT,
+        GrpcWire.GetNextPulseRequest(70010L))
+        .asInstanceOf[java.util.Iterator[GrpcWire.GetNextPulseResponse]]
+      assert(it.next().pulseNumber == 70030L)
+      // the server is now long-polling past the chain head — no more
+      // complete successors exist, so the stream is open but silent;
+      // closing the channel cancels it (how a reference client ends the
+      // infinite stream too)
+      val poll = new java.util.concurrent.CompletableFuture[Boolean]()
+      val t = new Thread(() => try poll.complete(it.hasNext) catch { case _: Throwable => poll.complete(false) })
+      t.start()
+      Thread.sleep(150)
+      assert(!poll.isDone, "caught-up stream must long-poll, not complete")
+      // withServer's teardown closes the channel; the polling thread then
+      // observes the cancellation instead of blocking forever
+      new Thread(() => { Thread.sleep(200); GrpcTransport.close(ch) }).start()
+      assert(!poll.get(10, java.util.concurrent.TimeUnit.SECONDS))
+    }
+  }
+}
