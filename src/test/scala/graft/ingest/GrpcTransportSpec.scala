@@ -184,6 +184,42 @@ class GrpcTransportSpec extends SparkSpec {
     assert(fp.iterateFrom == redirect)
   }
 
+  test("the channel survives an exporter restart: next fetch reconnects on the same port") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 3,
+      startPulse = start)
+    val replay = new ReplayExporter(wire)
+    val first: Server = NettyServerBuilder.forPort(0)
+      .addService(recordService(replay)).build().start()
+    val port = first.getPort
+    val ch: ManagedChannel = GrpcTransport.channel("localhost", port)
+    val grpc = new GrpcTransport.GrpcRecordStream(ch)
+    try {
+      assert(Transport.fetchPulse(grpc, start, sleep = noSleep).get.rows.length == 3)
+      // exporter goes away mid-deployment...
+      first.shutdownNow(); first.awaitTermination(5, TimeUnit.SECONDS)
+      // ...fetches against the dead exporter surface as reopen-able drops
+      // (UNAVAILABLE → StreamDropped), which fetchPulse absorbs until its
+      // reopen budget runs out — never a crash, never a partial pulse
+      intercept[Transport.StreamDropped] {
+        Transport.fetchPulse(grpc, start + Fixtures.PulseDelta, maxReopens = 2, sleep = noSleep)
+      }
+      // exporter restarts on the SAME port: the channel reconnects by
+      // itself and the next pulse flows — the extractor's reconnect story
+      val second: Server = NettyServerBuilder.forPort(port)
+        .addService(recordService(replay)).build().start()
+      try {
+        // the channel is in TRANSIENT_FAILURE with a connect backoff from
+        // the refused attempts; skip the wait (a production reconnect
+        // loop just sleeps through it) and give the fetch a real backoff
+        // budget for the re-dial
+        ch.resetConnectBackoff()
+        val fp = Transport.fetchPulse(grpc, start + Fixtures.PulseDelta,
+          maxReopens = 40, backoffMs = 250, sleep = Thread.sleep).get
+        assert(fp.rows.length == 3)
+      } finally { second.shutdownNow(); second.awaitTermination(5, TimeUnit.SECONDS) }
+    } finally GrpcTransport.close(ch)
+  }
+
   test("Pipeline ingests pulses through the gRPC transport end to end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-grpc-e2e").toString
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 4,
