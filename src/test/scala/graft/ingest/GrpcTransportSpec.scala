@@ -102,6 +102,21 @@ class GrpcTransportSpec extends SparkSpec {
     assert(GrpcWire.decodeNextPulseResponse(GrpcWire.encodeNextPulseResponse(resp)) == resp)
   }
 
+  test("golden wire bytes: the exporter-api messages encode exactly as canonical proto3") {
+    // hand-computed canonical encoding — what a protoc-generated Go
+    // client (the reference's) produces and parses for
+    // pulse_exporter.proto. varint(70010)=FA A2 04, varint(70000)=F0 A2 04
+    val resp = GrpcWire.encodeNextPulseResponse(GrpcWire.GetNextPulseResponse(70010L, 70000L, 42L))
+    assert(resp.toSeq == Seq(0x08, 0xFA, 0xA2, 0x04, 0x10, 0xF0, 0xA2, 0x04, 0x18, 0x2A)
+      .map(_.toByte))
+    val req = GrpcWire.encodeNextPulseRequest(
+      GrpcWire.GetNextPulseRequest(70000L, Seq(Array[Byte](1))))
+    assert(req.toSeq == Seq(0x08, 0xF0, 0xA2, 0x04, 0x12, 0x01, 0x01).map(_.toByte))
+    // and the reverse direction parses reference-produced bytes
+    assert(GrpcWire.decodeNextPulseResponse(resp) ==
+      GrpcWire.GetNextPulseResponse(70010L, 70000L, 42L))
+  }
+
   test("codec skips unknown fields (forward compatibility)") {
     // a future server adding field 15 (varint) must not break this client
     val known = GrpcWire.encodeNextPulseResponse(GrpcWire.GetNextPulseResponse(70010L, 70000L, 1L))

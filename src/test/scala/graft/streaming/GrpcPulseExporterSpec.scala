@@ -75,6 +75,20 @@ class GrpcPulseExporterSpec extends SparkSpec {
     }
   }
 
+  test("concurrent subscribers each get the full chain (one pool thread per stream)") {
+    withServer() { (_, ch) =>
+      import scala.jdk.CollectionConverters._
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, List[Long]]()
+      val threads = (0 until 4).map { i =>
+        new Thread(() => results.put(i, take(ch, 70000L, 2).map(_.pulseNumber)))
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(30000))
+      assert(results.size == 4)
+      results.values().asScala.foreach(pns => assert(pns == List(70010L, 70030L)))
+    }
+  }
+
   test("long-poll: a caught-up stream stays open and the client ends it by cancelling") {
     withServer(pulsePeriodMs = 20L) { (_, ch) =>
       val it = ClientCalls.blockingServerStreamingCall(
