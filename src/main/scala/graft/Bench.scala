@@ -331,6 +331,52 @@ object Bench {
     }
     telemetry += snap("b_ingest_done", spark)
 
+    // The same pulse over the REAL wire: a netty gRPC exporter on a
+    // localhost socket serving the 2000-record pulse in 100-record
+    // portions, fetched by GrpcTransport and committed by the same spine.
+    // ingest_grpc_sec − ingest_sec = what the wire costs at the
+    // reference's heaviest gate (must stay well under the 10s cadence).
+    val ingestGrpcSec = try {
+      import graft.ingest.{GrpcTransport, Transport}
+      val jets = (0 until 20).map(i => {
+        val b = java.lang.Long.toBinaryString(i)
+        "0" * (5 - b.length) + b
+      })
+      val start = graft.gen.Fixtures.GenesisPulse + graft.gen.Fixtures.PulseDelta
+      val wire = graft.gen.Fixtures.multiPulseBatches(spark, 1, 2000, jets, startPulse = start)
+      val byPulse = wire.collect().groupBy(_.getAs[Long]("pulse_number"))
+        .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
+      val replay = new Transport.RecordStream {
+        def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+          val prows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
+          val slice = prows.slice(recordNumber, recordNumber + count)
+          val recs = slice.iterator.map(r => Transport.Frame(pulse, r))
+          if (recordNumber + slice.length >= prows.length)
+            recs ++ Iterator(Transport.Frame(pulse + graft.gen.Fixtures.PulseDelta, null))
+          else recs
+        }
+      }
+      val server = org.sparkproject.connect.grpc.netty.NettyServerBuilder.forPort(0)
+        .addService(GrpcTransport.recordService(replay)).build().start()
+      val ch = GrpcTransport.channel("localhost", server.getPort)
+      try {
+        val grpc = new GrpcTransport.GrpcRecordStream(ch)
+        val t0 = System.nanoTime()
+        val fp = Transport.fetchPulse(grpc, start, batchSize = 100).get
+        val staged = graft.ingest.Spine(spark.createDataFrame(
+          java.util.Arrays.asList(fp.rows: _*), graft.model.Schemas.wireRecords))
+        graft.ingest.PulseWriter.writePulsePartition(staged, "records", "/tmp/graft-bench-ingest-grpc")
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        GrpcTransport.close(ch)
+        server.shutdownNow()
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] grpc ingest failed: ${e.getMessage}"); -1.0
+    }
+    telemetry += snap("b_ingest_grpc_done", spark)
+
     // Serving-throughput analog of the reference's load suite (5 rps per
     // endpoint, zero errors), LAST position: after ~190 catalog
     // executions, the state a long-lived service degrades into if
@@ -357,6 +403,7 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson""" +
       f""","warm_total":$warmTotal%.3f,"queries_warm":$qsWarm,"ingest_sec":$ingestSec%.3f""" +
+      f""","ingest_grpc_sec":$ingestGrpcSec%.3f""" +
       f""","load_min_shape_qps":$loadMin%.2f,"load_min_shape_qps_first_attempt":$loadMinRaw%.2f""" +
       f""","load_per_shape_qps":$loadFlat,"load_errors":$loadErrs""" +
       f""","load_shape_stats":$loadStats""" +
@@ -388,7 +435,7 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_n":${results.length}""" +
       f""","queries":$qsCompact""" +
-      f""","warm_total":$warmTotal%.3f,"ingest_sec":$ingestSec%.3f""" +
+      f""","warm_total":$warmTotal%.3f,"ingest_sec":$ingestSec%.3f,"ingest_grpc_sec":$ingestGrpcSec%.3f""" +
       f""","load_min_shape_qps":$loadMin%.2f,"load_first_min_qps":$firstMin%.2f""" +
       f""","load_http_min_qps":$httpMin%.2f,"load_http_errors":$httpErrs""" +
       s""","failed":$failedJson,"sf":"$sfDir"}""")

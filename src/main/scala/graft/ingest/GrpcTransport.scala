@@ -4,9 +4,9 @@ import java.util.concurrent.TimeUnit
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
-import org.sparkproject.connect.grpc.{CallOptions, Channel, ManagedChannel, Status, StatusRuntimeException}
+import org.sparkproject.connect.grpc.{CallOptions, Channel, ManagedChannel, ServerServiceDefinition, Status, StatusRuntimeException}
 import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
-import org.sparkproject.connect.grpc.stub.ClientCalls
+import org.sparkproject.connect.grpc.stub.{ClientCalls, ServerCalls, StreamObserver}
 
 import graft.model.Schemas
 
@@ -85,6 +85,43 @@ object GrpcTransport {
       }
     }
   }
+
+  /** Serve any [[Transport.RecordStream]] over the Export method — the
+    * wire-side bridge the bench and the contract specs bind to a netty
+    * listener, translating the transport exceptions into the statuses a
+    * real exporter node returns (the heavymock shape,
+    * `test/heavymock/exporter_impl.go:28-50`, with fault statuses). A
+    * downstream deployment could also chain two engines with it.
+    */
+  def recordService(stream: Transport.RecordStream): ServerServiceDefinition =
+    ServerServiceDefinition.builder("exporter.RecordExporter")
+      .addMethod(GrpcWire.ExportMethod,
+        ServerCalls.asyncServerStreamingCall(
+          new ServerCalls.ServerStreamingMethod[GrpcWire.GetRecords, GrpcWire.RecordFrame] {
+            override def invoke(req: GrpcWire.GetRecords,
+                obs: StreamObserver[GrpcWire.RecordFrame]): Unit =
+              try {
+                val it = stream.export(req.pulseNumber, req.recordNumber, req.count)
+                while (it.hasNext) {
+                  val f = it.next()
+                  val frame =
+                    if (f.row == null) // header-only end-of-pulse marker
+                      GrpcWire.RecordFrame(0L, Array.empty, null, "", "", null,
+                        null, null, null, f.recPulse, f.shouldIterateFrom.getOrElse(0L))
+                    else frameOf(f.row, f.row.getAs[Long]("record_number"))
+                  obs.onNext(frame)
+                }
+                obs.onCompleted()
+              } catch {
+                case e: Transport.PulseNotFound =>
+                  obs.onError(Status.NOT_FOUND.withDescription(e.getMessage).asRuntimeException())
+                case e: Transport.RateLimited =>
+                  obs.onError(Status.RESOURCE_EXHAUSTED.withDescription(e.getMessage).asRuntimeException())
+                case e: Transport.StreamDropped =>
+                  obs.onError(Status.UNAVAILABLE.withDescription(e.getMessage).asRuntimeException())
+              }
+          }))
+      .build()
 
   private def translate(pulse: Long, e: Throwable): Nothing = e match {
     case s: StatusRuntimeException => s.getStatus.getCode match {

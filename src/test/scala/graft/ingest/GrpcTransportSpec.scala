@@ -3,9 +3,8 @@ package graft.ingest
 import java.util.concurrent.TimeUnit
 
 import org.apache.spark.sql.Row
-import org.sparkproject.connect.grpc.{ManagedChannel, Server, ServerServiceDefinition, Status}
+import org.sparkproject.connect.grpc.{ManagedChannel, Server}
 import org.sparkproject.connect.grpc.netty.NettyServerBuilder
-import org.sparkproject.connect.grpc.stub.{ServerCalls, StreamObserver}
 
 import graft.SparkSpec
 import graft.gen.Fixtures
@@ -24,48 +23,14 @@ class GrpcTransportSpec extends SparkSpec {
   private val start = Fixtures.GenesisPulse + Fixtures.PulseDelta
   private def noSleep: Long => Unit = _ => ()
 
-  // ---- the wire-side mock: any RecordStream served over gRPC ----------
-
-  /** Serve a [[Transport.RecordStream]] (the replay harness, fault
-    * injection included) over the Export method, translating the
-    * transport exceptions to the statuses a real exporter node returns.
-    */
-  private def recordService(stream: Transport.RecordStream): ServerServiceDefinition =
-    ServerServiceDefinition.builder("exporter.RecordExporter")
-      .addMethod(GrpcWire.ExportMethod,
-        ServerCalls.asyncServerStreamingCall(
-          new ServerCalls.ServerStreamingMethod[GrpcWire.GetRecords, GrpcWire.RecordFrame] {
-            override def invoke(req: GrpcWire.GetRecords,
-                obs: StreamObserver[GrpcWire.RecordFrame]): Unit =
-              try {
-                val it = stream.export(req.pulseNumber, req.recordNumber, req.count)
-                while (it.hasNext) {
-                  val f = it.next()
-                  val frame =
-                    if (f.row == null) // header-only end-of-pulse marker
-                      GrpcWire.RecordFrame(0L, Array.empty, null, "", "", null,
-                        null, null, null, f.recPulse, f.shouldIterateFrom.getOrElse(0L))
-                    else GrpcTransport.frameOf(f.row,
-                      f.row.getAs[Long]("record_number"))
-                  obs.onNext(frame)
-                }
-                obs.onCompleted()
-              } catch {
-                case e: Transport.PulseNotFound =>
-                  obs.onError(Status.NOT_FOUND.withDescription(e.getMessage).asRuntimeException())
-                case e: Transport.RateLimited =>
-                  obs.onError(Status.RESOURCE_EXHAUSTED.withDescription(e.getMessage).asRuntimeException())
-                case e: Transport.StreamDropped =>
-                  obs.onError(Status.UNAVAILABLE.withDescription(e.getMessage).asRuntimeException())
-              }
-          }))
-      .build()
+  // the wire-side bridge ([[GrpcTransport.recordService]]) serves the
+  // replay harness — fault injection included — over real netty sockets
 
   /** Run `body` against a live netty server + channel for `stream`. */
   private def overWire[A](stream: Transport.RecordStream)(
       body: Transport.RecordStream => A): A = {
     val server: Server = NettyServerBuilder.forPort(0)
-      .addService(recordService(stream)).build().start()
+      .addService(GrpcTransport.recordService(stream)).build().start()
     val ch: ManagedChannel = GrpcTransport.channel("localhost", server.getPort)
     try body(new GrpcTransport.GrpcRecordStream(ch))
     finally {
@@ -204,7 +169,7 @@ class GrpcTransportSpec extends SparkSpec {
       startPulse = start)
     val replay = new ReplayExporter(wire)
     val first: Server = NettyServerBuilder.forPort(0)
-      .addService(recordService(replay)).build().start()
+      .addService(GrpcTransport.recordService(replay)).build().start()
     val port = first.getPort
     val ch: ManagedChannel = GrpcTransport.channel("localhost", port)
     val grpc = new GrpcTransport.GrpcRecordStream(ch)
@@ -221,7 +186,7 @@ class GrpcTransportSpec extends SparkSpec {
       // exporter restarts on the SAME port: the channel reconnects by
       // itself and the next pulse flows — the extractor's reconnect story
       val second: Server = NettyServerBuilder.forPort(port)
-        .addService(recordService(replay)).build().start()
+        .addService(GrpcTransport.recordService(replay)).build().start()
       try {
         // the channel is in TRANSIENT_FAILURE with a connect backoff from
         // the refused attempts; skip the wait (a production reconnect
