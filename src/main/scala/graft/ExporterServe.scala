@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   * touched for the filtered recount of the single admitted pulse.
   */
 object ExporterServe {
+
+  /** Everything `main` does short of blocking: resolve the served
+    * pulse/record views (defaulting a missing prototype column — a store
+    * whose records carry none still serves unfiltered subscriptions; a
+    * prototype-filtered request then matches nothing, like a filter no
+    * record satisfies) and bind the netty listener. Callers own
+    * `stop()`.
+    */
+  def bootstrap(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      port: Int, pulsePeriodMs: Long = 10000L): graft.streaming.GrpcPulseExporter.Handle = {
+    val pulses = graft.model.Domain.servedPulses(spark, sfDir)
+    val recs = graft.model.Domain.servedRecords(spark, sfDir)
+    val records =
+      if (recs.columns.contains("prototype_reference")) recs
+      else recs.withColumn("prototype_reference", lit(null).cast("binary"))
+    graft.streaming.GrpcPulseExporter.start(pulses, records, port, pulsePeriodMs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val port = sys.env.getOrElse("SPARK_GRAFT_GRPC_PORT", "8090").toInt
@@ -24,18 +42,7 @@ object ExporterServe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.serviceBuilder(cpus, "graft-exporter-api").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val pulses = graft.model.Domain.servedPulses(spark, sfDir)
-    // a store whose records carry no prototype column (the driver
-    // testdata domain) still serves unfiltered subscriptions; a
-    // prototype-filtered request then matches nothing, like a filter no
-    // record satisfies
-    val recs = graft.model.Domain.servedRecords(spark, sfDir)
-    val records =
-      if (recs.columns.contains("prototype_reference")) recs
-      else recs.withColumn("prototype_reference", lit(null).cast("binary"))
-
-    val handle = graft.streaming.GrpcPulseExporter.start(pulses, records, port, periodMs)
+    val handle = bootstrap(spark, sfDir, port, periodMs)
     println(s"""{"metric":"exporter_serving","port":${handle.port},"sf":"$sfDir"}""")
     sys.addShutdownHook { handle.stop(); spark.stop() }
     Thread.currentThread.join() // serve until killed

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{GrpcTransport, GrpcWire}
+import graft.model.Domain
+import graft.streaming.PulseFeed
+
+/** The exporter-api binary's startup path (`ExporterServe.bootstrap` —
+  * what `main` runs short of blocking) on the real testdata domain: the
+  * served views wire up (including the prototype-column default for a
+  * store that carries none) and the first streamed response over the
+  * live socket equals the library feed body's answer — the same
+  * `nextCompletePulseFiltered` whose DataFrame twin is oracled as
+  * `be_exporter_next`.
+  */
+class ExporterServeSpec extends SparkSpec {
+
+  // sf0.01: the smallest corpus whose jet trees actually COVER (at
+  // sf0.001 no pulse passes the completeness aggregator, so the feed is
+  // legitimately empty there — be_exporter_next's oracle agrees)
+  private val dir = "/root/testdata/sf0.01"
+
+  test("ExporterServe.bootstrap serves the feed from the testdata domain over gRPC") {
+    val pulses = Domain.servedPulses(spark, dir)
+    val records = Domain.servedRecords(spark, dir)
+      .withColumn("prototype_reference", lit(null).cast("binary"))
+    // a cursor whose complete, record-bearing successor exists — derived
+    // from the data so testdata regeneration cannot strand the test
+    val cursor = pulses.filter(col("is_complete"))
+      .join(records.select("pulse_number").distinct(), "pulse_number")
+      .orderBy("pulse_number").select("prev_pulse_number").collect().headOption
+    assume(cursor.nonEmpty, "no complete record-bearing pulse in this corpus")
+    val from = cursor.get.getLong(0)
+    val expected = PulseFeed.nextCompletePulseFiltered(pulses, records, from, Nil)
+      .collect()
+    assume(expected.nonEmpty, s"no feed successor for cursor $from")
+
+    val handle = ExporterServe.bootstrap(spark, dir, port = 0, pulsePeriodMs = 50L)
+    val ch = GrpcTransport.channel("localhost", handle.port)
+    try {
+      val got = org.sparkproject.connect.grpc.stub.ClientCalls.blockingServerStreamingCall(
+        ch, GrpcWire.GetNextPulseMethod,
+        org.sparkproject.connect.grpc.CallOptions.DEFAULT,
+        GrpcWire.GetNextPulseRequest(from)).next()
+      assert(got.pulseNumber == expected.head.getAs[Long]("pulse_number"))
+      assert(got.prevPulseNumber == expected.head.getAs[Long]("prev_pulse_number"))
+      assert(got.recordAmount == expected.head.getAs[Long]("record_amount"))
+    } finally { GrpcTransport.close(ch); handle.stop() }
+  }
+}
