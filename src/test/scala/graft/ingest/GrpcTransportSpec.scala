@@ -82,6 +82,38 @@ class GrpcTransportSpec extends SparkSpec {
       GrpcWire.GetNextPulseResponse(70010L, 70000L, 42L))
   }
 
+  test("property: random frames round-trip the codec, edge values included") {
+    val rnd = new scala.util.Random(9)
+    def bytes(): Array[Byte] =
+      if (rnd.nextInt(5) == 0) null else Array.fill(rnd.nextInt(40))(rnd.nextInt().toByte)
+    val edgeLongs = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 65536L, 1L << 33)
+    def long(): Long =
+      if (rnd.nextInt(3) == 0) edgeLongs(rnd.nextInt(edgeLongs.length)) else rnd.nextLong()
+    def str(): String =
+      if (rnd.nextInt(5) == 0) "" else rnd.alphanumeric.take(rnd.nextInt(20)).mkString + "π☃"
+    (0 until 200).foreach { _ =>
+      val f = GrpcWire.RecordFrame(long(), Option(bytes()).getOrElse(Array.empty),
+        bytes(), str(), str(), bytes(), bytes(), bytes(), bytes(), long(), long())
+      val b = GrpcWire.decodeRecordFrame(GrpcWire.encodeRecordFrame(f))
+      assert(b.recordNumber == f.recordNumber && b.pulseNumber == f.pulseNumber &&
+        b.shouldIterateFrom == f.shouldIterateFrom)
+      assert(b.jetId == f.jetId && b.virtualType == f.virtualType)
+      // proto3 cannot distinguish absent from empty: both read back as
+      // the default — null for the nullable bytes fields, "" for strings
+      def canon(a: Array[Byte]): Seq[Byte] = Option(a).fold(Seq.empty[Byte])(_.toSeq)
+      assert(canon(b.objectId) == canon(f.objectId) && canon(b.image) == canon(f.image))
+      assert(canon(b.memory) == canon(f.memory) && canon(b.prevStateId) == canon(f.prevStateId))
+      assert(canon(b.rawData) == canon(f.rawData) && canon(b.id) == canon(f.id))
+      val r = GrpcWire.GetNextPulseRequest(long(), Seq.fill(rnd.nextInt(4))(
+        Option(bytes()).getOrElse(Array.empty)))
+      val rb = GrpcWire.decodeNextPulseRequest(GrpcWire.encodeNextPulseRequest(r))
+      assert(rb.pulseNumberFrom == r.pulseNumberFrom)
+      assert(rb.prototypes.map(canon) == r.prototypes.map(canon),
+        "repeated elements survive in order — empties included (repeated " +
+        "fields encode every element, unlike singular proto3 defaults)")
+    }
+  }
+
   test("codec skips unknown fields (forward compatibility)") {
     // a future server adding field 15 (varint) must not break this client
     val known = GrpcWire.encodeNextPulseResponse(GrpcWire.GetNextPulseResponse(70010L, 70000L, 1L))
