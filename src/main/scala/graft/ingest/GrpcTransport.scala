@@ -32,9 +32,17 @@ import graft.model.Schemas
   */
 object GrpcTransport {
 
-  /** Open a plaintext channel to an exporter. Callers own `shutdown()`. */
-  def channel(host: String, port: Int): ManagedChannel =
-    NettyChannelBuilder.forAddress(host, port).usePlaintext().build()
+  /** Open a plaintext channel to an exporter. Callers own `shutdown()`.
+    * The inbound cap matches the reference client's `MaxTransportMsg`
+    * default of 1 GiB (`etl/connection/grpc_client.go:28`,
+    * `configuration/configuration.go:67`) — a heavy record payload must
+    * not die on gRPC's 4 MiB default.
+    */
+  def channel(host: String, port: Int,
+      maxInboundMessageBytes: Int = 1 << 30): ManagedChannel =
+    NettyChannelBuilder.forAddress(host, port)
+      .maxInboundMessageSize(maxInboundMessageBytes)
+      .usePlaintext().build()
 
   def close(ch: ManagedChannel): Unit = {
     ch.shutdownNow()

@@ -98,6 +98,9 @@ object GrpcPulseExporter {
     val pool = Executors.newCachedThreadPool()
     val server = NettyServerBuilder.forPort(port)
       .executor(pool)
+      // match the reference transport's 1 GiB message cap
+      // (configuration.go:67 MaxTransportMsg) on the serve side too
+      .maxInboundMessageSize(1 << 30)
       .addService(service(pulses, records, pulsePeriodMs))
       .build()
       .start()
