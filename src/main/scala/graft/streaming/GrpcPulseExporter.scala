@@ -58,21 +58,48 @@ object GrpcPulseExporter {
           }))
       .build()
 
+  /** One poll step, decomposed for the serving path: the batch body
+    * ([[PulseFeed.nextCompletePulseFiltered]], the oracled
+    * `be_exporter_next` twin) scans the records side bounded only by the
+    * join — right for a batch query, wrong per-poll at 100 TB. Here the
+    * candidate probe touches ONLY the pulse spine (one row), and the
+    * recount runs with a STATIC `pulse_number = pn` predicate the
+    * range-clustered records artifact prunes to one pulse's row groups —
+    * the columnar analog of the reference's indexed
+    * `JOIN records ... WHERE pulses.prev_pulse_number = ?`
+    * (`etl/storage/storage.go:563-585`). Semantics are the batch body's
+    * exactly, including the stall: a complete successor whose records
+    * match nothing is NOT served — the stream waits at the cursor, as the
+    * reference's `currentPN >= receivedPulse.PulseNumber` sleep does for
+    * the zero-value pulse its empty Find returns.
+    */
+  private[streaming] def pollStep(pulses: DataFrame, records: DataFrame,
+      from: Long, prototypes: Seq[Array[Byte]]): Option[GetNextPulseResponse] = {
+    import org.apache.spark.sql.functions.{col, min}
+    val cand = pulses
+      .filter(col("is_complete") && col("prev_pulse_number") === from)
+      .agg(min(col("pulse_number"))).collect().head
+    if (cand.isNullAt(0)) None
+    else {
+      val pn = cand.getLong(0)
+      val matched =
+        if (prototypes.isEmpty) records
+        else records.filter(col("prototype_reference").isin(prototypes: _*))
+      val amount = matched.filter(col("pulse_number") === pn).count()
+      if (amount == 0) None else Some(GetNextPulseResponse(pn, from, amount))
+    }
+  }
+
   private def feed(pulses: DataFrame, records: DataFrame, pulsePeriodMs: Long,
       req: GetNextPulseRequest, obs: StreamObserver[GetNextPulseResponse]): Unit = {
     val sco = obs.asInstanceOf[ServerCallStreamObserver[GetNextPulseResponse]]
     var current = req.pulseNumberFrom
     try {
       while (!sco.isCancelled) {
-        val next = PulseFeed
-          .nextCompletePulseFiltered(pulses, records, current, req.prototypes)
-          .collect().headOption
-        next match {
-          case Some(row) =>
-            val pn = row.getAs[Long]("pulse_number")
-            sco.onNext(GetNextPulseResponse(pn,
-              row.getAs[Long]("prev_pulse_number"), row.getAs[Long]("record_amount")))
-            current = pn
+        pollStep(pulses, records, current, req.prototypes) match {
+          case Some(resp) =>
+            sco.onNext(resp)
+            current = resp.pulseNumber
           case None =>
             Thread.sleep(pulsePeriodMs)
         }

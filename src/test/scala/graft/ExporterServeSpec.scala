@@ -48,4 +48,15 @@ class ExporterServeSpec extends SparkSpec {
       assert(got.recordAmount == expected.head.getAs[Long]("record_amount"))
     } finally { GrpcTransport.close(ch); handle.stop() }
   }
+
+  test("the serve-side recount reaches the records artifact as a pushed pulse predicate") {
+    // the per-poll recount must prune to one pulse's row groups, never
+    // rescan the fact (the indexed-DB analog the poll loop relies on)
+    val records = Domain.servedRecords(spark, dir)
+    val pn = records.select("pulse_number").head().getLong(0)
+    val p = records.filter(col("pulse_number") === pn)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(pulse_number"),
+      s"recount plan must push the pulse bound to parquet:\n${p.take(2000)}")
+  }
 }

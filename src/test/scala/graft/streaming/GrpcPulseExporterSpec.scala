@@ -75,6 +75,18 @@ class GrpcPulseExporterSpec extends SparkSpec {
     }
   }
 
+  test("pollStep (the serving form) equals the oracled batch body on every cursor and filter") {
+    val protoSets = Seq(Nil, Seq("b".getBytes, "c".getBytes), Seq("zzz".getBytes))
+    for (from <- Seq(69990L, 70000L, 70010L, 70020L, 70030L); protos <- protoSets) {
+      val batch = PulseFeed.nextCompletePulseFiltered(pulses, records, from, protos)
+        .collect().headOption.map(r => (r.getAs[Long]("pulse_number"),
+          r.getAs[Long]("prev_pulse_number"), r.getAs[Long]("record_amount")))
+      val point = GrpcPulseExporter.pollStep(pulses, records, from, protos)
+        .map(r => (r.pulseNumber, r.prevPulseNumber, r.recordAmount))
+      assert(point == batch, s"from=$from protos=${protos.length}")
+    }
+  }
+
   test("concurrent subscribers each get the full chain (one pool thread per stream)") {
     withServer() { (_, ch) =>
       import scala.jdk.CollectionConverters._
