@@ -198,7 +198,10 @@ object LoadProbe {
       .agg(min("pulse_number")).collect().head.getLong(0)
     val drop = graft.model.Domain.servedJetDrops(spark, dir)
       .orderBy("pulse_number", "jet_id").select("jet_id", "pulse_number").head()
-    val (jet, dropPulse) = (drop.getString(0), drop.getLong(1))
+    // the root jet's storage form is "" but its API form is "*"
+    // (jetDropIdString) — a raw "" would 400/404 every drop-shape attack
+    val (jet, dropPulse) =
+      (if (drop.getString(0).isEmpty) "*" else drop.getString(0), drop.getLong(1))
     val obj = graft.model.Domain.servedRecords(spark, dir)
       .filter(col("type") === "state").groupBy("object_reference").count()
       .orderBy(desc("count")).head().getLong(0)

@@ -22,25 +22,32 @@ object ApiMetrics {
     * dashboard wants; an unbounded exact summary would grow forever).
     */
   final class Summary(capacity: Int = 1024) {
-    private val ring = new Array[Long](capacity)
-    private val writes = new AtomicLong()
+    // AtomicLongArray: slot writes happen-before the scrape thread's
+    // reads (a plain long[] permits stale reads and 64-bit tearing).
+    // The only remaining race is a writer that claimed a slot but hasn't
+    // stored yet while a LATER writer already published — the scrape then
+    // reads the slot's PRIOR sample (a real observation) or, on the
+    // first unfilled pass, a 0; impossible-0 samples are dropped below,
+    // so a ghost never skews a quantile.
+    private val ring = new java.util.concurrent.atomic.AtomicLongArray(capacity)
+    private val claimed = new AtomicLong() // slots reserved by writers
+    private val visible = new AtomicLong() // high-water of completed stores
     val count = new LongAdder
     val sumNanos = new LongAdder
 
     def record(nanos: Long): Unit = {
       count.increment()
       sumNanos.add(nanos)
-      val i = ((writes.getAndIncrement() % capacity) + capacity) % capacity
-      ring(i.toInt) = nanos
+      val w = claimed.getAndIncrement()
+      ring.set(((w % capacity) + capacity).toInt % capacity, math.max(1L, nanos))
+      visible.accumulateAndGet(w + 1, math.max)
     }
 
     def quantiles(qs: Seq[Double]): Seq[(Double, Double)] = {
-      val n = math.min(writes.get(), capacity.toLong).toInt
-      if (n == 0) qs.map(_ -> Double.NaN)
-      else {
-        val snap = ring.take(n).sorted
-        qs.map(q => q -> snap(math.min(n - 1, (q * n).toInt)) / 1e9)
-      }
+      val n = math.min(visible.get(), capacity.toLong).toInt
+      val snap = Array.tabulate(n)(ring.get).filter(_ > 0L).sorted
+      if (snap.isEmpty) qs.map(_ -> Double.NaN)
+      else qs.map(q => q -> snap(math.min(snap.length - 1, (q * snap.length).toInt)) / 1e9)
     }
   }
 

@@ -64,7 +64,12 @@ object Endpoints {
     // scan + window per consumer (the reference holds the page rows the
     // same way, storage.go:326-356).
     val rows = pageQuery.collect()
-    if (rows.isEmpty) pageQuery
+    // empty page: an empty LocalRelation, NOT the live query — returning
+    // pageQuery would re-run the whole scan+window at the caller's
+    // collect (and again at the envelope's total probe)
+    if (rows.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        pageQuery.schema)
     else spark.createDataFrame(
       java.util.Arrays.asList(patchPageEdges(spark, dir, rows): _*), pageQuery.schema)
   }
@@ -160,35 +165,44 @@ object Endpoints {
   def jetDropById(spark: SparkSession, dir: String, jetDropId: String): Option[DataFrame] =
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
       val d = dropsView(spark, dir)
-      val row = d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1)
-      // both point queries the reference makes (the stored prev and the
-      // updateNextPulse successor probe) answer from the driver-held
-      // chain index — zero extra Spark jobs
-      val chain = Domain.pulseChainIndex(spark, dir)
-      val (prevLinks, nextLinks) =
-        chain.storedPrev(pulse) match {
-          case None => (Seq.empty[JetDropLink], Seq.empty[JetDropLink])
-          case Some(storedPrev) =>
-            val nextPulse = chain.nextByPrev(pulse).getOrElse(PulseChain.Unknown)
-            val siblings = Seq(jet, jet + "0", jet + "1") ++
-              (if (jet.nonEmpty) Seq(jet.substring(0, jet.length - 1)) else Nil)
-            val neighbors = d
-              .filter((col("pulse_number") === nextPulse || col("pulse_number") === storedPrev) &&
-                col("jet_id").isin(siblings: _*))
-              .select(col("pulse_number"), col("jet_id")).collect()
-              .map { r =>
-                val (pn, j) = (r.getLong(0), r.getString(1))
-                (pn, JetDropLink(s"${if (j.isEmpty) "*" else j}:$pn",
-                  if (j.isEmpty) "*" else j, pn))
-              }
-            (neighbors.collect { case (pn, l) if pn == storedPrev => l }
-               .sortBy(_.jet_drop_id).toSeq,
-             neighbors.collect { case (pn, l) if pn == nextPulse && nextPulse != PulseChain.Unknown => l }
-               .sortBy(_.jet_drop_id).toSeq)
-        }
-      Mappers.jetDropToApi(row
-        .withColumn("prev_jet_drop_id", typedLit(prevLinks))
-        .withColumn("next_jet_drop_id", typedLit(nextLinks)))
+      val rowQuery = d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1)
+      // existence gates the neighbor job: a 404 (absent drop) must cost
+      // exactly the point fetch, and the collected row is returned as a
+      // LocalRelation so the caller's collect re-runs nothing
+      val rows = rowQuery.collect()
+      if (rows.isEmpty)
+        Mappers.jetDropToApi(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), rowQuery.schema))
+      else {
+        // both point queries the reference makes (the stored prev and the
+        // updateNextPulse successor probe) answer from the driver-held
+        // chain index — zero extra Spark jobs
+        val chain = Domain.pulseChainIndex(spark, dir)
+        val (prevLinks, nextLinks) =
+          chain.storedPrev(pulse) match {
+            case None => (Seq.empty[JetDropLink], Seq.empty[JetDropLink])
+            case Some(storedPrev) =>
+              val nextPulse = chain.nextByPrev(pulse).getOrElse(PulseChain.Unknown)
+              val siblings = JetFunctions.jetLinkCandidates(jet)
+              val neighbors = d
+                .filter((col("pulse_number") === nextPulse || col("pulse_number") === storedPrev) &&
+                  col("jet_id").isin(siblings: _*))
+                .select(col("pulse_number"), col("jet_id")).collect()
+                .map { r =>
+                  val (pn, j) = (r.getLong(0), r.getString(1))
+                  (pn, JetDropLink(s"${if (j.isEmpty) "*" else j}:$pn",
+                    if (j.isEmpty) "*" else j, pn))
+                }
+              (neighbors.collect { case (pn, l) if pn == storedPrev => l }
+                 .sortBy(_.jet_drop_id).toSeq,
+               neighbors.collect { case (pn, l) if pn == nextPulse && nextPulse != PulseChain.Unknown => l }
+                 .sortBy(_.jet_drop_id).toSeq)
+          }
+        Mappers.jetDropToApi(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), rowQuery.schema)
+          .withColumn("prev_jet_drop_id", typedLit(prevLinks))
+          .withColumn("next_jet_drop_id", typedLit(nextLinks)))
+      }
     }
 
   /** GET /jet-drops/{jet_drop_id}/records — records of one drop, keyset.
@@ -240,7 +254,11 @@ object Endpoints {
       val pageQuery = paged.withColumn("jet_drop_id",
         Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
       val pageRows = pageQuery.collect()
-      if (pageRows.isEmpty) paged
+      // empty page: an empty LocalRelation in the pre-link schema (the
+      // link assembly has nothing to do), never the live query
+      if (pageRows.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          paged.schema)
       else {
         // The linkable set mirrors the reference exactly (handlers.go:
         // 207-223 + getEnrichingJetDrops 244-268): the PAGE's own drops

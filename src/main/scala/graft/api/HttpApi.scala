@@ -64,11 +64,15 @@ object HttpApi {
     server.setExecutor(pool)
     server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, ex))
     server.createContext("/metrics", (ex: HttpExchange) => {
-      val bytes = ApiMetrics.render().getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
-      ex.sendResponseHeaders(200, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      // a scraper disconnecting mid-body is routine — the exchange must
+      // close either way or aborted scrapes accumulate leaked connections
+      try {
+        val bytes = ApiMetrics.render().getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } catch { case _: Throwable => () }
+      finally ex.close()
     })
     server.start()
     new Handle(server, pool)

@@ -55,24 +55,25 @@ object Search {
     else RecordTarget(bytes)
 
   def dispatch(value: String): Target = {
-    val trimmed = value.trim
-    if (trimmed.isEmpty) return NoMatch
-    // integer (ParseInt semantics: optional sign, int64 range) → the
+    if (value.isEmpty) return NoMatch
+    // integer (ParseInt semantics: optional sign, int64 range, NO
+    // whitespace tolerance — strconv.ParseInt(" 70000") errors) → the
     // pulse branch, valid or not (`api/handlers.go:460-464`); an
-    // overflowing digit string falls through like ParseInt's error does
-    trimmed.toLongOption match {
+    // overflowing or padded digit string falls through like ParseInt's
+    // error does
+    value.toLongOption match {
       case Some(p) => return if (isValidPulse(p)) PulseTarget(p) else InvalidPulse(p)
       case None => ()
     }
     // "<jet>:<pulse>" → jet drop; NewJetDropIDFromString puts no validity
     // bound on the pulse part (`etl/models/models.go:94-113`), so neither
     // do we
-    Codecs.parseJetDropId(trimmed) match {
+    Codecs.parseJetDropId(value) match {
       case Some((jet, pulse)) => return JetDropTarget(jet, pulse)
       case None => ()
     }
     // base58 reference → object / record
-    Codecs.parseReference(trimmed) match {
+    Codecs.parseReference(value) match {
       case Some(bytes) => classifyReference(bytes)
       case None => NoMatch
     }

@@ -137,6 +137,11 @@ object GrpcTransport {
       case Status.Code.RESOURCE_EXHAUSTED => throw new Transport.RateLimited(s.getStatus.toString)
       case _ => throw new Transport.StreamDropped(s.getStatus.toString)
     }
+    // an interrupt (pool shutdown) and VM-fatal errors must NOT become a
+    // retryable drop — fetchPulse would sleep and reopen with the
+    // interrupt flag cleared instead of exiting promptly
+    case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
+    case fatal: VirtualMachineError => throw fatal
     case other => throw new Transport.StreamDropped(String.valueOf(other.getMessage))
   }
 }

@@ -8,7 +8,9 @@ class SearchMappersSpec extends SparkSpec {
 
   test("search dispatch: pulse / jet drop / reference / garbage (J7)") {
     assert(Search.dispatch("65537") == Search.PulseTarget(65537L))
-    assert(Search.dispatch(" 70010 ") == Search.PulseTarget(70010L))
+    // strconv.ParseInt tolerates no whitespace: a padded pulse value is
+    // NOT a pulse — it falls through every branch to "is neither ..."
+    assert(Search.dispatch(" 70010 ") == Search.NoMatch)
     // an integer that is not a valid pulse is its own branch — the
     // reference 400s with "not valid pulse number" (handlers.go:494),
     // it does NOT fall through to the jet-drop/reference checks
