@@ -292,6 +292,11 @@ class HttpApiSpec extends SparkSpec {
     val (s3, b3) = get("/search?value=%20%21%3F")
     assert(s3 == 400)
     assert(failureProps(b3) == Set("value"))
+    // a whitespace-padded pulse is NOT a pulse (strconv.ParseInt
+    // tolerates none) — it falls through every branch to 'is neither'
+    val (s4, b4) = get(s"/search?value=%20$somePulse")
+    assert(s4 == 400)
+    assert(b4.contains("is neither pulse number, jet drop id nor reference"))
   }
 
   test("GET /search: jet drop id hint") {
