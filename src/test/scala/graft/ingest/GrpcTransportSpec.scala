@@ -122,6 +122,21 @@ class GrpcTransportSpec extends SparkSpec {
     assert(decoded == GrpcWire.GetNextPulseResponse(70010L, 70000L, 1L))
   }
 
+  test("fuzz: garbage bytes into the codec parse or throw — never hang, never OOM") {
+    val rnd = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(60))(rnd.nextInt().toByte)
+      // a hostile peer's bytes either happen to parse or raise the
+      // protobuf runtime's bounded error — both acceptable; an unbounded
+      // allocation or loop is not (the 60-byte input bounds legal
+      // length-delimited claims, and CodedInputStream enforces them)
+      try { GrpcWire.decodeRecordFrame(b); () } catch { case _: Exception => () }
+      try { GrpcWire.decodeGetRecords(b); () } catch { case _: Exception => () }
+      try { GrpcWire.decodeNextPulseRequest(b); () } catch { case _: Exception => () }
+      try { GrpcWire.decodeNextPulseResponse(b); () } catch { case _: Exception => () }
+    }
+  }
+
   // ---- transport contract over the real wire ---------------------------
 
   test("portioned fetch over a real socket: EOF reopens, next-pulse marker ends the pulse") {
