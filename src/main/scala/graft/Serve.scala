@@ -38,6 +38,11 @@ object Serve {
     LoadProbe.warmHttpToPlateau(
       LoadProbe.httpShapes(spark, sfDir).map { case (_, p) => s"http://localhost:${handle.port}$p" },
       par = 8, budgetMsPerUrl = warmBudgetMsPerShape)
+    // the warmup's synthetic bursts rode the live listener and were
+    // counted like traffic — zero the metrics so the first scrape after
+    // startup reflects served requests only (the reference's middleware
+    // never sees anything but real clients)
+    graft.api.ApiMetrics.reset()
     handle
   }
 

@@ -155,16 +155,23 @@ object HttpApi {
     */
   private def limitOffset(q: Map[String, String]): (Int, Int, Failures) = {
     var failures: Failures = Nil
-    val limit = q.get("limit").map(s => s.toIntOption match {
-      case Some(v) => v
-      case None => failures :+= (("limit", "should be integer")); -1
-    }).getOrElse(20)
-    if (limit <= 0 || limit > 1000) failures :+= (("limit", "should be in range [1, 1000]"))
-    val offset = q.get("offset").map(s => s.toIntOption match {
-      case Some(v) => v
-      case None => failures :+= (("offset", "should be integer")); -1
-    }).getOrElse(0)
-    if (offset < 0) failures :+= (("offset", "should not be negative"))
+    // exactly ONE failure per bad param: a non-integer fails the
+    // reference's BINDING layer, so checkLimitOffset's range check never
+    // sees it — the integer failure must not also trip the range check
+    val limit = q.get("limit").map(_.toIntOption) match {
+      case None => 20
+      case Some(None) => failures :+= (("limit", "should be integer")); 20
+      case Some(Some(v)) =>
+        if (v <= 0 || v > 1000) failures :+= (("limit", "should be in range [1, 1000]"))
+        v
+    }
+    val offset = q.get("offset").map(_.toIntOption) match {
+      case None => 0
+      case Some(None) => failures :+= (("offset", "should be integer")); 0
+      case Some(Some(v)) =>
+        if (v < 0) failures :+= (("offset", "should not be negative"))
+        v
+    }
     (limit, offset, failures)
   }
 

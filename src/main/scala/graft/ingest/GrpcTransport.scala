@@ -116,7 +116,12 @@ object GrpcTransport {
                     if (f.row == null) // header-only end-of-pulse marker
                       GrpcWire.RecordFrame(0L, Array.empty, null, "", "", null,
                         null, null, null, f.recPulse, f.shouldIterateFrom.getOrElse(0L))
-                    else frameOf(f.row, f.row.getAs[Long]("record_number"))
+                    else // a reference-faithful marker IS the next-pulse
+                      // record — payload present AND ShouldIterateFrom set
+                      // (platform_impl.go:314-318); dropping the redirect
+                      // here would resume the client at the wrong pulse
+                      frameOf(f.row, f.row.getAs[Long]("record_number"))
+                        .copy(shouldIterateFrom = f.shouldIterateFrom.getOrElse(0L))
                   obs.onNext(frame)
                 }
                 obs.onCompleted()

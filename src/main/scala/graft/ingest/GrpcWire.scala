@@ -94,14 +94,23 @@ object GrpcWire {
     if (m.count != 0) out.writeInt32(3, m.count)
   }
 
+  // Decoders dispatch on (field number, wire type) — a known field number
+  // carrying an UNEXPECTED wire type is skipped like an unknown field, not
+  // parsed. Dispatching on the number alone would read e.g. a
+  // length-delimited value's length prefix as a varint payload and desync
+  // the rest of the message; proto3's forward-compatibility contract is
+  // per (number, type), which is exactly what protoc-generated parsers do.
+  private final val Varint = 0
+  private final val Delimited = 2
+
   private def readGetRecords(in: CodedInputStream): GetRecords = {
     var pulse = 0L; var recNo = 0; var count = 0
     var tag = in.readTag()
     while (tag != 0) {
-      tag >>> 3 match {
-        case 1 => pulse = in.readInt64()
-        case 2 => recNo = in.readInt32()
-        case 3 => count = in.readInt32()
+      (tag >>> 3, tag & 7) match {
+        case (1, Varint) => pulse = in.readInt64()
+        case (2, Varint) => recNo = in.readInt32()
+        case (3, Varint) => count = in.readInt32()
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
@@ -127,25 +136,31 @@ object GrpcWire {
 
   private def readRecordFrame(in: CodedInputStream): RecordFrame = {
     var recNo = 0L; var pulse = 0L; var sif = 0L
+    // proto3 cannot carry null bytes: absent == empty on the wire, so
+    // EVERY bytes field reads back as Array.empty, uniformly. (A null on
+    // the send side therefore arrives as empty after a wire hop — the
+    // same canon the reference's Go slices live under, where nil and
+    // empty marshal identically; Canonicalize's empty-ref normalization
+    // then treats both paths' rows the same.)
     var id: Array[Byte] = Array.empty
-    var objectId: Array[Byte] = null
+    var objectId: Array[Byte] = Array.empty
     var jetId = ""; var virtualType = ""
-    var image: Array[Byte] = null; var memory: Array[Byte] = null
-    var prevStateId: Array[Byte] = null; var rawData: Array[Byte] = null
+    var image: Array[Byte] = Array.empty; var memory: Array[Byte] = Array.empty
+    var prevStateId: Array[Byte] = Array.empty; var rawData: Array[Byte] = Array.empty
     var tag = in.readTag()
     while (tag != 0) {
-      tag >>> 3 match {
-        case 1 => recNo = in.readInt64()
-        case 2 => id = in.readByteArray()
-        case 3 => objectId = in.readByteArray()
-        case 4 => jetId = in.readString()
-        case 5 => virtualType = in.readString()
-        case 6 => image = in.readByteArray()
-        case 7 => memory = in.readByteArray()
-        case 8 => prevStateId = in.readByteArray()
-        case 9 => rawData = in.readByteArray()
-        case 10 => pulse = in.readInt64()
-        case 11 => sif = in.readInt64()
+      (tag >>> 3, tag & 7) match {
+        case (1, Varint) => recNo = in.readInt64()
+        case (2, Delimited) => id = in.readByteArray()
+        case (3, Delimited) => objectId = in.readByteArray()
+        case (4, Delimited) => jetId = in.readString()
+        case (5, Delimited) => virtualType = in.readString()
+        case (6, Delimited) => image = in.readByteArray()
+        case (7, Delimited) => memory = in.readByteArray()
+        case (8, Delimited) => prevStateId = in.readByteArray()
+        case (9, Delimited) => rawData = in.readByteArray()
+        case (10, Varint) => pulse = in.readInt64()
+        case (11, Varint) => sif = in.readInt64()
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
@@ -164,9 +179,9 @@ object GrpcWire {
     val protos = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var tag = in.readTag()
     while (tag != 0) {
-      tag >>> 3 match {
-        case 1 => from = in.readInt64()
-        case 2 => protos += in.readByteArray()
+      (tag >>> 3, tag & 7) match {
+        case (1, Varint) => from = in.readInt64()
+        case (2, Delimited) => protos += in.readByteArray()
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
@@ -184,10 +199,10 @@ object GrpcWire {
     var pn = 0L; var prev = 0L; var amount = 0L
     var tag = in.readTag()
     while (tag != 0) {
-      tag >>> 3 match {
-        case 1 => pn = in.readInt64()
-        case 2 => prev = in.readInt64()
-        case 3 => amount = in.readInt64()
+      (tag >>> 3, tag & 7) match {
+        case (1, Varint) => pn = in.readInt64()
+        case (2, Varint) => prev = in.readInt64()
+        case (3, Varint) => amount = in.readInt64()
         case _ => in.skipField(tag)
       }
       tag = in.readTag()

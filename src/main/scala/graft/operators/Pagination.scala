@@ -35,9 +35,17 @@ object Pagination {
     (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
   }
 
-  /** A3 — page plus total count of the filtered set in one logical plan. */
+  /** A3 — page plus total count of the filtered set in one logical plan.
+    * The final `orderBy` re-establishes the page order ABOVE the count
+    * join: the broadcast join preserves stream-side order in today's
+    * local plans, but that is an implementation accident, not a contract
+    * — under AQE re-planning or a multi-partition stream side the
+    * collected page could arrive shuffled. Sorting the ≤1000 joined rows
+    * is one in-memory pass; the page cut itself stays the top-k
+    * TakeOrderedAndProject underneath.
+    */
   def pageWithTotal(df: DataFrame, sort: Seq[Column], limit: Int, offset: Int = 0): DataFrame = {
     val total = df.agg(count(lit(1)).as("total"))
-    page(df, sort, limit, offset).crossJoin(broadcast(total))
+    page(df, sort, limit, offset).crossJoin(broadcast(total)).orderBy(sort: _*)
   }
 }

@@ -20,6 +20,16 @@ class ServeSpec extends SparkSpec {
     val handle = Serve.bootstrap(spark, dir, port = 0, warmBudgetMsPerShape = 120L)
     try {
       val client = HttpClient.newHttpClient()
+      // bootstrap's HTTP warmup hammered the listener, but the metrics it
+      // leaves behind must be ZERO: /metrics after startup reports served
+      // traffic only, like the reference's middleware
+      val scrape0 = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${handle.port}/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(scrape0.statusCode() == 200)
+      assert(!scrape0.body().contains("gbe_api_requests_total{"),
+        s"warmup bursts must not be counted as requests: ${scrape0.body().take(300)}")
       // every probe shape the load suite attacks serves 200 with a body
       LoadProbe.httpShapes(spark, dir).foreach { case (name, path) =>
         val resp = client.send(

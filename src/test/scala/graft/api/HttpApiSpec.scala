@@ -153,6 +153,42 @@ class HttpApiSpec extends SparkSpec {
       "one response must name every bad param, like checkLimitOffset")
   }
 
+  test("GET /pulses: a non-integer limit/offset yields exactly ONE failure each") {
+    // the reference's binding layer rejects the non-integer before
+    // checkLimitOffset's range check ever runs — the integer failure must
+    // not ALSO trip "should be in range" on the unparsed value
+    val (status, body) = get("/pulses?limit=abc&offset=xyz")
+    assert(status == 400)
+    assert(failureProps(body) == Set("limit", "offset"))
+    assert(""""property":"limit"""".r.findAllIn(body).size == 1,
+      s"one failure for the one bad limit param: $body")
+    assert(""""property":"offset"""".r.findAllIn(body).size == 1,
+      s"one failure for the one bad offset param: $body")
+    assert(!body.contains("should be in range") && !body.contains("should not be negative"),
+      s"the range check must not see the unparsed sentinel: $body")
+  }
+
+  test("GET /pulses and /jets/*/jet-drops: page bodies arrive in endpoint sort order") {
+    // the page order is part of the HTTP contract (storage.go ORDER BY);
+    // it must hold by construction (pageWithTotal's final sort), not by
+    // the accident of a broadcast join preserving stream order
+    def rowPulses(body: String): Seq[Long] =
+      """\{"pulse_number":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    val (s1, b1) = get("/pulses?limit=50")
+    assert(s1 == 200)
+    val pulsesOrder = rowPulses(b1)
+    assert(pulsesOrder.length > 2 && pulsesOrder == pulsesOrder.sorted.reverse,
+      s"default pulses order is newest-first: $pulsesOrder")
+    val (s2, b2) = get("/jets/*/jet-drops?limit=100")
+    assert(s2 == 200)
+    // drop ROW objects read "pulse_number":N,"hash" (the link structs
+    // inside prev/next arrays end in pulse_number + "}" instead)
+    val dropOrder = """"pulse_number":(\d+),"hash"""".r
+      .findAllMatchIn(b2).map(_.group(1).toLong).toSeq
+    assert(dropOrder.length > 2 && dropOrder == dropOrder.sorted.reverse,
+      s"default by-jet-id order is pulse_number_desc: $dropOrder")
+  }
+
   // ---- /pulses/{pulse} -------------------------------------------------
 
   test("GET /pulses/{pulse}: 200 bare object, 404 {}, 400 non-integer") {

@@ -55,7 +55,9 @@ class GrpcTransportSpec extends SparkSpec {
       back.shouldIterateFrom == 70040L)
     assert(back.id.toSeq == Seq[Byte](1, 2) && back.objectId.toSeq == Seq[Byte](3))
     assert(back.jetId == "0101" && back.virtualType == "state")
-    assert(back.image == null, "absent bytes fields read back as null")
+    assert(back.image != null && back.image.isEmpty,
+      "absent bytes fields read back as empty — proto3 has no null, and a " +
+        "uniform empty default keeps wire-ingested rows in one canon")
     assert(back.memory.toSeq == Seq[Byte](4, 5, 6) && back.rawData.toSeq == Seq[Byte](9))
 
     val req = GrpcWire.GetNextPulseRequest(70000L, Seq(Array[Byte](1), Array[Byte](2, 3)))
@@ -120,6 +122,30 @@ class GrpcTransportSpec extends SparkSpec {
     val unknownField = Array[Byte]((15 << 3).toByte, 1) // field 15, varint, value 1
     val decoded = GrpcWire.decodeNextPulseResponse(known ++ unknownField)
     assert(decoded == GrpcWire.GetNextPulseResponse(70010L, 70000L, 1L))
+  }
+
+  test("codec skips a KNOWN field number carrying an unexpected wire type") {
+    // proto3 forward compatibility is per (number, type): a peer that
+    // re-types field 2 (varint int64 here) as length-delimited must be
+    // skipped like an unknown field. A number-only dispatch would read
+    // the 3-byte length prefix as the varint value and desync — the
+    // trailing field 3 below would be lost or misparsed.
+    val retyped = Array[Byte](
+      (1 << 3).toByte, 0x07, // field 1 varint 7 (known, kept)
+      ((2 << 3) | 2).toByte, 0x03, 0x61, 0x62, 0x63, // field 2 AS bytes "abc" (skipped)
+      (3 << 3).toByte, 0x2A) // field 3 varint 42 (must survive the skip)
+    val decoded = GrpcWire.decodeNextPulseResponse(retyped)
+    assert(decoded == GrpcWire.GetNextPulseResponse(7L, 0L, 42L),
+      s"re-typed field must be skipped, trailing fields intact: $decoded")
+
+    // same property on the record frame: bytes field 9 sent as varint
+    val f = GrpcWire.RecordFrame(7L, Array[Byte](1), Array.empty, "01", "state",
+      Array.empty, Array.empty, Array.empty, Array[Byte](9), 70010L)
+    val retypedFrame = GrpcWire.encodeRecordFrame(f) ++
+      Array[Byte]((6 << 3).toByte, 0x05) // field 6 (bytes) AS varint 5
+    val back = GrpcWire.decodeRecordFrame(retypedFrame)
+    assert(back.image.isEmpty && back.rawData.toSeq == Seq[Byte](9) &&
+      back.pulseNumber == 70010L)
   }
 
   test("fuzz: garbage bytes into the codec parse or throw — never hang, never OOM") {
@@ -209,6 +235,55 @@ class GrpcTransportSpec extends SparkSpec {
     }
     assert(fp.rows.length == 3)
     assert(fp.iterateFrom == redirect)
+  }
+
+  test("a PAYLOAD-BEARING marker keeps its redirect over the wire") {
+    // the reference's end-of-pulse marker IS the next-pulse record — a
+    // real payload row WITH ShouldIterateFrom set (platform_impl.go:
+    // 314-318, payload never stored). The wire bridge must carry the
+    // redirect on that frame too, not only on header-only markers: a
+    // dropped redirect would resume the follow loop at the marker's own
+    // pulse instead of the exporter's hint.
+    val redirect = start + 5 * Fixtures.PulseDelta
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 3,
+      startPulse = start)
+    val rows = wire.collect().sortBy(r =>
+      (r.getAs[Long]("pulse_number"), r.getAs[Long]("record_number")))
+    val (pulseRows, nextRows) = rows.partition(_.getAs[Long]("pulse_number") == start)
+    val payloadMarker = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        val recs = pulseRows.slice(recordNumber, recordNumber + count)
+          .iterator.map(r => Transport.Frame(start, r))
+        if (recordNumber + count >= pulseRows.length)
+          recs ++ Iterator(Transport.Frame(start + Fixtures.PulseDelta,
+            nextRows.head, Some(redirect)))
+        else recs
+      }
+    }
+    val fp = overWire(payloadMarker) { grpc =>
+      Transport.fetchPulse(grpc, start, batchSize = 10, sleep = noSleep).get
+    }
+    assert(fp.rows.length == 3, "the marker's payload is never stored")
+    assert(fp.iterateFrom == redirect,
+      s"redirect must survive the payload-bearing marker, got ${fp.iterateFrom}")
+
+    // same-pulse frame with ShouldIterateFrom set: still a marker — the
+    // client must complete the pulse on the hint, not store the row
+    val samePulseMarker = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        val recs = pulseRows.slice(recordNumber, recordNumber + count)
+          .iterator.map(r => Transport.Frame(start, r))
+        if (recordNumber + count >= pulseRows.length - 1)
+          recs.take(pulseRows.length - 1 - recordNumber) ++
+            Iterator(Transport.Frame(start, pulseRows.last, Some(redirect)))
+        else recs
+      }
+    }
+    val fp2 = overWire(samePulseMarker) { grpc =>
+      Transport.fetchPulse(grpc, start, batchSize = 10, sleep = noSleep).get
+    }
+    assert(fp2.rows.length == 2 && fp2.iterateFrom == redirect,
+      "a same-pulse frame with the hint set is a marker, never a stored row")
   }
 
   test("the channel survives an exporter restart: next fetch reconnects on the same port") {
