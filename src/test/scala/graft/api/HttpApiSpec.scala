@@ -228,6 +228,20 @@ class HttpApiSpec extends SparkSpec {
 
   // ---- /jet-drops/{id} -------------------------------------------------
 
+  test("GET /jet-drops/*:{pulse} paths: the star root-jet id is shape-VALID") {
+    // genesis jet drops are addressed "*:<pulse>" (models.go:115-125, the
+    // root jet's empty prefix rendered "*"; test/api
+    // TestGetJetDropsByID_genesisJetDropsAsStarValue): the star must
+    // parse as the root jet — an absent drop is a 404, never a 400
+    val (s1, b1) = get("/jet-drops/*:999999999")
+    assert(s1 == 404 && b1 == "{}",
+      s"star id must parse (absent drop -> 404 {}), got $s1 $b1")
+    // same id shape on the records route: parses, serves the empty page
+    val (s2, b2) = get("/jet-drops/*:999999999/records")
+    assert(s2 == 200 && totalIn(b2) == 0 && resultRows(b2) == 0,
+      s"star drop-records must parse and serve the envelope, got $s2 $b2")
+  }
+
   test("GET /jet-drops/{id}: 200 bare object, 404 {} on absent, 400 on malformed") {
     val (jet, pn) = someDrop
     val (s1, b1) = get(s"/jet-drops/$jet:$pn")
