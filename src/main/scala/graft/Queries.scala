@@ -317,9 +317,18 @@ object Queries {
     * (PlanAssertionsSpec pins it).
     */
   val beJetLinks: Q = (s, dir) => {
-    val drops = Domain.eventsInPulseRange(s, dir, 473499L, 473522L).select(
+    // pmod throughout (not %): a negative user_id must pick a real depth
+    // and a real jet value — Spark's signed % would feed bin() a negative
+    // whose 64-char form lpad silently truncates (same fix as
+    // Domain.records; the oracle carries the matching ((x%m)+m)%m form)
+    val drops = Domain.eventsInPulseRange(s, dir, 473499L, 473522L)
+      .select(
         expr(s"CAST(ts DIV ${Domain.PulseNs} AS BIGINT)").as("pulse_number"),
-        expr("lpad(bin(user_id % (1 << (1 + user_id % 3))), CAST(1 + user_id % 3 AS INT), '0')").as("jet_id"))
+        expr("CAST(1 + pmod(user_id, 3) AS INT)").as("_depth"),
+        col("user_id"))
+      .select(
+        col("pulse_number"),
+        expr("lpad(bin(pmod(user_id, shiftleft(1, _depth))), _depth, '0')").as("jet_id"))
       .groupBy(col("pulse_number"), col("jet_id"))
       .agg(count(lit(1)).cast("long").as("record_amount"))
     val page = drops.filter(col("pulse_number").between(473500L, 473520L))
@@ -1293,10 +1302,10 @@ object Queries {
       |         user_id AS object_reference,
       |         epoch_ns(ts) // 3600000000000 AS pulse_number,
       |         epoch_ns(ts) // 1000000000 AS ts_sec,
-      |         lpad(bin(user_id % 8), 3, '0') AS jet_id,
+      |         lpad(bin(((user_id % 8) + 8) % 8), 3, '0') AS jet_id,
       |         event_type, value,
       |         CAST(row_number() OVER (
-      |           PARTITION BY epoch_ns(ts) // 3600000000000, lpad(bin(user_id % 8), 3, '0')
+      |           PARTITION BY epoch_ns(ts) // 3600000000000, lpad(bin(((user_id % 8) + 8) % 8), 3, '0')
       |           ORDER BY ts, event_id) AS BIGINT) AS "order"
       |  FROM events)""".stripMargin
 
@@ -1897,10 +1906,13 @@ object Queries {
 
     "be_jet_links" ->
       """WITH vdrops AS (
-        |  SELECT epoch_ns(ts) // 3600000000000 AS pulse_number,
-        |         lpad(bin(user_id % (1 << (1 + user_id % 3))), CAST(1 + user_id % 3 AS INT), '0') AS jet_id,
-        |         count(*) AS record_amount
-        |  FROM events GROUP BY 1, 2),
+        |  SELECT pulse_number, jet_id, count(*) AS record_amount
+        |  FROM (SELECT epoch_ns(ts) // 3600000000000 AS pulse_number,
+        |               CAST(1 + ((user_id % 3) + 3) % 3 AS INT) AS depth,
+        |               lpad(bin(((user_id % (1 << depth)) + (1 << depth)) % (1 << depth)),
+        |                    depth, '0') AS jet_id
+        |        FROM events)
+        |  GROUP BY 1, 2),
         |page AS (SELECT * FROM vdrops WHERE pulse_number BETWEEN 473500 AND 473520),
         |wp AS (
         |  SELECT d.pulse_number, d.jet_id, d.record_amount, count(n.jet_id) AS prev_count

@@ -114,7 +114,11 @@ object Domain {
       col("user_id").as("object_reference"),
       expr(s"CAST(ts DIV $PulseNs AS BIGINT)").as("pulse_number"),
       expr(s"CAST(ts DIV $SecNs AS BIGINT)").as("ts_sec"),
-      lpad(bin(col("user_id") % 8), 3, "0").as("jet_id"),
+      // pmod, not %: Spark's % keeps the dividend's sign, and bin() of a
+      // negative is a 64-char two's-complement string that lpad would
+      // TRUNCATE to "111" — a negative user_id (legal for the signed
+      // column) must map into the same 8 jets as everyone else
+      lpad(bin(pmod(col("user_id"), lit(8))), 3, "0").as("jet_id"),
       col("event_type"),
       col("value"),
       col("ts"),

@@ -103,6 +103,20 @@ object DriftAdapters {
     */
   private val tsScaleCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
+  // A regenerated file at the SAME path must not keep serving the old
+  // scale: writers announce rewrites through RelationCache.invalidate
+  // (the contract every standing-artifact rebuild already follows), so
+  // this memo evicts on the same signal — subtree matching included,
+  // mirroring the relation cache's own semantics. Registered once at
+  // object init, which necessarily precedes the first memoized entry.
+  graft.sources.RelationCache.onInvalidate { path =>
+    if (path == null) tsScaleCache.clear()
+    else {
+      val prefix = if (path.endsWith("/")) path else path + "/"
+      tsScaleCache.keySet().removeIf(p => p == path || p.startsWith(prefix))
+    }
+  }
+
   private[model] def longTsNanosMultiplier(path: String, df: DataFrame): Long =
     tsScaleCache.computeIfAbsent(path, { _ =>
       val row = df.agg(max(col("ts"))).head()

@@ -33,7 +33,16 @@ object AsOfJoin {
       rightCols: Seq[String]
   ): DataFrame = {
     val payload = (rightTime +: rightCols).map(col)
-    val r = right.select(
+    // Join-equality semantics for NULLs (what a real ASOF join — and the
+    // DuckDB oracle — produces): a NULL equi-key matches nothing, and a
+    // NULL right time can never satisfy t_r <= t_l. The window would
+    // otherwise group NULL keys into one partition (nulls DO compare
+    // equal under partitionBy) and sort a NULL right time first, leaking
+    // its payload into every left row before the first real right row.
+    val rightMatchable = keyCols
+      .map(col(_).isNotNull)
+      .foldLeft(col(rightTime).isNotNull)(_ && _)
+    val r = right.filter(rightMatchable).select(
       keyCols.map(col) :+ col(rightTime).as("_t") :+
         lit(0).as("_side") :+ struct(payload: _*).as("_r"): _*)
     val l = left

@@ -93,51 +93,71 @@ object Components {
     // Dataset.localCheckpoint (copy the unsafe rows, persist, materialize,
     // rebuild a frame over the stored rows) but the pinned RDD is OURS to
     // free deterministically.
+    // every RDD this build currently pins; a failure anywhere mid-build
+    // unpersists ALL of them (see the finally below) — without it, one
+    // thrown job strands checkpoint blocks in the block manager for the
+    // session's lifetime, and repeated transient failures accumulate
+    val live = scala.collection.mutable.Set.empty[RDD[InternalRow]]
     def checkpointTracked(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
       val rdd = df.queryExecution.toRdd.map(_.copy())
       rdd.localCheckpoint()
-      rdd.count()
+      live += rdd // BEFORE count: a failed materialization may have
+      rdd.count() // cached some partitions already — they must release too
       (GraftColumnBridge.internalDataFrame(spark, rdd, df.schema), rdd)
     }
-    val (sym, symRdd) = checkpointTracked(
-      edges.select(col(aCol).as("u"), col(bCol).as("v"))
-        .union(edges.select(col(bCol).as("u"), col(aCol).as("v"))))
-    // Fused round 1: min(u, min over direct neighbors) straight off the
-    // symmetric edge list — the same single shuffle the plain distinct()
-    // init would cost, but it already settles diameter-1 components
-    // (near-dup clusters are cliques: every pair similar → all edges
-    // present), so those exit the loop after one confirming round.
-    var (labels, labelsRdd) = checkpointTracked(
-      sym.groupBy(col("u"))
-        .agg(least(col("u"), min(col("v"))).as("comp")))
-    // Labels only ever decrease, so the label sum is a strict convergence
-    // witness: unchanged sum == fixpoint. One tiny agg job per round
-    // instead of a join-back against the previous round. Coalesce: an
-    // empty edge set (zero near-dup pairs) sums to NULL, not 0.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val viaNeighbor = sym
-        .join(labels.select(col("u").as("v"), col("comp")), Seq("v"))
-        .select(col("u"), col("comp"))
-      val (next, nextRdd) = checkpointTracked(
-        labels.union(viaNeighbor)
-          .groupBy(col("u")).agg(min(col("comp")).as("comp")))
-      val nextSum = labelSum(next)
-      // superseded round's blocks are dead weight in the block manager —
-      // a long-lived session (serving, repeated maintenance runs) would
-      // accumulate them across invocations
-      labelsRdd.unpersist(blocking = false)
-      labels = next
-      labelsRdd = nextRdd
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      i += 1
+    def release(rdd: RDD[InternalRow]): Unit = {
+      rdd.unpersist(blocking = false)
+      live -= rdd
     }
-    symRdd.unpersist(blocking = false)
-    (labels, Seq(labelsRdd))
+    var ok = false
+    try {
+      val (sym, symRdd) = checkpointTracked(
+        edges.select(col(aCol).as("u"), col(bCol).as("v"))
+          .union(edges.select(col(bCol).as("u"), col(aCol).as("v"))))
+      // Fused round 1: min(u, min over direct neighbors) straight off the
+      // symmetric edge list — the same single shuffle the plain distinct()
+      // init would cost, but it already settles diameter-1 components
+      // (near-dup clusters are cliques: every pair similar → all edges
+      // present), so those exit the loop after one confirming round.
+      var (labels, labelsRdd) = checkpointTracked(
+        sym.groupBy(col("u"))
+          .agg(least(col("u"), min(col("v"))).as("comp")))
+      // Labels only ever decrease, so the label sum is a strict convergence
+      // witness: unchanged sum == fixpoint. One tiny agg job per round
+      // instead of a join-back against the previous round. Coalesce: an
+      // empty edge set (zero near-dup pairs) sums to NULL, not 0.
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val viaNeighbor = sym
+          .join(labels.select(col("u").as("v"), col("comp")), Seq("v"))
+          .select(col("u"), col("comp"))
+        val (next, nextRdd) = checkpointTracked(
+          labels.union(viaNeighbor)
+            .groupBy(col("u")).agg(min(col("comp")).as("comp")))
+        val nextSum = labelSum(next)
+        // superseded round's blocks are dead weight in the block manager —
+        // a long-lived session (serving, repeated maintenance runs) would
+        // accumulate them across invocations
+        release(labelsRdd)
+        labels = next
+        labelsRdd = nextRdd
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        i += 1
+      }
+      release(symRdd)
+      ok = true
+      (labels, Seq(labelsRdd)) // labelsRdd stays pinned — the caller owns it
+    } finally {
+      // failure path only: the success path released everything except
+      // the returned round, which must stay pinned for the caller.
+      // Blocking: the failure path is rare and the caller (or a retry)
+      // deserves a block manager that is ALREADY clean, not eventually.
+      if (!ok) live.foreach(_.unpersist(blocking = true))
+    }
   }
 }

@@ -102,6 +102,11 @@ object Sketches {
         .otherwise(vLo + (vHi - vLo) * frac).as(s"p${(q * 100).round}_value")
     }
 
-    kmv.join(pcts.select(col("g") +: pctCols: _*), Seq("g"))
+    // null-safe equality: a NULL group key is a real group (both
+    // aggregates emit a row for it), and a plain equi-join on "g" would
+    // silently drop it — <=> keeps the join a hash join AND keeps the
+    // NULL group
+    val p = pcts.select(col("g").as("_pg") +: pctCols: _*)
+    kmv.join(p, col("g") <=> col("_pg")).drop("_pg")
   }
 }

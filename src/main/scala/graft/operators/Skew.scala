@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Approximate hot keys: keys whose sampled share exceeds `minShare`. */
+  /** Approximate hot keys: keys whose sampled share exceeds `minShare`.
+    * The sample total is the SUM of the grouped counts — derived with a
+    * 1-row broadcast onto the grouped result (the same COUNT-plus-page
+    * fusion pattern as Pagination), not a separate `count()` job that
+    * would re-scan the sample a second time.
+    */
   def hotKeys(df: DataFrame, key: Column, minShare: Double = 0.01,
       fraction: Double = 0.05, seed: Long = 42L): DataFrame = {
-    val sampled = df.sample(fraction, seed)
-    val total = sampled.count().max(1L)
-    sampled.groupBy(key.as("key")).count()
-      .filter(col("count") >= lit(minShare) * total)
-      .select(col("key"), (col("count") / total).as("sampled_share"))
+    val counts = df.sample(fraction, seed).groupBy(key.as("key")).count()
+    val total = counts.agg(greatest(coalesce(sum(col("count")), lit(0L)), lit(1L)).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("count") >= lit(minShare) * col("_total"))
+      .select(col("key"), (col("count") / col("_total")).as("sampled_share"))
   }
 
   /** Two-stage salted count per key. Output: (key, n). */
@@ -43,8 +48,10 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, salts: Int = 16): DataFrame = {
+    // pmod is already non-negative for a negative dividend — no
+    // (x % n + n) % n dance needed (that idiom repairs the signed `%`)
     val saltedLeft = left.withColumn("_salt",
-      pmod(pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(salts)) + lit(salts), lit(salts)))
+      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(salts)))
     val saltedRight = right
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(broadcast(saltedRight),

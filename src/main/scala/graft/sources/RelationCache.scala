@@ -17,18 +17,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * planning still applies partition pruning and predicate pushdown
   * against the cached index.
   *
-  * Keyed by (session, path) so tests with fresh sessions never see a
-  * stale plan; writers must [[invalidate]] after rewriting a path.
+  * Keyed by (session UUID, path) so tests with fresh sessions never see a
+  * stale plan — the UUID, not the object's identity hash, because an
+  * identity hash can be REUSED after a session is GC'd, which would hand
+  * a new session a DataFrame bound to a stopped SparkContext. Writers
+  * must [[invalidate]] after rewriting a path; entries of stopped
+  * sessions are swept on the next miss so a long-lived multi-session
+  * process (the test suite, a rolling redeploy) never pins dead
+  * sessions' file indexes.
   */
 object RelationCache {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private final case class Entry(session: SparkSession, df: DataFrame)
+
+  private val cache = new ConcurrentHashMap[String, Entry]()
+
+  /** Hooks run on [[invalidate]]/[[clear]] with the affected path (null
+    * for a full clear) — derived per-path memos (e.g. the drift layer's
+    * epoch-scale cache) register here so "writer rewrote the path" is
+    * ONE invalidation call for every cache keyed by it.
+    */
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  def onInvalidate(hook: String => Unit): Unit = { invalidationHooks.add(hook); () }
+
+  // One UUID per live session OBJECT, never reused (unlike an identity
+  // hash, which the JVM can hand to a new session after the old one is
+  // GC'd — the collision that would serve a DataFrame bound to a stopped
+  // context). Weak keys: the id map itself never pins a session.
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   private def key(spark: SparkSession, path: String): String =
-    System.identityHashCode(spark) + ":" + path
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString) +
+      ":" + path
 
   def parquet(spark: SparkSession, path: String): DataFrame =
-    cache.computeIfAbsent(key(spark, path), _ => spark.read.parquet(path))
+    cache.get(key(spark, path)) match {
+      case e: Entry => e.df
+      case null =>
+        // miss: sweep entries whose session is gone before adding — the
+        // sweep is O(entries) against a map that holds one entry per
+        // (live session, table), dozens at most
+        cache.entrySet().removeIf(_.getValue.session.sparkContext.isStopped)
+        cache.computeIfAbsent(key(spark, path),
+          _ => Entry(spark, spark.read.parquet(path))).df
+    }
 
   /** Drop every session's entry for `path` AND anything under it (call
     * after rewriting a path). Subtree matching matters: artifact roots
@@ -43,7 +78,11 @@ object RelationCache {
       val p = k.substring(k.indexOf(':') + 1)
       p == path || p.startsWith(prefix)
     }
+    invalidationHooks.forEach(_.apply(path))
   }
 
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = {
+    cache.clear()
+    invalidationHooks.forEach(_.apply(null))
+  }
 }

@@ -73,6 +73,25 @@ class DriftAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("a regenerated events file at the SAME path re-detects its ts scale on invalidate") {
+    // the epoch-scale memo is per-path; without eviction a rewrite from
+    // micros to nanos would keep the x1000 multiplier and blow every ts
+    // up 1000x. RelationCache.invalidate is the rewrite signal every
+    // writer already sends — the memo must ride it.
+    val dir = tmp("ts-regen")
+    val sec = 1705300200L
+    Seq((1L, sec * 1000000L, 10L, "view", 1.5)) // micros
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Domain.events(spark, dir).select("ts").as[Long].head() == sec * 1000000000L)
+    Seq((1L, sec * 1000000000L, 10L, "view", 1.5)) // regenerated: nanos
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    graft.sources.RelationCache.invalidate(s"$dir/events.parquet")
+    assert(Domain.events(spark, dir).select("ts").as[Long].head() == sec * 1000000000L,
+      "the stale micros multiplier must not survive the rewrite")
+  }
+
   test("events: an implausible INT64 ts magnitude fails loudly instead of guessing") {
     val dir = tmp("ts-bogus")
     Seq((1L, 12345L, 10L, "view", 1.5))

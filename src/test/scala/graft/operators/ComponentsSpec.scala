@@ -28,6 +28,22 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
   }
 
+  test("a FAILED build releases every checkpoint it pinned") {
+    import spark.implicits._
+    val boom = udf((x: Long) => {
+      if (x == 3L) throw new RuntimeException("injected edge failure"); x
+    })
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+      .withColumn("b", boom(col("b")))
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    intercept[Exception] {
+      Components.connectedComponents(edges, "a", "b")
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(after == before,
+      s"a thrown build must not strand checkpoint blocks: ${after.diff(before)}")
+  }
+
   test("ensureComponents leaves the block manager exactly as it found it") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")

@@ -55,6 +55,25 @@ class SketchesSpec extends SparkSpec {
     assert(out("g2").contains(5.0))
   }
 
+  test("a NULL group key is a real group, not a dropped row") {
+    import spark.implicits._
+    // both aggregates emit a row for the NULL group; the join between
+    // them is null-safe (<=>), so the group survives to the output — a
+    // plain equi-join on the key would silently drop it
+    val df = Seq((Option("g1"), 1L, 2.0, 10L),
+        (Option.empty[String], 2L, 4.0, 20L),
+        (Option.empty[String], 3L, 6.0, 30L))
+      .toDF("grp", "key", "value", "sample_id")
+    val out = Sketches.eventSketch(df, group = col("grp"), key = col("key"),
+        value = col("value"), sampleId = col("sample_id"),
+        kDistinct = 8, kSample = 8, quantiles = Seq(0.5))
+      .collect()
+    assert(out.length == 2, s"NULL group must survive: ${out.toSeq}")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getDouble(1) === 2.0, "two distinct keys under the NULL group")
+    assert(nullRow.getDouble(2) === 5.0, "p50 of {4.0, 6.0} interpolates to 5.0")
+  }
+
   test("sampled percentiles are ordered and inside the value range") {
     val bounds = events.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))

@@ -31,6 +31,19 @@ class RelationCacheSpec extends SparkSpec {
     assert(re.count() == 7, "the re-resolved relation must see the rewritten files")
   }
 
+  test("entries are keyed per session: a clone resolves its own relation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rel").toString
+    val path = s"$root/t"
+    writeN(path, 3)
+    val mine = RelationCache.parquet(spark, path)
+    val clone = spark.newSession()
+    val theirs = RelationCache.parquet(clone, path)
+    assert(!(theirs eq mine),
+      "a different session must never be handed another session's relation")
+    assert(RelationCache.parquet(clone, path) eq theirs,
+      "...but must reuse its OWN cached relation")
+  }
+
   test("invalidate is subtree-scoped with component boundaries") {
     val root = java.nio.file.Files.createTempDirectory("graft-rel").toString
     val (parent, child, sibling) = (s"$root/idx", s"$root/idx/vectors", s"$root/idx2")
