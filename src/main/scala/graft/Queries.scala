@@ -921,17 +921,35 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** Sketch aggregates (HLL distinct, approximate percentiles) — the
-    * constant-memory forms of the exact `ev_user_stats` aggregation;
-    * rows-only (approximation has no exact oracle, and the exact twin IS
-    * oracle-checked).
+  /** Sketch aggregates (HLL distinct, approximate percentiles) served as
+    * a TOLERANCE-VERDICT frame: per group, the exact answers (DuckDB-
+    * computable) plus booleans asserting the sketches landed inside their
+    * published error bounds — HLL++ at default rsd 0.05 within 3σ = 15%
+    * relative, GK at accuracy 1000 within a ±5%-rank window (its bound is
+    * n/accuracy ≈ 2 ranks at sf0.01). Spark's sketch internals are not
+    * replayable bit-for-bit in DuckDB, but the verdicts ARE hash-exact:
+    * the oracle expects every group within tolerance, so a sketch
+    * regression (or a broken error bound) turns the row red instead of
+    * hiding behind a rows-only check. The deterministic twin
+    * [[evSketchDet]] stays the bit-exact replay.
     */
   val evSketch: Q = (s, dir) => {
     Domain.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("approx_p95"),
+        expr("percentile(value, array(0.45D, 0.55D, 0.93D, 0.97D))").as("rank_windows"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.15)).as("users_within_tol"),
+        col("approx_p50").between(col("rank_windows")(0), col("rank_windows")(1))
+          .as("p50_within_tol"),
+        col("approx_p95").between(col("rank_windows")(2), col("rank_windows")(3))
+          .as("p95_within_tol"))
       .orderBy(col("event_type"))
   }
 
@@ -1696,6 +1714,18 @@ object Queries {
     // deterministic KMV/bottom-k sketch replay
     "ev_sketch_det" -> graft.functions.HashReplaySql.kmvSketchOracle(
       SketchKDistinct, SketchKSample, SketchQuantiles),
+
+    // the sketch verdict frame: exact counts are DuckDB's own; the
+    // within-tolerance booleans are expected TRUE for every group — a
+    // sketch drifting outside its error bound hash-mismatches the row
+    "ev_sketch" ->
+      """SELECT event_type,
+        | count(*) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS users_within_tol,
+        | TRUE AS p50_within_tol,
+        | TRUE AS p95_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the multimodal DECODE stays a stub, but the query's served columns
     // (id, declared modality, payload byte length) are plain relational —

@@ -30,7 +30,7 @@ class CatalogContractSpec extends AnyFunSuite {
     val lsh = Queries.lshOracle
     val oracled = Queries.staticOracle.keySet ++ centroid.keySet ++ ivf.keySet ++ lsh.keySet
     val rowsOnly = Queries.catalog.keySet.diff(oracled)
-    val declared = Set("ev_sketch") ++
+    val declared =
       (Set("dd_semdedup", "emb_kmeans", "dd_semdedup_verdicts",
         "dd_semdedup_fixed") -- centroid.keySet) ++
       (Set("ann_ivf", "ann_ivf_knn") -- ivf.keySet) ++
