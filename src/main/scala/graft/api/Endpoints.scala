@@ -48,63 +48,73 @@ object Endpoints {
     val filtered = p
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
       .filter(Predicates.range(col("timestamp"), gte = fromTimestamp, lte = toTimestamp))
-    // Cut the page first, then repair the chain WITHIN the ≤1000-row page
-    // (the reference's per-page loop, storage.go:326-356): the window in
-    // repairChain only ever sees one page, never the whole dimension.
-    // (repairChain's window leaves the page ascending; restore the
-    // endpoint's presentation order — a ≤1000-row sort. Default is the
-    // reference's newest-first; `sort_by=pulse_number_asc` flips it,
-    // storage.go:310-314.)
+    // Cut the page and attach the filtered total in ONE plan whose total
+    // survives an empty page (Pagination.pageWithTotalCarried: an offset
+    // past the end yields a marker-false sentinel row carrying the true
+    // count, so the out-of-range corner costs the same single pass as an
+    // in-range page — no second filtered-count probe). Default order is
+    // the reference's newest-first; `sort_by=pulse_number_asc` flips it
+    // (storage.go:310-314).
     val pageSort = if (asc) col("pulse_number").asc else col("pulse_number").desc
-    val pageQuery = PulseChain.repairChain(Pagination.pageWithTotal(filtered,
-      Seq(pageSort), page.limit, page.offset))
-      .orderBy(pageSort)
-    // Materialize the ≤1000-row page ONCE: the edge patch and the caller's
-    // final read then work on a LocalRelation instead of re-running the
-    // scan + window per consumer (the reference holds the page rows the
-    // same way, storage.go:326-356).
+    val pageQuery = Pagination.pageWithTotalCarried(filtered,
+      Seq(pageSort), page.limit, page.offset)
+    // Materialize the ≤1000-row page ONCE; the J3 within-page chain
+    // repair and the J2 edge patch are then pure driver-side row rewrites
+    // of the collected page — exactly the reference's per-page loop
+    // (storage.go:326-379) — so a pulses page costs exactly one scan.
     val rows = pageQuery.collect()
-    // empty page: an empty LocalRelation, NOT the live query — returning
-    // pageQuery would re-run the whole scan+window at the caller's
-    // collect (and again at the envelope's total probe)
-    if (rows.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        pageQuery.schema)
-    else spark.createDataFrame(
-      java.util.Arrays.asList(patchPageEdges(spark, dir, rows): _*), pageQuery.schema)
+    val (pageRows, sentinel) =
+      rows.partition(_.getAs[Boolean](Pagination.PageRowMarker))
+    val out =
+      if (pageRows.isEmpty) sentinel // total-only: the envelope reads `total`
+      else {
+        val repaired = repairAndPatchPage(spark, dir, pageRows)
+        val pnIdx = pageQuery.schema.fieldIndex("pulse_number")
+        if (asc) repaired.sortBy(_.getLong(pnIdx))
+        else repaired.sortBy(-_.getLong(pnIdx))
+      }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), pageQuery.schema)
   }
 
-  /** J2 page-edge patching — bounded-page driver logic (pages are ≤1000
-    * rows by validation). Both edge lookups — the newest row's successor
-    * (the pulse whose stored prev points at it) and the oldest row's
-    * stored prev, existence-checked — answer from the driver-held chain
-    * index with ZERO Spark jobs; the patch itself is a pure row rewrite
-    * of the collected page, so a pulses page costs exactly one job.
+  /** J3 within-page chain repair + J2 page-edge patching as one bounded
+    * driver pass (pages are ≤1000 rows by validation) — the reference's
+    * per-page loop (`etl/storage/storage.go:326-379`) verbatim. Repair
+    * (W6 semantics, [[PulseChain.repairChain]]'s lag/lead algebra on the
+    * ascending page): a prev link holds iff the stored prev equals the
+    * actual page predecessor; a next link holds iff the successor's
+    * stored prev points back. The edge lookups — the newest row's
+    * successor (the pulse whose stored prev points at it) and the oldest
+    * row's stored prev, existence-checked — answer from the driver-held
+    * chain index with ZERO Spark jobs, so a pulses page costs exactly
+    * one distributed pass however it paginates.
     */
-  private def patchPageEdges(spark: SparkSession, dir: String,
+  private def repairAndPatchPage(spark: SparkSession, dir: String,
       rows: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
-    val pns = rows.map(_.getAs[Long]("pulse_number"))
-    val (lo, hi) = (pns.min, pns.max)
-    val chain = Domain.pulseChainIndex(spark, dir)
-    // successor of the newest row: the pulse whose stored prev points at it
-    val nextOfHi = chain.nextByPrev(hi).getOrElse(PulseChain.Unknown)
-    // predecessor of the oldest row: its stored prev, if that pulse exists
-    val prevOfLo = chain.storedPrev(lo).filter(chain.exists).getOrElse(PulseChain.Unknown)
     val schema = rows.head.schema
     val nextIdx = schema.fieldIndex("next_pulse_number")
     val prevIdx = schema.fieldIndex("prev_pulse_number")
     val pnIdx = schema.fieldIndex("pulse_number")
-    rows.map { r =>
-      val pn = r.getLong(pnIdx)
-      val patchNext = pn == hi && r.getLong(nextIdx) == PulseChain.Unknown
-      val patchPrev = pn == lo && r.getLong(prevIdx) == PulseChain.Unknown
-      if (!patchNext && !patchPrev) r
-      else {
-        val vals = r.toSeq.toArray
-        if (patchNext) vals(nextIdx) = nextOfHi
-        if (patchPrev) vals(prevIdx) = prevOfLo
-        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, schema)
-      }
+    val asc = rows.sortBy(_.getLong(pnIdx))
+    val pn = asc.map(_.getLong(pnIdx))
+    val storedPrev = asc.map(_.getLong(prevIdx))
+    val n = asc.length
+    val chain = Domain.pulseChainIndex(spark, dir)
+    // page edges (J2): successor of the newest row = the pulse whose
+    // stored prev points at it; predecessor of the oldest = its stored
+    // prev, only if that pulse exists (GetPulse semantics)
+    val nextOfHi = chain.nextByPrev(pn(n - 1)).getOrElse(PulseChain.Unknown)
+    val prevOfLo = chain.storedPrev(pn(0)).filter(chain.exists).getOrElse(PulseChain.Unknown)
+    Array.tabulate(n) { i =>
+      val prev =
+        if (i > 0) { if (storedPrev(i) == pn(i - 1)) pn(i - 1) else PulseChain.Unknown }
+        else prevOfLo
+      val next =
+        if (i < n - 1) { if (storedPrev(i + 1) == pn(i)) pn(i + 1) else PulseChain.Unknown }
+        else nextOfHi
+      val vals = asc(i).toSeq.toArray
+      vals(prevIdx) = prev
+      vals(nextIdx) = next
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, schema)
     }
   }
 

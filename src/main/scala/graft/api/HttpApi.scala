@@ -258,15 +258,22 @@ object HttpApi {
     * count runs over the same filtered query regardless of the page
     * (`etl/storage/storage.go:229-255`), so an offset past the last row
     * returns the TRUE total with an empty result — not `{"total":0}`.
-    * The pass-through `total` column (A3) carries the count whenever the
-    * page has rows; only the empty-page-at-nonzero-offset corner needs
-    * the separate 1-row probe (`firstPage`, the same filtered query at
-    * offset 0), exactly the case where paginating clients stop.
+    * Pages built with [[graft.operators.Pagination.pageWithTotalCarried]]
+    * carry the count on EVERY row including the empty-page sentinel
+    * (marker false, rendered rows exclude it) — the corner costs nothing
+    * extra. Marker-less pages keep the pass-through `total` column (A3)
+    * plus the lazy offset-0 probe (`firstPage`) for the
+    * empty-page-at-nonzero-offset corner, exactly the case where
+    * paginating clients stop.
     */
   private def envelope(rows: Array[Row], offset: Int,
-      firstPage: => Array[Row]): String =
-    if (rows.isEmpty && offset > 0) JsonOut.pageEnvelope(rows, totalOf(firstPage))
+      firstPage: => Array[Row]): String = {
+    val marker = graft.operators.Pagination.PageRowMarker
+    if (rows.nonEmpty && rows.head.schema.fieldNames.contains(marker))
+      JsonOut.pageEnvelope(rows.filter(_.getAs[Boolean](marker)), totalOf(rows))
+    else if (rows.isEmpty && offset > 0) JsonOut.pageEnvelope(rows, totalOf(firstPage))
     else JsonOut.pageEnvelope(rows, totalOf(rows))
+  }
 
   // ---- handlers --------------------------------------------------------
 
@@ -600,7 +607,9 @@ object JsonOut {
     */
   def obj(row: Row): String =
     row.schema.fields.iterator.zipWithIndex
-      .filter { case (f, i) => f.name != "total" && !row.isNullAt(i) }
+      .filter { case (f, i) =>
+        f.name != "total" && f.name != graft.operators.Pagination.PageRowMarker &&
+          !row.isNullAt(i) }
       .map { case (f, i) => s"${str(f.name)}:${value(row.get(i))}" }
       .mkString("{", ",", "}")
 

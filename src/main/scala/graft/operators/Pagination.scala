@@ -48,4 +48,31 @@ object Pagination {
     val total = df.agg(count(lit(1)).as("total"))
     page(df, sort, limit, offset).crossJoin(broadcast(total)).orderBy(sort: _*)
   }
+
+  /** Marker column of [[pageWithTotalCarried]]: true on page rows, false
+    * on the total-only sentinel.
+    */
+  val PageRowMarker = "_page_row"
+
+  /** [[pageWithTotal]] whose total SURVIVES an empty page. The 1-row
+    * count LEFT-joins the page (the page side — ≤1000 rows by validation
+    * — is the broadcast build side), so an offset past the last filtered
+    * row still yields exactly one sentinel row: [[PageRowMarker]] false,
+    * page columns null, `total` the true filtered count. The reference's
+    * COUNT-plus-page pair answers this corner for free because its COUNT
+    * is a separate statement (`etl/storage/storage.go:229-255`); this
+    * keeps the fused one-plan form AND the corner — callers render only
+    * marker-true rows and read `total` from any row, sentinel included,
+    * so an out-of-range page costs the same single pass as an in-range
+    * one (no second filtered-count probe).
+    */
+  def pageWithTotalCarried(df: DataFrame, sort: Seq[Column], limit: Int, offset: Int = 0): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total"))
+    val p = page(df, sort, limit, offset).withColumn(PageRowMarker, lit(true))
+    val pageCols = p.columns.filterNot(_ == PageRowMarker)
+    total.join(broadcast(p), lit(true), "left")
+      .withColumn(PageRowMarker, coalesce(col(PageRowMarker), lit(false)))
+      .select(pageCols.map(col) ++ Seq(col("total"), col(PageRowMarker)): _*)
+      .orderBy(sort: _*)
+  }
 }

@@ -141,6 +141,57 @@ class EndpointsSpec extends SparkSpec {
     }
   }
 
+  test("pulses out-of-range page: true total carried, same job count as in-range") {
+    // warm the shape (spine build + first-plan jobs out of the count)
+    Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3)).collect()
+
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener delivery is async: poll until the count holds still
+        var prev = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(50)
+          val cur = n.get()
+          stable = if (cur == prev) stable + 1 else 0
+          prev = cur
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+
+    val total = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3))
+      .collect().head.getAs[Long]("total")
+    assert(total > 0)
+
+    var inRange: Array[org.apache.spark.sql.Row] = null
+    var outOfRange: Array[org.apache.spark.sql.Row] = null
+    val inRangeJobs = jobsDuring {
+      inRange = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3)).collect()
+    }
+    val outJobs = jobsDuring {
+      outOfRange = Endpoints.pulses(spark, dir,
+        Endpoints.PageParams(limit = 3, offset = total.toInt + 100)).collect()
+    }
+    // the out-of-range page is a marker-false sentinel carrying the TRUE
+    // total — no page rows, no second filtered-count probe
+    assert(inRange.length == 3)
+    assert(outOfRange.length == 1)
+    assert(!outOfRange.head.getAs[Boolean](
+      graft.operators.Pagination.PageRowMarker))
+    assert(outOfRange.head.getAs[Long]("total") == total)
+    assert(outJobs <= inRangeJobs,
+      s"out-of-range page ran $outJobs jobs vs $inRangeJobs for an in-range page — " +
+        "the fused total must not re-run the filtered query")
+  }
+
   test("search dispatches to all four target kinds") {
     val p = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1))
       .collect()(0).getAs[Long]("pulse_number")
