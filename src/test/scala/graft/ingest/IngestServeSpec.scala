@@ -1,0 +1,140 @@
+package graft.ingest
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.functions._
+import org.sparkproject.connect.grpc.Server
+import org.sparkproject.connect.grpc.netty.NettyServerBuilder
+
+import graft.{Ingest, SparkSpec}
+import graft.gen.Fixtures
+
+/** The ingest daemon (`graft.Ingest`, the `cmd/block-explorer/main.go`
+  * analog) against a LIVE netty exporter replaying a multi-pulse fixture
+  * — the heavymock integration shape (`test/heavymock/exporter_impl.go:
+  * 28-50` + the `test/integration` suite): follow the feed head over the real
+  * gRPC wire, kill and restart the exporter mid-feed, and assert the
+  * three tables converge to complete + sequential.
+  */
+class IngestServeSpec extends SparkSpec {
+
+  private val start = Fixtures.GenesisPulse + Fixtures.PulseDelta
+  private val delta = Fixtures.PulseDelta
+
+  /** Tight cadences so convergence is test-speed; semantics unchanged. */
+  private val fastCfg = Ingest.Config(
+    pulsePeriodMs = 150L, sequentialPeriodMs = 50L, headPauseMs = 100L,
+    errorPauseMs = 100L, batchSize = 7, fetchBackoffMs = 5L)
+
+  private def bindOn(port: Int, stream: Transport.RecordStream): Server =
+    NettyServerBuilder.forPort(port)
+      .addService(GrpcTransport.recordService(stream)).build().start()
+
+  private def await(deadlineMs: Long = 30000L)(cond: => Boolean): Boolean = {
+    val t0 = System.nanoTime()
+    while (!cond && (System.nanoTime() - t0) / 1e6 < deadlineMs) Thread.sleep(50)
+    cond
+  }
+
+  test("daemon follows the feed over the wire, survives an exporter kill+restart, " +
+      "and converges all three tables to complete+sequential") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon").toString
+    val nPulses = 5
+    // jets {"0","1"} form a full binary-tree cover → every pulse completes
+    val wire = Fixtures.multiPulseBatches(spark, nPulses, recordsPerPulse = 12,
+      startPulse = start)
+    // phase 1 serves only the first two pulses (the live head), so the
+    // kill deterministically lands mid-feed with three pulses outstanding
+    val headAtKill = new ReplayExporter(wire.filter(
+      col("pulse_number") < start + 2 * delta))
+    val replay = new ReplayExporter(wire)
+
+    var server = bindOn(0, headAtKill)
+    val port = server.getPort
+    val handle = Ingest.bootstrap(spark, base, "localhost", port, start, fastCfg)
+    try {
+      // the follower ingests the two served pulses, then head-polls
+      assert(await()(handle.daemon.ingestedCount == 2),
+        s"daemon never got going: ${handle.daemon.snapshot.keySet}")
+      assert(await()(handle.daemon.cursor == start + 2 * delta))
+
+      // kill the exporter mid-feed: the follower's fetch exhausts its
+      // reopen budget, holds the cursor, and retries after a pause
+      server.shutdownNow()
+      server.awaitTermination(5, TimeUnit.SECONDS)
+      Thread.sleep(400) // several follower error-pauses with the wire down
+      assert(handle.daemon.cursor == start + 2 * delta,
+        "cursor must not advance past unfetched pulses while the exporter is down")
+
+      // restart on the SAME port with the full feed: the managed channel
+      // reconnects, the portion protocol resumes at the cursor
+      server = bindOn(port, replay)
+      assert(await()(handle.daemon.ingestedCount == nPulses),
+        s"daemon never converged: ${handle.daemon.snapshot.keySet}")
+
+      // the maintainer marks covers complete; the sequencer chains the
+      // high-water mark through all five pulses
+      assert(await()(handle.daemon.sequentialPulse == start + (nPulses - 1) * delta),
+        s"sequencer stalled at ${handle.daemon.sequentialPulse}: ${handle.daemon.snapshot}")
+    } finally {
+      handle.stop()
+      server.shutdownNow()
+      server.awaitTermination(5, TimeUnit.SECONDS)
+    }
+
+    // ---- the three tables converged on disk ----------------------------
+    val records = spark.read.parquet(s"$base/records")
+    assert(records.count() == nPulses * 12L)
+    assert(records.select("pulse_number").distinct().count() == nPulses.toLong)
+    val drops = spark.read.parquet(s"$base/jet_drops")
+    assert(drops.count() == nPulses * 2L) // 2 jets per pulse
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.length == nPulses)
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")), "every cover is full")
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")), "chain is gapless")
+    assert(pulses.map(_.getAs[Long]("record_amount")).forall(_ == 12L))
+    // chain links are consistent: each prev points at the predecessor
+    val pns = pulses.map(_.getAs[Long]("pulse_number"))
+    val prevs = pulses.map(_.getAs[Long]("prev_pulse_number"))
+    assert(pns.toSeq == (0 until nPulses).map(start + _ * delta))
+    assert(prevs.drop(1).toSeq == pns.dropRight(1).toSeq)
+  }
+
+  test("maintainer reloads an incomplete pulse until its jet cover fills (ST2+ST3)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-reload").toString
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
+      startPulse = start)
+    val full = new ReplayExporter(wire)
+    // first serve of the FIRST pulse hides jet "1" entirely (a node that
+    // had not flushed that jet yet); re-requests serve everything
+    val half = new ReplayExporter(wire.filter(
+      col("pulse_number") =!= start || col("jet_id") === "0"))
+    @volatile var healed = false
+    val flaky = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        val src = if (pulse == start && !healed) { healed = true; half } else full
+        src.export(pulse, recordNumber, count)
+      }
+    }
+
+    val server = bindOn(0, flaky)
+    val handle = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
+    try {
+      // the maintainer must notice the half cover ({"0"} is not a full
+      // binary-tree cover), re-request the pulse, and complete it
+      assert(await()(handle.daemon.snapshot.get(start).exists(_.complete)),
+        s"incomplete pulse never healed: ${handle.daemon.snapshot}")
+      assert(await()(handle.daemon.sequentialPulse == start + delta))
+    } finally {
+      handle.stop()
+      server.shutdownNow()
+      server.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    val records = spark.read.parquet(s"$base/records")
+    assert(records.filter(col("pulse_number") === start).count() == 8L,
+      "the reload's partition overwrite replaced the half pulse with the full one")
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")))
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+  }
+}
