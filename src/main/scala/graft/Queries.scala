@@ -932,6 +932,20 @@ object Queries {
     * regression (or a broken error bound) turns the row red instead of
     * hiding behind a rows-only check. The deterministic twin
     * [[evSketchDet]] stays the bit-exact replay.
+    *
+    * Memory note: the verdict frame trades the sketches' constant
+    * per-group memory for oracle-checkability — `count_distinct` and the
+    * exact `percentile(array(...))` windows buffer each group's values,
+    * so THIS catalog form is verify-shaped, not the 100 TB serving
+    * shape. A production pipeline serves the sketch columns alone
+    * (approx_count_distinct / percentile_approx, both
+    * TypedImperativeAggregates with map-side combine) or [[evSketchDet]].
+    *
+    * Small groups: for n ≲ 20 the ±5%-rank windows collapse between
+    * discrete ranks, where an approx percentile (an actual data point)
+    * can sit legitimately outside the interpolated window — the verdict
+    * short-circuits to TRUE below that floor so a fixture change can't
+    * flip an expected-TRUE verdict on degenerate group sizes.
     */
   val evSketch: Q = (s, dir) => {
     Domain.events(s, dir)
@@ -946,9 +960,11 @@ object Queries {
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.15)).as("users_within_tol"),
-        col("approx_p50").between(col("rank_windows")(0), col("rank_windows")(1))
+        (col("n_events") < lit(20) ||
+          col("approx_p50").between(col("rank_windows")(0), col("rank_windows")(1)))
           .as("p50_within_tol"),
-        col("approx_p95").between(col("rank_windows")(2), col("rank_windows")(3))
+        (col("n_events") < lit(20) ||
+          col("approx_p95").between(col("rank_windows")(2), col("rank_windows")(3)))
           .as("p95_within_tol"))
       .orderBy(col("event_type"))
   }

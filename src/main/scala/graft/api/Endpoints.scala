@@ -144,14 +144,18 @@ object Endpoints {
     }
   }
 
-  /** GET /pulses/{pulse}/jet-drops — drops of one pulse, jet-id cursor. */
+  /** GET /pulses/{pulse}/jet-drops — drops of one pulse, jet-id cursor.
+    * Paged with the carried-total sentinel ([[Pagination.pageWithTotalCarried]])
+    * like every offset-capable list endpoint: an offset past the end
+    * still answers the true filtered total in the same single pass.
+    */
   def jetDropsByPulse(spark: SparkSession, dir: String, pulseNumber: Long,
       fromJetId: Option[String] = None, page: PageParams = PageParams()): DataFrame = {
     val d = dropsView(spark, dir)
     val filtered = d.filter(col("pulse_number") === pulseNumber)
     val cursored = fromJetId.fold(filtered)(j => filtered.filter(col("jet_id") >= j))
     Mappers.jetDropToApi(
-      Pagination.pageWithTotal(cursored, Seq(col("jet_id").asc), page.limit, page.offset))
+      Pagination.pageWithTotalCarried(cursored, Seq(col("jet_id").asc), page.limit, page.offset))
   }
 
   /** API link element: `server.NextPrevJetDrop` rendered by
@@ -230,7 +234,7 @@ object Endpoints {
       val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(typed) { case (p, o) =>
         typed.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc = true))
       }
-      Pagination.pageWithTotal(cursored,
+      Pagination.pageWithTotalCarried(cursored,
         Seq(col("pulse_number").asc, col("order").asc, col("reference").asc),
         page.limit, page.offset)
     }
@@ -351,7 +355,7 @@ object Endpoints {
     val sort =
       if (asc) Seq(col("pulse_number").asc, col("order").asc, col("reference").asc)
       else Seq(col("pulse_number").desc, col("order").desc, col("reference").desc)
-    Pagination.pageWithTotal(cursored, sort, page.limit, page.offset)
+    Pagination.pageWithTotalCarried(cursored, sort, page.limit, page.offset)
   }
 
   /** GET /search — polymorphic dispatch to the matching point query. */

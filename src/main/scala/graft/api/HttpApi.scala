@@ -258,20 +258,18 @@ object HttpApi {
     * count runs over the same filtered query regardless of the page
     * (`etl/storage/storage.go:229-255`), so an offset past the last row
     * returns the TRUE total with an empty result — not `{"total":0}`.
-    * Pages built with [[graft.operators.Pagination.pageWithTotalCarried]]
-    * carry the count on EVERY row including the empty-page sentinel
-    * (marker false, rendered rows exclude it) — the corner costs nothing
-    * extra. Marker-less pages keep the pass-through `total` column (A3)
-    * plus the lazy offset-0 probe (`firstPage`) for the
-    * empty-page-at-nonzero-offset corner, exactly the case where
-    * paginating clients stop.
+    * ONE mechanism across every offset-capable list endpoint: pages are
+    * built with [[graft.operators.Pagination.pageWithTotalCarried]],
+    * which carries the count on EVERY row including the empty-page
+    * sentinel (marker false, excluded from the rendered rows), so the
+    * out-of-range corner costs the same single pass as an in-range page.
+    * The marker-less branch serves the limit-only by-jet-id endpoint,
+    * where an empty page can only mean a zero total.
     */
-  private def envelope(rows: Array[Row], offset: Int,
-      firstPage: => Array[Row]): String = {
+  private def envelope(rows: Array[Row]): String = {
     val marker = graft.operators.Pagination.PageRowMarker
     if (rows.nonEmpty && rows.head.schema.fieldNames.contains(marker))
       JsonOut.pageEnvelope(rows.filter(_.getAs[Boolean](marker)), totalOf(rows))
-    else if (rows.isEmpty && offset > 0) JsonOut.pageEnvelope(rows, totalOf(firstPage))
     else JsonOut.pageEnvelope(rows, totalOf(rows))
   }
 
@@ -305,10 +303,10 @@ object HttpApi {
     // are integral, so lt v == lte v-1 (filterByPulseNumber, storage.go)
     val lte = Seq(fromPulse, pnLte, pnLt.map(_ - 1)).flatten.reduceOption(_ min _)
     val gte = Seq(pnGte, pnGt.map(_ + 1)).flatten.reduceOption(_ max _)
-    def page(pp: Endpoints.PageParams) = presentPulses(Endpoints.pulses(spark, dir, pp,
+    val page = presentPulses(Endpoints.pulses(spark, dir,
+      Endpoints.PageParams(limit, offset),
       fromPulse = gte, toPulse = lte, fromTimestamp = tsGte, toTimestamp = tsLte, asc = asc))
-    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
-      page(Endpoints.PageParams(1, 0)).collect()))
+    (200, envelope(page.collect()))
   }
 
   private def pulsePoint(spark: SparkSession, dir: String, p: String): (Int, String) =
@@ -344,10 +342,9 @@ object HttpApi {
     }
     if (failures.nonEmpty) return badRequest(failures, code = "400")
     val pn = pulseNum.get
-    def page(pp: Endpoints.PageParams) =
-      presentEmptyLinks(Endpoints.jetDropsByPulse(spark, dir, pn, fromJetId = fromJet, page = pp))
-    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
-      page(Endpoints.PageParams(1, 0)).collect()))
+    val page = presentEmptyLinks(Endpoints.jetDropsByPulse(spark, dir, pn,
+      fromJetId = fromJet, page = Endpoints.PageParams(limit, offset)))
+    (200, envelope(page.collect()))
   }
 
   /** JetDropByID (handlers.go:45-58): a malformed id fails with reason
@@ -379,10 +376,9 @@ object HttpApi {
     if (recordType.exists(t => !Set("request", "result", "state").contains(t)))
       failures :+= (("type", "should be 'request', 'state' or 'result'"))
     if (failures.nonEmpty) return badRequest(failures)
-    def page(pp: Endpoints.PageParams) =
-      withIndex(Endpoints.jetDropRecords(spark, dir, id, fromIndex, pp, recordType).get)
-    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
-      page(Endpoints.PageParams(1, 0)).collect()))
+    val page = withIndex(Endpoints.jetDropRecords(spark, dir, id, fromIndex,
+      Endpoints.PageParams(limit, offset), recordType).get)
+    (200, envelope(page.collect()))
   }
 
   private def dropsByJet(spark: SparkSession, dir: String, jet: String,
@@ -446,12 +442,11 @@ object HttpApi {
     val (tsGte, f8) = longParam(q, "timestamp_gte")
     val failures = f1 ++ f2 ++ f3 ++ f4 ++ f5 ++ f6 ++ f7 ++ f8
     if (failures.nonEmpty) return badRequest(failures)
-    def page(pp: Endpoints.PageParams) =
-      withIndex(Endpoints.objectLifeline(spark, dir, objectRef.get, asc = asc,
-        fromIndex = fromIndex, fromPulse = pnGt.map(_ + 1), toPulse = pnLt.map(_ - 1),
-        fromTimestamp = tsGte, toTimestamp = tsLte, page = pp))
-    (200, envelope(page(Endpoints.PageParams(limit, offset)).collect(), offset,
-      page(Endpoints.PageParams(1, 0)).collect()))
+    val page = withIndex(Endpoints.objectLifeline(spark, dir, objectRef.get, asc = asc,
+      fromIndex = fromIndex, fromPulse = pnGt.map(_ + 1), toPulse = pnLt.map(_ - 1),
+      fromTimestamp = tsGte, toTimestamp = tsLte,
+      page = Endpoints.PageParams(limit, offset)))
+    (200, envelope(page.collect()))
   }
 
   /** Search answers with a typed redirect hint (`{type, meta}`), not the

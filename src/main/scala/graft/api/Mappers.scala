@@ -30,13 +30,15 @@ object Mappers {
       col("order"),
       Codecs.indexString(col("pulse_number"), col("order")).as("index"),
       col("timestamp")) ++
-      (if (records.columns.contains("total")) Seq(col("total")) else Nil)): _*)
+      Seq("total", graft.operators.Pagination.PageRowMarker)
+        .filter(records.columns.contains).map(col)): _*)
 
   /** Jet drop row → API shape (`api/mappers.go:57-76`); the J5 link-list
     * and `total` columns pass through when the caller enriched them.
     */
   def jetDropToApi(drops: DataFrame): DataFrame = {
-    val links = Seq("prev_ids", "next_ids", "prev_jet_drop_id", "next_jet_drop_id", "total")
+    val links = Seq("prev_ids", "next_ids", "prev_jet_drop_id", "next_jet_drop_id",
+      "total", graft.operators.Pagination.PageRowMarker)
       .filter(drops.columns.contains).map(col)
     drops.select(Seq(
       Codecs.jetDropIdString(col("jet_id"), col("pulse_number")).as("jet_drop_id"),

@@ -67,6 +67,11 @@ object Pagination {
     * one (no second filtered-count probe).
     */
   def pageWithTotalCarried(df: DataFrame, sort: Seq[Column], limit: Int, offset: Int = 0): DataFrame = {
+    // the two attached columns are resolved by bare name after the join —
+    // a source already carrying either would make the select ambiguous at
+    // plan time; fail loud at the call site instead
+    require(!df.columns.contains("total") && !df.columns.contains(PageRowMarker),
+      s"pageWithTotalCarried input must not carry reserved columns 'total'/'$PageRowMarker'")
     val total = df.agg(count(lit(1)).as("total"))
     val p = page(df, sort, limit, offset).withColumn(PageRowMarker, lit(true))
     val pageCols = p.columns.filterNot(_ == PageRowMarker)

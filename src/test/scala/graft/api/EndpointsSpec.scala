@@ -91,8 +91,12 @@ class EndpointsSpec extends SparkSpec {
     assert(all.nonEmpty)
     val jets = all.map(_.getAs[String]("jet_id"))
     assert(jets.sameElements(jets.sorted))
+    // page rows are marker-true; a cursor past every jet yields only the
+    // total-carrying sentinel (the one-mechanism empty-page contract)
     val cursored = Endpoints.jetDropsByPulse(spark, dir, anyPulse, fromJetId = Some("1"))
-      .collect().map(_.getAs[String]("jet_id"))
+      .collect()
+      .filter(_.getAs[Boolean](graft.operators.Pagination.PageRowMarker))
+      .map(_.getAs[String]("jet_id"))
     assert(cursored.forall(_ >= "1"))
   }
 
@@ -113,6 +117,7 @@ class EndpointsSpec extends SparkSpec {
     assert(recs.nonEmpty)
     val resumed = Endpoints.jetDropRecords(spark, dir, dropId,
       fromIndex = Some(s"473353:2")).get.collect()
+      .filter(_.getAs[Boolean](graft.operators.Pagination.PageRowMarker))
     assert(resumed.forall(_.getAs[Long]("order") >= 2))
   }
 
@@ -141,31 +146,42 @@ class EndpointsSpec extends SparkSpec {
     }
   }
 
+  /** Count the Spark jobs `body` submits. Jobs are tagged with a unique
+    * job group so concurrent work from other suites on the shared session
+    * never inflates the count, and the async-listener settle loop is
+    * deadline-bounded so a listener-bus stall can't hang the test.
+    */
+  private def jobsDuring(body: => Unit): Int = {
+    val group = "jobs-" + java.util.UUID.randomUUID().toString
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, "job-count pin")
+      try body finally spark.sparkContext.clearJobGroup()
+      // listener delivery is async: poll until the count holds still,
+      // bounded by a 10 s deadline
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var prev = -1; var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val cur = n.get()
+        stable = if (cur == prev) stable + 1 else 0
+        prev = cur
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
   test("pulses out-of-range page: true total carried, same job count as in-range") {
     // warm the shape (spine build + first-plan jobs out of the count)
     Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3)).collect()
-
-    def jobsDuring(body: => Unit): Int = {
-      val n = new java.util.concurrent.atomic.AtomicInteger()
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          n.incrementAndGet()
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        body
-        // listener delivery is async: poll until the count holds still
-        var prev = -1; var stable = 0
-        while (stable < 3) {
-          Thread.sleep(50)
-          val cur = n.get()
-          stable = if (cur == prev) stable + 1 else 0
-          prev = cur
-        }
-      } finally spark.sparkContext.removeSparkListener(l)
-      n.get()
-    }
 
     val total = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3))
       .collect().head.getAs[Long]("total")
@@ -190,6 +206,38 @@ class EndpointsSpec extends SparkSpec {
     assert(outJobs <= inRangeJobs,
       s"out-of-range page ran $outJobs jobs vs $inRangeJobs for an in-range page — " +
         "the fused total must not re-run the filtered query")
+  }
+
+  test("every offset-capable list endpoint: the out-of-range page carries the " +
+      "true total in the same single pass (one mechanism, job-count pinned)") {
+    val marker = graft.operators.Pagination.PageRowMarker
+    val anyPulse = 473353L
+    val dropId = Endpoints.jetDropsByPulse(spark, dir, anyPulse)
+      .collect().head.getAs[String]("jet_drop_id")
+    val shapes: Seq[(String, Int => Array[org.apache.spark.sql.Row])] = Seq(
+      ("drops_by_pulse", off => Endpoints.jetDropsByPulse(spark, dir, anyPulse,
+        page = Endpoints.PageParams(limit = 2, offset = off)).collect()),
+      ("drop_records", off => Endpoints.jetDropRecords(spark, dir, dropId,
+        page = Endpoints.PageParams(limit = 2, offset = off)).get.collect()),
+      ("lifeline", off => Endpoints.objectLifeline(spark, dir, 7L,
+        page = Endpoints.PageParams(limit = 2, offset = off)).collect()))
+    shapes.foreach { case (name, run) =>
+      run(0) // warm: first-plan/codegen jobs out of the pinned counts
+      var in: Array[org.apache.spark.sql.Row] = null
+      var out: Array[org.apache.spark.sql.Row] = null
+      val inJobs = jobsDuring { in = run(0) }
+      assert(in.nonEmpty && in.forall(_.getAs[Boolean](marker)), name)
+      val total = in.head.getAs[Long]("total")
+      assert(total > 0, name)
+      val outJobs = jobsDuring { out = run(total.toInt + 50) }
+      // one marker-false sentinel row carrying the true filtered count —
+      // never an empty frame, never a second count probe
+      assert(out.length == 1 && !out.head.getAs[Boolean](marker), name)
+      assert(out.head.getAs[Long]("total") == total, name)
+      assert(outJobs <= inJobs,
+        s"$name: out-of-range page ran $outJobs jobs vs $inJobs in-range — " +
+          "the carried total must not re-run the filtered query")
+    }
   }
 
   test("search dispatches to all four target kinds") {

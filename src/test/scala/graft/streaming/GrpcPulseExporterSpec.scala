@@ -101,6 +101,60 @@ class GrpcPulseExporterSpec extends SparkSpec {
     }
   }
 
+  test("cross-compat golden bytes: a foreign client's hand-assembled proto3 buffer " +
+      "drives the live server, and the raw response bytes are the canonical layout") {
+    // A protoc-generated Go client (the reference's, pulse_exporter.proto:
+    // 5-20) is simulated END-TO-END without graft's codec on the client
+    // side: the method descriptor below marshals raw Array[Byte]
+    // verbatim, the request buffer is assembled by hand per the proto's
+    // field numbers/wire types, and the response is decoded by hand from
+    // the raw bytes the server put on the wire. Parsing leniencies any
+    // conformant proto3 parser must accept are exercised deliberately:
+    // out-of-order fields, a NON-minimal varint (padded continuation
+    // bytes — legal on the wire, never produced by a canonical encoder),
+    // and an unknown field that must be skipped.
+    val rawMethod = org.sparkproject.connect.grpc.MethodDescriptor
+      .newBuilder[Array[Byte], Array[Byte]]()
+      .setType(org.sparkproject.connect.grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
+      .setFullMethodName("exporter.PulseExporter/GetNextPulse")
+      .setRequestMarshaller(identityMarshaller)
+      .setResponseMarshaller(identityMarshaller)
+      .build()
+    // GetNextPulseRequest{PulseNumberFrom: 70000, Prototypes: ["b"]},
+    // fields REVERSED vs declaration order, PulseNumberFrom as a
+    // 5-byte non-minimal varint, plus unknown field 7 (varint 9):
+    //   field 2 (bytes):  tag 0x12, len 1, 'b'
+    //   field 1 (varint): tag 0x08, 70000 padded = F0 A2 84 80 00
+    //   field 7 (varint): tag 0x38, 9
+    val request = Array[Int](
+      0x12, 0x01, 'b'.toInt,
+      0x08, 0xF0, 0xA2, 0x84, 0x80, 0x00,
+      0x38, 0x09).map(_.toByte)
+    withServer() { (_, ch) =>
+      val raw = ClientCalls.blockingServerStreamingCall(
+        ch, rawMethod, CallOptions.DEFAULT, request)
+        .asInstanceOf[java.util.Iterator[Array[Byte]]]
+      val first = raw.next()
+      // canonical GetNextPulseResponse{PulseNumber: 70010, PrevPulseNumber:
+      // 70000, RecordAmount: 2} — the prototype filter "b" admits 70010
+      // with 2 matching records. varint(70010)=FA A2 04, varint(70000)=
+      // F0 A2 04; exactly what protoc-generated Go emits and parses.
+      assert(first.toSeq == Seq(
+        0x08, 0xFA, 0xA2, 0x04, // PulseNumber = 1, varint
+        0x10, 0xF0, 0xA2, 0x04, // PrevPulseNumber = 2, varint
+        0x18, 0x02 // RecordAmount = 3, varint
+      ).map(_.toByte),
+        s"wire layout drifted from pulse_exporter.proto: ${first.map("%02X".format(_)).mkString(" ")}")
+    }
+  }
+
+  private def identityMarshaller =
+    new org.sparkproject.connect.grpc.MethodDescriptor.Marshaller[Array[Byte]] {
+      override def stream(value: Array[Byte]): java.io.InputStream =
+        new java.io.ByteArrayInputStream(value)
+      override def parse(stream: java.io.InputStream): Array[Byte] = stream.readAllBytes()
+    }
+
   test("long-poll: a caught-up stream stays open and the client ends it by cancelling") {
     withServer(pulsePeriodMs = 20L) { (_, ch) =>
       val it = ClientCalls.blockingServerStreamingCall(
