@@ -450,6 +450,17 @@ object Bench {
           else recs
         }
       }
+      // fresh store: the daemon SEEDS from existing artifacts by design,
+      // and a stale store from a prior bench run would skew the timing
+      // (and could carry a pre-bucketing pulses layout)
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally s.close()
+        }
+      rmTree(java.nio.file.Paths.get("/tmp/graft-bench-daemon"))
       val server = org.sparkproject.connect.grpc.netty.NettyServerBuilder.forPort(0)
         .addService(GrpcTransport.recordService(replay)).build().start()
       val ch = GrpcTransport.channel("localhost", server.getPort)
@@ -529,9 +540,12 @@ object Bench {
     try {
       val cwd = java.nio.file.Paths.get(".")
       val roundRe = "BENCH_r(\\d+)\\.json".r
-      val round = 1 + java.nio.file.Files.list(cwd).iterator().asScala
-        .flatMap(f => roundRe.findFirstMatchIn(f.getFileName.toString).map(_.group(1).toInt))
-        .foldLeft(0)(math.max)
+      val listing = java.nio.file.Files.list(cwd)
+      val round =
+        try 1 + listing.iterator().asScala
+          .flatMap(f => roundRe.findFirstMatchIn(f.getFileName.toString).map(_.group(1).toInt))
+          .foldLeft(0)(math.max)
+        finally listing.close()
       java.nio.file.Files.write(cwd.resolve(s"BENCH_FULL_r$round.json"), json.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}") }
     println(json)

@@ -1,14 +1,12 @@
 package graft
 
-import java.util.concurrent.TimeUnit
-
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.JetFunctions
-import graft.ingest.{Canonicalize, GrpcTransport, PulseWriter, Resilience, Spine, Transport}
+import graft.ingest.{Canonicalize, GrpcTransport, PulseWriter, Resilience, Transport}
 
 /** The ingest daemon binary — the reference's FIRST binary, the
   * `cmd/block-explorer/main.go:35-180` analog: connect to a live record
@@ -29,34 +27,53 @@ import graft.ingest.{Canonicalize, GrpcTransport, PulseWriter, Resilience, Spine
   *  - '''follower''' (the extractor's continuous pull,
   *    `etl/extractor/platform_impl.go:151-222`): fetch the pulse at the
   *    cursor through [[Transport.fetchPulse]] (portioned stream, resume
-  *    cursor, end-of-pulse marker), commit it through the distributed
-  *    [[Spine]] + idempotent partition overwrite, then advance by the
-  *    exporter's iterate-from hint. `NOT_FOUND` means the head is
-  *    reached — sleep half a pulse and re-ask (the reference's
+  *    cursor, end-of-pulse marker), commit it through the shared
+  *    [[PulseWriter.commitPulse]] (distributed spine + idempotent
+  *    partition overwrite), then advance by the exporter's iterate-from
+  *    hint. `NOT_FOUND` means the head is reached — sleep half a pulse
+  *    and re-ask (the reference's
   *    `ContinuousPulseRetrievingHalfPulseSeconds`). A transport failure
   *    that outlives the in-fetch reopen budget leaves the cursor where
   *    it is and retries after a pause, so an exporter restart loses
   *    nothing: the managed channel reconnects and the portion protocol
   *    resumes at the record cursor.
   *  - '''maintainer''' (`pulseMaintainer`, every PulsePeriod): walk the
-  *    in-memory jet-drop register (the reference's `jetDropRegister` —
-  *    driver-held here too, populated at commit time for free from the
+  *    OPEN set of the driver-held pulse register (the reference's
+  *    `jetDropRegister` — populated at commit time for free from the
   *    pulse's own drop rows), mark pulses whose jet set forms a full
   *    binary-tree cover complete ([[JetFunctions.jetTreeCover]], ST2),
   *    re-request incomplete ones through the TTL-deduped reload
   *    ([[Resilience.MissedDataManager]], ST3 — `misseddata.go:60-95`),
-  *    and persist the pulses dimension.
+  *    persist dirty pulses, and CLOSE flushed complete+sequential
+  *    pulses out of the open set (the reference deletes them from its
+  *    register the same way), so per-tick work is bounded by the open
+  *    frontier, not the table's history.
   *  - '''sequencer''' (`pulseSequence`, every SequentialPeriod): advance
   *    the sequential high-water mark over chain-linked complete pulses —
   *    zero wait between consecutive advances, like the reference's
-  *    `waitTime = 0` fast path — and on a stall re-request the open gap
-  *    up to the next saved pulse (`pulsemaintainer.go:86-143`).
+  *    `waitTime = 0` fast path; candidates are taken smallest-first so
+  *    a backfilled chain advances deterministically — and on a stall
+  *    re-request the open gap up to the next saved pulse
+  *    (`pulsemaintainer.go:86-143`).
+  *
+  * Durability: the pulses dimension persists incrementally. On start
+  * the register SEEDS from the existing `pulses`/`jet_drops` artifacts
+  * (the reference reads the same state back from Postgres), so a
+  * restart resumes the cursor, the sequential mark, and every open
+  * pulse's jet cover instead of truncating history. Writes go through
+  * bucket-partitioned dynamic overwrite (`pulse_bucket` spans
+  * [[Config.flushBucketSpan]] pulse numbers): a flush rewrites only the
+  * buckets containing changed pulses — bounded forever, however long
+  * the daemon runs.
   *
   * 100 TB shape: the per-pulse record set is bounded by the pulse
   * cadence (the reference holds it in one goroutine's memory the same
   * way), the spine is the only distributed stage, the commit is a
-  * pruned single-partition overwrite, and the register/pulses dimension
-  * is pulses-sized (tiny). Nothing here rescans the fact table.
+  * pruned single-partition overwrite. Driver memory holds one
+  * [[PulseEntry]] per known pulse (~tens of bytes; a decade of 10 s
+  * pulses ≈ 100 MB — the dimension the reference keeps in Postgres),
+  * while per-tick scanning and flushing touch only the open frontier
+  * and dirty buckets.
   */
 object Ingest {
 
@@ -71,7 +88,8 @@ object Ingest {
       errorPauseMs: Long = 1000L, // pause after an exhausted fetch
       batchSize: Int = 100, // extractor portion size (main.go:79)
       fetchBackoffMs: Long = 200L, // in-fetch reopen backoff
-      pulseDelta: Long = 10L)
+      pulseDelta: Long = 10L,
+      flushBucketSpan: Long = 100000L) // pulses-table partition span
 
   /** Driver-held register row: the reference's `jetDropRegister` entry
     * plus the pulse bookkeeping its storage rows carry.
@@ -98,11 +116,16 @@ object Ingest {
     @volatile private var running = false
     @volatile private var cursorNow = fromPulse
     @volatile private var seqPulse = fromPulse - cfg.pulseDelta
-    private val register = scala.collection.mutable.LinkedHashMap.empty[Long, PulseEntry]
+    // `lock` guards the register bookkeeping (entries/open/dirty); the
+    // Spark writes serialize on `writeLock` separately — concurrent
+    // dynamic-partition overwrites into one table path would race in the
+    // commit protocol's staging directory (the reference funnels all
+    // writes through one storage transaction). The two are never nested.
+    private val lock = new Object
+    private val entries = scala.collection.mutable.HashMap.empty[Long, PulseEntry]
+    private val open = scala.collection.mutable.TreeSet.empty[Long]
+    private val dirty = scala.collection.mutable.Set.empty[Long]
     private val missed = new Resilience.MissedDataManager(cfg.reloadTtlMs)
-    // commits serialize: concurrent dynamic-partition overwrites into one
-    // table path would race in the commit protocol's staging directory
-    // (the reference funnels all writes through one storage transaction)
     private val writeLock = new Object
     private var threads = Seq.empty[Thread]
 
@@ -110,44 +133,102 @@ object Ingest {
 
     def cursor: Long = cursorNow
     def sequentialPulse: Long = seqPulse
-    def snapshot: Map[Long, PulseEntry] = register.synchronized(register.toMap)
-    def ingestedCount: Int = register.synchronized(register.size)
+    def snapshot: Map[Long, PulseEntry] = lock.synchronized(entries.toMap)
+    def ingestedCount: Int = lock.synchronized(entries.size)
+
+    // ---- seeding (restart resume) ---------------------------------------
+
+    /** Rebuild the register from the persisted artifacts so a restarted
+      * daemon RESUMES instead of truncating: pulse rows give prev/flags/
+      * counters, the still-open pulses' jet covers reload from the
+      * drops table (partition-pruned to exactly those pulses), the
+      * sequential mark is the max persisted sequential pulse, and the
+      * cursor starts past the newest known pulse.
+      */
+    private def seed(): Unit = {
+      if (!new java.io.File(s"$basePath/pulses").exists()) return
+      val rows = spark.read.parquet(s"$basePath/pulses").collect()
+      lock.synchronized {
+        rows.foreach { r =>
+          val p = r.getAs[Long]("pulse_number")
+          val e = PulseEntry(
+            prev = r.getAs[Long]("prev_pulse_number"),
+            jets = Set.empty,
+            recordAmount = r.getAs[Long]("record_amount"),
+            timestamp = r.getAs[Long]("timestamp"),
+            complete = r.getAs[Boolean]("is_complete"),
+            sequential = r.getAs[Boolean]("is_sequential"))
+          entries.update(p, e)
+          if (!(e.complete && e.sequential)) open += p
+        }
+      }
+      val openSnap = lock.synchronized(open.toVector)
+      if (openSnap.nonEmpty) {
+        // pulse-partition pruning keeps this read bounded by the open
+        // frontier however large the history is
+        val jets = spark.read.parquet(s"$basePath/jet_drops")
+          .filter(col("pulse_number").isin(openSnap: _*))
+          .select(col("pulse_number"), col("jet_id")).collect()
+          .groupBy(_.getLong(0))
+        lock.synchronized {
+          jets.foreach { case (p, rs) =>
+            entries.get(p).foreach(e =>
+              entries.update(p, e.copy(jets = rs.map(_.getString(1)).toSet)))
+          }
+        }
+      }
+      lock.synchronized {
+        seqPulse = entries.collect { case (p, e) if e.sequential => p }
+          .maxOption.getOrElse(fromPulse - cfg.pulseDelta)
+        cursorNow = entries.keysIterator.maxOption
+          .map(m => math.max(m + cfg.pulseDelta, fromPulse)).getOrElse(fromPulse)
+      }
+    }
 
     // ---- commit ---------------------------------------------------------
 
-    /** Spine + idempotent partition overwrite for one pulse's wire rows,
-      * then register the pulse's jets/counters from the drop rows (a
-      * collect of one pulse's drops — jets-sized, the register the
-      * reference populates in `processor.process`).
+    /** Shared spine + partition commit, then register the pulse from its
+      * own drop rows. The register entry REPLACES jets/counters (the
+      * partition overwrite replaced the rows on disk — a merged union
+      * could mark a cover complete that the store no longer holds);
+      * `prev` is chain-derived at first sight and kept after, and a
+      * backfilled pulse FIXES UP its successor's stale prev so the chain
+      * stays linked through out-of-order arrival.
       */
     private def commit(pulse: Long, rows: Seq[Row]): Unit = {
       val dropRows = writeLock.synchronized {
-        val wire = spark.createDataFrame(rows.asJava, graft.model.Schemas.wireRecords)
-        val records = Spine(wire).cache()
-        try {
-          PulseWriter.writePulsePartition(records, "records", basePath)
-          val drops = records.groupBy(col("pulse_number"), col("jet_id"))
-            .agg(count(lit(1)).cast("int").as("record_amount"),
-              min(col("timestamp")).as("timestamp"))
-          PulseWriter.writePulsePartition(drops, "jet_drops", basePath)
-          drops.collect()
-        } finally { records.unpersist(); () }
+        PulseWriter.commitPulse(
+          spark.createDataFrame(rows.asJava, graft.model.Schemas.wireRecords), basePath)
       }
-      register.synchronized {
+      lock.synchronized {
         val jets = dropRows.map(_.getAs[String]("jet_id")).toSet
         val amount = dropRows.map(_.getAs[Int]("record_amount").toLong).sum
-        val prior = register.get(pulse)
-        // a reload MERGES jets (the exporter may serve jets it previously
-        // omitted); prev is chain-derived at first sight and kept after
+        val prior = entries.get(pulse)
         val prev = prior.map(_.prev).getOrElse(
-          register.keysIterator.filter(_ < pulse).maxOption.getOrElse(pulse - cfg.pulseDelta))
-        register.update(pulse, PulseEntry(
+          entries.keysIterator.filter(_ < pulse).maxOption.getOrElse(pulse - cfg.pulseDelta))
+        entries.update(pulse, PulseEntry(
           prev = prev,
-          jets = prior.map(_.jets).getOrElse(Set.empty) ++ jets,
+          jets = jets,
           recordAmount = amount,
           timestamp = pulse - Canonicalize.MinTimePulse,
-          complete = prior.exists(_.complete),
+          // a reload that no longer covers the tree revokes completeness
+          complete = prior.exists(_.complete) && JetFunctions.jetTreeCover(jets),
           sequential = prior.exists(_.sequential)))
+        open += pulse
+        dirty += pulse
+        // successor fix-up: if the next known pulse still points below us
+        // (it arrived before we did), relink it through this pulse so the
+        // sequencer chains through the backfill. An already-SEQUENTIAL
+        // successor keeps its link — the high-water mark passed it under
+        // the chain as it was known then, and the reference never revokes
+        // sequenced history either.
+        entries.keysIterator.filter(_ > pulse).minOption.foreach { q =>
+          val qe = entries(q)
+          if (qe.prev < pulse && !qe.sequential) {
+            entries.update(q, qe.copy(prev = pulse))
+            dirty += q
+          }
+        }
       }
     }
 
@@ -199,23 +280,36 @@ object Ingest {
     // ---- maintainer (pulseMaintainer analog) ----------------------------
 
     private def maintainOnce(): Unit = {
-      val snap = snapshot
-      snap.foreach { case (p, e) =>
-        if (!e.complete) {
-          if (JetFunctions.jetTreeCover(e.jets)) {
-            register.synchronized {
-              register.get(p).foreach(cur => register.update(p, cur.copy(complete = true)))
+      val openSnap = lock.synchronized(open.toVector)
+      openSnap.foreach { p =>
+        lock.synchronized(entries.get(p)).foreach { e =>
+          if (!e.complete) {
+            if (JetFunctions.jetTreeCover(e.jets)) {
+              lock.synchronized {
+                entries.get(p).foreach(cur =>
+                  entries.update(p, cur.copy(complete = true)))
+                dirty += p
+              }
+            } else if (!missed.covered(p, p)) {
+              // incomplete → TTL-deduped re-request; register the attempt
+              // only once it ran without throwing (like Pipeline.run)
+              try { fetchAndCommit(p); missed.addIfNew(p, p); () }
+              catch { case _: InterruptedException => throw new InterruptedException
+                      case _: Throwable => () }
             }
-          } else if (!missed.covered(p, p)) {
-            // incomplete → TTL-deduped re-request; register the attempt
-            // only once it ran without throwing (like Pipeline.run)
-            try { fetchAndCommit(p); missed.addIfNew(p, p); () }
-            catch { case _: InterruptedException => throw new InterruptedException
-                    case _: Throwable => () }
           }
         }
       }
       flush()
+      // close out flushed complete+sequential pulses: maintainer and
+      // sequencer ticks then scan only the open frontier (the reference
+      // deletes completed pulses from its jetDropRegister the same way)
+      lock.synchronized {
+        open.toVector.foreach { p =>
+          entries.get(p).foreach(e =>
+            if (e.complete && e.sequential && !dirty.contains(p)) open -= p)
+        }
+      }
     }
 
     private def maintainLoop(): Unit =
@@ -231,23 +325,35 @@ object Ingest {
       var advanced = true
       while (advanced) { // waitTime=0 fast path: chain through in one round
         advanced = false
-        val snap = snapshot
-        snap.find { case (_, e) => e.prev == seqPulse } match {
-          case Some((p, e)) if e.complete =>
-            register.synchronized {
-              register.get(p).foreach(cur => register.update(p, cur.copy(sequential = true)))
+        // smallest-first over the sorted open set: a backfilled chain
+        // (two pulses transiently claiming the same prev) advances
+        // deterministically through the earlier one
+        val cand = lock.synchronized {
+          open.iterator
+            .map(p => p -> entries(p))
+            .find { case (_, e) => e.prev == seqPulse && e.complete }
+            .map(_._1)
+        }
+        cand match {
+          case Some(p) =>
+            lock.synchronized {
+              entries.get(p).foreach(cur =>
+                entries.update(p, cur.copy(sequential = true)))
+              dirty += p
             }
             seqPulse = p
             advanced = true
-          case _ =>
+          case None =>
             // stalled: re-request the open gap up to the next saved pulse
             // (GetNextSavedPulse + reloadData, pulsemaintainer.go:120-139)
-            snap.keysIterator.filter(_ > seqPulse).minOption.foreach { nextSaved =>
-              val (from, to) = (seqPulse + cfg.pulseDelta, nextSaved - cfg.pulseDelta)
+            val nextSaved = lock.synchronized(open.minAfter(seqPulse + 1))
+            nextSaved.foreach { ns =>
+              val (from, to) = (seqPulse + cfg.pulseDelta, ns - cfg.pulseDelta)
               if (from <= to && !missed.covered(from, to)) {
+                val known = lock.synchronized(entries.keySet.toSet)
                 try {
                   (from to to by cfg.pulseDelta)
-                    .filterNot(snap.contains).foreach(fetchAndCommit)
+                    .filterNot(known).foreach(fetchAndCommit)
                   missed.addIfNew(from, to)
                   ()
                 } catch { case _: InterruptedException => throw new InterruptedException
@@ -267,33 +373,50 @@ object Ingest {
 
     // ---- pulses dimension -----------------------------------------------
 
-    /** Persist the pulses dimension from the register — the reference's
-      * pulses table with its maintained flags (`CompletePulse` /
-      * `SequencePulse`, `etl/storage/storage.go`). Pulses-sized: a tiny
-      * driver-built frame, one overwrite.
+    /** Persist changed pulses — the reference's pulses table with its
+      * maintained flags (`CompletePulse` / `SequencePulse`,
+      * `etl/storage/storage.go`). Incremental: only the `pulse_bucket`
+      * partitions containing dirty pulses are rewritten (dynamic
+      * partition overwrite), so flush cost is bounded by the change
+      * frontier, never by the table's accumulated history.
       */
     def flush(): Unit = {
-      val snap = snapshot
-      if (snap.isEmpty) return
-      val nextByPrev = snap.map { case (p, e) => e.prev -> p }
-      val rows: Seq[Row] = snap.toSeq.sortBy(_._1).map { case (p, e) =>
-        Row(p, e.prev, nextByPrev.getOrElse(p, p + cfg.pulseDelta),
-          e.complete, e.sequential, e.jets.size, e.recordAmount, e.timestamp)
+      // stage under the register lock, CLEARING dirty at stage time: an
+      // entry that changes mid-write re-enters the (now empty) dirty set
+      // and survives for the next flush instead of being lost to a
+      // staged-then-cleared race
+      val staged: Option[(Seq[Row], Set[Long])] = lock.synchronized {
+        if (dirty.isEmpty) None
+        else {
+          val dirtyBuckets = dirty.map(_ / cfg.flushBucketSpan).toSet
+          val nextByPrev = entries.iterator.map { case (p, e) => e.prev -> p }.toMap
+          val rows = entries.iterator
+            .filter { case (p, _) => dirtyBuckets.contains(p / cfg.flushBucketSpan) }
+            .toSeq.sortBy(_._1)
+            .map { case (p, e) =>
+              Row(p, e.prev, nextByPrev.getOrElse(p, p + cfg.pulseDelta),
+                e.complete, e.sequential, e.jets.size, e.recordAmount,
+                e.timestamp, p / cfg.flushBucketSpan)
+            }
+          val flushed = dirty.toSet
+          dirty.clear()
+          Some((rows, flushed))
+        }
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("pulse_number", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("prev_pulse_number", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("next_pulse_number", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("is_complete", org.apache.spark.sql.types.BooleanType, nullable = false),
-        org.apache.spark.sql.types.StructField("is_sequential", org.apache.spark.sql.types.BooleanType, nullable = false),
-        org.apache.spark.sql.types.StructField("jet_drop_amount", org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("record_amount", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType, nullable = false)))
-      writeLock.synchronized {
-        spark.createDataFrame(rows.asJava, schema)
-          .coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$basePath/pulses")
+      staged.foreach { case (rows, flushed) =>
+        try writeLock.synchronized {
+          spark.createDataFrame(rows.asJava, PulsesSchema)
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pulse_bucket")
+            .parquet(s"$basePath/pulses")
+        } catch {
+          case e: Throwable =>
+            // failed write: nothing persisted — re-mark for the next tick
+            lock.synchronized { dirty ++= flushed }
+            throw e
+        }
       }
     }
 
@@ -301,6 +424,7 @@ object Ingest {
 
     def start(): this.type = synchronized {
       require(threads.isEmpty, "daemon already started")
+      seed()
       running = true
       threads = Seq(
         new Thread(() => followLoop(), "graft-ingest-follower"),
@@ -323,6 +447,17 @@ object Ingest {
       try { maintainOnce(); sequenceOnce(); flush() } catch { case _: Throwable => () }
     }
   }
+
+  private val PulsesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pulse_number", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("prev_pulse_number", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("next_pulse_number", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("is_complete", org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("is_sequential", org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("jet_drop_amount", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("record_amount", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("pulse_bucket", org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Everything `main` does short of blocking: open the plaintext channel
     * (1 GiB inbound cap, like the reference transport), wrap the live

@@ -30,14 +30,13 @@ final class Pipeline(
     */
   private val missedData = new Resilience.MissedDataManager(reloadTtlMillis)
 
-  /** Spine + idempotent partition commit for one pulse's wire frame. */
+  /** Spine + idempotent partition commit for one pulse's wire frame
+    * (the shared [[PulseWriter.commitPulse]] — one implementation for
+    * this batch loop and the [[graft.Ingest]] daemon).
+    */
   private def commit(wire: DataFrame): Unit = {
-    val records = Spine(wire)
-    PulseWriter.writePulsePartition(records, "records", basePath)
-    val drops = records.groupBy(col("pulse_number"), col("jet_id"))
-      .agg(count(lit(1)).cast("int").as("record_amount"),
-        min(col("timestamp")).as("timestamp"))
-    PulseWriter.writePulsePartition(drops, "jet_drops", basePath)
+    PulseWriter.commitPulse(wire, basePath)
+    ()
   }
 
   /** Ingest one pulse: spine + idempotent partition commit. Returns true

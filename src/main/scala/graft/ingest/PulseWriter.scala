@@ -46,6 +46,26 @@ object PulseWriter {
       .parquet(s"$basePath/$table")
   }
 
+  /** The shared two-table pulse commit — ONE implementation for the
+    * batch [[Pipeline]] and the [[graft.Ingest]] daemon, so the spine →
+    * records → jet_drops contract cannot diverge between the two entry
+    * points. Returns the pulse's drop rows (jets-sized — one row per
+    * (pulse, jet)) so daemon-side registers come for free from the
+    * commit itself, like the reference's processor populating the
+    * controller's `jetDropRegister`.
+    */
+  def commitPulse(wire: DataFrame, basePath: String): Array[org.apache.spark.sql.Row] = {
+    val records = Spine(wire).cache()
+    try {
+      writePulsePartition(records, "records", basePath)
+      val drops = records.groupBy(col("pulse_number"), col("jet_id"))
+        .agg(count(lit(1)).cast("int").as("record_amount"),
+          min(col("timestamp")).as("timestamp"))
+      writePulsePartition(drops, "jet_drops", basePath)
+      drops.collect()
+    } finally { records.unpersist(); () }
+  }
+
   /** S4 — pulse-row upsert as last-write-wins dedup: keep the newest row
     * per pulse_number by `ingest_ts`.
     */

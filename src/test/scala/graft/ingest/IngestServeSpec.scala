@@ -100,6 +100,51 @@ class IngestServeSpec extends SparkSpec {
     assert(prevs.drop(1).toSeq == pns.dropRight(1).toSeq)
   }
 
+  test("a restarted daemon seeds from the persisted store and extends it — no truncation") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-restart").toString
+    val nPulses = 5
+    val wire = Fixtures.multiPulseBatches(spark, nPulses, recordsPerPulse = 6,
+      startPulse = start)
+
+    // life 1: only the first two pulses exist; ingest them and shut down
+    val head2 = new ReplayExporter(wire.filter(col("pulse_number") < start + 2 * delta))
+    val s1 = bindOn(0, head2)
+    val h1 = Ingest.bootstrap(spark, base, "localhost", s1.getPort, start, fastCfg)
+    try {
+      assert(await()(h1.daemon.ingestedCount == 2 &&
+        h1.daemon.sequentialPulse == start + delta))
+    } finally {
+      h1.stop()
+      s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS)
+    }
+
+    // life 2: a NEW daemon on the same store against the full feed must
+    // SEED from the persisted pulses/jet_drops (resuming the cursor past
+    // the known head and the sequential mark), then extend the history —
+    // never truncate it
+    val s2 = bindOn(0, new ReplayExporter(wire))
+    val h2 = Ingest.bootstrap(spark, base, "localhost", s2.getPort, start, fastCfg)
+    try {
+      assert(h2.daemon.cursor == start + 2 * delta,
+        "seeded cursor must resume past the persisted head")
+      assert(await()(h2.daemon.ingestedCount == nPulses &&
+        h2.daemon.sequentialPulse == start + (nPulses - 1) * delta),
+        s"restarted daemon never converged: ${h2.daemon.snapshot.keySet}")
+    } finally {
+      h2.stop()
+      s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
+    }
+
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.length == nPulses,
+      "life-1 pulses must survive life 2 — restart must not truncate the dimension")
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")))
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+    val pns = pulses.map(_.getAs[Long]("pulse_number"))
+    assert(pns.toSeq == (0 until nPulses).map(start + _ * delta))
+    assert(spark.read.parquet(s"$base/records").count() == nPulses * 6L)
+  }
+
   test("maintainer reloads an incomplete pulse until its jet cover fills (ST2+ST3)") {
     val base = java.nio.file.Files.createTempDirectory("graft-daemon-reload").toString
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
