@@ -122,14 +122,18 @@ class IngestServeSpec extends SparkSpec {
     // SEED from the persisted pulses/jet_drops (resuming the cursor past
     // the known head and the sequential mark), then extend the history —
     // never truncate it
-    val s2 = bindOn(0, new ReplayExporter(wire))
+    val full = new ReplayExporter(wire)
+    val s2 = bindOn(0, full)
     val h2 = Ingest.bootstrap(spark, base, "localhost", s2.getPort, start, fastCfg)
     try {
-      assert(h2.daemon.cursor == start + 2 * delta,
-        "seeded cursor must resume past the persisted head")
       assert(await()(h2.daemon.ingestedCount == nPulses &&
         h2.daemon.sequentialPulse == start + (nPulses - 1) * delta),
         s"restarted daemon never converged: ${h2.daemon.snapshot.keySet}")
+      // the seeded cursor resumed PAST the persisted head: the two
+      // life-1 pulses are closed (complete+sequential) and must never be
+      // re-fetched by the follower, the maintainer, or the sequencer
+      assert(!full.probedPulses.exists(_ < start + 2 * delta),
+        s"restart re-fetched persisted pulses: ${full.probedPulses.distinct.sorted}")
     } finally {
       h2.stop()
       s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
