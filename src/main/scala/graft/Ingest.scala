@@ -92,11 +92,16 @@ object Ingest {
       flushBucketSpan: Long = 100000L) // pulses-table partition span
 
   /** Driver-held register row: the reference's `jetDropRegister` entry
-    * plus the pulse bookkeeping its storage rows carry.
+    * plus the pulse bookkeeping its storage rows carry. `jetDropAmount`
+    * is carried separately from the `jets` cover set because a restarted
+    * daemon seeds CLOSED pulses with an empty cover (their jets are
+    * never re-checked) but must still rewrite their persisted drop count
+    * faithfully when their bucket flushes.
     */
   final case class PulseEntry(
       prev: Long,
       jets: Set[String],
+      jetDropAmount: Int,
       recordAmount: Long,
       timestamp: Long,
       complete: Boolean,
@@ -122,7 +127,10 @@ object Ingest {
     // commit protocol's staging directory (the reference funnels all
     // writes through one storage transaction). The two are never nested.
     private val lock = new Object
-    private val entries = scala.collection.mutable.HashMap.empty[Long, PulseEntry]
+    // sorted so the chain-neighbor probes (maxBefore/minAfter) and the
+    // per-bucket flush range scans stay O(log n)/O(bucket) however long
+    // the daemon has been running — never O(entire history) per pulse
+    private val entries = scala.collection.mutable.TreeMap.empty[Long, PulseEntry]
     private val open = scala.collection.mutable.TreeSet.empty[Long]
     private val dirty = scala.collection.mutable.Set.empty[Long]
     private val missed = new Resilience.MissedDataManager(cfg.reloadTtlMs)
@@ -146,7 +154,13 @@ object Ingest {
       * cursor starts past the newest known pulse.
       */
     private def seed(): Unit = {
-      if (!new java.io.File(s"$basePath/pulses").exists()) return
+      // existence through the same Hadoop filesystem the reads/writes
+      // resolve against — a java.io check would silently skip seeding on
+      // any non-local default FS and the next flush would then overwrite
+      // persisted buckets from an empty register
+      val pulsesPath = new org.apache.hadoop.fs.Path(s"$basePath/pulses")
+      val fs = pulsesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(pulsesPath)) return
       val rows = spark.read.parquet(s"$basePath/pulses").collect()
       lock.synchronized {
         rows.foreach { r =>
@@ -154,6 +168,7 @@ object Ingest {
           val e = PulseEntry(
             prev = r.getAs[Long]("prev_pulse_number"),
             jets = Set.empty,
+            jetDropAmount = r.getAs[Int]("jet_drop_amount"),
             recordAmount = r.getAs[Long]("record_amount"),
             timestamp = r.getAs[Long]("timestamp"),
             complete = r.getAs[Boolean]("is_complete"),
@@ -165,10 +180,19 @@ object Ingest {
       val openSnap = lock.synchronized(open.toVector)
       if (openSnap.nonEmpty) {
         // pulse-partition pruning keeps this read bounded by the open
-        // frontier however large the history is
-        val jets = spark.read.parquet(s"$basePath/jet_drops")
-          .filter(col("pulse_number").isin(openSnap: _*))
-          .select(col("pulse_number"), col("jet_id")).collect()
+        // frontier however large the history is. pulse_number comes back
+        // as a PARTITION column here — Spark re-infers its type from the
+        // directory names (IntegerType when the values fit) — so the
+        // probe literals match the inferred type (pruning stays eligible)
+        // and the collect reads through an explicit long cast.
+        val drops = spark.read.parquet(s"$basePath/jet_drops")
+        val lits: Seq[Any] =
+          if (drops.schema("pulse_number").dataType ==
+              org.apache.spark.sql.types.IntegerType) openSnap.map(_.toInt)
+          else openSnap
+        val jets = drops
+          .filter(col("pulse_number").isin(lits: _*))
+          .select(col("pulse_number").cast("long"), col("jet_id")).collect()
           .groupBy(_.getLong(0))
         lock.synchronized {
           jets.foreach { case (p, rs) =>
@@ -182,6 +206,18 @@ object Ingest {
           .maxOption.getOrElse(fromPulse - cfg.pulseDelta)
         cursorNow = entries.keysIterator.maxOption
           .map(m => math.max(m + cfg.pulseDelta, fromPulse)).getOrElse(fromPulse)
+      }
+      // migrate a pre-bucketing flat layout (root-level data files, no
+      // pulse_bucket= dirs): a bucketed dynamic overwrite on top would
+      // leave mixed structures Spark's partition discovery rejects.
+      // Everything is already in the register — drop the old directory
+      // and mark every pulse dirty so the next flush rewrites the full
+      // table in bucketed form.
+      val flat = fs.listStatus(pulsesPath).exists(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))
+      if (flat) {
+        fs.delete(pulsesPath, true)
+        lock.synchronized { dirty ++= entries.keysIterator }
       }
     }
 
@@ -205,10 +241,11 @@ object Ingest {
         val amount = dropRows.map(_.getAs[Int]("record_amount").toLong).sum
         val prior = entries.get(pulse)
         val prev = prior.map(_.prev).getOrElse(
-          entries.keysIterator.filter(_ < pulse).maxOption.getOrElse(pulse - cfg.pulseDelta))
+          entries.maxBefore(pulse).map(_._1).getOrElse(pulse - cfg.pulseDelta))
         entries.update(pulse, PulseEntry(
           prev = prev,
           jets = jets,
+          jetDropAmount = jets.size,
           recordAmount = amount,
           timestamp = pulse - Canonicalize.MinTimePulse,
           // a reload that no longer covers the tree revokes completeness
@@ -216,14 +253,17 @@ object Ingest {
           sequential = prior.exists(_.sequential)))
         open += pulse
         dirty += pulse
+        // our arrival changes the PREDECESSOR's next link — re-flush its
+        // bucket even if it was closed, so an iterate-from skip can't
+        // freeze a stale next_pulse_number across bucket boundaries
+        if (prior.isEmpty && entries.contains(prev)) dirty += prev
         // successor fix-up: if the next known pulse still points below us
         // (it arrived before we did), relink it through this pulse so the
         // sequencer chains through the backfill. An already-SEQUENTIAL
         // successor keeps its link — the high-water mark passed it under
         // the chain as it was known then, and the reference never revokes
         // sequenced history either.
-        entries.keysIterator.filter(_ > pulse).minOption.foreach { q =>
-          val qe = entries(q)
+        entries.minAfter(pulse + 1).foreach { case (q, qe) =>
           if (qe.prev < pulse && !qe.sequential) {
             entries.update(q, qe.copy(prev = pulse))
             dirty += q
@@ -389,15 +429,21 @@ object Ingest {
         if (dirty.isEmpty) None
         else {
           val dirtyBuckets = dirty.map(_ / cfg.flushBucketSpan).toSet
-          val nextByPrev = entries.iterator.map { case (p, e) => e.prev -> p }.toMap
-          val rows = entries.iterator
-            .filter { case (p, _) => dirtyBuckets.contains(p / cfg.flushBucketSpan) }
-            .toSeq.sortBy(_._1)
-            .map { case (p, e) =>
-              Row(p, e.prev, nextByPrev.getOrElse(p, p + cfg.pulseDelta),
-                e.complete, e.sequential, e.jets.size, e.recordAmount,
-                e.timestamp, p / cfg.flushBucketSpan)
-            }
+          // next link: the key successor, when it points back at us — an
+          // O(log n) probe per staged row instead of an O(history) index
+          def nextOf(p: Long): Long =
+            entries.minAfter(p + 1)
+              .filter(_._2.prev == p).map(_._1)
+              .getOrElse(p + cfg.pulseDelta)
+          // TreeMap range per dirty bucket: staging cost is bounded by
+          // the dirty buckets' sizes, never the table's history
+          val rows = dirtyBuckets.toSeq.sorted.flatMap { b =>
+            entries.range(b * cfg.flushBucketSpan, (b + 1) * cfg.flushBucketSpan)
+              .iterator.map { case (p, e) =>
+                Row(p, e.prev, nextOf(p), e.complete, e.sequential,
+                  e.jetDropAmount, e.recordAmount, e.timestamp, b)
+              }.toSeq
+          }
           val flushed = dirty.toSet
           dirty.clear()
           Some((rows, flushed))

@@ -35,7 +35,7 @@ final class Pipeline(
     * this batch loop and the [[graft.Ingest]] daemon).
     */
   private def commit(wire: DataFrame): Unit = {
-    PulseWriter.commitPulse(wire, basePath)
+    PulseWriter.commitPulse(wire, basePath, collectDrops = false)
     ()
   }
 
@@ -60,9 +60,13 @@ final class Pipeline(
   def run(from: Long, to: Long): Report = {
     val ingested = (from to to by pulseDelta).filter(tryIngest)
     // nothing written yet (e.g. the feed was down for the whole sweep) →
-    // every pulse in range is missing; don't crash on the absent path
+    // every pulse in range is missing; don't crash on the absent path.
+    // Existence resolves through the same Hadoop FS the writes go to, so
+    // a non-local default filesystem behaves like the local one.
+    val recordsPath = new org.apache.hadoop.fs.Path(s"$basePath/records")
+    val fs = recordsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val present =
-      if (new java.io.File(s"$basePath/records").exists())
+      if (fs.exists(recordsPath))
         spark.read.parquet(s"$basePath/records").select(col("pulse_number")).distinct()
       else spark.range(0).selectExpr("id AS pulse_number")
     val missing = Completeness

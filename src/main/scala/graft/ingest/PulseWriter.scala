@@ -54,7 +54,8 @@ object PulseWriter {
     * commit itself, like the reference's processor populating the
     * controller's `jetDropRegister`.
     */
-  def commitPulse(wire: DataFrame, basePath: String): Array[org.apache.spark.sql.Row] = {
+  def commitPulse(wire: DataFrame, basePath: String,
+      collectDrops: Boolean = true): Array[org.apache.spark.sql.Row] = {
     val records = Spine(wire).cache()
     try {
       writePulsePartition(records, "records", basePath)
@@ -62,7 +63,8 @@ object PulseWriter {
         .agg(count(lit(1)).cast("int").as("record_amount"),
           min(col("timestamp")).as("timestamp"))
       writePulsePartition(drops, "jet_drops", basePath)
-      drops.collect()
+      // callers without a register (the batch Pipeline) skip the collect
+      if (collectDrops) drops.collect() else Array.empty
     } finally { records.unpersist(); () }
   }
 

@@ -149,6 +149,56 @@ class IngestServeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/records").count() == nPulses * 6L)
   }
 
+  test("restart with an OPEN pulse: the seeded register reloads its jet cover " +
+      "from the drops table and heals it, preserving closed pulses' counters") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-openrestart").toString
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 8,
+      startPulse = start)
+    // life 1: pulse 0 full, pulse 1 served WITHOUT jet "1" (incomplete
+    // cover), nothing beyond — then shut down with pulse 1 still open
+    val p1 = start + delta
+    val half = new ReplayExporter(wire.filter(col("pulse_number") < start + 2 * delta)
+      .filter(col("pulse_number") =!= p1 || col("jet_id") === "0"))
+    val s1 = bindOn(0, half)
+    val h1 = Ingest.bootstrap(spark, base, "localhost", s1.getPort, start, fastCfg)
+    try {
+      assert(await()(h1.daemon.ingestedCount == 2 &&
+        h1.daemon.sequentialPulse == start),
+        s"life 1 never settled: ${h1.daemon.snapshot}")
+    } finally {
+      h1.stop()
+      s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    assert(!spark.read.parquet(s"$base/pulses")
+      .filter(col("pulse_number") === p1).collect().head.getAs[Boolean]("is_complete"),
+      "life 1 must persist pulse 1 as incomplete")
+
+    // life 2: full feed. Seeding must read pulse 1's partial jet cover
+    // back from the (pulse-partitioned) drops table — the maintainer
+    // then re-requests it, completes the cover, and the feed extends
+    val s2 = bindOn(0, new ReplayExporter(wire))
+    val h2 = Ingest.bootstrap(spark, base, "localhost", s2.getPort, start, fastCfg)
+    try {
+      assert(await()(h2.daemon.sequentialPulse == start + 2 * delta),
+        s"open pulse never healed after restart: ${h2.daemon.snapshot}")
+    } finally {
+      h2.stop()
+      s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.length == 3)
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")))
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+    // the CLOSED pulse 0 was rewritten when its bucket flushed in life 2:
+    // its persisted drop count must survive (the register carries the
+    // counter independently of the never-reloaded cover set)
+    assert(pulses.map(_.getAs[Int]("jet_drop_amount")).toSeq == Seq(2, 2, 2),
+      s"closed-pulse counters corrupted: ${pulses.mkString(", ")}")
+    assert(spark.read.parquet(s"$base/records")
+      .filter(col("pulse_number") === p1).count() == 8L,
+      "the healed pulse's partition holds the full record set")
+  }
+
   test("maintainer reloads an incomplete pulse until its jet cover fills (ST2+ST3)") {
     val base = java.nio.file.Files.createTempDirectory("graft-daemon-reload").toString
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
