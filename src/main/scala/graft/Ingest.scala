@@ -196,8 +196,13 @@ object Ingest {
           .groupBy(_.getLong(0))
         lock.synchronized {
           jets.foreach { case (p, rs) =>
-            entries.get(p).foreach(e =>
-              entries.update(p, e.copy(jets = rs.map(_.getString(1)).toSet)))
+            // the drops table is the truth for an open pulse: refresh the
+            // counter along with the cover, so a pre-crash unflushed
+            // reload can't freeze a stale jet_drop_amount
+            entries.get(p).foreach { e =>
+              val cover = rs.map(_.getString(1)).toSet
+              entries.update(p, e.copy(jets = cover, jetDropAmount = cover.size))
+            }
           }
         }
       }
@@ -218,6 +223,10 @@ object Ingest {
       if (flat) {
         fs.delete(pulsesPath, true)
         lock.synchronized { dirty ++= entries.keysIterator }
+        // rewrite IMMEDIATELY (threads are not running yet): the window
+        // where the register is the only copy of the dimension must not
+        // stretch to the maintainer's first tick
+        flush()
       }
     }
 

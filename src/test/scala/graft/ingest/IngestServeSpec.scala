@@ -199,6 +199,49 @@ class IngestServeSpec extends SparkSpec {
       "the healed pulse's partition holds the full record set")
   }
 
+  test("a flat pre-bucketing pulses layout migrates to bucketed form on seed, intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-migrate").toString
+    val nPulses = 2
+    val wire = Fixtures.multiPulseBatches(spark, nPulses, recordsPerPulse = 6,
+      startPulse = start)
+    // a legacy store: records/jet_drops in today's layout, but the pulses
+    // dimension written FLAT (root-level part files, no pulse_bucket=)
+    (0 until nPulses).foreach { i =>
+      val p = start + i * delta
+      PulseWriter.commitPulse(wire.filter(col("pulse_number") === p), base)
+    }
+    import spark.implicits._
+    Seq(
+      (start, start - delta, start + delta, true, true, 2, 6L, start - 65536L),
+      (start + delta, start, start + 2 * delta, true, true, 2, 6L, start + delta - 65536L))
+      .toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+        "is_complete", "is_sequential", "jet_drop_amount", "record_amount", "timestamp")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/pulses")
+    assert(new java.io.File(s"$base/pulses").listFiles()
+      .exists(f => f.isFile && f.getName.startsWith("part-")), "fixture must be flat")
+
+    // seeding (start) must rewrite it bucketed IMMEDIATELY — before any
+    // loop runs — with every row intact; the daemon then resumes the feed
+    val s = bindOn(0, new ReplayExporter(wire))
+    val h = Ingest.bootstrap(spark, base, "localhost", s.getPort, start, fastCfg)
+    try {
+      val dirs = new java.io.File(s"$base/pulses").listFiles()
+      assert(dirs.exists(f => f.isDirectory && f.getName.startsWith("pulse_bucket=")),
+        "migration must produce the bucketed layout")
+      assert(!dirs.exists(f => f.isFile && f.getName.startsWith("part-")),
+        "no flat-era files may survive next to bucket partitions")
+      val migrated = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+      assert(migrated.length == nPulses)
+      assert(migrated.forall(_.getAs[Boolean]("is_sequential")))
+      assert(migrated.map(_.getAs[Long]("record_amount")).toSeq == Seq(6L, 6L))
+      assert(migrated.map(_.getAs[Int]("jet_drop_amount")).toSeq == Seq(2, 2))
+    } finally {
+      h.stop()
+      s.shutdownNow(); s.awaitTermination(5, TimeUnit.SECONDS)
+    }
+  }
+
   test("maintainer reloads an incomplete pulse until its jet cover fills (ST2+ST3)") {
     val base = java.nio.file.Files.createTempDirectory("graft-daemon-reload").toString
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
