@@ -199,6 +199,56 @@ class IngestServeSpec extends SparkSpec {
       "the healed pulse's partition holds the full record set")
   }
 
+  test("chaos feed: random drops and rate limits plus a redirect hole still " +
+      "converge to the exact store, chained across the hole") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-chaos").toString
+    // pulses 0,1,2,5 exist; 3,4 never did — the exporter redirects the
+    // cursor from 2 straight to 5 (ShouldIterateFrom), like a platform
+    // skipping empty pulses. The chain must link 5's prev to 2 and the
+    // sequencer must advance across the hole without re-requesting it.
+    val delta5 = 5 * delta
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 10,
+      startPulse = start)
+      .union(Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 10,
+        startPulse = start + delta5))
+    val inner = new ReplayExporter(wire,
+      iterateFromOverride = Map((start + 2 * delta) -> (start + delta5)))
+    // seeded chaos on every portion open: rate-limit or drop the stream
+    // mid-portion; fetchPulse's reopen budget resets on progress, so an
+    // arbitrarily flaky feed that still trickles forward must converge
+    val rnd = new scala.util.Random(1117)
+    val chaotic = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        rnd.synchronized(rnd.nextInt(10)) match {
+          case 0 | 1 => throw new Transport.RateLimited("chaos 429")
+          case 2 => throw new Transport.StreamDropped("chaos drop at open")
+          case 3 =>
+            val it = inner.export(pulse, recordNumber, count)
+            // one frame, then the connection dies mid-portion
+            it.take(1) ++ { throw new Transport.StreamDropped("chaos drop mid-portion") }
+          case _ => inner.export(pulse, recordNumber, count)
+        }
+    }
+    val server = bindOn(0, chaotic)
+    val handle = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
+    try {
+      assert(await(60000L)(handle.daemon.sequentialPulse == start + delta5),
+        s"chaos feed never converged: ${handle.daemon.snapshot}")
+    } finally {
+      handle.stop()
+      server.shutdownNow(); server.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    val records = spark.read.parquet(s"$base/records")
+    assert(records.count() == 40L, "no loss, no duplication under chaos")
+    assert(records.select("pulse_number").distinct().count() == 4L)
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.length == 4)
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")))
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+    assert(pulses.last.getAs[Long]("prev_pulse_number") == start + 2 * delta,
+      "the redirect hole must chain prev(5) -> 2, not to a nonexistent pulse")
+  }
+
   test("a flat pre-bucketing pulses layout migrates to bucketed form on seed, intact") {
     val base = java.nio.file.Files.createTempDirectory("graft-daemon-migrate").toString
     val nPulses = 2
