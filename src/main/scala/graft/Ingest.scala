@@ -89,7 +89,9 @@ object Ingest {
       batchSize: Int = 100, // extractor portion size (main.go:79)
       fetchBackoffMs: Long = 200L, // in-fetch reopen backoff
       pulseDelta: Long = 10L,
-      flushBucketSpan: Long = 100000L) // pulses-table partition span
+      flushBucketSpan: Long = 100000L, // pulses-table partition span
+      headProbeAfter: Int = 3, // consecutive NOT_FOUNDs before probing past a hole
+      headProbeSpan: Int = 8) // how many pulses ahead one probe looks
 
   /** Driver-held register row: the reference's `jetDropRegister` entry
     * plus the pulse bookkeeping its storage rows carry. `jetDropAmount`
@@ -144,6 +146,20 @@ object Ingest {
     def snapshot: Map[Long, PulseEntry] = lock.synchronized(entries.toMap)
     def ingestedCount: Int = lock.synchronized(entries.size)
 
+    /** One atomic sample of the register's bounded-frontier invariant
+      * (the reference deletes completed pulses from its `jetDropRegister`,
+      * `etl/controller/controller.go:124-132`): `(open set size, pulses
+      * not yet complete+sequential, dirty rows)`. Steady state is
+      * `open ≤ incomplete + dirty`; the only excursion is the maintainer
+      * tick's own flush→close-out window (dirty clears at stage time,
+      * eligible pulses leave `open` moments later), so soak specs assert
+      * the bound holds again within one maintainer period.
+      */
+    def frontierStats: (Int, Int, Int) = lock.synchronized((
+      open.size,
+      entries.valuesIterator.count(e => !(e.complete && e.sequential)),
+      dirty.size))
+
     // ---- seeding (restart resume) ---------------------------------------
 
     /** Rebuild the register from the persisted artifacts so a restarted
@@ -160,6 +176,24 @@ object Ingest {
       // persisted buckets from an empty register
       val pulsesPath = new org.apache.hadoop.fs.Path(s"$basePath/pulses")
       val fs = pulsesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Recover an interrupted flat→bucketed migration FIRST (the swap at
+      // the bottom of this method): the migration stages the bucketed
+      // table to this sibling before touching the original, so a leftover
+      // sibling pins which crash window we died in —
+      //   pulses missing → the delete-before-rename window: the sibling
+      //     is a COMPLETE bucketed copy (the original is deleted only
+      //     after the sibling write returned) — finish the rename;
+      //   pulses present → the sibling-write window: the original (flat)
+      //     layout is still the truth — drop the possibly-partial sibling
+      //     and let the flat check below redo the migration.
+      val migrating = new org.apache.hadoop.fs.Path(s"$basePath/pulses_migrating")
+      if (fs.exists(migrating)) {
+        if (!fs.exists(pulsesPath)) {
+          if (!fs.rename(migrating, pulsesPath))
+            throw new java.io.IOException(
+              s"migration recovery rename failed: $migrating -> $pulsesPath")
+        } else fs.delete(migrating, true)
+      }
       if (!fs.exists(pulsesPath)) return
       val rows = spark.read.parquet(s"$basePath/pulses").collect()
       lock.synchronized {
@@ -221,12 +255,21 @@ object Ingest {
       val flat = fs.listStatus(pulsesPath).exists(st =>
         st.isFile && st.getPath.getName.startsWith("part-"))
       if (flat) {
-        fs.delete(pulsesPath, true)
+        // Rewrite IMMEDIATELY (threads are not running yet) and CRASH-SAFE:
+        // stage the full bucketed table to the sibling path, then swap.
+        // A persisted copy of the dimension exists at every instant — the
+        // flat original is deleted only after the sibling write returned
+        // (a delete-first rewrite would make the in-memory register the
+        // only copy for the whole bucketed write; a crash there would
+        // lose the chain/flag metadata for good once the exporter has
+        // pruned history). The recovery block at the top of this method
+        // closes both crash windows of the swap itself.
         lock.synchronized { dirty ++= entries.keysIterator }
-        // rewrite IMMEDIATELY (threads are not running yet): the window
-        // where the register is the only copy of the dimension must not
-        // stretch to the maintainer's first tick
-        flush()
+        flushTo(migrating.toString)
+        fs.delete(pulsesPath, true)
+        if (!fs.rename(migrating, pulsesPath))
+          throw new java.io.IOException(
+            s"migration rename failed: $migrating -> $pulsesPath")
       }
     }
 
@@ -302,18 +345,57 @@ object Ingest {
         Thread.sleep(math.min(100L, ms))
     }
 
-    private def followLoop(): Unit =
+    /** Historical-hole defense for restart resume: the seeded cursor is
+      * `maxKnown + pulseDelta`, which discards any un-acted-on
+      * `ShouldIterateFrom` redirect — if the daemon crashed after
+      * committing the pulse BEFORE a hole but before fetching the
+      * redirect target, the resumed cursor points at a pulse the
+      * exporter answers NOT_FOUND for FOREVER (historical holes never
+      * backfill), and the sequencer's gap reload cannot help because no
+      * later pulse is known yet. After a prolonged NOT_FOUND streak the
+      * follower probes forward up to [[Config.headProbeSpan]] pulses; the
+      * first hit is committed (its chain prev = the max known pulse, so
+      * the chain links ACROSS the hole exactly as a live redirect would
+      * have) and the cursor advances past it. At a genuine live head
+      * every probe misses too — a few cheap NOT_FOUND round trips per
+      * [[Config.headProbeAfter]] head polls — and the cursor stays put.
+      * Returns true when a pulse was found and committed.
+      */
+    private def probeForward(): Boolean = {
+      var i = 1
+      while (running && i <= cfg.headProbeSpan) {
+        val p = cursorNow + i * cfg.pulseDelta
+        Transport.fetchPulse(stream, p, cfg.batchSize,
+          backoffMs = cfg.fetchBackoffMs) match {
+          case Some(fp) =>
+            commit(p, fp.rows)
+            cursorNow = if (fp.iterateFrom > p) fp.iterateFrom else p + cfg.pulseDelta
+            return true
+          case None => i += 1
+        }
+      }
+      false
+    }
+
+    private def followLoop(): Unit = {
+      var notFound = 0 // consecutive NOT_FOUNDs at an unmoved cursor
       while (running) {
         try {
           Transport.fetchPulse(stream, cursorNow, cfg.batchSize,
             backoffMs = cfg.fetchBackoffMs) match {
             case Some(fp) =>
+              notFound = 0
               val p = cursorNow
               commit(p, fp.rows)
               cursorNow = if (fp.iterateFrom > p) fp.iterateFrom else p + cfg.pulseDelta
             case None =>
-              // head reached (NOT_FOUND): half-pulse pause, same cursor
-              nap(cfg.headPauseMs)
+              // head reached (NOT_FOUND): half-pulse pause, same cursor —
+              // unless the streak says this may be a historical hole
+              notFound += 1
+              if (notFound >= cfg.headProbeAfter) {
+                notFound = 0
+                if (!probeForward()) nap(cfg.headPauseMs)
+              } else nap(cfg.headPauseMs)
           }
         } catch {
           case _: InterruptedException => return
@@ -325,6 +407,7 @@ object Ingest {
             catch { case _: InterruptedException => return }
         }
       }
+    }
 
     // ---- maintainer (pulseMaintainer analog) ----------------------------
 
@@ -429,7 +512,13 @@ object Ingest {
       * partition overwrite), so flush cost is bounded by the change
       * frontier, never by the table's accumulated history.
       */
-    def flush(): Unit = {
+    def flush(): Unit = flushTo(s"$basePath/pulses")
+
+    /** [[flush]]'s body, parameterized on the target directory so the
+      * seed-time layout migration can stage the same bucketed form to a
+      * sibling path before swapping it in.
+      */
+    private def flushTo(target: String): Unit = {
       // stage under the register lock, CLEARING dirty at stage time: an
       // entry that changes mid-write re-enters the (now empty) dirty set
       // and survives for the next flush instead of being lost to a
@@ -465,7 +554,7 @@ object Ingest {
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("pulse_bucket")
-            .parquet(s"$basePath/pulses")
+            .parquet(target)
         } catch {
           case e: Throwable =>
             // failed write: nothing persisted — re-mark for the next tick
@@ -498,8 +587,15 @@ object Ingest {
       threads.filter(_.isAlive).foreach { t => t.interrupt(); t.join(5000) }
       threads = Seq.empty
       // final maintainer pass so the persisted flags reflect everything
-      // committed before shutdown (the graceful-stop flush)
-      try { maintainOnce(); sequenceOnce(); flush() } catch { case _: Throwable => () }
+      // committed before shutdown (the graceful-stop flush). A failure
+      // here is RECOVERABLE (the next start re-derives flags from the
+      // store) but must not be INVISIBLE: without the log line a
+      // shutdown-time store failure leaves operators nothing to act on.
+      try { maintainOnce(); sequenceOnce(); flush() } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[ingest] shutdown flush failed (flags re-derive on next start): $e")
+      }
     }
   }
 

@@ -941,13 +941,19 @@ object Queries {
     * (approx_count_distinct / percentile_approx, both
     * TypedImperativeAggregates with map-side combine) or [[evSketchDet]].
     *
-    * Small groups: for n ≲ 20 the ±5%-rank windows collapse between
+    * Small groups: for n < 20 the ±5%-rank windows collapse between
     * discrete ranks, where an approx percentile (an actual data point)
-    * can sit legitimately outside the interpolated window — the verdict
-    * short-circuits to TRUE below that floor so a fixture change can't
-    * flip an expected-TRUE verdict on degenerate group sizes.
+    * can sit legitimately outside the interpolated window — below that
+    * floor the verdict falls back to a CONTAINMENT check (the GK sketch
+    * returns one of the observed data points, so membership in the
+    * group's exact value set is the invariant that survives degenerate
+    * group sizes), never an unconditional TRUE — a broken percentile
+    * implementation stays visible to the oracle at every group size.
     */
   val evSketch: Q = (s, dir) => {
+    def verdict(approx: Column, loRank: Int, hiRank: Int): Column =
+      when(col("n_events") < lit(20), array_contains(col("value_set"), approx))
+        .otherwise(approx.between(col("rank_windows")(loRank), col("rank_windows")(hiRank)))
     Domain.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -956,16 +962,15 @@ object Queries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("approx_p95"),
-        expr("percentile(value, array(0.45D, 0.55D, 0.93D, 0.97D))").as("rank_windows"))
+        expr("percentile(value, array(0.45D, 0.55D, 0.93D, 0.97D))").as("rank_windows"),
+        // only consulted on the n<20 branch; like the exact-percentile
+        // windows it is verify-shaped buffering (see the memory note)
+        collect_set(col("value")).as("value_set"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.15)).as("users_within_tol"),
-        (col("n_events") < lit(20) ||
-          col("approx_p50").between(col("rank_windows")(0), col("rank_windows")(1)))
-          .as("p50_within_tol"),
-        (col("n_events") < lit(20) ||
-          col("approx_p95").between(col("rank_windows")(2), col("rank_windows")(3)))
-          .as("p95_within_tol"))
+        verdict(col("approx_p50"), 0, 1).as("p50_within_tol"),
+        verdict(col("approx_p95"), 2, 3).as("p95_within_tol"))
       .orderBy(col("event_type"))
   }
 

@@ -63,6 +63,18 @@ object HttpApi {
     val pool = Executors.newFixedThreadPool(poolSize)
     server.setExecutor(pool)
     server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, ex))
+    // constant liveness route, next to /metrics like the reference's ops
+    // mux (`api/pprof_router.go:17-21`): text/plain 200 "OK", no Spark
+    // touch — a deploy probe must answer even while the session is busy
+    server.createContext("/healthcheck", (ex: HttpExchange) => {
+      try {
+        val bytes = "OK".getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } catch { case _: Throwable => () }
+      finally ex.close()
+    })
     server.createContext("/metrics", (ex: HttpExchange) => {
       // a scraper disconnecting mid-body is routine — the exchange must
       // close either way or aborted scrapes accumulate leaked connections

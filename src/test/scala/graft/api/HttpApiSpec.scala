@@ -672,6 +672,17 @@ class HttpApiSpec extends SparkSpec {
     assert(!m.contains(s"""route="/api/v1/pulses/$somePulse""""))
   }
 
+  test("GET /healthcheck: constant 200 OK text/plain on the service listener") {
+    // the reference's ops mux liveness route (`api/pprof_router.go:17-21`),
+    // served next to /metrics — a deploy probe hits this on every rollout
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://localhost:${handle.port}/healthcheck")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.body() == "OK")
+    assert(resp.headers().firstValue("Content-Type").orElse("") == "text/plain")
+  }
+
   test("unknown routes are 404, non-GET is 405") {
     assert(get("/nope")._1 == 404)
     assert(get("/pulses/1/extra/deep")._1 == 404)

@@ -292,6 +292,214 @@ class IngestServeSpec extends SparkSpec {
     }
   }
 
+  test("an interrupted flat→bucketed migration recovers from either crash window on the next start") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 6,
+      startPulse = start)
+    def ts(p: Long) = p - Canonicalize.MinTimePulse
+    import spark.implicits._
+    def pulseRows = Seq(
+      (start, start - delta, start + delta, true, true, 2, 6L, ts(start)),
+      (start + delta, start, start + 2 * delta, true, true, 2, 6L, ts(start + delta)))
+
+    // ---- window 2: flat layout already deleted, rename pending — the
+    // sibling holds the COMPLETE bucketed copy and seed must finish the
+    // swap (without this the dimension would read as absent and the next
+    // flush would seed from an empty register)
+    val base2 = java.nio.file.Files.createTempDirectory("graft-migrate-w2").toString
+    (0 until 2).foreach { i =>
+      PulseWriter.commitPulse(wire.filter(col("pulse_number") === start + i * delta), base2)
+    }
+    pulseRows.map { case (p, pr, nx, c, s, jd, ra, t) => (p, pr, nx, c, s, jd, ra, t, p / 100000L) }
+      .toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+        "is_complete", "is_sequential", "jet_drop_amount", "record_amount",
+        "timestamp", "pulse_bucket")
+      .coalesce(1)
+      .write.partitionBy("pulse_bucket").parquet(s"$base2/pulses_migrating")
+    // no $base2/pulses at all — the exact on-disk state of a crash
+    // between fs.delete(pulses) and fs.rename(migrating, pulses)
+    val s2 = bindOn(0, new ReplayExporter(wire))
+    val h2 = Ingest.bootstrap(spark, base2, "localhost", s2.getPort, start, fastCfg)
+    try {
+      assert(!new java.io.File(s"$base2/pulses_migrating").exists(),
+        "recovery must consume the staged sibling")
+      val rec = spark.read.parquet(s"$base2/pulses").orderBy("pulse_number").collect()
+      assert(rec.length == 2)
+      assert(rec.forall(_.getAs[Boolean]("is_sequential")))
+      assert(rec.map(_.getAs[Long]("record_amount")).toSeq == Seq(6L, 6L))
+      // the recovered dimension SEEDED the register: both pulses known,
+      // cursor resumed past them, nothing re-fetched
+      assert(h2.daemon.ingestedCount == 2)
+      assert(h2.daemon.cursor == start + 2 * delta)
+    } finally {
+      h2.stop(); s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
+    }
+
+    // ---- window 1: crash DURING the sibling write — the flat original
+    // is still the truth; seed must drop the partial sibling and redo
+    // the migration from the flat copy
+    val base1 = java.nio.file.Files.createTempDirectory("graft-migrate-w1").toString
+    (0 until 2).foreach { i =>
+      PulseWriter.commitPulse(wire.filter(col("pulse_number") === start + i * delta), base1)
+    }
+    pulseRows
+      .toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+        "is_complete", "is_sequential", "jet_drop_amount", "record_amount", "timestamp")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base1/pulses")
+    val partial = new java.io.File(s"$base1/pulses_migrating/pulse_bucket=0")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52)) // truncated mid-write
+    val s1 = bindOn(0, new ReplayExporter(wire))
+    val h1 = Ingest.bootstrap(spark, base1, "localhost", s1.getPort, start, fastCfg)
+    try {
+      assert(!new java.io.File(s"$base1/pulses_migrating").exists(),
+        "a partial sibling next to an intact original must be discarded")
+      val dirs = new java.io.File(s"$base1/pulses").listFiles()
+      assert(dirs.exists(f => f.isDirectory && f.getName.startsWith("pulse_bucket=")))
+      assert(!dirs.exists(f => f.isFile && f.getName.startsWith("part-")))
+      val rec = spark.read.parquet(s"$base1/pulses").orderBy("pulse_number").collect()
+      assert(rec.length == 2)
+      assert(rec.map(_.getAs[Long]("record_amount")).toSeq == Seq(6L, 6L))
+    } finally {
+      h1.stop(); s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS)
+    }
+  }
+
+  test("restart resume at a historical hole: the follower probes forward past " +
+      "prolonged NOT_FOUND instead of head-polling a nonexistent pulse forever") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-hole").toString
+    // pulses 0, 1 and 4 exist; 2 and 3 NEVER did. Life 1 learns 0 and 1
+    // and crashes before acting on the exporter's redirect — so the
+    // resumed cursor (maxKnown + delta) points INTO the hole, where the
+    // exporter answers NOT_FOUND forever (holes never backfill) and the
+    // sequencer's gap reload can't help because no later pulse is known.
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 6,
+      startPulse = start)
+      .union(Fixtures.multiPulseBatches(spark, nPulses = 1, recordsPerPulse = 6,
+        startPulse = start + 4 * delta))
+    val life1 = new ReplayExporter(wire.filter(col("pulse_number") < start + 2 * delta))
+    val s1 = bindOn(0, life1)
+    val h1 = Ingest.bootstrap(spark, base, "localhost", s1.getPort, start, fastCfg)
+    try assert(await()(h1.daemon.ingestedCount == 2 &&
+      h1.daemon.sequentialPulse == start + delta))
+    finally { h1.stop(); s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS) }
+
+    val s2 = bindOn(0, new ReplayExporter(wire))
+    val h2 = Ingest.bootstrap(spark, base, "localhost", s2.getPort, start, fastCfg)
+    try {
+      // the seeded cursor is maxKnown + delta = start + 2δ — the hole.
+      // (Not asserted live: the probe may have already advanced it.)
+      // The probe finds pulse 4, commits it chained across the hole, and
+      // the sequencer advances over the chain link — no pulse is invented
+      // for the hole itself
+      assert(await()(h2.daemon.sequentialPulse == start + 4 * delta),
+        s"follower never escaped the hole: cursor=${h2.daemon.cursor}, " +
+          s"known=${h2.daemon.snapshot.keySet}")
+    } finally {
+      h2.stop(); s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq ==
+      Seq(start, start + delta, start + 4 * delta))
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+    assert(pulses.last.getAs[Long]("prev_pulse_number") == start + delta,
+      "the probed pulse must chain across the hole, not to a nonexistent pulse")
+  }
+
+  test("soak: 21 pulses with holes, partial covers, and a mid-feed daemon restart " +
+      "converge exactly, with the open frontier bounded throughout") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-soak").toString
+    // slots 0..24 with holes at {5,6,13,20} (never exist; the exporter
+    // redirects across them) → 21 real pulses. Pulses at slots 8 and 15
+    // first serve HALF their cover, so the maintainer must re-request
+    // them (duplicate replays over the same partitions — the idempotent
+    // overwrite path) while the feed keeps moving.
+    val holes = Set(5, 6, 13, 20)
+    val slots = (0 to 24).filterNot(holes)
+    val wire = slots.map(i => Fixtures.multiPulseBatches(spark, 1, recordsPerPulse = 8,
+      startPulse = start + i * delta)).reduce(_ union _)
+    val redirects = Map(
+      (start + 4 * delta) -> (start + 7 * delta),
+      (start + 12 * delta) -> (start + 14 * delta),
+      (start + 19 * delta) -> (start + 21 * delta))
+    val inner = new ReplayExporter(wire, iterateFromOverride = redirects)
+    val halves = Set(start + 8 * delta, start + 15 * delta)
+    val healed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val halfOnce = new ReplayExporter(wire.filter(col("jet_id") === "0"))
+    val flaky = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        if (halves.contains(pulse) && healed.add(pulse)) halfOnce.export(pulse, recordNumber, count)
+        else inner.export(pulse, recordNumber, count)
+    }
+    val lastPulse = start + 24 * delta
+
+    // frontier sampler: the register-deletion invariant
+    // (etl/controller/controller.go:124-132) — open ≤ incomplete + dirty —
+    // may be violated only transiently (the maintainer's own
+    // flush→close-out window); a violation streak outliving ~13
+    // maintainer periods is a leak, not a window
+    var maxViolationStreakMs = 0L
+    var streakStartNs = -1L
+    var peakOpen = 0
+    def sampleFrontier(d: Ingest.Daemon): Unit = {
+      val (open, incomplete, dirty) = d.frontierStats
+      peakOpen = math.max(peakOpen, open)
+      if (open > incomplete + dirty) {
+        if (streakStartNs < 0) streakStartNs = System.nanoTime()
+        maxViolationStreakMs = math.max(maxViolationStreakMs,
+          (System.nanoTime() - streakStartNs) / 1000000L)
+      } else streakStartNs = -1L
+    }
+    def awaitSampling(d: Ingest.Daemon, deadlineMs: Long)(cond: => Boolean): Boolean = {
+      val t0 = System.nanoTime()
+      while (!cond && (System.nanoTime() - t0) / 1e6 < deadlineMs) {
+        sampleFrontier(d); Thread.sleep(25)
+      }
+      cond
+    }
+
+    val server = bindOn(0, flaky)
+    val h1 = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
+    // life 1 up to roughly the middle of the feed, then a hard restart
+    assert(awaitSampling(h1.daemon, 60000L)(h1.daemon.ingestedCount >= 10),
+      s"soak life 1 stalled: ${h1.daemon.snapshot.keySet}")
+    h1.stop()
+    val h2 = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
+    try {
+      assert(awaitSampling(h2.daemon, 120000L)(h2.daemon.sequentialPulse == lastPulse),
+        s"soak never converged: seq=${h2.daemon.sequentialPulse}, " +
+          s"known=${h2.daemon.snapshot.keySet.toVector.sorted}")
+      // after convergence the maintainer closes everything out: the open
+      // register drains to EMPTY (the reference deletes completed pulses
+      // from its jetDropRegister the same way)
+      assert(awaitSampling(h2.daemon, 30000L)(h2.daemon.frontierStats == ((0, 0, 0))),
+        s"frontier never drained: ${h2.daemon.frontierStats}")
+    } finally {
+      h2.stop()
+      server.shutdownNow(); server.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    assert(maxViolationStreakMs < 2000L,
+      s"open frontier exceeded incomplete+dirty for ${maxViolationStreakMs}ms — " +
+        "the register is leaking closed pulses")
+    assert(peakOpen <= slots.length,
+      s"open register held $peakOpen entries for a ${slots.length}-pulse feed")
+
+    // exact store: no loss, no duplication, holes chained across
+    val records = spark.read.parquet(s"$base/records")
+    assert(records.count() == slots.length * 8L)
+    assert(records.select("pulse_number").distinct().count() == slots.length.toLong)
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq ==
+      slots.map(start + _ * delta))
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")))
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+    assert(pulses.forall(_.getAs[Long]("record_amount") == 8L))
+    val prevs = pulses.map(_.getAs[Long]("prev_pulse_number"))
+    assert(prevs.drop(1).toSeq == pulses.map(_.getAs[Long]("pulse_number")).dropRight(1).toSeq,
+      "every prev link must point at the actual predecessor, jumping the holes")
+  }
+
   test("maintainer reloads an incomplete pulse until its jet cover fills (ST2+ST3)") {
     val base = java.nio.file.Files.createTempDirectory("graft-daemon-reload").toString
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
