@@ -188,7 +188,11 @@ object Domain {
     * row-group stats instead of re-scanning the event feed.
     */
   def servedRecords(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/records") {
+    // an ingest-written store IS the spine already — the daemon's commit
+    // path wrote it pulse-partitioned and (jet, order)-sorted; no
+    // derived artifact to build (StoreViews for the layout contract)
+    if (StoreViews.isStore(spark, dir)) StoreViews.records(spark, dir)
+    else graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/records") {
       records(spark, dir)
         .repartitionByRange(col("pulse_number"), col("jet_id"))
         .sortWithinPartitions("pulse_number", "jet_id", "order")
@@ -198,7 +202,8 @@ object Domain {
     * records spine so the W7 window never re-runs).
     */
   def servedJetDrops(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/jet_drops") {
+    if (StoreViews.isStore(spark, dir)) StoreViews.jetDrops(spark, dir)
+    else graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/jet_drops") {
       jetDrops(servedRecords(spark, dir))
         .repartitionByRange(col("pulse_number"))
         .sortWithinPartitions("pulse_number", "jet_id")
@@ -208,7 +213,8 @@ object Domain {
     * pulse — time-bounded, not data-bounded), so a single sorted file.
     */
   def servedPulses(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/pulses") {
+    if (StoreViews.isStore(spark, dir)) StoreViews.pulses(spark, dir)
+    else graft.sources.StandingArtifact.ensure(spark, spineRoot(dir) + "/pulses") {
       pulses(servedRecords(spark, dir))
         .repartition(1)
         .sortWithinPartitions("pulse_number")
@@ -255,15 +261,22 @@ object Domain {
     new java.util.concurrent.ConcurrentHashMap[String, PulseChainIndex]()
 
   def pulseChainIndex(spark: SparkSession, dir: String): PulseChainIndex =
-    chainCache.computeIfAbsent(spineRoot(dir), _ => {
-      val pairs = servedPulses(spark, dir)
-        .select(col("pulse_number"), col("prev_pulse_number")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val byPulse = pairs.sortBy(_._1)
-      val byPrev = pairs.sortBy(p => (p._2, p._1))
-      new PulseChainIndex(byPulse.map(_._1), byPulse.map(_._2),
-        byPrev.map(_._2), byPrev.map(_._1))
-    })
+    // an ingest store is LIVE (the daemon appends pulses between
+    // requests), so its chain index rebuilds per request from the tiny
+    // dimension — a cached copy would patch page links against a stale
+    // chain. The fingerprinted testdata spine is immutable → cached.
+    if (StoreViews.isStore(spark, dir)) buildChainIndex(spark, dir)
+    else chainCache.computeIfAbsent(spineRoot(dir), _ => buildChainIndex(spark, dir))
+
+  private def buildChainIndex(spark: SparkSession, dir: String): PulseChainIndex = {
+    val pairs = servedPulses(spark, dir)
+      .select(col("pulse_number"), col("prev_pulse_number")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPulse = pairs.sortBy(_._1)
+    val byPrev = pairs.sortBy(p => (p._2, p._1))
+    new PulseChainIndex(byPulse.map(_._1), byPulse.map(_._2),
+      byPrev.map(_._2), byPrev.map(_._1))
+  }
 
   /** Register the three domain tables as temp views (plus the library's
     * native SQL functions), so SQL-first users query `records`,

@@ -1,0 +1,127 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving views over an INGEST-WRITTEN store — the records/ jet_drops/
+  * pulses/ layout the [[graft.Ingest]] daemon and
+  * [[graft.ingest.PulseWriter]] maintain — so the HTTP API serves the
+  * store the ETL wrote, exactly like the reference API reading the
+  * Postgres tables its block-explorer binary populated (the loop the
+  * reference's heavy_mock suites close, the `test/api` endpoint tests).
+  *
+  * [[graft.model.Domain]] routes `served*` here whenever `dir` is a
+  * store ([[isStore]]); the testdata corpus path (views derived from
+  * `events.parquet`) is untouched. The adapter maps the storage schema
+  * ([[Schemas.records]]/[[Schemas.jetDrops]], plus the daemon's pulses
+  * dimension) onto the column contract the [[graft.api.Endpoints]]
+  * functions already serve:
+  *
+  *  - '''identity references become 64-bit keys''' (xxhash64 of the
+  *    stored bytes, nulls preserved): the serving layer keys objects and
+  *    records by long everywhere (the testdata domain's `event_id`/
+  *    `user_id`), so the lifeline/search endpoints' long-keyed
+  *    predicates work unchanged over a store. Content bytes (payload,
+  *    hash) stay binary and render base64 at the JSON edge (F6).
+  *  - '''drop hashes are derived''', md5 over (jet_id, pulse) with the
+  *    parent pulse taken from the pulses CHAIN (a broadcast join against
+  *    the tiny dimension), the same convention [[Domain.jetDrops]] uses —
+  *    the store's write path does not persist content hashes (the
+  *    reference's exporter supplies them on the wire; ours reserves the
+  *    column).
+  *  - `pulse_number` partition directories read back as their inferred
+  *    integer type; every view casts it to LongType so predicates and
+  *    JSON stay type-stable. Pulse-bounded endpoint predicates prune
+  *    PARTITION DIRECTORIES on this layout — at 100 TB a pulse-bounded
+  *    page lists a handful of directories instead of scanning anything.
+  *
+  * Reads are deliberately NOT relation-cached: a store is live (the
+  * daemon appends pulses between requests), so each query re-resolves
+  * the file listing — the pulses dimension is a directory of tiny
+  * bucketed files and the fact reads are partition-pruned, so the
+  * listing cost stays bounded by the predicate, not the history.
+  */
+object StoreViews {
+
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True when `dir` holds an ingest store (a `records/` table directory
+    * and no testdata `events.parquet`). The verdict is cached once the
+    * directory has RESOLVED to one of the two layouts — a store stays a
+    * store and a corpus stays a corpus — but an EMPTY/ambiguous dir
+    * (e.g. a store path probed before the daemon's first commit) is
+    * re-checked, never frozen to a wrong answer.
+    */
+  def isStore(spark: SparkSession, dir: String): Boolean = {
+    val cached = layoutCache.get(dir)
+    if (cached != null) cached.booleanValue
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val records = new org.apache.hadoop.fs.Path(s"$dir/records")
+      val fs = records.getFileSystem(conf)
+      val hasRecords = fs.exists(records) && fs.getFileStatus(records).isDirectory
+      val isCorpus = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      val is = hasRecords && !isCorpus
+      if (is || isCorpus) layoutCache.put(dir, is)
+      is
+    }
+  }
+
+  /** Identity bytes → the serving layer's 64-bit key space, nulls kept
+    * (an empty reference is P2-normalized to null upstream and must stay
+    * an OMITTED field at the JSON edge, not hash to a phantom key).
+    */
+  private def refKey(c: Column): Column =
+    when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
+
+  /** The records fact in the endpoints' serving shape. */
+  def records(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/records").select(
+      refKey(col("reference")).as("reference"),
+      col("type"),
+      refKey(col("object_reference")).as("object_reference"),
+      refKey(col("prototype_reference")).as("prototype_reference"),
+      refKey(col("prev_record_reference")).as("prev_record_reference"),
+      col("payload"),
+      col("hash"),
+      col("jet_id"),
+      col("pulse_number").cast("long").as("pulse_number"),
+      col("order"),
+      col("timestamp").as("ts_sec"))
+
+  /** The jet_drops dimension with the serving hash convention derived
+    * over the pulses chain (broadcast — one row per pulse).
+    */
+  def jetDrops(spark: SparkSession, dir: String): DataFrame = {
+    val drops = spark.read.parquet(s"$dir/jet_drops").select(
+      col("pulse_number").cast("long").as("pulse_number"),
+      col("jet_id"),
+      col("record_amount"),
+      col("timestamp"))
+    val chain = pulses(spark, dir)
+      .select(col("pulse_number").as("pn"), col("prev_pulse_number").as("prev_pn"))
+    drops.join(broadcast(chain), col("pulse_number") === col("pn"), "left")
+      .withColumn("hash", md5(concat_ws(":", col("jet_id"), col("pulse_number"))))
+      .withColumn("first_prev_hash",
+        when(col("prev_pn").isNull, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(":", col("jet_id"), col("prev_pn")))))
+      .withColumn("second_prev_hash", lit(null).cast("string"))
+      .drop("pn", "prev_pn")
+  }
+
+  /** The daemon-maintained pulses dimension in the serving shape (the
+    * bucket partition column is a flush concern, never served; a legacy
+    * FLAT layout — no bucket column — serves identically).
+    */
+  def pulses(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pulses").select(
+      col("pulse_number").cast("long").as("pulse_number"),
+      col("prev_pulse_number"),
+      col("next_pulse_number"),
+      col("is_complete"),
+      col("is_sequential"),
+      col("timestamp"),
+      col("jet_drop_amount").cast("long").as("jet_drop_amount"),
+      col("record_amount"))
+}

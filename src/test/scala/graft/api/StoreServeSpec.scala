@@ -1,0 +1,123 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.functions._
+
+import graft.{Ingest, SparkSpec}
+import graft.gen.Fixtures
+import graft.ingest.{GrpcTransport, PulseWriter, ReplayExporter}
+import graft.model.{Domain, StoreViews}
+
+/** End-to-end ingest→serve consistency — the loop the reference's
+  * heavy_mock suites close (the `test/api` endpoint tests: an API server reading
+  * the store the block-explorer binary populated): the SAME fixture is
+  * ingested once THROUGH the live daemon over the real gRPC wire and
+  * once through the direct commit path, then every read endpoint is
+  * served over HTTP from both stores and the responses must be
+  * byte-identical. Pins that the daemon's write path (spine, partition
+  * commits, bucketed pulses flush, flag maintenance) produces a store
+  * the serving layer cannot tell apart from a directly-built one.
+  */
+class StoreServeSpec extends SparkSpec {
+
+  private val start = Fixtures.GenesisPulse + Fixtures.PulseDelta
+  private val delta = Fixtures.PulseDelta
+  private val nPulses = 3
+  private val perPulse = 12
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://localhost:$port/api/v1$path")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("a daemon-ingested store serves every endpoint byte-identically to a " +
+      "directly-built store, and an ingest store serves at all (heavy_mock loop)") {
+    val wire = Fixtures.multiPulseBatches(spark, nPulses, perPulse, startPulse = start)
+
+    // ---- store A: through the LIVE daemon over the real wire ------------
+    val baseA = java.nio.file.Files.createTempDirectory("graft-serve-daemon").toString
+    val server = org.sparkproject.connect.grpc.netty.NettyServerBuilder.forPort(0)
+      .addService(GrpcTransport.recordService(new ReplayExporter(wire))).build().start()
+    val handle = Ingest.bootstrap(spark, baseA, "localhost", server.getPort, start,
+      Ingest.Config(pulsePeriodMs = 150L, sequentialPeriodMs = 50L,
+        headPauseMs = 100L, errorPauseMs = 100L, batchSize = 7, fetchBackoffMs = 5L))
+    try {
+      val lastPulse = start + (nPulses - 1) * delta
+      val t0 = System.nanoTime()
+      while (handle.daemon.sequentialPulse != lastPulse &&
+        (System.nanoTime() - t0) / 1e9 < 60) Thread.sleep(50)
+      assert(handle.daemon.sequentialPulse == lastPulse,
+        s"daemon never converged: ${handle.daemon.snapshot}")
+    } finally {
+      handle.stop()
+      server.shutdownNow(); server.awaitTermination(5, TimeUnit.SECONDS)
+    }
+
+    // ---- store B: the direct commit path + a hand-built pulses dim ------
+    val baseB = java.nio.file.Files.createTempDirectory("graft-serve-direct").toString
+    (0 until nPulses).foreach { i =>
+      PulseWriter.commitPulse(
+        wire.filter(col("pulse_number") === start + i * delta), baseB)
+    }
+    import spark.implicits._
+    (0 until nPulses).map { i =>
+      val p = start + i * delta
+      (p, p - delta, p + delta, true, true, 2, perPulse.toLong,
+        p - graft.ingest.Canonicalize.MinTimePulse)
+    }.toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+      "is_complete", "is_sequential", "jet_drop_amount", "record_amount", "timestamp")
+      .coalesce(1)
+      .write.parquet(s"$baseB/pulses")
+
+    assert(StoreViews.isStore(spark, baseA) && StoreViews.isStore(spark, baseB))
+
+    // a lifeline key from the store itself (identity refs serve as
+    // 64-bit keys — StoreViews.records); same fixture → same key in B
+    val lifelineKey = Domain.servedRecords(spark, baseA)
+      .filter(col("pulse_number") === start && col("order") === 1 && col("jet_id") === "0")
+      .select(col("object_reference")).head().getLong(0)
+
+    val p1 = start + delta
+    val paths = Seq(
+      "/pulses",
+      "/pulses?limit=2&offset=1&sort_by=pulse_number_asc",
+      s"/pulses/$p1",
+      s"/pulses/$p1/jet-drops",
+      s"/jet-drops/0:$p1",
+      s"/jet-drops/0:$p1/records",
+      s"/jet-drops/1:$p1/records?limit=3&offset=2",
+      "/jets/*/jet-drops",
+      s"/jets/0/jet-drops?pulse_number_gt=$start",
+      s"/lifeline/$lifelineKey/records")
+
+    val hA = HttpApi.start(spark, baseA, port = 0, poolSize = 2)
+    val hB = HttpApi.start(spark, baseB, port = 0, poolSize = 2)
+    try {
+      paths.foreach { path =>
+        val (sA, bA) = get(hA.port, path)
+        val (sB, bB) = get(hB.port, path)
+        assert(sA == 200, s"$path over the daemon store: $sA ${bA.take(200)}")
+        assert(sB == 200, s"$path over the direct store: $sB ${bB.take(200)}")
+        assert(bA == bB, s"$path diverged:\n A=${bA.take(400)}\n B=${bB.take(400)}")
+      }
+      // spot semantics, not just mutual agreement
+      val (_, pulsesBody) = get(hA.port, "/pulses")
+      assert(pulsesBody.startsWith(s"""{"total":$nPulses,"result":["""))
+      val (_, lifelineBody) = get(hA.port, s"/lifeline/$lifelineKey/records")
+      assert(lifelineBody.contains(""""total":1"""), lifelineBody.take(200))
+      val (_, dropRecsBody) = get(hA.port, s"/jet-drops/0:$p1/records")
+      assert(dropRecsBody.contains(s""""total":${perPulse / 2}"""), dropRecsBody.take(200))
+      // point-lookup 404 parity on the store path
+      assert(get(hA.port, s"/pulses/${start - delta}")._1 == 404)
+    } finally {
+      hA.stop(); hB.stop()
+    }
+  }
+}
