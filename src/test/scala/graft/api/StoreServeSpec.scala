@@ -119,5 +119,20 @@ class StoreServeSpec extends SparkSpec {
     } finally {
       hA.stop(); hB.stop()
     }
+
+    // 100 TB shape pin: on the store layout pulse_number is a PARTITION
+    // column, so a pulse-bounded endpoint read must prune to that
+    // pulse's directory — the scan's partition filters carry the
+    // predicate and the planned read touches exactly one partition
+    val bounded = Domain.servedRecords(spark, baseA)
+      .filter(col("pulse_number") === p1)
+    val scans = bounded.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      s"pulse predicate did not reach the partition filters:\n${bounded.queryExecution}")
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+      "a one-pulse read must touch exactly one pulse partition")
   }
 }

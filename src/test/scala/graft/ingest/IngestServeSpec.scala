@@ -437,8 +437,9 @@ class IngestServeSpec extends SparkSpec {
     // frontier sampler: the register-deletion invariant
     // (etl/controller/controller.go:124-132) — open ≤ incomplete + dirty —
     // may be violated only transiently (the maintainer's own
-    // flush→close-out window); a violation streak outliving ~13
-    // maintainer periods is a leak, not a window
+    // flush→close-out window, whose length is one tiny Spark write; the
+    // 5 s allowance is headroom for a contended test host); a violation
+    // streak outliving that is a leak, not a window
     var maxViolationStreakMs = 0L
     var streakStartNs = -1L
     var peakOpen = 0
@@ -479,7 +480,7 @@ class IngestServeSpec extends SparkSpec {
       h2.stop()
       server.shutdownNow(); server.awaitTermination(5, TimeUnit.SECONDS)
     }
-    assert(maxViolationStreakMs < 2000L,
+    assert(maxViolationStreakMs < 5000L,
       s"open frontier exceeded incomplete+dirty for ${maxViolationStreakMs}ms — " +
         "the register is leaking closed pulses")
     assert(peakOpen <= slots.length,
