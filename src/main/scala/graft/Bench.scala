@@ -637,8 +637,11 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_n":${results.length}""" +
       f""","queries":$qsCompact""" +
-      f""","warm_total":$warmTotal%.3f,"ingest_sec":$ingestSec%.3f,"ingest_grpc_sec":$ingestGrpcSec%.3f""" +
+      f""","load1_cold":$load1ColdBefore%.1f,"warm_total":$warmTotal%.3f""" +
+      f""","load1_warm":${bestWarm.l0}%.1f,"warm_passes":${warmAttempts.length}""" +
+      f""","ingest_sec":$ingestSec%.3f,"ingest_grpc_sec":$ingestGrpcSec%.3f""" +
       f""","ingest_daemon_pulses_sec":$ingestDaemonSec%.3f""" +
+      f""","ingest_daemon_per_pulse_sec":${if (ingestDaemonSec > 0) ingestDaemonSec / daemonNPulses else -1.0}%.3f""" +
       f""","load_min_shape_qps":$loadMin%.2f,"load_first_min_qps":$firstMin%.2f""" +
       f""","load_http_min_qps":$httpMin%.2f,"load_http_errors":$httpErrs""" +
       s""","failed":$failedJson,"sf":"$sfDir"}""")

@@ -353,17 +353,23 @@ object Ingest {
       * exporter answers NOT_FOUND for FOREVER (historical holes never
       * backfill), and the sequencer's gap reload cannot help because no
       * later pulse is known yet. After a prolonged NOT_FOUND streak the
-      * follower probes forward up to [[Config.headProbeSpan]] pulses; the
-      * first hit is committed (its chain prev = the max known pulse, so
-      * the chain links ACROSS the hole exactly as a live redirect would
-      * have) and the cursor advances past it. At a genuine live head
-      * every probe misses too — a few cheap NOT_FOUND round trips per
-      * [[Config.headProbeAfter]] head polls — and the cursor stays put.
+      * follower probes forward [[Config.headProbeSpan]] pulses at a
+      * time: the NEAR window (offsets 1..span) on every probe tick, plus
+      * a PROGRESSIVE far window resuming where the last one stopped — so
+      * a pulse appearing near the cursor is found within one tick while
+      * a hole of ANY width is still eventually crossed. The first hit is
+      * committed (its chain prev = the max known pulse, so the chain
+      * links ACROSS the hole exactly as a live redirect would have) and
+      * the cursor advances past it. At a genuine live head every probe
+      * misses — a few cheap NOT_FOUND round trips per
+      * [[Config.headProbeAfter]] head polls — and the cursor stays put:
+      * the head pulse itself is always tried first each iteration, so
+      * the probe windows can never skip it.
       * Returns true when a pulse was found and committed.
       */
-    private def probeForward(): Boolean = {
-      var i = 1
-      while (running && i <= cfg.headProbeSpan) {
+    private def probeForward(fromOffset: Long): Boolean = {
+      var i = fromOffset + 1
+      while (running && i <= fromOffset + cfg.headProbeSpan) {
         val p = cursorNow + i * cfg.pulseDelta
         Transport.fetchPulse(stream, p, cfg.batchSize,
           backoffMs = cfg.fetchBackoffMs) match {
@@ -379,12 +385,14 @@ object Ingest {
 
     private def followLoop(): Unit = {
       var notFound = 0 // consecutive NOT_FOUNDs at an unmoved cursor
+      var probedTo = 0L // forward offset the hole probe has covered so far
       while (running) {
         try {
           Transport.fetchPulse(stream, cursorNow, cfg.batchSize,
             backoffMs = cfg.fetchBackoffMs) match {
             case Some(fp) =>
               notFound = 0
+              probedTo = 0L
               val p = cursorNow
               commit(p, fp.rows)
               cursorNow = if (fp.iterateFrom > p) fp.iterateFrom else p + cfg.pulseDelta
@@ -394,7 +402,17 @@ object Ingest {
               notFound += 1
               if (notFound >= cfg.headProbeAfter) {
                 notFound = 0
-                if (!probeForward()) nap(cfg.headPauseMs)
+                // near window first, EVERY time: a pulse appearing within
+                // one span of the cursor is found on the next probe tick
+                // even after the far window has crept ahead of it; then
+                // the far window continues from where it stopped, so a
+                // hole of any width is eventually crossed
+                if (probeForward(0L)) probedTo = 0L
+                else {
+                  if (probedTo < cfg.headProbeSpan) probedTo = cfg.headProbeSpan
+                  if (probeForward(probedTo)) probedTo = 0L
+                  else { probedTo += cfg.headProbeSpan; nap(cfg.headPauseMs) }
+                }
               } else nap(cfg.headPauseMs)
           }
         } catch {
