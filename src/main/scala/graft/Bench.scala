@@ -308,17 +308,25 @@ object Bench {
     // task-level per-query metrics (the instrumentation/metrics analog)
     // ride the warm pass: job-group attribution via QueryMetrics.measure
     val qMetrics = QueryMetrics.install(spark)
-    def timedPass(recordFailures: Boolean, metered: Boolean = false): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // returns the per-query timings plus the pass's ERROR count — a
+    // failing query "finishes" near-instantly, so any best-of selection
+    // over passes must know which totals are real (a pass with errors
+    // must never win the headline on its artificially small total)
+    def timedPass(recordFailures: Boolean, metered: Boolean = false): (Seq[(String, Double)], Int) = {
+      var errs = 0
+      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         def run(): Unit = { fn(spark, sfDir).count(); () }
         try { if (metered) QueryMetrics.measure(spark, name)(run()) else run() } catch {
           case e: Throwable =>
+            errs += 1
             if (recordFailures) failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      (rs, errs)
+    }
     // Pass 1 (the headline `value`/`queries`, methodology unchanged across
     // rounds): first execution at the bench SF — includes per-query AQE
     // planning and codegen specialization. Pass 2 (`queries_warm`):
@@ -330,11 +338,11 @@ object Bench {
     // per-phase telemetry had the load, but a reader of `value` /
     // `warm_total` alone couldn't see it).
     val load1ColdBefore = loadavg1()
-    val results = timedPass(recordFailures = true)
+    val (results, _) = timedPass(recordFailures = true)
     val load1ColdAfter = loadavg1()
     telemetry += snap("b_cold_done", spark)
     val load1WarmBefore = loadavg1()
-    val warm = timedPass(recordFailures = false, metered = true)
+    val (warm, warmErrs) = timedPass(recordFailures = false, metered = true)
     val load1WarmAfter = loadavg1()
     telemetry += snap("b_warm_done", spark)
     // settle on the TOTAL task count across all scopes: all jobs are done,
@@ -557,26 +565,33 @@ object Bench {
     // contention burst confined to the original window has been outlived
     // — behind the same JIT barrier the cold pass uses (the load attacks
     // enqueue compile work that would otherwise land inside the re-pass).
-    // The artifact keeps EVERY attempt with its load1 bracket; the
-    // headline `warm_total` is the best attempt (identical to the
-    // previous single-pass methodology whenever warm ≤ cold, i.e. every
-    // uncontended run).
-    final case class WarmAttempt(res: Seq[(String, Double)], l0: Double, l1: Double) {
+    // The artifact keeps EVERY attempt with its load1 bracket and error
+    // count; the headline `warm_total` is the best ERROR-FREE attempt
+    // (a pass in which a query failed has an artificially small total —
+    // the failure "finishes" instantly — and must never win), identical
+    // to the previous single-pass methodology whenever warm ≤ cold,
+    // i.e. every uncontended run. `query_task_metrics` always describes
+    // the FIRST warm pass (the metered one), whichever attempt wins.
+    final case class WarmAttempt(res: Seq[(String, Double)], l0: Double, l1: Double,
+        errs: Int) {
       def total: Double = res.map(_._2).sum
     }
-    var warmAttempts = Vector(WarmAttempt(warm, load1WarmBefore, load1WarmAfter))
+    var warmAttempts = Vector(WarmAttempt(warm, load1WarmBefore, load1WarmAfter, warmErrs))
     if (warmAttempts.head.total > total) {
       settleJit()
       val l0 = loadavg1()
-      val re = timedPass(recordFailures = false)
-      warmAttempts :+= WarmAttempt(re, l0, loadavg1())
+      val (re, reErrs) = timedPass(recordFailures = false)
+      warmAttempts :+= WarmAttempt(re, l0, loadavg1(), reErrs)
       telemetry += snap("b_warm_repass_done", spark)
     }
-    val bestWarm = warmAttempts.minBy(_.total)
+    val warmEligible = warmAttempts.filter(_.errs == 0)
+    val bestWarm = (if (warmEligible.nonEmpty) warmEligible else warmAttempts)
+      .minBy(_.total)
     val warmTotal = bestWarm.total
     val qsWarm = toJson(bestWarm.res)
     val warmAttemptsJson = warmAttempts.map(a =>
-      f"""{"sec":${a.total}%.3f,"load1_before":${a.l0}%.1f,"load1_after":${a.l1}%.1f}""")
+      f"""{"sec":${a.total}%.3f,"errs":${a.errs},"load1_before":${a.l0}%.1f""" +
+      f""","load1_after":${a.l1}%.1f,"selected":${a eq bestWarm}}""")
       .mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 

@@ -179,16 +179,24 @@ object Ingest {
       // Recover an interrupted flat→bucketed migration FIRST (the swap at
       // the bottom of this method): the migration stages the bucketed
       // table to this sibling before touching the original, so a leftover
-      // sibling pins which crash window we died in —
-      //   pulses missing → the delete-before-rename window: the sibling
-      //     is a COMPLETE bucketed copy (the original is deleted only
-      //     after the sibling write returned) — finish the rename;
-      //   pulses present → the sibling-write window: the original (flat)
-      //     layout is still the truth — drop the possibly-partial sibling
-      //     and let the flat check below redo the migration.
+      // sibling pins which crash window we died in. The sibling's own
+      // _SUCCESS marker (written by the Spark job commit, i.e. only once
+      // the staged copy is COMPLETE) is the disambiguator — the original
+      // path's existence is NOT, because a crash mid recursive delete
+      // leaves a PARTIALLY-destroyed original behind, and re-migrating
+      // from that would lose rows for good:
+      //   sibling committed → it is a complete copy of the register as
+      //     staged; whatever state the original is in (intact, partially
+      //     deleted, or gone), finish the swap from the sibling;
+      //   sibling uncommitted → the write itself crashed, the original
+      //     is untouched truth — drop the partial sibling and let the
+      //     flat check below redo the migration.
       val migrating = new org.apache.hadoop.fs.Path(s"$basePath/pulses_migrating")
       if (fs.exists(migrating)) {
-        if (!fs.exists(pulsesPath)) {
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(migrating, "_SUCCESS"))
+        if (committed) {
+          if (fs.exists(pulsesPath)) fs.delete(pulsesPath, true)
           if (!fs.rename(migrating, pulsesPath))
             throw new java.io.IOException(
               s"migration recovery rename failed: $migrating -> $pulsesPath")

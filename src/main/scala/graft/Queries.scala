@@ -952,7 +952,11 @@ object Queries {
     */
   val evSketch: Q = (s, dir) => {
     def verdict(approx: Column, loRank: Int, hiRank: Int): Column =
-      when(col("n_events") < lit(20), array_contains(col("value_set"), approx))
+      // coalesce closes the all-null-values corner: approx is null there
+      // (array_contains would yield NULL, not a boolean) and a null
+      // percentile of a valueless group is vacuously in-bounds
+      when(col("n_events") < lit(20),
+        coalesce(array_contains(col("value_set"), approx), approx.isNull))
         .otherwise(approx.between(col("rank_windows")(loRank), col("rank_windows")(hiRank)))
     Domain.events(s, dir)
       .groupBy(col("event_type"))

@@ -40,6 +40,18 @@ import org.apache.spark.sql.functions._
   * the file listing — the pulses dimension is a directory of tiny
   * bucketed files and the fact reads are partition-pruned, so the
   * listing cost stays bounded by the predicate, not the history.
+  *
+  * Isolation contract: the parquet layout gives per-partition-commit
+  * atomicity, not reader snapshots — a read that overlaps a maintainer
+  * flush or a reload's partition overwrite of the SAME pulse can lose
+  * its listed files mid-scan and surface as a retryable 500 (the
+  * reference gets MVCC from Postgres here). The write path confines
+  * rewrites to dirty buckets / reloaded pulses, so the window is the
+  * changing partition only; a deployment needing overlap-free reads
+  * swaps the writer/reader pair onto a snapshot-isolated table format
+  * (the layout is deliberately directory-per-table to make that a
+  * drop-in), which is why this adapter — not the endpoints — owns the
+  * physical reads.
   */
 object StoreViews {
 
@@ -75,9 +87,55 @@ object StoreViews {
   private def refKey(c: Column): Column =
     when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
 
+  // Canonical serving schemas, for the EMPTY-TABLE branch below: a brand
+  // new store serves `{total:0}` pages from a schema-stable empty frame
+  // until the daemon's first commit/flush lands — the records table is
+  // written at commit time but the pulses dimension only on the first
+  // maintainer flush (up to a pulse period later), and an endpoint must
+  // not 500 in that window.
+  private val RecordsServingSchema = org.apache.spark.sql.types.StructType(Seq(
+    field("reference", "long"), field("type", "string"),
+    field("object_reference", "long"), field("prototype_reference", "long"),
+    field("prev_record_reference", "long"), field("payload", "binary"),
+    field("hash", "binary"), field("jet_id", "string"),
+    field("pulse_number", "long"), field("order", "int"), field("ts_sec", "long")))
+  private val DropsServingSchema = org.apache.spark.sql.types.StructType(Seq(
+    field("pulse_number", "long"), field("jet_id", "string"),
+    field("record_amount", "int"), field("timestamp", "long"),
+    field("hash", "string"), field("first_prev_hash", "string"),
+    field("second_prev_hash", "string")))
+  private val PulsesServingSchema = org.apache.spark.sql.types.StructType(Seq(
+    field("pulse_number", "long"), field("prev_pulse_number", "long"),
+    field("next_pulse_number", "long"), field("is_complete", "boolean"),
+    field("is_sequential", "boolean"), field("timestamp", "long"),
+    field("jet_drop_amount", "long"), field("record_amount", "long")))
+
+  private def field(name: String, t: String) =
+    org.apache.spark.sql.types.StructField(name,
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
+
+  /** True when the table directory holds committed data (at least one
+    * non-hidden file or partition dir) — a just-created or mid-first-write
+    * directory serves as empty instead of failing schema inference.
+    */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  private def emptyFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
   /** The records fact in the endpoints' serving shape. */
   def records(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/records").select(
+    if (!hasData(spark, s"$dir/records")) emptyFrame(spark, RecordsServingSchema)
+    else spark.read.parquet(s"$dir/records").select(
       refKey(col("reference")).as("reference"),
       col("type"),
       refKey(col("object_reference")).as("object_reference"),
@@ -94,6 +152,7 @@ object StoreViews {
     * over the pulses chain (broadcast — one row per pulse).
     */
   def jetDrops(spark: SparkSession, dir: String): DataFrame = {
+    if (!hasData(spark, s"$dir/jet_drops")) return emptyFrame(spark, DropsServingSchema)
     val drops = spark.read.parquet(s"$dir/jet_drops").select(
       col("pulse_number").cast("long").as("pulse_number"),
       col("jet_id"),
@@ -115,7 +174,8 @@ object StoreViews {
     * FLAT layout — no bucket column — serves identically).
     */
   def pulses(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/pulses").select(
+    if (!hasData(spark, s"$dir/pulses")) emptyFrame(spark, PulsesServingSchema)
+    else spark.read.parquet(s"$dir/pulses").select(
       col("pulse_number").cast("long").as("pulse_number"),
       col("prev_pulse_number"),
       col("next_pulse_number"),

@@ -681,6 +681,14 @@ class HttpApiSpec extends SparkSpec {
     assert(resp.statusCode() == 200)
     assert(resp.body() == "OK")
     assert(resp.headers().firstValue("Content-Type").orElse("") == "text/plain")
+    // exact path only — the JDK context prefix-match must not let a
+    // typo'd probe (/healthchecks, /healthcheck/x) read as healthy
+    Seq("/healthchecks", "/healthcheck/x").foreach { p =>
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:${handle.port}$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 404, s"$p -> ${r.statusCode()}")
+    }
   }
 
   test("unknown routes are 404, non-GET is 405") {
