@@ -636,6 +636,49 @@ object Ingest {
     org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("pulse_bucket", org.apache.spark.sql.types.LongType, nullable = false)))
 
+  /** The ETL binary's own ops mux — the reference starts the
+    * /healthcheck router and a metrics HTTP server inside
+    * `cmd/block-explorer/main.go` itself (`main.go:60`, `main.go:157-171`
+    * with the controller/extractor/transformer gauge collectors), so a
+    * deploy probes the INGEST binary directly, not just the API service.
+    * Gauges come straight from the daemon's register (driver-held,
+    * lock-scoped reads — zero Spark jobs per scrape). Exact-path
+    * /healthcheck like the service listener's; any method answers
+    * (ServeMux parity). Caller owns `stop(0)`.
+    */
+  def opsListener(daemon: Daemon, port: Int): com.sun.net.httpserver.HttpServer = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    def answer(ex: com.sun.net.httpserver.HttpExchange, status: Int,
+        contentType: String, body: String): Unit = {
+      try {
+        val bytes = body.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } catch { case _: Throwable => () }
+      finally ex.close()
+    }
+    server.createContext("/healthcheck", ex =>
+      if (ex.getRequestURI.getPath != "/healthcheck") answer(ex, 404, "application/json", "{}")
+      else answer(ex, 200, "text/plain", "OK"))
+    server.createContext("/metrics", ex => {
+      val (open, incomplete, dirty) = daemon.frontierStats
+      val body = Seq(
+        "gbe_ingest_cursor" -> daemon.cursor,
+        "gbe_ingest_sequential_pulse" -> daemon.sequentialPulse,
+        "gbe_ingest_known_pulses" -> daemon.ingestedCount.toLong,
+        "gbe_ingest_open_frontier" -> open.toLong,
+        "gbe_ingest_incomplete_pulses" -> incomplete.toLong,
+        "gbe_ingest_dirty_pulses" -> dirty.toLong
+      ).map { case (n, v) => s"# TYPE $n gauge\n$n $v" }.mkString("", "\n", "\n")
+      answer(ex, 200, "text/plain; version=0.0.4", body)
+    })
+    server.start()
+    server
+  }
+
   /** Everything `main` does short of blocking: open the plaintext channel
     * (1 GiB inbound cap, like the reference transport), wrap the live
     * record stream, start the daemon. Callers own `stop()` on the
@@ -664,8 +707,14 @@ object Ingest {
     val spark = Sessions.serviceBuilder(cpus, "graft-ingest").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val handle = bootstrap(spark, base, host, port, from)
-    println(s"""{"metric":"ingesting","exporter":"$host:$port","base":"$base","from":$from}""")
-    sys.addShutdownHook { handle.stop(); spark.stop() }
+    // the reference binds its ops mux unconditionally on :8000
+    // (pprof_router.go:30); here the port is explicit so sandboxed
+    // side-by-side daemons don't collide — 0 picks an ephemeral port
+    val ops = opsListener(handle.daemon,
+      sys.env.getOrElse("SPARK_GRAFT_OPS_PORT", "8000").toInt)
+    println(s"""{"metric":"ingesting","exporter":"$host:$port","base":"$base","from":$from""" +
+      s""","ops_port":${ops.getAddress.getPort}}""")
+    sys.addShutdownHook { ops.stop(0); handle.stop(); spark.stop() }
     Thread.currentThread.join() // ingest until killed
   }
 }

@@ -501,6 +501,38 @@ class IngestServeSpec extends SparkSpec {
       "every prev link must point at the actual predecessor, jumping the holes")
   }
 
+  test("the daemon's ops listener serves /healthcheck and register gauges " +
+      "(cmd/block-explorer/main.go:60,157-171)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-ops").toString
+    val nPulses = 2
+    val wire = Fixtures.multiPulseBatches(spark, nPulses, recordsPerPulse = 6,
+      startPulse = start)
+    val server = bindOn(0, new ReplayExporter(wire))
+    val handle = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
+    val ops = Ingest.opsListener(handle.daemon, port = 0)
+    try {
+      assert(await()(handle.daemon.sequentialPulse == start + delta))
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): (Int, String) = {
+        val resp = client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:${ops.getAddress.getPort}$path"))
+          .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      assert(get("/healthcheck") == ((200, "OK")))
+      assert(get("/healthchecks")._1 == 404) // exact path, like the service listener
+      val (ms, body) = get("/metrics")
+      assert(ms == 200)
+      assert(body.contains(s"gbe_ingest_sequential_pulse ${start + delta}"), body)
+      assert(body.contains(s"gbe_ingest_known_pulses $nPulses"), body)
+      assert(body.contains("gbe_ingest_open_frontier"), body)
+    } finally {
+      ops.stop(0)
+      handle.stop()
+      server.shutdownNow(); server.awaitTermination(5, TimeUnit.SECONDS)
+    }
+  }
+
   test("maintainer reloads an incomplete pulse until its jet cover fills (ST2+ST3)") {
     val base = java.nio.file.Files.createTempDirectory("graft-daemon-reload").toString
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
