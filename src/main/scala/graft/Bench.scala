@@ -147,6 +147,28 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Driver-held replay of a generated wire frame set — the bench's
+    * stand-in exporter for BOTH the single-pulse gRPC section and the
+    * daemon scenario, one implementation so the end-of-pulse marker and
+    * NOT_FOUND semantics cannot drift between the two.
+    */
+  private def replayStream(
+      wire: org.apache.spark.sql.DataFrame): graft.ingest.Transport.RecordStream = {
+    import graft.ingest.Transport
+    val byPulse = wire.collect().groupBy(_.getAs[Long]("pulse_number"))
+      .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
+    new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        val prows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
+        val slice = prows.slice(recordNumber, recordNumber + count)
+        val recs = slice.iterator.map(r => Transport.Frame(pulse, r))
+        if (recordNumber + slice.length >= prows.length)
+          recs ++ Iterator(Transport.Frame(pulse + graft.gen.Fixtures.PulseDelta, null))
+        else recs
+      }
+    }
+  }
+
   /** One attack window bracketed by host-load snapshots. */
   private final case class Attempt(s: LoadProbe.AttackStats, load1Before: Double, load1After: Double)
 
@@ -400,18 +422,7 @@ object Bench {
       })
       val start = graft.gen.Fixtures.GenesisPulse + graft.gen.Fixtures.PulseDelta
       val wire = graft.gen.Fixtures.multiPulseBatches(spark, 1, 2000, jets, startPulse = start)
-      val byPulse = wire.collect().groupBy(_.getAs[Long]("pulse_number"))
-        .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
-      val replay = new Transport.RecordStream {
-        def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
-          val prows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
-          val slice = prows.slice(recordNumber, recordNumber + count)
-          val recs = slice.iterator.map(r => Transport.Frame(pulse, r))
-          if (recordNumber + slice.length >= prows.length)
-            recs ++ Iterator(Transport.Frame(pulse + graft.gen.Fixtures.PulseDelta, null))
-          else recs
-        }
-      }
+      val replay = replayStream(wire)
       val server = org.sparkproject.connect.grpc.netty.NettyServerBuilder.forPort(0)
         .addService(GrpcTransport.recordService(replay)).build().start()
       val ch = GrpcTransport.channel("localhost", server.getPort)
@@ -469,18 +480,7 @@ object Bench {
         val start = graft.gen.Fixtures.GenesisPulse + delta
         val wire = graft.gen.Fixtures.multiPulseBatches(spark, daemonNPulses,
           daemonRecordsPerPulse, jets, startPulse = start)
-        val byPulse = wire.collect().groupBy(_.getAs[Long]("pulse_number"))
-          .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("record_number")) }
-        val replay = new Transport.RecordStream {
-          def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
-            val prows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
-            val slice = prows.slice(recordNumber, recordNumber + count)
-            val recs = slice.iterator.map(r => Transport.Frame(pulse, r))
-            if (recordNumber + slice.length >= prows.length)
-              recs ++ Iterator(Transport.Frame(pulse + delta, null))
-            else recs
-          }
-        }
+        val replay = replayStream(wire)
         // fresh store: the daemon SEEDS from existing artifacts by design,
         // and a stale store from a prior bench run would skew the timing
         // (and could carry a pre-bucketing pulses layout)
@@ -523,16 +523,11 @@ object Bench {
     val daemonCadenceSec = 10.0 // the reference pulse cadence (config.go:69)
     def daemonUnderCadence(a: DaemonAttempt): Boolean =
       a.sec > 0 && a.sec / daemonNPulses < daemonCadenceSec
-    val daemonAttempts = {
-      val first = daemonRun()
-      if (daemonUnderCadence(first)) Vector(first) else Vector(first, daemonRun())
-    }
-    val ingestDaemonSec = daemonAttempts.filter(_.sec > 0)
-      .map(_.sec).minOption.getOrElse(-1.0)
-    if (!daemonAttempts.exists(daemonUnderCadence)) failed += "ingest_daemon_cadence"
-    val daemonAttemptsJson = daemonAttempts.map(a =>
-      f"""{"sec":${a.sec}%.3f,"load1_before":${a.load1Before}%.1f,"load1_after":${a.load1After}%.1f}""")
-      .mkString("[", ",", "]")
+    // the retry on a cadence miss is DEFERRED to after the load sections
+    // (see below, next to the warm re-pass) — an immediate back-to-back
+    // retry would land inside the same contention burst that sank the
+    // first attempt and fail the gate on host noise
+    val daemonFirst = daemonRun()
     telemetry += snap("b_ingest_daemon_done", spark)
 
     // Serving-throughput analog of the reference's load suite (5 rps per
@@ -576,8 +571,25 @@ object Bench {
         errs: Int) {
       def total: Double = res.map(_._2).sum
     }
+    // Deferred daemon-cadence retry (same outlive-the-burst rationale):
+    // only when the first attempt missed the 10 s/pulse gate, re-run the
+    // daemon scenario once here, after the load sections.
+    val daemonAttempts =
+      if (daemonUnderCadence(daemonFirst)) Vector(daemonFirst)
+      else Vector(daemonFirst, daemonRun())
+    val ingestDaemonSec = daemonAttempts.filter(_.sec > 0)
+      .map(_.sec).minOption.getOrElse(-1.0)
+    if (!daemonAttempts.exists(daemonUnderCadence)) failed += "ingest_daemon_cadence"
+    val daemonAttemptsJson = daemonAttempts.map(a =>
+      f"""{"sec":${a.sec}%.3f,"load1_before":${a.load1Before}%.1f,"load1_after":${a.load1After}%.1f}""")
+      .mkString("[", ",", "]")
+
     var warmAttempts = Vector(WarmAttempt(warm, load1WarmBefore, load1WarmAfter, warmErrs))
-    if (warmAttempts.head.total > total) {
+    // re-pass on errors too: an errored pass's total is artificially
+    // SMALL (the failure "finishes" instantly), so it passes the
+    // warm>cold check yet must never stand as the only attempt — without
+    // this trigger it would win the headline uncontested
+    if (warmAttempts.head.total > total || warmAttempts.head.errs > 0) {
       settleJit()
       val l0 = loadavg1()
       val (re, reErrs) = timedPass(recordFailures = false)

@@ -273,7 +273,7 @@ object Ingest {
         // pruned history). The recovery block at the top of this method
         // closes both crash windows of the swap itself.
         lock.synchronized { dirty ++= entries.keysIterator }
-        flushTo(migrating.toString)
+        flushTo(migrating.toString, dynamicOverwrite = false)
         fs.delete(pulsesPath, true)
         if (!fs.rename(migrating, pulsesPath))
           throw new java.io.IOException(
@@ -363,9 +363,13 @@ object Ingest {
       * later pulse is known yet. After a prolonged NOT_FOUND streak the
       * follower probes forward [[Config.headProbeSpan]] pulses at a
       * time: the NEAR window (offsets 1..span) on every probe tick, plus
-      * a PROGRESSIVE far window resuming where the last one stopped — so
-      * a pulse appearing near the cursor is found within one tick while
-      * a hole of ANY width is still eventually crossed. The first hit is
+      * a far window resuming where the last one stopped, restarting
+      * from the near window at double the depth each time a full sweep
+      * misses — so a pulse appearing near the cursor is found within one
+      * tick, a pulse appearing at ANY offset (e.g. a feed that resumes
+      * after the far window crept past its head) is found within one
+      * sweep cycle, and a hole of any width is still crossed in
+      * O(width/span) probes. The first hit is
       * committed (its chain prev = the max known pulse, so the chain
       * links ACROSS the hole exactly as a live redirect would have) and
       * the cursor advances past it. At a genuine live head every probe
@@ -394,13 +398,15 @@ object Ingest {
     private def followLoop(): Unit = {
       var notFound = 0 // consecutive NOT_FOUNDs at an unmoved cursor
       var probedTo = 0L // forward offset the hole probe has covered so far
+      var sweepEnd = 2L * cfg.headProbeSpan // far sweep restarts (deeper) here
+      def probeHit(): Unit = { probedTo = 0L; sweepEnd = 2L * cfg.headProbeSpan }
       while (running) {
         try {
           Transport.fetchPulse(stream, cursorNow, cfg.batchSize,
             backoffMs = cfg.fetchBackoffMs) match {
             case Some(fp) =>
               notFound = 0
-              probedTo = 0L
+              probeHit()
               val p = cursorNow
               commit(p, fp.rows)
               cursorNow = if (fp.iterateFrom > p) fp.iterateFrom else p + cfg.pulseDelta
@@ -413,13 +419,30 @@ object Ingest {
                 // near window first, EVERY time: a pulse appearing within
                 // one span of the cursor is found on the next probe tick
                 // even after the far window has crept ahead of it; then
-                // the far window continues from where it stopped, so a
-                // hole of any width is eventually crossed
-                if (probeForward(0L)) probedTo = 0L
+                // the far window continues from where it stopped. When a
+                // full sweep reaches sweepEnd without a hit, the sweep
+                // RESTARTS from just past the near window at DOUBLE the
+                // depth — a monotone-only far window would permanently
+                // skip the offsets between the windows, so a feed that
+                // stalls (NOT_FOUND for minutes) and then resumes behind
+                // the crept-ahead far window would never be probed again
+                // (the far window advances a span per tick, faster than
+                // the head's one pulse per cadence — an unrecoverable
+                // stall). The cyclic restart re-covers every mid-range
+                // offset once per sweep, and the doubling keeps crossing
+                // a hole of width W at O(W/span) total probes.
+                if (probeForward(0L)) probeHit()
                 else {
                   if (probedTo < cfg.headProbeSpan) probedTo = cfg.headProbeSpan
-                  if (probeForward(probedTo)) probedTo = 0L
-                  else { probedTo += cfg.headProbeSpan; nap(cfg.headPauseMs) }
+                  if (probeForward(probedTo)) probeHit()
+                  else {
+                    probedTo += cfg.headProbeSpan
+                    if (probedTo >= sweepEnd) {
+                      sweepEnd = math.min(sweepEnd * 2, Long.MaxValue / 4)
+                      probedTo = cfg.headProbeSpan
+                    }
+                    nap(cfg.headPauseMs)
+                  }
                 }
               } else nap(cfg.headPauseMs)
           }
@@ -543,8 +566,23 @@ object Ingest {
     /** [[flush]]'s body, parameterized on the target directory so the
       * seed-time layout migration can stage the same bucketed form to a
       * sibling path before swapping it in.
+      *
+      * `dynamicOverwrite` MUST be false for the migration staging write:
+      * the recovery block in [[seed]] trusts the sibling's `_SUCCESS`
+      * marker as proof the staged copy is COMPLETE, and only the static
+      * commit path honors that ordering. Under
+      * `partitionOverwriteMode=dynamic`, Spark's commit protocol writes
+      * `_SUCCESS` (in `committer.commitJob`) BEFORE moving the staged
+      * partition directories into place — a crash in that window leaves
+      * a sibling with `_SUCCESS` and zero partitions, and recovery would
+      * delete the intact original and install the hollow copy. The
+      * static committer promotes task output first and writes `_SUCCESS`
+      * last, so the marker genuinely means "complete". The steady-state
+      * flush keeps dynamic mode (it must rewrite only the dirty buckets
+      * in the LIVE table); the staging target is always a fresh sibling,
+      * so a full static overwrite is both safe and complete there.
       */
-    private def flushTo(target: String): Unit = {
+    private def flushTo(target: String, dynamicOverwrite: Boolean = true): Unit = {
       // stage under the register lock, CLEARING dirty at stage time: an
       // entry that changes mid-write re-enters the (now empty) dirty set
       // and survives for the next flush instead of being lost to a
@@ -575,10 +613,11 @@ object Ingest {
       }
       staged.foreach { case (rows, flushed) =>
         try writeLock.synchronized {
-          spark.createDataFrame(rows.asJava, PulsesSchema)
+          val w = spark.createDataFrame(rows.asJava, PulsesSchema)
             .coalesce(1)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
+          (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic")
+           else w)
             .partitionBy("pulse_bucket")
             .parquet(target)
         } catch {
@@ -647,25 +686,12 @@ object Ingest {
     * (ServeMux parity). Caller owns `stop(0)`.
     */
   def opsListener(daemon: Daemon, port: Int): com.sun.net.httpserver.HttpServer = {
-    import java.nio.charset.StandardCharsets.UTF_8
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
-    def answer(ex: com.sun.net.httpserver.HttpExchange, status: Int,
-        contentType: String, body: String): Unit = {
-      try {
-        val bytes = body.getBytes(UTF_8)
-        ex.getResponseHeaders.set("Content-Type", contentType)
-        ex.sendResponseHeaders(status, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
-      } catch { case _: Throwable => () }
-      finally ex.close()
-    }
-    server.createContext("/healthcheck", ex =>
-      if (ex.getRequestURI.getPath != "/healthcheck") answer(ex, 404, "application/json", "{}")
-      else answer(ex, 200, "text/plain", "OK"))
-    server.createContext("/metrics", ex => {
+    graft.api.OpsRoutes.healthcheck(server)
+    graft.api.OpsRoutes.metrics(server) { () =>
       val (open, incomplete, dirty) = daemon.frontierStats
-      val body = Seq(
+      Seq(
         "gbe_ingest_cursor" -> daemon.cursor,
         "gbe_ingest_sequential_pulse" -> daemon.sequentialPulse,
         "gbe_ingest_known_pulses" -> daemon.ingestedCount.toLong,
@@ -673,8 +699,7 @@ object Ingest {
         "gbe_ingest_incomplete_pulses" -> incomplete.toLong,
         "gbe_ingest_dirty_pulses" -> dirty.toLong
       ).map { case (n, v) => s"# TYPE $n gauge\n$n $v" }.mkString("", "\n", "\n")
-      answer(ex, 200, "text/plain; version=0.0.4", body)
-    })
+    }
     server.start()
     server
   }

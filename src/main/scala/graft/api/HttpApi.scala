@@ -63,39 +63,10 @@ object HttpApi {
     val pool = Executors.newFixedThreadPool(poolSize)
     server.setExecutor(pool)
     server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, ex))
-    // constant liveness route, next to /metrics like the reference's ops
-    // mux (`api/pprof_router.go:17-21`): text/plain 200 "OK", no Spark
-    // touch — a deploy probe must answer even while the session is busy.
-    // Exact path only: the JDK server matches contexts by string PREFIX,
-    // so without the guard /healthchecks or /healthcheck/x would read as
-    // a healthy liveness signal (the reference's ServeMux pattern is
-    // exact; like it, any method answers).
-    server.createContext("/healthcheck", (ex: HttpExchange) => {
-      try {
-        if (ex.getRequestURI.getPath != "/healthcheck") {
-          ex.getResponseHeaders.set("Content-Type", "application/json")
-          ex.sendResponseHeaders(404, 2L)
-          ex.getResponseBody.write("{}".getBytes(UTF_8))
-        } else {
-          val bytes = "OK".getBytes(UTF_8)
-          ex.getResponseHeaders.set("Content-Type", "text/plain")
-          ex.sendResponseHeaders(200, bytes.length.toLong)
-          ex.getResponseBody.write(bytes)
-        }
-      } catch { case _: Throwable => () }
-      finally ex.close()
-    })
-    server.createContext("/metrics", (ex: HttpExchange) => {
-      // a scraper disconnecting mid-body is routine — the exchange must
-      // close either way or aborted scrapes accumulate leaked connections
-      try {
-        val bytes = ApiMetrics.render().getBytes(UTF_8)
-        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
-        ex.sendResponseHeaders(200, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
-      } catch { case _: Throwable => () }
-      finally ex.close()
-    })
+    // the shared ops mux (liveness + metrics), one implementation with
+    // the ingest daemon's listener — see [[OpsRoutes]]
+    OpsRoutes.healthcheck(server)
+    OpsRoutes.metrics(server)(() => ApiMetrics.render())
     server.start()
     new Handle(server, pool)
   }

@@ -259,14 +259,56 @@ object Domain {
 
   private val chainCache =
     new java.util.concurrent.ConcurrentHashMap[String, PulseChainIndex]()
+  private val storeChainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, PulseChainIndex)]()
 
   def pulseChainIndex(spark: SparkSession, dir: String): PulseChainIndex =
     // an ingest store is LIVE (the daemon appends pulses between
-    // requests), so its chain index rebuilds per request from the tiny
-    // dimension — a cached copy would patch page links against a stale
-    // chain. The fingerprinted testdata spine is immutable → cached.
-    if (StoreViews.isStore(spark, dir)) buildChainIndex(spark, dir)
+    // requests), so its chain index caches against a VERSION of the
+    // pulses directory (file paths + mtimes + sizes — every flush writes
+    // fresh part- file names, so any change moves the version) and
+    // rebuilds only when it moves: a plain cached copy would patch page
+    // links against a stale chain, while a rebuild per request is an
+    // O(pulse-history) Spark collect per HTTP hit. The version probe is
+    // one driver-side listing of the tiny dimension — FS metadata only,
+    // no job. The fingerprinted testdata spine is immutable → cached.
+    if (StoreViews.isStore(spark, dir)) {
+      val v = storePulsesVersion(spark, dir)
+      val cached = storeChainCache.get(dir)
+      if (cached != null && cached._1 == v) cached._2
+      else {
+        val idx = buildChainIndex(spark, dir)
+        storeChainCache.put(dir, (v, idx))
+        idx
+      }
+    }
     else chainCache.computeIfAbsent(spineRoot(dir), _ => buildChainIndex(spark, dir))
+
+  /** FNV-1a over (path, mtime, length) of every data file under the
+    * store's pulses dimension — the rebuild trigger for the live chain
+    * index above. Bounded by the dimension's file count (bucketed, a few
+    * tiny files per bucket), and never a Spark job.
+    */
+  private def storePulsesVersion(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pulses")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      var h = 0xcbf29ce484222325L
+      def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          mix(st.getPath.toString.hashCode.toLong)
+          mix(st.getModificationTime)
+          mix(st.getLen)
+        }
+      }
+      java.lang.Long.toHexString(h)
+    }
+  }
 
   private def buildChainIndex(spark: SparkSession, dir: String): PulseChainIndex = {
     val pairs = servedPulses(spark, dir)

@@ -59,11 +59,17 @@ object StoreViews {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** True when `dir` holds an ingest store (a `records/` table directory
-    * and no testdata `events.parquet`). The verdict is cached once the
-    * directory has RESOLVED to one of the two layouts — a store stays a
-    * store and a corpus stays a corpus — but an EMPTY/ambiguous dir
-    * (e.g. a store path probed before the daemon's first commit) is
-    * re-checked, never frozen to a wrong answer.
+    * and no testdata `events.parquet`). An EMPTY/ambiguous dir — a store
+    * base probed before the daemon's first commit creates `records/`
+    * (the startup window can last a full head pause plus the first
+    * fetch) — also answers STORE: the store path serves schema-stable
+    * `{total:0}` pages from the empty-frame machinery below, where the
+    * corpus path would throw on the missing `events.parquet` and turn
+    * the whole window into 500s (a corpus dir always carries
+    * `events.parquet`, so nothing real routes differently). The verdict
+    * is cached only once the directory has RESOLVED to one of the two
+    * layouts — a store stays a store and a corpus stays a corpus — so an
+    * ambiguous answer is re-checked, never frozen.
     */
   def isStore(spark: SparkSession, dir: String): Boolean = {
     val cached = layoutCache.get(dir)
@@ -74,8 +80,10 @@ object StoreViews {
       val fs = records.getFileSystem(conf)
       val hasRecords = fs.exists(records) && fs.getFileStatus(records).isDirectory
       val isCorpus = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
-      val is = hasRecords && !isCorpus
-      if (is || isCorpus) layoutCache.put(dir, is)
+      // corpus wins when both markers exist (unchanged precedence); an
+      // ambiguous dir (neither) answers store, uncached
+      val is = !isCorpus
+      if (hasRecords || isCorpus) layoutCache.put(dir, is)
       is
     }
   }

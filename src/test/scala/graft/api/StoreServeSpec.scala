@@ -135,4 +135,57 @@ class StoreServeSpec extends SparkSpec {
     assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
       "a one-pulse read must touch exactly one pulse partition")
   }
+
+  test("a store base dir probed BEFORE the daemon's first commit serves " +
+      "schema-stable empty pages, not 500s (the startup window)") {
+    // deploy shape: daemon and API started together on a fresh base —
+    // until the first commit creates records/, the dir is ambiguous and
+    // must route to the store's empty-frame machinery (the corpus path
+    // would throw on the missing events.parquet)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-serve-fresh").toString
+    assert(StoreViews.isStore(spark, fresh), "ambiguous dir must answer store")
+    val h = HttpApi.start(spark, fresh, port = 0, poolSize = 2)
+    try {
+      val (s1, b1) = get(h.port, "/pulses")
+      assert(s1 == 200 && b1.startsWith("""{"total":0"""), s"$s1 ${b1.take(200)}")
+      val (s2, b2) = get(h.port, "/jets/*/jet-drops")
+      assert(s2 == 200, s"$s2 ${b2.take(200)}")
+      assert(get(h.port, s"/pulses/$start")._1 == 404)
+    } finally h.stop()
+    // the ambiguous verdict is NOT frozen: once a corpus marker appears,
+    // the same dir routes as corpus
+    assert(StoreViews.isStore(spark, fresh), "still ambiguous, still a store")
+  }
+
+  test("the live chain index follows a pulses append: version-keyed cache " +
+      "rebuilds on change and reuses the instance when nothing moved") {
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-chain").toString
+    import spark.implicits._
+    def pulseRow(i: Int) = {
+      val p = start + i * delta
+      (p, p - delta, p + delta, true, true, 2, 12L,
+        p - graft.ingest.Canonicalize.MinTimePulse)
+    }
+    // a records/ dir makes it a store; pulses starts with two rows
+    PulseWriter.commitPulse(
+      Fixtures.multiPulseBatches(spark, 1, 6, startPulse = start), base)
+    (0 until 2).map(pulseRow).toDF("pulse_number", "prev_pulse_number",
+      "next_pulse_number", "is_complete", "is_sequential", "jet_drop_amount",
+      "record_amount", "timestamp")
+      .coalesce(1).write.parquet(s"$base/pulses")
+
+    val idx1 = Domain.pulseChainIndex(spark, base)
+    assert(idx1.size == 2 && idx1.exists(start + delta))
+    assert(Domain.pulseChainIndex(spark, base) eq idx1,
+      "unchanged store must reuse the cached index (no rebuild per request)")
+
+    // a later flush appends a third pulse (new part- file → new version)
+    Seq(pulseRow(2)).toDF("pulse_number", "prev_pulse_number",
+      "next_pulse_number", "is_complete", "is_sequential", "jet_drop_amount",
+      "record_amount", "timestamp")
+      .coalesce(1).write.mode("append").parquet(s"$base/pulses")
+    val idx2 = Domain.pulseChainIndex(spark, base)
+    assert(idx2.size == 3 && idx2.exists(start + 2 * delta),
+      "chain index must rebuild when the pulses dimension moves")
+  }
 }

@@ -570,4 +570,50 @@ class IngestServeSpec extends SparkSpec {
     assert(pulses.forall(_.getAs[Boolean]("is_complete")))
     assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
   }
+
+  test("a feed that resumes BEHIND the crept-ahead far probe window is still " +
+      "found: the hole sweep restarts instead of advancing monotonically") {
+    // A long NOT_FOUND stall lets the far window creep deep; the feed
+    // then resumes at an offset PAST the near window but BEHIND the far
+    // window — a monotone-only far window (the pre-fix behavior) never
+    // probes that offset again (it advances a span per tick, faster than
+    // the head's pulse per cadence), an unrecoverable stall. The cyclic
+    // sweep restart must find it within one cycle.
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-resume").toString
+    val cfg = Ingest.Config(pulsePeriodMs = 100L, sequentialPeriodMs = 30L,
+      headPauseMs = 5L, errorPauseMs = 20L, batchSize = 7, fetchBackoffMs = 1L,
+      headProbeAfter = 1, headProbeSpan = 2)
+    val resumedPulse = start + 4 * delta // offset 3 from the post-commit cursor
+    val wire = Fixtures.multiPulseBatches(spark, 1, recordsPerPulse = 6,
+      startPulse = start)
+      .union(Fixtures.multiPulseBatches(spark, 1, recordsPerPulse = 6,
+        startPulse = resumedPulse))
+    val inner = new ReplayExporter(wire)
+    @volatile var released = false
+    @volatile var maxProbed = 0L
+    val gated = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        if (pulse > maxProbed) maxProbed = pulse
+        if (pulse != start && !released) throw new Transport.PulseNotFound(pulse)
+        inner.export(pulse, recordNumber, count)
+      }
+    }
+    val daemon = new Ingest.Daemon(spark, base, gated, start, cfg).start()
+    try {
+      assert(await()(daemon.ingestedCount == 1), "daemon never got the head pulse")
+      // let the far window sweep well past the resumed pulse's offset
+      // (cursor is start+δ; offset 3 = start+4δ; wait for ≥ start+12δ)
+      assert(await()(maxProbed >= start + 12 * delta),
+        s"far window never crept deep enough: probed to $maxProbed")
+      released = true
+      assert(await()(daemon.sequentialPulse == resumedPulse),
+        s"resumed pulse behind the far window was never found: " +
+          s"cursor=${daemon.cursor}, probed to $maxProbed, " +
+          s"known=${daemon.snapshot.keySet}")
+    } finally daemon.stop()
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq == Seq(start, resumedPulse))
+    assert(pulses.last.getAs[Long]("prev_pulse_number") == start,
+      "the resumed pulse must chain back across the stall")
+  }
 }
