@@ -220,7 +220,18 @@ object Ingest {
         }
       }
       val openSnap = lock.synchronized(open.toVector)
-      if (openSnap.nonEmpty) {
+      // the drops read needs a DATA guard, not just existence: a store
+      // whose only committed pulses were empty (zero records) has a
+      // jet_drops directory holding nothing but _SUCCESS — no partition
+      // dirs, no files — and schema inference on it would throw, turning
+      // every restart into a crash loop the daemon could never ingest
+      // its way out of
+      val dropsDir = new org.apache.hadoop.fs.Path(s"$basePath/jet_drops")
+      val hasDrops = fs.exists(dropsDir) && fs.listStatus(dropsDir).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (openSnap.nonEmpty && hasDrops) {
         // pulse-partition pruning keeps this read bounded by the open
         // frontier however large the history is. pulse_number comes back
         // as a PARTITION column here — Spark re-infers its type from the
@@ -300,16 +311,30 @@ object Ingest {
         val jets = dropRows.map(_.getAs[String]("jet_id")).toSet
         val amount = dropRows.map(_.getAs[Int]("record_amount").toLong).sum
         val prior = entries.get(pulse)
+        // prev fallback order: known predecessor → (empty register) the
+        // sequencer's start mark, so the FIRST pulse a fresh daemon finds
+        // past a historical hole (probe or redirect) chains from the
+        // start and can sequence — `pulse - delta` there would name a
+        // pulse inside the hole that never exists, stalling the
+        // sequencer forever → (backfill below the earliest known) the
+        // natural cadence guess
         val prev = prior.map(_.prev).getOrElse(
-          entries.maxBefore(pulse).map(_._1).getOrElse(pulse - cfg.pulseDelta))
+          entries.maxBefore(pulse).map(_._1).getOrElse(
+            if (entries.isEmpty) seqPulse else pulse - cfg.pulseDelta))
         entries.update(pulse, PulseEntry(
           prev = prev,
           jets = jets,
           jetDropAmount = jets.size,
           recordAmount = amount,
           timestamp = pulse - Canonicalize.MinTimePulse,
-          // a reload that no longer covers the tree revokes completeness
-          complete = prior.exists(_.complete) && JetFunctions.jetTreeCover(jets),
+          // a reload that no longer covers the tree revokes completeness;
+          // a ZERO-record pulse is complete by construction — the fetch
+          // ran to its end-of-pulse marker, so the (empty) drop set IS
+          // the whole pulse; routing it through the cover check would
+          // leave it open forever with a pointless TTL re-request per
+          // maintainer cycle
+          complete = jets.isEmpty ||
+            (prior.exists(_.complete) && JetFunctions.jetTreeCover(jets)),
           sequential = prior.exists(_.sequential)))
         open += pulse
         dirty += pulse
@@ -616,8 +641,12 @@ object Ingest {
           val w = spark.createDataFrame(rows.asJava, PulsesSchema)
             .coalesce(1)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          // the static branch PINS the mode rather than omitting the
+          // option: PulseWriter/Compaction set the session-global conf
+          // to dynamic (never restored), so "no option" would silently
+          // inherit dynamic and reopen the _SUCCESS-before-move window
           (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic")
-           else w)
+           else w.option("partitionOverwriteMode", "static"))
             .partitionBy("pulse_bucket")
             .parquet(target)
         } catch {

@@ -30,6 +30,11 @@ object Resilience {
     while (!done) {
       try { out = inner(pulse); done = true }
       catch {
+        // an interrupt is a shutdown signal, never a retryable fault —
+        // retrying it would hold a stopping thread through the whole
+        // backoff ladder (and GrpcTransport.translate specifically
+        // preserves interrupts so they exit promptly)
+        case e: InterruptedException => throw e
         case e: Throwable if attempt < maxRetries =>
           sleep(backoffMs << attempt)
           attempt += 1

@@ -616,4 +616,93 @@ class IngestServeSpec extends SparkSpec {
     assert(pulses.last.getAs[Long]("prev_pulse_number") == start,
       "the resumed pulse must chain back across the stall")
   }
+
+  test("a fresh daemon starting INTO a historical hole sequences the first " +
+      "probed pulse: its chain prev is the start mark, not a hole pulse") {
+    // SPARK_GRAFT_FROM_PULSE older than the exporter's retained history:
+    // the configured start pulse (and the next two) never exist; the
+    // first real pulse is three deltas up. The probe finds it — and its
+    // prev must link to the sequencer's start mark (fromPulse - δ), not
+    // to `pulse - δ` (a pulse inside the hole that never exists), or the
+    // sequential mark can never advance and the frontier never drains.
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-fresh-hole").toString
+    val cfg = fastCfg.copy(headPauseMs = 10L, headProbeAfter = 1, headProbeSpan = 2)
+    val firstReal = start + 3 * delta
+    val wire = Fixtures.multiPulseBatches(spark, 1, recordsPerPulse = 6,
+      startPulse = firstReal)
+    val daemon = new Ingest.Daemon(spark, base, new ReplayExporter(wire), start, cfg)
+      .start()
+    try {
+      assert(await()(daemon.sequentialPulse == firstReal),
+        s"first probed pulse never sequenced: known=${daemon.snapshot}")
+      // complete + sequential → the close-out drains the frontier
+      assert(await()(daemon.frontierStats == ((0, 0, 0))),
+        s"frontier never drained: ${daemon.frontierStats}")
+    } finally daemon.stop()
+    val row = spark.read.parquet(s"$base/pulses").collect().head
+    assert(row.getAs[Long]("pulse_number") == firstReal)
+    assert(row.getAs[Long]("prev_pulse_number") == start - delta,
+      "chain must start at the sequencer's start mark")
+    assert(row.getAs[Boolean]("is_sequential"))
+  }
+
+  test("zero-record pulses complete by construction, and a restart over a " +
+      "store with a fileless jet_drops dir seeds instead of crash-looping") {
+    // marker-only exporter: both pulses exist but carry no records —
+    // fetchPulse runs to the end-of-pulse marker and returns empty rows
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-empty").toString
+    val served = Set(start, start + delta)
+    val markerOnly = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
+        if (!served.contains(pulse)) throw new Transport.PulseNotFound(pulse)
+        Iterator(Transport.Frame(pulse + delta, null))
+      }
+    }
+    val d1 = new Ingest.Daemon(spark, base, markerOnly, start, fastCfg).start()
+    try {
+      assert(await()(d1.sequentialPulse == start + delta),
+        s"empty pulses never sequenced: ${d1.snapshot}")
+      assert(await()(d1.frontierStats == ((0, 0, 0))),
+        "an empty pulse must not sit in the open frontier forever")
+    } finally d1.stop()
+    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq ==
+      Seq(start, start + delta))
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")), "complete by construction")
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+    assert(pulses.forall(_.getAs[Int]("jet_drop_amount") == 0))
+
+    // restart over the same store: jet_drops/ holds no data files (only
+    // write-commit markers, if the dir exists at all) — seed() must not
+    // throw on schema inference, and the daemon must resume cleanly
+    val d2 = new Ingest.Daemon(spark, base, markerOnly, start, fastCfg).start()
+    try {
+      assert(d2.ingestedCount == 2, "restart must seed both persisted pulses")
+      assert(await()(d2.sequentialPulse == start + delta))
+    } finally d2.stop()
+
+    // the hard case, crafted deterministically: an OPEN pulse persisted
+    // beside a fileless jet_drops dir (a crash window between the pulses
+    // flush and the first non-empty commit). seed()'s open-frontier
+    // cover reload must SKIP the unreadable drops table instead of
+    // throwing schema inference out of every start() forever.
+    val base2 = java.nio.file.Files.createTempDirectory("graft-daemon-opencrash").toString
+    import spark.implicits._
+    Seq((start, start - delta, start + delta, false, false, 0, 0L,
+      start - Canonicalize.MinTimePulse))
+      .toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+        "is_complete", "is_sequential", "jet_drop_amount", "record_amount",
+        "timestamp")
+      .coalesce(1).write.parquet(s"$base2/pulses")
+    val drops2 = new java.io.File(s"$base2/jet_drops")
+    assert(drops2.mkdirs())
+    assert(new java.io.File(drops2, "_SUCCESS").createNewFile())
+    val d3 = new Ingest.Daemon(spark, base2, markerOnly, start, fastCfg).start()
+    try {
+      // seeded without throwing; the maintainer re-fetches the open
+      // pulse (empty → complete by construction) and the store converges
+      assert(await()(d3.sequentialPulse == start + delta),
+        s"crash-window store never converged: ${d3.snapshot}")
+    } finally d3.stop()
+  }
 }

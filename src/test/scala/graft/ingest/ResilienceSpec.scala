@@ -24,6 +24,16 @@ class ResilienceSpec extends AnyFunSuite {
     assert(e.getMessage == "down 3") // initial try + 2 retries
   }
 
+  test("retryingSource rethrows an interrupt immediately instead of retrying it") {
+    var calls = 0
+    val src = Resilience.retryingSource(
+      inner = { _ => calls += 1; throw new InterruptedException("stop") },
+      maxRetries = 3, backoffMs = 1,
+      sleep = _ => fail("a shutdown signal must not enter the backoff ladder"))
+    intercept[InterruptedException](src(65546L))
+    assert(calls == 1, "no retry on interrupt")
+  }
+
   test("MissedDataManager dedups contained requests within the TTL") {
     var clock = 0L
     val m = new Resilience.MissedDataManager(ttlMillis = 1000, now = () => clock)
