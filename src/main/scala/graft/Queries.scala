@@ -1357,7 +1357,9 @@ object Queries {
       |  SELECT pulse_number,
       |         pulse_number - 1 AS prev_pulse_number,
       |         pulse_number + 1 AS next_pulse_number,
-      |         count(DISTINCT jet_id) AS jet_drop_amount,
+      |         count(DISTINCT CASE WHEN pulse_number % 4 = 0
+      |                             THEN substring(jet_id, 1, 2)
+      |                             ELSE jet_id END) AS jet_drop_amount,
       |         count(*) AS record_amount,
       |         min(ts_sec) AS "timestamp",
       |         count(DISTINCT jet_id) = 8 AS is_complete

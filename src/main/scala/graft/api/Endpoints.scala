@@ -365,13 +365,20 @@ object Endpoints {
       case Search.JetDropTarget(jet, p) =>
         ("jet_drop", jetDropById(spark, dir, s"${if (jet.isEmpty) "*" else jet}:$p").get)
       case Search.LifelineTarget(ref) =>
-        // domain object refs are numeric user ids; a full deployment would
-        // decode the 36-byte layout here
-        ("lifeline", objectLifeline(spark, dir, java.nio.ByteBuffer.wrap(ref.takeRight(8)).getLong))
-      case Search.RecordTarget(ref) =>
-        val r = recordsView(spark, dir)
-        ("record", r.filter(col("reference") ===
-          java.nio.ByteBuffer.wrap(ref.takeRight(8)).getLong).limit(1))
+        // the 36-byte layout maps to the serving key space per LAYOUT
+        // (corpus: low 8 bytes invert the ref synthesis; store: xxhash64
+        // of the stored bytes — Domain.refToKey)
+        ("lifeline", objectLifeline(spark, dir,
+          graft.model.Domain.refToKey(spark, dir, ref)))
+      case Search.RecordTarget(ref) => ("record", recordByRef(spark, dir, ref))
       case Search.InvalidPulse(_) | Search.NoMatch => ("none", spark.emptyDataFrame)
     }
+
+  /** Point lookup of one record by its decoded 36-byte reference — the
+    * RecordTarget body, shared with the HTTP layer so the value is
+    * classified ONCE there instead of re-dispatched here.
+    */
+  def recordByRef(spark: SparkSession, dir: String, ref: Array[Byte]): DataFrame =
+    recordsView(spark, dir).filter(col("reference") ===
+      graft.model.Domain.refToKey(spark, dir, ref)).limit(1)
 }

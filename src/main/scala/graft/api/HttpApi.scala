@@ -83,11 +83,9 @@ object HttpApi {
           (500, "{}")
       }
     ApiMetrics.record(routeTemplate(ex), status, System.nanoTime() - t0)
-    val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    ex.getResponseBody.write(bytes)
-    ex.close()
+    // the shared write path: a client aborting mid-response is routine
+    // and must not throw out of the handler into the JDK dispatcher
+    OpsRoutes.answer(ex, status, "application/json", body)
   }
 
   /** The route TEMPLATE a request matched (path params masked), the
@@ -112,8 +110,12 @@ object HttpApi {
 
   private def route(spark: SparkSession, dir: String, ex: HttpExchange): (Int, String) = {
     if (ex.getRequestMethod != "GET") return (405, "{}")
+    // URI.getPath is ALREADY percent-decoded — a second URLDecoder pass
+    // would double-decode %25-escapes, turn literal '+' into a space,
+    // and throw (→ 500) on a once-decoded value containing a stray '%'.
+    // The query side below decodes from getRawQuery, which is raw.
     val segs = ex.getRequestURI.getPath.stripPrefix("/api/v1").split("/")
-      .filter(_.nonEmpty).map(URLDecoder.decode(_, "UTF-8")).toList
+      .filter(_.nonEmpty).toList
     val q = parseQuery(Option(ex.getRequestURI.getRawQuery))
     segs match {
       case "pulses" :: Nil                       => pulsesList(spark, dir, q)
@@ -226,19 +228,20 @@ object HttpApi {
 
   /** Lifeline path refs: the domain's numeric object ids directly, or a
     * full base58 insolar reference (classified exactly like
-    * [[Endpoints.search]] — the low 8 bytes carry the id). The decoded
+    * [[Endpoints.search]], keyed per layout by `Domain.refToKey`). The decoded
     * reference must be the full 36-byte layout (the shape
     * `Search.classifyReference` requires and the reference's
     * `checkReference` rejects with 400 'wrong format'): a short base58
     * string decodes to fewer bytes and must not silently query an
     * arbitrary id.
     */
-  private def parseObjectRef(s: String): Option[Long] = {
+  private def parseObjectRef(spark: SparkSession, dir: String,
+      s: String): Option[Long] = {
     val t = s.trim
     if (t.isEmpty) None
     else t.toLongOption.orElse(
       Codecs.parseReference(t).filter(_.length == 36)
-        .map(b => java.nio.ByteBuffer.wrap(b.takeRight(8)).getLong))
+        .map(graft.model.Domain.refToKey(spark, dir, _)))
   }
 
   /** The `total` carried by a collected page (0 for an empty page). */
@@ -422,7 +425,7 @@ object HttpApi {
     // pulse_number_lt; the timestamp params carry no handler-level
     // validation there (binding-layer analogs appended last here)
     val (limit, offset, f1) = limitOffset(q)
-    val objectRef = parseObjectRef(ref)
+    val objectRef = parseObjectRef(spark, dir, ref)
     val f2: Failures = if (objectRef.isEmpty) List(("object_reference", "wrong format")) else Nil
     val (asc, f3) = sortParam(q, "index_asc", "index_desc",
       "should be 'index_desc' or 'index_asc'")
@@ -465,8 +468,10 @@ object HttpApi {
           (200, s"""{"type":"jet-drop","meta":{"jet_drop_id":${JsonOut.str(value)}}}""")
         case Search.LifelineTarget(_) =>
           (200, s"""{"type":"lifeline","meta":{"object_reference":${JsonOut.str(value)}}}""")
-        case Search.RecordTarget(_) =>
-          val rows = Endpoints.search(spark, dir, value)._2.collect()
+        case Search.RecordTarget(ref) =>
+          // the value is already classified — go straight to the point
+          // lookup instead of re-dispatching inside Endpoints.search
+          val rows = Endpoints.recordByRef(spark, dir, ref).collect()
           if (rows.isEmpty)
             badRequest(List(("value", "record reference not found")), field = "description")
           else {

@@ -176,7 +176,7 @@ object Domain {
     * artifact written by the previous build.
     */
   def spineRoot(dir: String): String =
-    graft.vector.AnnIndex.indexRoot(dir) + "/spine-v2"
+    graft.vector.AnnIndex.indexRoot(dir) + "/spine-v3" // v3: coarsened jet_drop_amount
 
   /** The records fact, persisted ONCE per corpus and served from parquet
     * thereafter — the reference's actual storage shape: row order and
@@ -284,6 +284,22 @@ object Domain {
     }
     else chainCache.computeIfAbsent(spineRoot(dir), _ => buildChainIndex(spark, dir))
 
+  /** A decoded 36-byte wire/base58 reference to the serving key space of
+    * `dir`: an ingest store keys every reference as xxhash64 of the
+    * stored bytes ([[StoreViews]].refKey), hashed here driver-side with
+    * the SAME function (Catalyst's XxHash64, seed 42 — what
+    * `functions.xxhash64` plans); the testdata corpus synthesizes its
+    * 36-byte refs FROM the numeric id, whose low 8 bytes invert the
+    * synthesis. Without the store branch, base58 lifeline/search lookups
+    * over a store could never match anything.
+    */
+  def refToKey(spark: SparkSession, dir: String, ref: Array[Byte]): Long =
+    if (StoreViews.isStore(spark, dir))
+      org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(ref)), 42L)
+        .eval(null).asInstanceOf[Long]
+    else java.nio.ByteBuffer.wrap(ref.takeRight(8)).getLong
+
   /** FNV-1a over (path, mtime, length) of every data file under the
     * store's pulses dimension — the rebuild trigger for the live chain
     * index above. Bounded by the dimension's file count (bucketed, a few
@@ -342,7 +358,14 @@ object Domain {
     val cover = udaf(graft.operators.JetCoverAggregator,
       org.apache.spark.sql.Encoders.STRING)
     val status = records.groupBy(col("pulse_number")).agg(
-      countDistinct(col("jet_id")).as("jet_drop_amount"),
+      // counts SAVED DROPS, so it must apply the same jet-merge
+      // coarsening [[jetDrops]] applies (every 4th pulse merges to
+      // depth-2) — counting raw record jets would disagree with the
+      // pulse's own drop list (8 vs 4 on a merged pulse), and the
+      // reference increments the counter once per saved jet drop
+      countDistinct(when(col("pulse_number") % 4 === 0,
+        substring(col("jet_id"), 1, 2)).otherwise(col("jet_id")))
+        .as("jet_drop_amount"),
       count(lit(1)).as("record_amount"),
       // per-type presence counters, materialized at build time so the
       // gap/status endpoints (ST3 `be_missing_pulses`) serve from the

@@ -11,8 +11,23 @@ import graft.functions.JetFunctions
   * verdict is emitted per batch, flipping to complete exactly when the jet
   * ids form a full binary-tree cover.
   *
-  * State is bounded: one small Set[String] per open pulse, and a pulse's
-  * state can be timed out once sealed (the reference's TTL analog).
+  * State is bounded FOR REAL, not just small per key: pulses are a
+  * wall-clock stream (a new key every cadence, forever), so a register
+  * that only grew would hold one entry per pulse ever seen and grow
+  * linearly with uptime. A pulse's state is REMOVED the moment its
+  * cover seals — the register-deletion invariant the reference's
+  * controller enforces (`controller.go:124-132`: completed pulses leave
+  * the jetDropRegister) and the same close-out the batch daemon's open
+  * frontier has, so standing state is bounded by the INCOMPLETE pulse
+  * count, not by uptime. A late drop arriving after the seal re-opens
+  * the pulse from scratch and re-emits a fresh (incomplete-until-
+  * re-sealed) verdict — exactly the batch path's reload semantics,
+  * where a reload that no longer covers the tree revokes completeness.
+  * (A processing-time TTL would bound the incomplete stragglers too,
+  * but timeout-armed state makes the micro-batch engine schedule
+  * timeout-check batches forever, which livelocks `processAllAvailable`
+  * in every harness — sealing-removal covers the dominant growth term
+  * without that hazard.)
   */
 object CompletenessStream {
 
@@ -29,8 +44,9 @@ object CompletenessStream {
         (pulse: Long, events: Iterator[DropEvent], state: GroupState[PulseJets]) =>
           val jets = state.getOption.map(_.jets).getOrElse(Set.empty[String]) ++
             events.map(_.jet_id)
-          state.update(PulseJets(jets))
-          Iterator.single(PulseStatus(pulse, jets.size, JetFunctions.jetTreeCover(jets)))
+          val complete = JetFunctions.jetTreeCover(jets)
+          if (complete) state.remove() else state.update(PulseJets(jets))
+          Iterator.single(PulseStatus(pulse, jets.size, complete))
       }
   }
 }

@@ -16,18 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
+  /** `ts` normalized to an `event_time` timestamp: LongType is the
+    * testdata's TIMESTAMP_NANOS under `nanosAsLong` (→ micros), anything
+    * else passes through. ONE implementation for both entry points so
+    * the unit heuristic cannot drift between them.
+    */
+  private def withEventTime(events: DataFrame): DataFrame =
+    if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      events.withColumn("event_time",
+        timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
+    else events.withColumn("event_time", col("ts"))
+
   /** Tumbling per-type counts: watermark `lateness`, window `size`. */
   def typeCounts(
       events: DataFrame,
       size: String = "1 hour",
       lateness: String = "30 minutes"
   ): DataFrame = {
-    val withTs =
-      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        events.withColumn("event_time",
-          timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
-      else events.withColumn("event_time", col("ts"))
-    withTs
+    withEventTime(events)
       .withWatermark("event_time", lateness)
       .groupBy(window(col("event_time"), size), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -39,14 +45,8 @@ object EventWindows {
   /** Streaming exact dedup: first occurrence per key within the watermark
     * horizon (state expires with the watermark — bounded memory at scale).
     */
-  def dedupStream(events: DataFrame, keyCol: String, lateness: String = "30 minutes"): DataFrame = {
-    val withTs =
-      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        events.withColumn("event_time",
-          timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
-      else events.withColumn("event_time", col("ts"))
-    withTs
+  def dedupStream(events: DataFrame, keyCol: String, lateness: String = "30 minutes"): DataFrame =
+    withEventTime(events)
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
-  }
 }

@@ -82,9 +82,7 @@ object GrpcPulseExporter {
     if (cand.isNullAt(0)) None
     else {
       val pn = cand.getLong(0)
-      val matched =
-        if (prototypes.isEmpty) records
-        else records.filter(col("prototype_reference").isin(prototypes: _*))
+      val matched = PulseFeed.prototypeFiltered(records, prototypes)
       val amount = matched.filter(col("pulse_number") === pn).count()
       if (amount == 0) None else Some(GetNextPulseResponse(pn, from, amount))
     }

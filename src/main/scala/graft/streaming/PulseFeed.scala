@@ -55,12 +55,28 @@ object PulseFeed {
     val candidate = pulses
       .filter(col("is_complete") && col("prev_pulse_number") === from)
       .select(col("pulse_number"), col("prev_pulse_number"))
-    val matched =
-      if (prototypes.isEmpty) records
-      else records.filter(col("prototype_reference").isin(prototypes: _*))
-    matched
+    prototypeFiltered(records, prototypes)
       .join(broadcast(candidate), "pulse_number")
       .groupBy(col("pulse_number"), col("prev_pulse_number"))
       .agg(count(lit(1)).as("record_amount"))
   }
+
+  /** Prototype admission adapted to the records LAYOUT: the corpus view
+    * carries the wire bytes (binary — match directly), while an ingest
+    * store's serving adapter keys every reference as xxhash64 of the
+    * stored bytes ([[graft.model.StoreViews]]), so the wire bytes are
+    * hashed the same way before comparing — an `isin` of binary literals
+    * against the long column would throw AnalysisException and kill the
+    * subscriber stream on every poll. `xxhash64(lit(bytes))` is foldable,
+    * so Catalyst reduces the predicate to literal long comparisons the
+    * scan can still push.
+    */
+  def prototypeFiltered(records: DataFrame, prototypes: Seq[Array[Byte]]): DataFrame =
+    if (prototypes.isEmpty) records
+    else records.schema("prototype_reference").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        records.filter(prototypes.map(b =>
+          col("prototype_reference") === xxhash64(lit(b))).reduce(_ || _))
+      case _ => records.filter(col("prototype_reference").isin(prototypes: _*))
+    }
 }

@@ -79,7 +79,7 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("records page: serves the spine artifact with pulse bounds pushed to the scan") {
     val p = plan("be_records_page")
-    assert(p.contains("spine-v2/records"),
+    assert(p.contains("spine-v3/records"),
       "list endpoints must scan the materialized spine, not re-derive the fact view")
     assert(p.contains("GreaterThanOrEqual(pulse_number,473500)"),
       s"pulse range must be a pushed parquet filter on the stored column:\n$p")
@@ -250,7 +250,7 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("jet drops page: spine scan with the pulse range pushed down") {
     val p = plan("be_jet_drops_page")
-    assert(p.contains("spine-v2/jet_drops"),
+    assert(p.contains("spine-v3/jet_drops"),
       "drops endpoints must scan the materialized spine")
     assert(p.contains("GreaterThanOrEqual(pulse_number,473600)"),
       s"pulse bound must be a pushed parquet filter:\n$p")
@@ -346,8 +346,8 @@ class PlanAssertionsSpec extends SparkSpec {
     // is now a build-time spine counter, so the read path may touch only
     // the pulse dimension — one row per pulse, time-bounded.
     val p = plan("be_missing_pulses")
-    assert(p.contains("spine-v2/pulses"), s"gap detection must read the pulses spine:\n$p")
-    assert(!p.contains("spine-v2/records") && !p.contains("events.parquet"),
+    assert(p.contains("spine-v3/pulses"), s"gap detection must read the pulses spine:\n$p")
+    assert(!p.contains("spine-v3/records") && !p.contains("events.parquet"),
       s"gap detection must not touch the fact table:\n$p")
   }
 

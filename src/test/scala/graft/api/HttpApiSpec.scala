@@ -648,6 +648,22 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("path segments are percent-decoded exactly ONCE: double-encoded and " +
+      "stray-percent values answer typed errors, never 500") {
+    // URI.getPath already decodes; a second URLDecoder pass would turn
+    // %2541 into 'A' (double decode), '+' into a space, and throw on a
+    // once-decoded stray '%' (surfacing as a 500)
+    val cases = Seq(
+      "/pulses/70000%2541",  // once-decoded literal "70000%41" — not "70000A"
+      "/pulses/100%25",      // once-decoded "100%" — stray % must not throw
+      "/pulses/7%2Bd",       // once-decoded "7+d" — '+' stays a plus
+      "/jet-drops/0%253A70000/records") // "0%3A70000", not "0:70000"
+    cases.foreach { path =>
+      val (status, body) = get(path)
+      assert(Set(400, 404).contains(status), s"$path -> $status: ${body.take(200)}")
+    }
+  }
+
   test("GET /metrics: per-route counters and latency summaries in Prometheus text format") {
     // the echo-prometheus + metrics-listener analog (cmd/api/main.go:
     // 62-76): counts per (route template, status), recent-window

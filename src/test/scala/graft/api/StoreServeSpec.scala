@@ -157,6 +157,83 @@ class StoreServeSpec extends SparkSpec {
     assert(StoreViews.isStore(spark, fresh), "still ambiguous, still a store")
   }
 
+  test("base58 reference lookups and prototype-filtered subscriptions work " +
+      "over a store: refs key by xxhash64 of the stored bytes, not low-8") {
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-refs").toString
+    // real deployments carry 36-byte references on the wire (the shape
+    // the HTTP edge's checkReference gate requires); pad the fixture's
+    // short ids to that layout so the store holds realistic refs
+    def pad36(b: Array[Byte]): Array[Byte] =
+      if (b == null) null else java.util.Arrays.copyOf(b, 36)
+    val paddedRows = Fixtures.multiPulseBatches(spark, 2, perPulse, startPulse = start)
+      .collect().map { r =>
+        org.apache.spark.sql.Row(
+          r.getAs[Long]("record_number"), pad36(r.getAs[Array[Byte]]("id")),
+          pad36(r.getAs[Array[Byte]]("object_id")), r.getAs[String]("jet_id"),
+          r.getAs[String]("virtual_type"), pad36(r.getAs[Array[Byte]]("image")),
+          r.getAs[Array[Byte]]("memory"), r.getAs[Array[Byte]]("prev_state_id"),
+          r.getAs[Array[Byte]]("raw_data"), r.getAs[Long]("pulse_number"))
+      }
+    import scala.jdk.CollectionConverters._
+    val wire = spark.createDataFrame(paddedRows.toSeq.asJava,
+      graft.model.Schemas.wireRecords)
+    (0 until 2).foreach { i =>
+      PulseWriter.commitPulse(
+        wire.filter(col("pulse_number") === start + i * delta), base)
+    }
+    import spark.implicits._
+    (0 until 2).map { i =>
+      val p = start + i * delta
+      (p, p - delta, p + delta, true, true, 2, perPulse.toLong,
+        p - graft.ingest.Canonicalize.MinTimePulse)
+    }.toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+      "is_complete", "is_sequential", "jet_drop_amount", "record_amount", "timestamp")
+      .coalesce(1).write.parquet(s"$base/pulses")
+
+    // raw STORED bytes (the storage schema keeps references binary)
+    val raw = spark.read.parquet(s"$base/records")
+    val rec = raw.filter(col("object_reference").isNotNull).select(
+      col("reference"), col("object_reference")).head()
+    val recBytes = rec.getAs[Array[Byte]]("reference")
+    val objBytes = rec.getAs[Array[Byte]]("object_reference")
+
+    val h = HttpApi.start(spark, base, port = 0, poolSize = 2)
+    try {
+      // lifeline by the full base58 form of the STORED object bytes: the
+      // serving key is xxhash64(bytes) (StoreViews.refKey) — a low-8-byte
+      // extraction could never match it
+      val (ls, lb) = get(h.port, s"/lifeline/${graft.functions.Codecs
+        .referenceToString(objBytes)}/records")
+      assert(ls == 200, s"$ls ${lb.take(200)}")
+      assert(!lb.startsWith("""{"total":0"""),
+        s"base58 lifeline over a store found nothing: ${lb.take(120)}")
+      // search by the record's own base58 reference resolves to it
+      val (ss, sb) = get(h.port, s"/search?value=${java.net.URLEncoder.encode(
+        graft.functions.Codecs.referenceToString(recBytes), "UTF-8")}")
+      assert(ss == 200 && sb.contains(""""type":"record""""), s"$ss ${sb.take(200)}")
+    } finally h.stop()
+
+    // prototype-filtered exporter poll over the store layout: the long
+    // column must be matched by hashing the wire bytes, never by binary
+    // isin (which throws and kills the stream)
+    val records = graft.model.StoreViews.records(spark, base)
+    val pulses = graft.model.StoreViews.pulses(spark, base)
+    val protoRow = raw.filter(col("prototype_reference").isNotNull)
+      .select(col("prototype_reference")).head()
+    val protoBytes = protoRow.getAs[Array[Byte]]("prototype_reference")
+    val expected = raw.filter(col("pulse_number") === (start + delta).toInt)
+      .filter(col("prototype_reference") === protoBytes).count()
+    val got = graft.streaming.PulseFeed.nextCompletePulseFiltered(
+      pulses, records, start, Seq(protoBytes)).collect()
+    if (expected > 0) {
+      assert(got.length == 1 && got.head.getAs[Long]("record_amount") == expected,
+        s"filtered recount diverged: got=${got.mkString(",")} expected=$expected")
+    } else assert(got.isEmpty)
+    // an unmatched filter is empty, not an AnalysisException
+    assert(graft.streaming.PulseFeed.nextCompletePulseFiltered(
+      pulses, records, start, Seq(Array[Byte](1, 2, 3))).collect().isEmpty)
+  }
+
   test("the live chain index follows a pulses append: version-keyed cache " +
       "rebuilds on change and reuses the instance when nothing moved") {
     val base = java.nio.file.Files.createTempDirectory("graft-serve-chain").toString

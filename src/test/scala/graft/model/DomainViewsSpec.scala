@@ -45,4 +45,25 @@ class DomainViewsSpec extends SparkSpec {
     assert(canon(Domain.servedJetDrops(spark, dir)) == canon(Domain.jetDrops(lazyRecords)))
     assert(canon(Domain.servedPulses(spark, dir)) == canon(Domain.pulses(lazyRecords)))
   }
+
+  test("pulses.jet_drop_amount equals the pulse's SAVED drop count, including " +
+      "merged pulses (the jet-merge coarsening applies to both sides)") {
+    import org.apache.spark.sql.functions._
+    // the reference increments the counter once per saved jet drop — the
+    // drop LIST is the truth; on a merged pulse (every 4th) the raw
+    // record jets would over-count (8 leaves vs 4 merged drops)
+    val records = Domain.records(spark, dir)
+    val fromDrops = Domain.jetDrops(records)
+      .groupBy("pulse_number").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromPulses = Domain.pulses(records)
+      .select(col("pulse_number"), col("jet_drop_amount"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromPulses == fromDrops,
+      s"counter disagrees with the drop list: ${
+        fromPulses.collect { case (p, n) if fromDrops.get(p) != Some(n) =>
+          s"$p: counter=$n drops=${fromDrops.get(p)}" }.mkString("; ")}")
+    // the corpus actually exercises the merge case
+    assert(fromPulses.keys.exists(_ % 4 == 0), "no merged pulse in the corpus")
+  }
 }

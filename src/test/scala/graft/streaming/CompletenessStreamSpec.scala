@@ -32,4 +32,31 @@ class CompletenessStreamSpec extends SparkSpec {
       assert(rows.contains((70020L, false, 1)))
     } finally query.stop()
   }
+
+  test("a sealed pulse's state is REMOVED (register-deletion invariant): a " +
+      "late drop re-opens from scratch instead of accumulating forever") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DropEvent]
+    val query = CompletenessStream(input.toDS())
+      .writeStream.format("memory").queryName("pulse_status_seal")
+      .outputMode("update").start()
+    try {
+      // {"0","1"} is a full binary-tree cover → the pulse seals in batch 1
+      input.addData(DropEvent(70010L, "0"), DropEvent(70010L, "1"))
+      query.processAllAvailable()
+      // a late drop AFTER the seal: state was removed at the seal, so the
+      // pulse re-opens with exactly one jet — not three accumulated —
+      // mirroring the batch path's reload-revokes-completeness semantics
+      input.addData(DropEvent(70010L, "10"))
+      query.processAllAvailable()
+      val rows = spark.table("pulse_status_seal").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Boolean]("is_complete")))
+      assert(rows.contains((70010L, 2, true)), s"never sealed: ${rows.mkString(",")}")
+      assert(rows.contains((70010L, 1, false)),
+        s"sealed state must be removed, not accumulated: ${rows.mkString(",")}")
+      assert(!rows.exists(r => r._1 == 70010L && r._2 == 3),
+        s"jets survived the seal: ${rows.mkString(",")}")
+    } finally query.stop()
+  }
 }
