@@ -314,8 +314,13 @@ private[graft] object HashReplaySql {
     val cU = new CteChain("ku", "usrc", Seq("g", "xu"))
     val uh = cU.xxhLong("xu", Left(42L))
     cU.drop(Set("xu"))
+    // NULL key parity: Spark's xxhash64 SKIPS a null child, returning the
+    // seed (42) — a NULL user_id is one real distinct value on the Spark
+    // side. The SQL chain propagates NULL instead, so coalesce to the
+    // same 42^minLong the Spark expression produces.
     val uCte = cU.render(
-      s"g, xor(${toSigned(uh)}, -9223372036854775808) AS u", "uhash")
+      s"g, COALESCE(xor(${toSigned(uh)}, -9223372036854775808), " +
+        s"${42L ^ Long.MinValue}) AS u", "uhash")
 
     val cE = new CteChain("ke", "esrc", Seq("g", "v", "sid", "su"))
     val eh = cE.xxhLong("su", Left(42L))
@@ -356,7 +361,10 @@ private[graft] object HashReplaySql {
        |esrc AS MATERIALIZED (
        |  SELECT event_type AS g, value AS v, event_id AS sid,
        |         ${toUnsignedCol("event_id")} AS su
-       |  FROM events),
+       |  FROM events
+       |  -- NULL row parity: the Spark sample aggregate skips a row when
+       |  -- the sample id or the value is null (BoundedMinKSample.update)
+       |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
        |$eCte,
        |sampled AS (
        |  SELECT g, v FROM (

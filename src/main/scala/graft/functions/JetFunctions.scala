@@ -84,15 +84,22 @@ object JetFunctions {
     * itself covered (present, or an ancestor present, or its full subtree
     * present at deeper ids).
     */
-  def jetTreeCover(jets: Set[String]): Boolean = {
+  def jetTreeCover(jets0: Set[String]): Boolean = {
+    val jets = jets0.filter(_ != null) // a NULL jet_id row must not NPE the job
     if (jets.isEmpty) return false
     // covered(j): j or an ancestor of j is present, or both children subtrees
-    // of j are (recursively) covered by deeper ids.
+    // of j are (recursively) covered by deeper ids. The descent PRUNES on
+    // "no jet extends this prefix": without it the walk explores the full
+    // binary tree to maxDepth and one deep jet id (a 40-bit id is legal,
+    // parseJetDropId accepts 216) makes the check exponential — ~2^39
+    // nodes before returning false. With the prune, work is bounded by
+    // the nodes lying on actual jet paths: O(Σ|jet| × set lookup).
     val maxDepth = jets.map(_.length).max
     def covered(j: String): Boolean = {
       if (jets.contains(j)) true
       else if ((1 to j.length).exists(i => jets.contains(j.substring(0, i)))) true
       else if (j.length >= maxDepth) false
+      else if (!jets.exists(_.startsWith(j))) false
       else covered(j + "0") && covered(j + "1")
     }
     covered("")

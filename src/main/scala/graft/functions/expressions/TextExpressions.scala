@@ -172,12 +172,25 @@ object TextExpressions {
     * set — keep the two lists in sync).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // arity-checked like the GraftExtensions registrations (the doc above
+    // says keep the two in sync): a wrong-arity SQL call must answer the
+    // clear "expects …" error, not an IndexOutOfBounds/NoSuchElement
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv_fingerprint", exprs => FnvFingerprint(exprs.head), "scala_udf")
+      "fnv_fingerprint", { exprs =>
+        require(exprs.length == 1,
+          s"fnv_fingerprint expects 1 argument, got ${exprs.length}")
+        FnvFingerprint(exprs.head)
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "simhash64", { exprs =>
+        require(exprs.length == 1,
+          s"simhash64 expects 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", { exprs =>
+        require(exprs.length == 2,
+          s"shingle_hashes expects (text, n), got ${exprs.length} args")
         val n = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

@@ -62,7 +62,6 @@ object Compaction {
   ): (Int, Int, Int) = {
     val cands = candidates(spark, tablePath)
     if (cands.isEmpty) return (0, 0, 0)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // One job per distinct target file count (partitions needing the same
     // fan-in batch together); each overwrites only its own partition
     // values (dynamic mode), so untouched partitions keep their files.
@@ -79,6 +78,9 @@ object Compaction {
         .repartition(group.size, col(partitionCol))
         .sortWithinPartitions(col(partitionCol) +: sortCols.map(col): _*)
         .write.mode(SaveMode.Overwrite)
+        // per-writer dynamic mode (never spark.conf.set — a session-global
+        // flip would change every later partitioned overwrite's semantics)
+        .option("partitionOverwriteMode", "dynamic")
       val sized =
         if (n == 1) writer
         else {

@@ -37,11 +37,14 @@ object PulseWriter {
     * row-group locality.
     */
   def writePulsePartition(df: DataFrame, table: String, basePath: String): Unit = {
-    val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.sortWithinPartitions(col("jet_id"))
       .write
       .mode(SaveMode.Overwrite)
+      // per-writer dynamic mode (never spark.conf.set — a session-global
+      // flip would change every later partitioned overwrite's semantics,
+      // including the migration staging write that relies on STATIC
+      // commit ordering for its _SUCCESS marker)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pulse_number")
       .parquet(s"$basePath/$table")
   }

@@ -80,11 +80,14 @@ object Dedup {
     * writer uses).
     */
   def appendHashBatch(keptHashes: DataFrame, path: String, batchId: Long): Unit = {
-    val spark = keptHashes.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     keptHashes
       .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch").parquet(path)
+      .write.mode("overwrite")
+      // per-writer, NOT spark.conf.set: a session-global flip would
+      // silently switch every later partitioned overwrite in the session
+      // to dynamic semantics (stale partitions surviving a full rewrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(path)
     graft.sources.RelationCache.invalidate(path)
   }
 
@@ -315,9 +318,18 @@ object Dedup {
   /** Hamming distance between two long fingerprints (column expr). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within a hamming radius via 4×16-bit band LSH. */
+  /** SimHash near-dup pairs within a hamming radius via 4×16-bit band LSH.
+    *
+    * Token-less documents (no [a-z0-9] after lowercasing — whitespace/
+    * punctuation/markup-only, common in web corpora) are EXCLUDED before
+    * banding: they all fingerprint to 0, so every one of them would share
+    * every band bucket and pair with every other at hamming 0 — m(m-1)/2
+    * false near-dups and a quadratic candidate blowup. The DuckDB twin
+    * emits no signature row for such docs, so exclusion is also what
+    * keeps the parity gate exact.
+    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", radius: Int = 3): DataFrame = {
-    val fp = simhashes(docs, idCol, textCol)
+    val fp = simhashes(docs.filter(lower(col(textCol)).rlike("[a-z0-9]")), idCol, textCol)
     val banded = fp.select(
       col(idCol).as("id"), col("simhash"),
       explode(array((0 until 4).map { b =>

@@ -205,6 +205,28 @@ object Clustering {
     val frozen = scala.collection.mutable.Set.empty[Long]
     var prevCounts = Map.empty[Long, Long]
 
+    // THE split-decision kernel, shared by the discovery step and the
+    // rebuild walk below: top-`sp` children of `label` by dot against its
+    // seed snapshot, ties to the HIGHER seed index (the Ivf.cellOf/
+    // topCells order). The rebuild REPLAYS discovery, so this decision
+    // must be one implementation — two copies drifting apart (tie order,
+    // norm handling, soft condition) would make the final walk produce
+    // leaf labels discovery never created. A val lambda so both udf
+    // closures capture it by value (serializable).
+    val splitChildren: (Long, scala.collection.Seq[Float], Array[Array[Float]], Int) => List[Long] =
+      (label, v, ss, sp) => {
+        val dots = Array.tabulate(ss.length) { i =>
+          val p = ss(i)
+          var acc = 0.0
+          var j = 0
+          val n = math.min(v.length, p.length)
+          while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
+          acc
+        }
+        (0 until ss.length).sortBy(i => (-dots(i), -i)).take(sp)
+          .map(best => label * enc + 1 + best).toList
+      }
+
     // one UDF walking coarse label → leaf labels against a seed-map
     // snapshot (children count = that label's seed count); top-sp
     // children by dot with ties to the HIGHER seed index (the ordering
@@ -222,20 +244,8 @@ object Clustering {
         while (frontier.nonEmpty && d < cap) {
           val (toSplit, settled) = frontier.partition(map.contains)
           leaves = settled ::: leaves
-          frontier = toSplit.flatMap { label =>
-            val ss = map(label)
-            val dots = Array.tabulate(ss.length) { i =>
-              val p = ss(i)
-              var acc = 0.0
-              var j = 0
-              val n = math.min(v.length, p.length)
-              while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
-              acc
-            }
-            (0 until ss.length).sortBy(i => (-dots(i), -i))
-              .take(if (d < sl) sp else 1)
-              .map(best => label * enc + 1 + best)
-          }
+          frontier = toSplit.flatMap(label =>
+            splitChildren(label, v, map(label), if (d < sl) sp else 1))
           d += 1
         }
         leaves ::: frontier
@@ -316,18 +326,8 @@ object Clustering {
           // new frame stays LAZY; the next level's window job materializes
           // it, so no extra count() action per level.
           val step = udf { (label: Long, v: scala.collection.Seq[Float]) =>
-            bc.value.get(label).fold(Seq(label)) { ss =>
-              val dots = Array.tabulate(ss.length) { i =>
-                val p = ss(i)
-                var acc = 0.0
-                var j = 0
-                val n = math.min(v.length, p.length)
-                while (j < n) { acc += v(j).toDouble * p(j).toDouble; j += 1 }
-                acc
-              }
-              (0 until ss.length).sortBy(i => (-dots(i), -i)).take(sp)
-                .map(best => label * enc + 1 + best)
-            }
+            bc.value.get(label).fold(List(label))(ss =>
+              splitChildren(label, v, ss, sp))
           }
           val next = ws
             .withColumn("parent", col("cluster"))

@@ -35,6 +35,18 @@ class JetFunctionsSpec extends SparkSpec {
     assert(!JetFunctions.jetTreeCover(Set("0", "10", "110")))
   }
 
+  test("tree cover: one deep jet id answers in linear time (prefix prune), " +
+      "and null jet ids are ignored, not NPE") {
+    // pre-prune, one 40-bit id explored ~2^39 nodes before returning
+    // false — effectively a hang; with the prune this is microseconds
+    val deep = Set("1" * 40)
+    val t0 = System.nanoTime()
+    assert(!JetFunctions.jetTreeCover(deep))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "deep-jet check must be pruned")
+    assert(JetFunctions.jetTreeCover(Set("0", "1", null)))
+    assert(!JetFunctions.jetTreeCover(Set(null)))
+  }
+
   test("property: tree cover equals brute-force oracle on random sets") {
     for (seed <- 0 until 300) {
       val rnd = new scala.util.Random(seed)

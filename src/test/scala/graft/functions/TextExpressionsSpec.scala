@@ -43,6 +43,16 @@ class TextExpressionsSpec extends SparkSpec {
     assert(r.getLong(1) == TextKernels.simhash64(UTF8String.fromString("a b")))
   }
 
+  test("SQL registration arity-checks like the session-extension route: " +
+      "wrong arity answers the 'expects' message, not IndexOutOfBounds") {
+    TextExpressions.register(spark)
+    def msgOf(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(msgOf("SELECT fnv_fingerprint()").contains("expects 1 argument"))
+    assert(msgOf("SELECT simhash64('a', 'b')").contains("expects 1 argument"))
+    assert(msgOf("SELECT shingle_hashes('a')").contains("expects (text, n)"))
+  }
+
   test("simhash: near-identical texts are close in hamming distance") {
     def d(a: String, b: String): Int = java.lang.Long.bitCount(
       TextKernels.simhash64(UTF8String.fromString(a)) ^

@@ -123,6 +123,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs excludes token-less documents: no quadratic hamming-0 " +
+      "pairing of empty/markup-only docs (oracle emits no signature for them)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "real content here"), (2L, "real content here"),
+      (3L, "   "), (4L, "!!! ---"), (5L, "\n\t"), (6L, "")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, radius = 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"token-less docs must not pair (they all fingerprint to 0): $pairs")
+  }
+
   test("jaccard column function on known sets") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
