@@ -20,8 +20,11 @@ object Smoke {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
+    var failed = 0
     def check(name: String)(body: => Any): Unit = {
-      val r = try body.toString catch { case e: Throwable => s"FAIL ${e.getMessage}" }
+      val r = try body.toString catch {
+        case e: Throwable => failed += 1; s"FAIL ${e.getMessage}"
+      }
       println(f"[smoke] $name%-28s $r")
     }
 
@@ -69,7 +72,10 @@ object Smoke {
       status, "pulse_number", 65536L, 65576L, 10L).count())
 
     // ---- training-pipeline ops on real tables ----
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // through Domain (drift normalization + relation cache), same as the
+    // production read paths — a raw read here would smoke-FAIL on a
+    // drifted physical type the served paths handle fine
+    val docs = graft.model.Domain.documents(spark, sfDir)
     val emb = graft.model.Domain.embeddings(spark, sfDir)
     check("dedup exact classes")(text.Dedup.exact(docs).count())
     check("dedup minhash pairs")(text.Dedup.minhashPairs(docs, threshold = 0.5).count())
@@ -132,5 +138,7 @@ object Smoke {
     check("entry rows>0")(SparkEntry.entry(spark).count())
     spark.stop()
     println("[smoke] done")
+    // a FAIL line must gate callers, not just color the log
+    if (failed > 0) { System.err.println(s"[smoke] $failed check(s) FAILED"); sys.exit(1) }
   }
 }

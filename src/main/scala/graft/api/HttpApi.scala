@@ -130,12 +130,22 @@ object HttpApi {
     }
   }
 
+  /** Percent-decode leniently: a malformed escape (a lone trailing '%',
+    * `%zz`) keeps the RAW text instead of throwing — the value then fails
+    * the endpoint's own validation as a typed 400, where a propagated
+    * IllegalArgumentException would surface as a 500 any client could
+    * trigger at will (the reference's binding layer answers 400 here).
+    */
+  private def decodeLenient(s: String): String =
+    try URLDecoder.decode(s, "UTF-8")
+    catch { case _: IllegalArgumentException => s }
+
   private def parseQuery(raw: Option[String]): Map[String, String] =
     raw.fold(Map.empty[String, String]) {
       _.split("&").filter(_.nonEmpty).map { kv =>
         kv.split("=", 2) match {
-          case Array(k, v) => URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
-          case Array(k)    => URLDecoder.decode(k, "UTF-8") -> ""
+          case Array(k, v) => decodeLenient(k) -> decodeLenient(v)
+          case Array(k)    => decodeLenient(k) -> ""
         }
       }.toMap
     }
@@ -477,8 +487,13 @@ object HttpApi {
           else {
             val r = rows.head
             val idx = s"${r.getAs[Long]("pulse_number")}:${r.getAs[Int]("order")}"
-            (200, s"""{"type":"record","meta":{"index":${JsonOut.str(idx)},""" +
-              s""""object_reference":"${r.getAs[Long]("object_reference")}"}}""")
+            // omitempty: getAs[Long] on a NULL unboxes to 0 — a phantom
+            // object key a client would then query; omit the field like
+            // every other null at the JSON edge (JsonOut.obj)
+            val objRef =
+              if (r.isNullAt(r.fieldIndex("object_reference"))) ""
+              else s""","object_reference":"${r.getAs[Long]("object_reference")}""""
+            (200, s"""{"type":"record","meta":{"index":${JsonOut.str(idx)}$objRef}}""")
           }
         case Search.NoMatch =>
           badRequest(List(("value", "is neither pulse number, jet drop id nor reference")),

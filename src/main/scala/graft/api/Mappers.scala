@@ -13,25 +13,12 @@ import graft.functions.Codecs
   */
 object Mappers {
 
-  /** Record row → API shape (`api/mappers.go:19-55`); `total` passes
-    * through when the caller paged with [[graft.operators.Pagination.pageWithTotal]].
-    */
-  def recordToApi(records: DataFrame): DataFrame =
-    records.select((Seq(
-      base64(Codecs.emptyRefToNull(col("reference"))).as("reference"),
-      col("type"),
-      base64(Codecs.emptyRefToNull(col("object_reference"))).as("object_reference"),
-      base64(Codecs.emptyRefToNull(col("prototype_reference"))).as("prototype_reference"),
-      base64(col("payload")).as("payload"),
-      base64(Codecs.emptyRefToNull(col("prev_record_reference"))).as("prev_record_reference"),
-      base64(col("hash")).as("hash"),
-      col("jet_id"),
-      col("pulse_number"),
-      col("order"),
-      Codecs.indexString(col("pulse_number"), col("order")).as("index"),
-      col("timestamp")) ++
-      Seq("total", graft.operators.Pagination.PageRowMarker)
-        .filter(records.columns.contains).map(col)): _*)
+  // (The record-row analog of this mapper, `RecordToAPI` at
+  // `api/mappers.go:19-55`, is implemented where it is actually served:
+  // HttpApi.withIndex + JsonOut render the live record presentation for
+  // both the corpus and the store serving schemas — a parallel
+  // DataFrame-shaped mapper here matched neither schema and had no
+  // production caller, so it was removed rather than left to drift.)
 
   /** Jet drop row → API shape (`api/mappers.go:57-76`); the J5 link-list
     * and `total` columns pass through when the caller enriched them.
@@ -49,11 +36,4 @@ object Mappers {
       col("timestamp")) ++ links: _*)
   }
 
-  /** Wrap a bounded page in the `{total, result}` envelope the API
-    * returns (`api/handlers.go:637-645`). The page is driver-sized by
-    * validation (≤1000 rows), so the collect here is the API boundary,
-    * not a distributed operation.
-    */
-  def envelope(page: DataFrame, total: Long): (Long, Array[org.apache.spark.sql.Row]) =
-    (total, page.collect())
 }

@@ -68,6 +68,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("modality"), col("payload"))
+      // round-robin spread of the blobs (the doc's skew promise): a few
+      // huge videos among many small images otherwise land in one
+      // file-split task while the rest idle — binary payloads defeat the
+      // size-based split heuristics that balance numeric columns
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (decoder/model handles)

@@ -53,6 +53,11 @@ object RelationCache {
     sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString) +
       ":" + path
 
+  // bumped by every invalidate/clear — the publish guard below. A global
+  // counter (not per-path) errs toward a missed cache on unrelated
+  // concurrent invalidations, never toward a stale index.
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def parquet(spark: SparkSession, path: String): DataFrame =
     cache.get(key(spark, path)) match {
       case e: Entry => e.df
@@ -61,8 +66,18 @@ object RelationCache {
         // sweep is O(entries) against a map that holds one entry per
         // (live session, table), dozens at most
         cache.entrySet().removeIf(_.getValue.session.sparkContext.isStopped)
-        cache.computeIfAbsent(key(spark, path),
-          _ => Entry(spark, spark.read.parquet(path))).df
+        // TOCTOU guard: the file listing happens OUTSIDE the map, so a
+        // writer's invalidate() can land between our listing and our
+        // publish — its removeIf finds no key and the pre-rewrite index
+        // would be cached "clean" and served until the next invalidation
+        // (FileNotFound on compacted tables, silently missing batches on
+        // appended ones). Publish only if no invalidation happened while
+        // we resolved; otherwise serve the frame uncached.
+        val e0 = epoch.get()
+        val df = spark.read.parquet(path)
+        if (epoch.get() == e0)
+          cache.putIfAbsent(key(spark, path), Entry(spark, df))
+        df
     }
 
   /** Drop every session's entry for `path` AND anything under it (call
@@ -73,6 +88,7 @@ object RelationCache {
     * part-files.
     */
   def invalidate(path: String): Unit = {
+    epoch.incrementAndGet() // before the sweep: see the publish guard
     val prefix = if (path.endsWith("/")) path else path + "/"
     cache.keySet().removeIf { k =>
       val p = k.substring(k.indexOf(':') + 1)
@@ -82,6 +98,7 @@ object RelationCache {
   }
 
   def clear(): Unit = {
+    epoch.incrementAndGet()
     cache.clear()
     invalidationHooks.forEach(_.apply(null))
   }

@@ -662,6 +662,28 @@ class HttpApiSpec extends SparkSpec {
       val (status, body) = get(path)
       assert(Set(400, 404).contains(status), s"$path -> $status: ${body.take(200)}")
     }
+    // query side: a malformed escape (a lone trailing '%' — real clients
+    // produce these over raw sockets; java.net.URI can't even build such
+    // a URL, hence the socket probe) must answer 4xx, never a thrown 500.
+    // The JDK server rejects the malformed request-URI itself with 400;
+    // parseQuery's lenient decode is the defense if that layer changes.
+    def rawStatus(pathAndQuery: String): Int = {
+      val s = new java.net.Socket("localhost", handle.port)
+      try {
+        s.getOutputStream.write(
+          (s"GET $pathAndQuery HTTP/1.1\r\nHost: localhost\r\n" +
+            "Connection: close\r\n\r\n").getBytes("US-ASCII"))
+        s.getOutputStream.flush()
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream)).readLine()
+        line.split(" ")(1).toInt
+      } finally s.close()
+    }
+    Seq("/api/v1/pulses?limit=50%", "/api/v1/search?value=50%",
+      "/api/v1/pulses?limit=%zz&offset=1").foreach { pq =>
+      val status = rawStatus(pq)
+      assert(status >= 400 && status < 500, s"$pq -> $status")
+    }
   }
 
   test("GET /metrics: per-route counters and latency summaries in Prometheus text format") {

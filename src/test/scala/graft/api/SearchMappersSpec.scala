@@ -58,27 +58,6 @@ class SearchMappersSpec extends SparkSpec {
     assert(goldenObject.stripPrefix("insolar:1").startsWith("1111"))
   }
 
-  test("record mapper renders base64, index strings, and null normalization") {
-    import spark.implicits._
-    val rec = Seq((
-      "ref1", "state", "obj1", "", "pay", "prev1", "h", "0101", 70000L, 3, 1234L))
-      .toDF("r", "type", "o", "proto", "p", "pr", "h", "jet_id", "pulse_number", "order", "timestamp")
-      .select(encode(col("r"), "UTF-8").as("reference"), col("type"),
-        encode(col("o"), "UTF-8").as("object_reference"),
-        encode(col("proto"), "UTF-8").as("prototype_reference"),
-        encode(col("p"), "UTF-8").as("payload"),
-        encode(col("pr"), "UTF-8").as("prev_record_reference"),
-        encode(col("h"), "UTF-8").as("hash"),
-        col("jet_id"), col("pulse_number"), col("order"), col("timestamp"))
-    val out = Mappers.recordToApi(rec).collect()(0)
-    assert(out.getAs[String]("reference") ==
-      java.util.Base64.getEncoder.encodeToString("ref1".getBytes("UTF-8")))
-    assert(out.getAs[String]("index") == "70000:3")
-    assert(out.isNullAt(out.fieldIndex("prototype_reference"))) // empty → null
-    assert(out.getAs[String]("payload") ==
-      java.util.Base64.getEncoder.encodeToString("pay".getBytes("UTF-8")))
-  }
-
   test("jet drop mapper renders composite ids with root star") {
     import spark.implicits._
     val drops = Seq(("", 70000L, "h", 5, 999L), ("01", 70010L, "h2", 2, 998L))
@@ -89,10 +68,4 @@ class SearchMappersSpec extends SparkSpec {
     assert(out(1).getAs[String]("jet_drop_id") == "01:70010")
   }
 
-  test("envelope returns total plus the collected page") {
-    import spark.implicits._
-    val page = Seq(1, 2, 3).toDF("x")
-    val (total, rows) = Mappers.envelope(page, 42L)
-    assert(total == 42L && rows.length == 3)
-  }
 }
