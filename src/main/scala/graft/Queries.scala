@@ -210,8 +210,10 @@ object Queries {
       .limit(300)
   }
 
-  /** A3 — page plus total of the filtered set in ONE plan (count window
-    * over the filtered frame, then the sorted page).
+  /** A3 — page plus total of the filtered set in ONE plan: a 1-row count
+    * aggregate broadcast-joined onto the sorted page
+    * ([[Pagination.pageWithTotal]] — NOT a count window over the page,
+    * which Pagination's doc rejects as a scale cliff).
     */
   val beRecordsTotal: Q = (s, dir) => {
     val r = Domain.servedRecords(s, dir)
@@ -1020,10 +1022,6 @@ object Queries {
     graft.text.TextAnalysis.repetitionSignals(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
-  /** Training-mix composition: per (source, lang) document/char/token
-    * totals and each cell's share of the corpus token budget — the
-    * bookkeeping view data-mixing decisions read.
-    */
   /** Keep/drop filter verdicts with per-rule flags and failure reasons —
     * the composed filtering stage over the same signal definitions
     * txt_quality / txt_repetition report.
@@ -1032,6 +1030,10 @@ object Queries {
     graft.text.TextAnalysis.filterVerdicts(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Training-mix composition: per (source, lang) document/char/token
+    * totals and each cell's share of the corpus token budget — the
+    * bookkeeping view data-mixing decisions read.
+    */
   val txtMix: Q = (s, dir) => {
     val perCell = t(s, dir, "documents")
       .groupBy(col("source"), col("lang"))
@@ -1168,17 +1170,28 @@ object Queries {
     * replay (captured centroid literals) feeds the same recursive-CTE
     * reachability the dd_clusters oracle uses.
     */
-  val ddSemdedupVerdicts: Q = (s, dir) => {
+  /** The semdedup components artifact — ONE builder for the serving query
+    * and [[ensureSemdedupArtifacts]], so the parameters and the artifact
+    * path can never diverge between the bench pre-build and the first
+    * serving touch (two near-identical artifacts accumulating under the
+    * index root, with cold timings measuring the wrong one). Pair
+    * construction (incl. the centroid-seeding driver jobs inside
+    * capturedCentroids) is deferred into ensureComponents' by-name param —
+    * the warm path reads the artifact without running a single seeding job.
+    */
+  private def semdedupComponents(s: SparkSession, dir: String): DataFrame = {
     val emb = Domain.embeddings(s, dir)
-    // pair construction (incl. the centroid-seeding driver jobs inside
-    // capturedCentroids) is deferred into the by-name param — the warm
-    // path reads the artifact without running a single seeding job
-    val comps = graft.operators.Components.ensureComponents(s,
+    graft.operators.Components.ensureComponents(s,
       graft.vector.Clustering.semdedupPairsWith(emb,
         capturedCentroids(emb, dir), dim = 64, threshold = SemDedupThreshold,
         p = SemDedupProbe),
       "a_id", "b_id",
       graft.vector.AnnIndex.indexRoot(dir) + s"/semdedup-clusters-$semdedupParamsTag")
+  }
+
+  val ddSemdedupVerdicts: Q = (s, dir) => {
+    val emb = Domain.embeddings(s, dir)
+    val comps = semdedupComponents(s, dir)
     emb.select(col("vec_id"))
       .join(comps.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -1195,13 +1208,7 @@ object Queries {
     * No-op when the artifact already matches the corpus fingerprint.
     */
   def ensureSemdedupArtifacts(s: SparkSession, dir: String): Unit = {
-    val emb = Domain.embeddings(s, dir)
-    graft.operators.Components.ensureComponents(s,
-      graft.vector.Clustering.semdedupPairsWith(emb,
-        capturedCentroids(emb, dir), dim = 64, threshold = SemDedupThreshold,
-        p = SemDedupProbe),
-      "a_id", "b_id",
-      graft.vector.AnnIndex.indexRoot(dir) + s"/semdedup-clusters-$semdedupParamsTag")
+    semdedupComponents(s, dir)
     ()
   }
 

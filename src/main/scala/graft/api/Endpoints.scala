@@ -14,7 +14,7 @@ import graft.operators.{Pagination, Predicates, PulseChain}
   */
 object Endpoints {
 
-  final case class PageParams(limit: Int = 20, offset: Int = 0) {
+  final case class PageParams(limit: Int = Pagination.DefaultLimit, offset: Int = 0) {
     require(Pagination.validLimit(limit), s"limit must be in [1,1000]: $limit")
     require(Pagination.validOffset(offset), s"offset must be >= 0: $offset")
   }
@@ -178,6 +178,16 @@ object Endpoints {
     */
   def jetDropById(spark: SparkSession, dir: String, jetDropId: String): Option[DataFrame] =
     Codecs.parseJetDropId(jetDropId).map { case (jet, pulse) =>
+      jetDropByKey(spark, dir, jet, pulse)
+    }
+
+  /** [[jetDropById]] past the id parse — also the [[search]] dispatch
+    * target, which already HOLDS the parsed (jet, pulse) and must not
+    * re-render and re-parse the id (a render/parse divergence would
+    * surface as a serve-time NoSuchElementException).
+    */
+  private def jetDropByKey(spark: SparkSession, dir: String,
+      jet: String, pulse: Long): DataFrame = {
       val d = dropsView(spark, dir)
       val rowQuery = d.filter(col("pulse_number") === pulse && col("jet_id") === jet).limit(1)
       // existence gates the neighbor job: a 404 (absent drop) must cost
@@ -217,7 +227,7 @@ object Endpoints {
           .withColumn("prev_jet_drop_id", typedLit(prevLinks))
           .withColumn("next_jet_drop_id", typedLit(nextLinks)))
       }
-    }
+  }
 
   /** GET /jet-drops/{jet_drop_id}/records — records of one drop, keyset.
     * `recordType` narrows to one of request/result/state
@@ -231,7 +241,7 @@ object Endpoints {
       val r = recordsView(spark, dir)
       val base = r.filter(col("pulse_number") === pulse && col("jet_id") === jet)
       val typed = recordType.fold(base)(t => base.filter(col("type") === t))
-      val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(typed) { case (p, o) =>
+      val cursored = parsedCursor(fromIndex).fold(typed) { case (p, o) =>
         typed.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc = true))
       }
       Pagination.pageWithTotalCarried(cursored,
@@ -268,11 +278,13 @@ object Endpoints {
       val pageQuery = paged.withColumn("jet_drop_id",
         Codecs.jetDropIdString(col("jet_id"), col("pulse_number")))
       val pageRows = pageQuery.collect()
-      // empty page: an empty LocalRelation in the pre-link schema (the
-      // link assembly has nothing to do), never the live query
+      // empty page: an empty LocalRelation in the SAME linked schema the
+      // populated branch returns (jet_drop_id + next_ids/prev_ids) — a
+      // data-dependent schema would break any consumer unioning pages or
+      // selecting link columns across requests
       if (pageRows.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          paged.schema)
+          linkedSchema(pageQuery.schema))
       else {
         // The linkable set mirrors the reference exactly (handlers.go:
         // 207-223 + getEnrichingJetDrops 244-268): the PAGE's own drops
@@ -349,7 +361,7 @@ object Endpoints {
     val base = r.filter(col("object_reference") === objectRef && col("type") === "state")
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
       .filter(Predicates.range(col("ts_sec"), gte = fromTimestamp, lte = toTimestamp))
-    val cursored = fromIndex.flatMap(Codecs.parseIndex).fold(base) { case (p, o) =>
+    val cursored = parsedCursor(fromIndex).fold(base) { case (p, o) =>
       base.filter(Predicates.keysetFrom(col("pulse_number"), col("order"), p, o, asc))
     }
     val sort =
@@ -358,12 +370,21 @@ object Endpoints {
     Pagination.pageWithTotalCarried(cursored, sort, page.limit, page.offset)
   }
 
+  /** Parse a from_index cursor LOUDLY: the HTTP layer pre-validates, so
+    * its requests never reach here malformed — but a non-HTTP caller's
+    * typo must fail, not silently serve an UNCURSORED first page the
+    * client would resume pagination from (re-reading rows).
+    */
+  private def parsedCursor(fromIndex: Option[String]): Option[(Long, Long)] =
+    fromIndex.map(s => Codecs.parseIndex(s).getOrElse(
+      throw new IllegalArgumentException(s"invalid from_index: $s")))
+
   /** GET /search — polymorphic dispatch to the matching point query. */
   def search(spark: SparkSession, dir: String, value: String): (String, DataFrame) =
     Search.dispatch(value) match {
       case Search.PulseTarget(p) => ("pulse", pulse(spark, dir, p))
       case Search.JetDropTarget(jet, p) =>
-        ("jet_drop", jetDropById(spark, dir, s"${if (jet.isEmpty) "*" else jet}:$p").get)
+        ("jet_drop", jetDropByKey(spark, dir, jet, p))
       case Search.LifelineTarget(ref) =>
         // the 36-byte layout maps to the serving key space per LAYOUT
         // (corpus: low 8 bytes invert the ref synthesis; store: xxhash64
@@ -371,7 +392,10 @@ object Endpoints {
         ("lifeline", objectLifeline(spark, dir,
           graft.model.Domain.refToKey(spark, dir, ref)))
       case Search.RecordTarget(ref) => ("record", recordByRef(spark, dir, ref))
-      case Search.InvalidPulse(_) | Search.NoMatch => ("none", spark.emptyDataFrame)
+      // distinct tags: an integer that is NOT a valid pulse is its own
+      // 400 at the reference ("not valid pulse number"), not a NoMatch
+      case Search.InvalidPulse(_) => ("invalid_pulse", spark.emptyDataFrame)
+      case Search.NoMatch => ("none", spark.emptyDataFrame)
     }
 
   /** Point lookup of one record by its decoded 36-byte reference — the
