@@ -79,8 +79,10 @@ object Bench {
   private def newSession(cpus: String): SparkSession = {
     // the shared serving configuration (Sessions.ServiceConfs) so this
     // bench measures exactly what Serve/LoadProbe run
+    // NOTE: driver heap is the forked JVM's -Xmx (build.sbt derives it
+    // from SPARK_DRIVER_MEM) — spark.driver.memory set here would be
+    // inert (it is a spark-submit launcher option, not a live-JVM one)
     val s = Sessions.serviceBuilder(cpus, "graft-bench")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -146,6 +148,15 @@ object Bench {
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Zero-padded binary jet ids [lo, hi) at `bits` width — ONE helper for
+    * the ingest, gRPC, and daemon scenarios so a padding or cover fix
+    * cannot silently desynchronize the three feeds.
+    */
+  private def binJets(r: Range, bits: Int): Seq[String] = r.map { i =>
+    val b = java.lang.Long.toBinaryString(i.toLong)
+    "0" * (bits - b.length) + b
+  }
 
   /** Driver-held replay of a generated wire frame set — the bench's
     * stand-in exporter for BOTH the single-pulse gRPC section and the
@@ -248,13 +259,11 @@ object Bench {
     try {
       val base = s"http://localhost:${handle.port}"
       val shapes = LoadProbe.httpShapes(spark, sfDir)
-      val warmErrs = new java.util.concurrent.atomic.AtomicLong()
-      // brief concurrent warm per URL: the HTTP client pool + handler
-      // paths compile outside the attack window (same rationale as
-      // warmToPlateau; the underlying plans are already plateau-warm)
-      shapes.foreach { case (_, path) =>
-        LoadProbe.attackHttp(base + path, attackers = 8, millis = 300, warmErrs)
-      }
+      // warm each URL to its PLATEAU (the shared rule, not an ad-hoc
+      // single burst — a heavy handler still compiling after one 300 ms
+      // burst would meet the JIT inside the attack window, the exact
+      // first-request outlier warmToPlateau's round-8 note documents)
+      LoadProbe.warmHttpToPlateau(shapes.map(base + _._2), par = 8)
       val errors = new java.util.concurrent.atomic.AtomicLong()
       val per = shapes.map { case (n, path) =>
         val l0 = loadavg1()
@@ -270,6 +279,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every JSON emitter below uses f"%.3f"-style formatting, which is
+    // LOCALE-SENSITIVE — a comma-decimal default locale would render
+    // "value":12,345 and break every artifact parser. Pin ROOT.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val telemetry = scala.collection.mutable.ListBuffer.empty[String]
@@ -311,10 +324,25 @@ object Bench {
     // every join, so the shuffle-join/agg code the bench SF actually runs
     // would otherwise meet the JIT for the first time inside the timed
     // cold pass (r5: 74s cold vs 17s warm, all of it compilation).
-    for (warmDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // Sibling dirs of the bench SF (never hardcoded /root paths), the
+    // bench SF itself excluded so the cold pass stays cold; a warmup dir
+    // that is missing or fully failing is REPORTED, not swallowed — a
+    // silently-skipped warmup re-absorbs the r5 JIT penalty with nothing
+    // in the artifact explaining it.
+    val sfParent = new java.io.File(sfDir).getAbsoluteFile.getParent
+    val warmDirs = Seq("sf0.001", "sf0.01").map(n => s"$sfParent/$n")
+      .filter(d => new java.io.File(d).isDirectory)
+      .filterNot(d => new java.io.File(d).getCanonicalPath ==
+        new java.io.File(sfDir).getCanonicalPath)
+    if (warmDirs.isEmpty)
+      System.err.println(s"[bench] WARNING: no warmup dirs under $sfParent — cold pass includes JIT")
+    for (warmDir <- warmDirs) {
+      var errs = 0
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => errs += 1 }
       }
+      if (errs == SparkEntry.queries.size)
+        System.err.println(s"[bench] WARNING: every warmup query failed at $warmDir")
     }
     telemetry += snap("b_warmup_done", spark)
     // Standing indexes (write-path cost, reported separately by the
@@ -394,10 +422,7 @@ object Bench {
     // 2000 records over 20 jets through canonicalize → chain sort → order
     // assignment → partition commit. Target: well under the 10s cadence.
     val ingestSec = try {
-      val jets = (0 until 20).map(i => {
-        val b = java.lang.Long.toBinaryString(i)
-        "0" * (5 - b.length) + b
-      })
+      val jets = binJets(0 until 20, bits = 5)
       val wire = graft.gen.Fixtures.multiPulseBatches(spark, 1, 2000, jets)
       val t0 = System.nanoTime()
       val staged = graft.ingest.Spine(wire)
@@ -416,10 +441,7 @@ object Bench {
     // reference's heaviest gate (must stay well under the 10s cadence).
     val ingestGrpcSec = try {
       import graft.ingest.{GrpcTransport, Transport}
-      val jets = (0 until 20).map(i => {
-        val b = java.lang.Long.toBinaryString(i)
-        "0" * (5 - b.length) + b
-      })
+      val jets = binJets(0 until 20, bits = 5)
       val start = graft.gen.Fixtures.GenesisPulse + graft.gen.Fixtures.PulseDelta
       val wire = graft.gen.Fixtures.multiPulseBatches(spark, 1, 2000, jets, startPulse = start)
       val replay = replayStream(wire)
@@ -469,13 +491,7 @@ object Bench {
       val l0 = loadavg1()
       val sec = try {
         import graft.ingest.{GrpcTransport, Transport}
-        val jets = (4 until 16).map(i => {
-          val b = java.lang.Long.toBinaryString(i.toLong)
-          "0" * (4 - b.length) + b
-        }) ++ (0 until 8).map(i => {
-          val b = java.lang.Long.toBinaryString(i.toLong)
-          "0" * (5 - b.length) + b
-        })
+        val jets = binJets(4 until 16, bits = 4) ++ binJets(0 until 8, bits = 5)
         val delta = graft.gen.Fixtures.PulseDelta
         val start = graft.gen.Fixtures.GenesisPulse + delta
         val wire = graft.gen.Fixtures.multiPulseBatches(spark, daemonNPulses,

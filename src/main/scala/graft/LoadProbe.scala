@@ -24,6 +24,9 @@ import org.apache.spark.sql.SparkSession
   */
 object LoadProbe {
   def main(args: Array[String]): Unit = {
+    // JSON emitters use locale-sensitive f-formatting; pin ROOT so a
+    // comma-decimal default locale cannot break the artifact parsers
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val attackers = sys.env.getOrElse("SPARK_GRAFT_ATTACKERS", "8").toInt
@@ -43,12 +46,18 @@ object LoadProbe {
     val shapes = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.fold(n.startsWith("be_"))(_.contains(n)) }
       .sortBy(_._1)
+    // fail BEFORE minutes of index builds + warmup, not on .min at the end
+    require(shapes.nonEmpty,
+      s"no shapes match SPARK_GRAFT_SHAPES=${only.fold("")(_.mkString(","))}")
     // Standing indexes first (write-path cost, excluded from serving q/s).
     graft.vector.AnnIndex.ensureAll(spark, sfDir)
     graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
       graft.vector.AnnIndex.indexRoot(sfDir) + "/lifeline")
-    // Warm pass: codegen + file-index caches out of the measured window.
-    warmToPlateau(spark, sfDir, shapes)
+    // Warm pass: codegen + file-index caches out of the measured window,
+    // at the ATTACK's thread count (the plateau rule requires bursts to
+    // mirror the attack concurrency — AQE plans from concurrent-path
+    // runtime sizes, so a different par can leave plans cold).
+    warmToPlateau(spark, sfDir, shapes, par = attackers)
 
     // SPARK_GRAFT_HTTP=1: attack the endpoints through a live HttpApi
     // server instead of the DataFrame layer (the reference's load suite
@@ -56,7 +65,13 @@ object LoadProbe {
     val httpMode = sys.env.get("SPARK_GRAFT_HTTP").contains("1")
     val httpHandle = if (httpMode) Some(graft.api.HttpApi.start(spark, sfDir, port = 0)) else None
     val httpBase = httpHandle.map(h => s"http://localhost:${h.port}")
-    val urls = httpBase.map(b => httpShapes(spark, sfDir).map { case (n, p) => (n, b + p) })
+    // SPARK_GRAFT_SHAPES filters HTTP mode too — otherwise a one-shape
+    // bisect run would attack all eight endpoints at 8x the runtime
+    val urls = httpBase.map(b => httpShapes(spark, sfDir)
+      .filter { case (n, _) => only.fold(true)(_.contains(n)) }
+      .map { case (n, p) => (n, b + p) })
+    urls.foreach(us => require(us.nonEmpty,
+      s"no HTTP shapes match SPARK_GRAFT_SHAPES=${only.fold("")(_.mkString(","))}"))
     // the DataFrame-layer warmup above does not execute the Endpoints/
     // HttpApi code paths the attack drives — warm the full HTTP stack to
     // its own plateau so the windows measure serving, not first-request
@@ -135,19 +150,9 @@ object LoadProbe {
     */
   final case class AttackStats(qps: Double, n: Long, p50Ms: Double, p95Ms: Double, maxMs: Double)
 
-  /** Hammer one query shape with `attackers` threads for `millis`;
-    * returns completed q/s (failures count into `errors`).
+  /** Hammer one query shape with `attackers` threads for `millis`,
+    * per-query latencies recorded (failures count into `errors`).
     */
-  def attack(
-      spark: SparkSession,
-      sfDir: String,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-      attackers: Int,
-      millis: Long,
-      errors: AtomicLong
-  ): Double = attackStats(spark, sfDir, fn, attackers, millis, errors).qps
-
-  /** [[attack]] with per-query latencies recorded. */
   def attackStats(
       spark: SparkSession,
       sfDir: String,

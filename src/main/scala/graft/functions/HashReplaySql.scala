@@ -75,8 +75,6 @@ private[graft] object HashReplaySql {
     }
     def uaddC(a: String, b: Long): String =
       step(s"CAST((CAST($a AS HUGEINT) + CAST(${u(b)} AS HUGEINT)) % $M64 AS UBIGINT)", "add")
-    def uadd(a: String, b: String): String =
-      step(s"CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % $M64 AS UBIGINT)", "add")
     def uxor(a: String, b: String): String = step(s"xor($a, $b)", "xor")
     def xorshr(a: String, sh: Int): String = step(s"xor($a, ($a >> $sh))", "xs")
     def urotl(a: String, r: Int): String =
@@ -384,7 +382,12 @@ private[graft] object HashReplaySql {
        |    $pctAggs
        |  FROM rq GROUP BY g)
        |SELECT e.g AS event_type, e.kmv_distinct, ${quantiles.map(q => s"p${(q * 100).round}_value").mkString(", ")}
-       |FROM est e JOIN pcts USING (g) ORDER BY e.g""".stripMargin
+       |-- LEFT + null-safe, mirroring the Spark side's <=> join: a group
+       |-- whose sample rows were ALL null has no pcts row here (esrc
+       |-- filters them) but must still be emitted with NULL percentiles
+       |-- (Sketches' m=0 guard), and a NULL group key is a real group
+       |FROM est e LEFT JOIN pcts p ON e.g IS NOT DISTINCT FROM p.g
+       |ORDER BY e.g""".stripMargin
   }
 
   /** Exact replay of [[graft.text.Dedup.minhashPairs]]: tokenized FNV-1a +
