@@ -42,7 +42,7 @@ object Serve {
     // counted like traffic — zero the metrics so the first scrape after
     // startup reflects served requests only (the reference's middleware
     // never sees anything but real clients)
-    graft.api.ApiMetrics.reset()
+    handle.metrics.reset()
     handle
   }
 

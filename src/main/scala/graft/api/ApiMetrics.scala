@@ -13,43 +13,16 @@ import java.util.concurrent.atomic.{AtomicLong, LongAdder}
   * latencies per route for the reference's {0.5, 0.9, 0.99} quantiles.
   * The catalog-side analog is [[graft.QueryMetrics]] (task-level
   * attribution); this is the HTTP boundary's view.
+  *
+  * One INSTANCE per listener ([[HttpApi.start]] creates it, the Handle
+  * exposes it): a process-global registry would mix every server's
+  * traffic in one scrape — two servers on different stores would blur
+  * into one dashboard, and any reset() (the warmup-zeroing in
+  * [[graft.Serve.bootstrap]]) would wipe a concurrently serving
+  * listener's counters.
   */
-object ApiMetrics {
-
-  /** Streaming latency summary: exact count/sum plus quantiles over the
-    * last `capacity` observations (a bounded sliding window — honest
-    * about being recent-window quantiles, which is what a serving
-    * dashboard wants; an unbounded exact summary would grow forever).
-    */
-  final class Summary(capacity: Int = 1024) {
-    // AtomicLongArray: slot writes happen-before the scrape thread's
-    // reads (a plain long[] permits stale reads and 64-bit tearing).
-    // The only remaining race is a writer that claimed a slot but hasn't
-    // stored yet while a LATER writer already published — the scrape then
-    // reads the slot's PRIOR sample (a real observation) or, on the
-    // first unfilled pass, a 0; impossible-0 samples are dropped below,
-    // so a ghost never skews a quantile.
-    private val ring = new java.util.concurrent.atomic.AtomicLongArray(capacity)
-    private val claimed = new AtomicLong() // slots reserved by writers
-    private val visible = new AtomicLong() // high-water of completed stores
-    val count = new LongAdder
-    val sumNanos = new LongAdder
-
-    def record(nanos: Long): Unit = {
-      count.increment()
-      sumNanos.add(nanos)
-      val w = claimed.getAndIncrement()
-      ring.set(((w % capacity) + capacity).toInt % capacity, math.max(1L, nanos))
-      visible.accumulateAndGet(w + 1, math.max)
-    }
-
-    def quantiles(qs: Seq[Double]): Seq[(Double, Double)] = {
-      val n = math.min(visible.get(), capacity.toLong).toInt
-      val snap = Array.tabulate(n)(ring.get).filter(_ > 0L).sorted
-      if (snap.isEmpty) qs.map(_ -> Double.NaN)
-      else qs.map(q => q -> snap(math.min(snap.length - 1, (q * snap.length).toInt)) / 1e9)
-    }
-  }
+final class ApiMetrics {
+  import ApiMetrics.Summary
 
   private val requests = new ConcurrentHashMap[(String, Int), LongAdder]()
   private val latencies = new ConcurrentHashMap[String, Summary]()
@@ -88,6 +61,45 @@ object ApiMetrics {
     sb.toString
   }
 
-  /** Test isolation. */
+  /** Zero the registry (warmup exclusion / test isolation). */
   def reset(): Unit = { requests.clear(); latencies.clear() }
+}
+
+object ApiMetrics {
+
+  /** Streaming latency summary: exact count/sum plus quantiles over the
+    * last `capacity` observations (a bounded sliding window — honest
+    * about being recent-window quantiles, which is what a serving
+    * dashboard wants; an unbounded exact summary would grow forever).
+    */
+  final class Summary(capacity: Int = 1024) {
+    // AtomicLongArray: slot writes happen-before the scrape thread's
+    // reads (a plain long[] permits stale reads and 64-bit tearing).
+    // The only remaining race is a writer that claimed a slot but hasn't
+    // stored yet while a LATER writer already published — the scrape then
+    // reads the slot's PRIOR sample (a real observation) or, on the
+    // first unfilled pass, a 0; impossible-0 samples are dropped below,
+    // so a ghost never skews a quantile.
+    private val ring = new java.util.concurrent.atomic.AtomicLongArray(capacity)
+    private val claimed = new AtomicLong() // slots reserved by writers
+    private val visible = new AtomicLong() // high-water of completed stores
+    val count = new LongAdder
+    val sumNanos = new LongAdder
+
+    def record(nanos: Long): Unit = {
+      count.increment()
+      sumNanos.add(nanos)
+      val w = claimed.getAndIncrement()
+      ring.set(((w % capacity) + capacity).toInt % capacity, math.max(1L, nanos))
+      visible.accumulateAndGet(w + 1, math.max)
+    }
+
+    def quantiles(qs: Seq[Double]): Seq[(Double, Double)] = {
+      val n = math.min(visible.get(), capacity.toLong).toInt
+      val snap = Array.tabulate(n)(ring.get).filter(_ > 0L).sorted
+      if (snap.isEmpty) qs.map(_ -> Double.NaN)
+      else qs.map(q => q -> snap(math.min(snap.length - 1, (q * snap.length).toInt)) / 1e9)
+    }
+  }
+
 }

@@ -47,7 +47,7 @@ object HttpApi {
   private val InvalidParamsMessage = "Invalid query or path parameters"
 
   final class Handle private[HttpApi] (server: HttpServer,
-      pool: java.util.concurrent.ExecutorService) {
+      pool: java.util.concurrent.ExecutorService, val metrics: ApiMetrics) {
     def port: Int = server.getAddress.getPort
     def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
   }
@@ -62,18 +62,20 @@ object HttpApi {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val pool = Executors.newFixedThreadPool(poolSize)
     server.setExecutor(pool)
-    server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, ex))
+    val metrics = new ApiMetrics // per-listener registry (see its doc)
+    server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, metrics, ex))
     // the shared ops mux (liveness + metrics), one implementation with
     // the ingest daemon's listener — see [[OpsRoutes]]
     OpsRoutes.healthcheck(server)
-    OpsRoutes.metrics(server)(() => ApiMetrics.render())
+    OpsRoutes.metrics(server)(() => metrics.render())
     server.start()
-    new Handle(server, pool)
+    new Handle(server, pool, metrics)
   }
 
   // ---- routing ---------------------------------------------------------
 
-  private def handle(spark: SparkSession, dir: String, ex: HttpExchange): Unit = {
+  private def handle(spark: SparkSession, dir: String, metrics: ApiMetrics,
+      ex: HttpExchange): Unit = {
     val t0 = System.nanoTime()
     val (status, body) =
       try route(spark, dir, ex)
@@ -82,7 +84,7 @@ object HttpApi {
           System.err.println(s"[http] ${ex.getRequestURI} failed: ${e.getMessage}")
           (500, "{}")
       }
-    ApiMetrics.record(routeTemplate(ex), status, System.nanoTime() - t0)
+    metrics.record(routeTemplate(ex), status, System.nanoTime() - t0)
     // the shared write path: a client aborting mid-response is routine
     // and must not throw out of the handler into the JDK dispatcher
     OpsRoutes.answer(ex, status, "application/json", body)

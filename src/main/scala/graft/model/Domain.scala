@@ -343,10 +343,15 @@ object Domain {
     * Views are lazy DataFrames: filters still push down to the scan.
     */
   def createViews(spark: SparkSession, dir: String): Unit = {
-    val r = records(spark, dir)
-    r.createOrReplaceTempView("records")
-    jetDrops(r).createOrReplaceTempView("jet_drops")
-    pulses(r).createOrReplaceTempView("pulses")
+    // the SQL surface serves the MATERIALIZED spine, same as the
+    // endpoints: a view over the lazy builders would re-run the W7
+    // window per query AND block predicate pushdown at the window
+    // boundary (a filter cannot cross row_number), so every SQL filter
+    // would rescan the whole fact — the exact per-read recomputation the
+    // spine exists to avoid at 100 TB
+    servedRecords(spark, dir).createOrReplaceTempView("records")
+    servedJetDrops(spark, dir).createOrReplaceTempView("jet_drops")
+    servedPulses(spark, dir).createOrReplaceTempView("pulses")
     graft.GraftExtensions.installInto(spark)
   }
 

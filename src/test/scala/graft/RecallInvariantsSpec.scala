@@ -112,10 +112,28 @@ class RecallInvariantsSpec extends SparkSpec {
     val pairs = graft.text.Dedup.simhashPairs(docs, radius = 3)
     val bad = pairs.filter(col("hamming") > 3).count()
     assert(bad == 0, "simhashPairs must respect the radius")
-    // identical texts have identical fingerprints → every exact-dup pair
-    // (if any) must be present at distance 0; planted near-dups in the
-    // testdata give nonempty output
     assert(pairs.count() > 0)
+    // the coverage HALF of the title, actually computed: identical texts
+    // have identical fingerprints, so every exact-dup pair (same text,
+    // distinct ids) must appear in the output at hamming 0 — a banding
+    // bug that drops distance-0 pairs while keeping some near-dups would
+    // otherwise pass on count()>0 alone
+    // the coverage HALF of the title, made deterministic by PLANTING an
+    // exact duplicate (this sf has near-dups, not byte-identical texts):
+    // an identical text fingerprints identically, so the planted pair
+    // MUST come back at hamming 0 — a banding bug that drops distance-0
+    // pairs while keeping some near-dups would otherwise pass on
+    // count()>0 alone
+    val base = docs.select(col("doc_id"), col("text"))
+    val first = base.orderBy("doc_id").head()
+    val dupId = 999999999L
+    val dup = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(dupId, first.getString(1))), base.schema)
+    val planted = graft.text.Dedup.simhashPairs(base.union(dup), radius = 3)
+      .filter(col("hamming") === 0 &&
+        col("a_id") === first.getLong(0) && col("b_id") === dupId)
+    assert(planted.count() == 1,
+      "a planted exact duplicate must surface as a hamming-0 pair")
   }
 
   test("txt_fingerprint is deterministic and collision-consistent with exact dedup") {

@@ -33,11 +33,10 @@ class ApiMetricsSpec extends AnyFunSuite {
   test("empty Summary renders no quantile rows (NaN guarded)") {
     val s = new ApiMetrics.Summary(capacity = 4)
     assert(s.quantiles(Seq(0.5)).forall(_._2.isNaN))
-    ApiMetrics.reset()
-    ApiMetrics.record("/r", 200, 5000000L)
-    val text = ApiMetrics.render()
+    val metrics = new ApiMetrics
+    metrics.record("/r", 200, 5000000L)
+    val text = metrics.render()
     assert(text.contains("""gbe_api_requests_total{route="/r",status="200"} 1"""))
     assert(!text.contains("NaN"))
-    ApiMetrics.reset()
   }
 }

@@ -2,6 +2,7 @@ package graft.api
 
 import graft.SparkSpec
 import graft.functions.Codecs
+import org.apache.spark.sql.functions.col
 
 /** All eight read endpoints driven against the sf0.001 testdata. */
 class EndpointsSpec extends SparkSpec {
@@ -58,8 +59,12 @@ class EndpointsSpec extends SparkSpec {
       "single-row page: prev must be patched from the full table")
     assert(row.getAs[Long]("next_pulse_number") == p + 1,
       "single-row page: next must be patched from the full table")
-    // and across a true gap the sentinel must SURVIVE the patch
-    present.find(p => present(p) && !present(p + 1)).foreach { g =>
+    // and across a true MID-CHAIN gap the sentinel must SURVIVE the
+    // patch — picked deterministically below the max pulse (Set.find's
+    // hash order could select the chain end, which the next test already
+    // covers, leaving the gap behavior permanently unexercised)
+    val maxPulse = present.max
+    present.filter(p => p < maxPulse && !present(p + 1)).minOption.foreach { g =>
       val r = Endpoints.pulses(spark, dir,
         Endpoints.PageParams(limit = 10), fromPulse = Some(g), toPulse = Some(g))
         .collect().head
@@ -85,19 +90,30 @@ class EndpointsSpec extends SparkSpec {
   }
 
   test("jet drops by pulse with jet cursor") {
-    val anyPulse = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1))
-      .collect()(0).getAs[Long]("pulse_number")
+    // a MULTI-JET pulse (the sparse sf0.001 corpus has single-jet
+    // pulses, where any cursor either keeps everything or nothing)
+    val anyPulse = graft.model.Domain.servedJetDrops(spark, dir)
+      .groupBy("pulse_number").count().filter(col("count") >= 2)
+      .orderBy("pulse_number").head().getLong(0)
     val all = Endpoints.jetDropsByPulse(spark, dir, anyPulse).collect()
     assert(all.nonEmpty)
     val jets = all.map(_.getAs[String]("jet_id"))
     assert(jets.sameElements(jets.sorted))
-    // page rows are marker-true; a cursor past every jet yields only the
-    // total-carrying sentinel (the one-mechanism empty-page contract)
-    val cursored = Endpoints.jetDropsByPulse(spark, dir, anyPulse, fromJetId = Some("1"))
+    // cursor FROM THE DATA (the pulse's own second jet), so the expected
+    // remainder is nonempty by construction — a fixed "1" cursor on a
+    // sparse pulse can legitimately filter everything, making the forall
+    // vacuous and an over-filtering regression invisible
+    assert(jets.length >= 2, s"fixture pulse $anyPulse needs 2+ jets")
+    val cursor = jets(1)
+    val cursored = Endpoints.jetDropsByPulse(spark, dir, anyPulse,
+        fromJetId = Some(cursor))
       .collect()
       .filter(_.getAs[Boolean](graft.operators.Pagination.PageRowMarker))
       .map(_.getAs[String]("jet_id"))
-    assert(cursored.forall(_ >= "1"))
+    assert(cursored.nonEmpty, s"cursor at the pulse's own jet $cursor kept nothing")
+    assert(cursored.forall(_ >= cursor))
+    assert(cursored.sameElements(jets.filter(_ >= cursor)),
+      "the cursored page is exactly the tail of the pulse's sorted jets")
   }
 
   test("jet drop by id: valid, root-star, and malformed ids") {
@@ -111,14 +127,24 @@ class EndpointsSpec extends SparkSpec {
   }
 
   test("jet drop records with keyset resume") {
-    val dropId = Endpoints.jetDropsByPulse(spark, dir, 473353L)
-      .collect().head.getAs[String]("jet_drop_id")
+    // a 2+ record drop ANYWHERE in the corpus, so a resume cursor
+    // strictly inside its order range exists — a fixed drop on the
+    // sparse sf0.001 corpus can have a single record, leaving the
+    // resumed page empty and the forall vacuous
+    // unmerged pulses only: a merged (every-4th) pulse's drop carries the
+    // COARSENED depth-2 jet id, which never equals a record's leaf jet
+    val fat = graft.model.Domain.servedJetDrops(spark, dir)
+      .filter(col("record_amount") >= 2 && col("pulse_number") % 4 =!= 0)
+      .orderBy("pulse_number", "jet_id").head()
+    val fatPulse = fat.getAs[Long]("pulse_number")
+    val dropId = s"${fat.getAs[String]("jet_id")}:$fatPulse"
     val recs = Endpoints.jetDropRecords(spark, dir, dropId).get.collect()
     assert(recs.nonEmpty)
     val resumed = Endpoints.jetDropRecords(spark, dir, dropId,
-      fromIndex = Some(s"473353:2")).get.collect()
+      fromIndex = Some(s"$fatPulse:2")).get.collect()
       .filter(_.getAs[Boolean](graft.operators.Pagination.PageRowMarker))
-    assert(resumed.forall(_.getAs[Long]("order") >= 2))
+    assert(resumed.nonEmpty, "resume inside the drop must keep rows")
+    assert(resumed.forall(_.getAs[Int]("order") >= 2))
   }
 
   test("jet drops by jet prefix: subtree only, mixed sorts") {

@@ -130,11 +130,13 @@ class HttpApiSpec extends SparkSpec {
     val (status, body) = get(s"/pulses?from_pulse_number=$somePulse" +
       s"&pulse_number_lte=${somePulse + 5}&sort_by=pulse_number_asc&limit=100")
     assert(status == 200)
+    // the regex cannot match prev_/next_pulse_number (those are preceded
+    // by "prev_"/"next_", not a quote), so every match is a row's OWN
+    // pulse — the bound is EXACT, no link slack
     val pns = """"pulse_number":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
-    // first pulse_number per row is the row's own (prev/next follow it)
     assert(pns.nonEmpty)
-    assert(pns.min >= somePulse - 1 && pns.max <= somePulse + 6,
-      "page must stay inside the requested range (±1 for prev/next links)")
+    assert(pns.min >= somePulse && pns.max <= somePulse + 5,
+      "page must stay inside the requested range exactly")
   }
 
   test("GET /pulses: offset past the end returns the TRUE total, empty result") {
@@ -557,8 +559,13 @@ class HttpApiSpec extends SparkSpec {
     // every link element carries the NextPrevJetDrop shape
     val linkObjs = """\{"jet_drop_id":"[^"]+","jet_id":"[^"]+","pulse_number":\d+\}""".r
       .findAllIn(body).toSeq
+    // a MIDDLE pulse with sibling jets in its chain neighbors must link:
+    // requiring nonEmpty (not an equivalence that an all-empty regression
+    // would satisfy vacuously) is the point of picking mid(1)
+    assert(linkObjs.nonEmpty,
+      s"a middle-pulse drop must populate at least one link side: ${body.take(400)}")
     val arrays = body.substring(body.indexOf("prev_jet_drop_id"))
-    assert(linkObjs.nonEmpty == (arrays.contains("""[{""")),
+    assert(arrays.contains("""[{"""),
       s"link arrays must hold NextPrevJetDrop objects: ${body.take(400)}")
   }
 
@@ -690,7 +697,10 @@ class HttpApiSpec extends SparkSpec {
     // the echo-prometheus + metrics-listener analog (cmd/api/main.go:
     // 62-76): counts per (route template, status), recent-window
     // quantiles per route, bounded label cardinality
-    ApiMetrics.reset()
+    // the registry is PER LISTENER (ApiMetrics doc): resetting and
+    // exact-count pinning here touches only this suite's server, however
+    // many other suites are serving concurrently in this JVM
+    handle.metrics.reset()
     get(s"/pulses/$somePulse"); get(s"/pulses/$somePulse"); get("/pulses/999999999")
     get("/pulses?limit=0") // 400
     get("/search?value=70000")

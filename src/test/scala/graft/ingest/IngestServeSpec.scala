@@ -461,23 +461,28 @@ class IngestServeSpec extends SparkSpec {
     }
 
     val server = bindOn(0, flaky)
+    // life 1 INSIDE try/finally: a failed assertion must not leak a live
+    // 3-thread daemon that keeps submitting Spark jobs into the shared
+    // test JVM for the rest of the run
     val h1 = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
-    // life 1 up to roughly the middle of the feed, then a hard restart
-    assert(awaitSampling(h1.daemon, 60000L)(h1.daemon.ingestedCount >= 10),
-      s"soak life 1 stalled: ${h1.daemon.snapshot.keySet}")
-    h1.stop()
-    val h2 = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
     try {
-      assert(awaitSampling(h2.daemon, 120000L)(h2.daemon.sequentialPulse == lastPulse),
-        s"soak never converged: seq=${h2.daemon.sequentialPulse}, " +
-          s"known=${h2.daemon.snapshot.keySet.toVector.sorted}")
-      // after convergence the maintainer closes everything out: the open
-      // register drains to EMPTY (the reference deletes completed pulses
-      // from its jetDropRegister the same way)
-      assert(awaitSampling(h2.daemon, 30000L)(h2.daemon.frontierStats == ((0, 0, 0))),
-        s"frontier never drained: ${h2.daemon.frontierStats}")
+      // life 1 up to roughly the middle of the feed, then a hard restart
+      assert(awaitSampling(h1.daemon, 60000L)(h1.daemon.ingestedCount >= 10),
+        s"soak life 1 stalled: ${h1.daemon.snapshot.keySet}")
+    } finally h1.stop()
+    try {
+      val h2 = Ingest.bootstrap(spark, base, "localhost", server.getPort, start, fastCfg)
+      try {
+        assert(awaitSampling(h2.daemon, 120000L)(h2.daemon.sequentialPulse == lastPulse),
+          s"soak never converged: seq=${h2.daemon.sequentialPulse}, " +
+            s"known=${h2.daemon.snapshot.keySet.toVector.sorted}")
+        // after convergence the maintainer closes everything out: the open
+        // register drains to EMPTY (the reference deletes completed pulses
+        // from its jetDropRegister the same way)
+        assert(awaitSampling(h2.daemon, 30000L)(h2.daemon.frontierStats == ((0, 0, 0))),
+          s"frontier never drained: ${h2.daemon.frontierStats}")
+      } finally h2.stop()
     } finally {
-      h2.stop()
       server.shutdownNow(); server.awaitTermination(5, TimeUnit.SECONDS)
     }
     assert(maxViolationStreakMs < 5000L,

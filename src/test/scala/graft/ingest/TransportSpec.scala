@@ -26,8 +26,10 @@ final class ReplayExporter(
   @volatile var probedPulses = Vector.empty[Long]
 
   override def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] = {
-    exportCalls += 1
-    probedPulses :+= pulse
+    // the daemon's follower/maintainer threads call concurrently: the
+    // probe instrumentation must not lose appends (a lost entry could be
+    // exactly the forbidden re-fetch a spec pins on probedPulses)
+    synchronized { exportCalls += 1; probedPulses :+= pulse }
     val rows = byPulse.getOrElse(pulse, throw new Transport.PulseNotFound(pulse))
     val slice = rows.slice(recordNumber, recordNumber + count)
     val recs = slice.zipWithIndex.iterator

@@ -26,10 +26,15 @@ class DomainViewsSpec extends SparkSpec {
     val fp = spark.sql(
       "SELECT fnv_fingerprint(jet_id) FROM jet_drops LIMIT 1").collect().head.getLong(0)
     assert(fp != 0L)
-    // pushdown property survives the view: the object filter reaches the scan
+    // pushdown property: the views serve the materialized spine, so the
+    // object filter reaches the spine scan's PushedFilters LIST (a view
+    // over the lazy builder could never push past its window). "plan
+    // contains 'PushedFilters'" alone would be vacuous — every parquet
+    // scan prints the header even when the list is empty.
     val plan = page.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
-      s"object filter must push to the events scan through the view:\n$plan")
+    assert("""PushedFilters: \[[^\]]*EqualTo\(object_reference,7\)""".r
+      .findFirstIn(plan).isDefined,
+      s"object filter must push to the spine scan through the view:\n$plan")
   }
 
   test("the materialized spine serves exactly the lazy views' rows (parquet round-trip)") {

@@ -37,6 +37,11 @@ class SkewSpec extends SparkSpec {
     // covered by AQE's skew rewrite, verified here at runtime with
     // test-sized thresholds; (4) the salted utilities above remain for
     // the pathological remainder.
+    // an ISOLATED session (own SessionState/SQLConf on the shared
+    // context): suites run concurrently in this JVM, and flipping
+    // autoBroadcastJoinThreshold/advisory sizes on the shared session
+    // would warp every plan a concurrently running plan-pin suite builds
+    val spark = SkewSpec.this.spark.newSession()
     val conf = spark.conf
     val saved = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
