@@ -332,8 +332,18 @@ object Ingest {
           // ran to its end-of-pulse marker, so the (empty) drop set IS
           // the whole pulse; routing it through the cover check would
           // leave it open forever with a pointless TTL re-request per
-          // maintainer cycle
-          complete = jets.isEmpty ||
+          // maintainer cycle. Empty-completeness is granted only when the
+          // pulse was NEVER seen populated (prior absent, or itself empty
+          // by both cover and persisted counter): a transient zero-row
+          // reload of a populated pulse (flaky node reaching its
+          // end-of-pulse marker with no records) must REVERT to
+          // incomplete and stay re-requestable — sealing it would advance
+          // the sequencer past a register that now disagrees with the
+          // drop/record partitions the zero-row overwrite left on disk.
+          // The jetDropAmount check covers a restarted daemon's seeded
+          // entries, whose cover set is empty even for populated pulses.
+          complete = (jets.isEmpty &&
+              prior.forall(p => p.jets.isEmpty && p.jetDropAmount == 0)) ||
             (prior.exists(_.complete) && JetFunctions.jetTreeCover(jets)),
           sequential = prior.exists(_.sequential)))
         open += pulse
@@ -642,9 +652,10 @@ object Ingest {
             .coalesce(1)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           // the static branch PINS the mode rather than omitting the
-          // option: PulseWriter/Compaction set the session-global conf
-          // to dynamic (never restored), so "no option" would silently
-          // inherit dynamic and reopen the _SUCCESS-before-move window
+          // option, as defense against ANY session-global
+          // partitionOverwriteMode=dynamic (set by a host application or
+          // a future writer): "no option" would silently inherit it and
+          // reopen the _SUCCESS-before-move window
           (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic")
            else w.option("partitionOverwriteMode", "static"))
             .partitionBy("pulse_bucket")

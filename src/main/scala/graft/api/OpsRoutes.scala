@@ -16,7 +16,11 @@ object OpsRoutes {
   /** Write a full response and close the exchange, swallowing I/O errors
     * (a probe or scraper disconnecting mid-body is routine and must not
     * surface; the exchange must close either way or aborted requests
-    * accumulate leaked connections).
+    * accumulate leaked connections). Only I/O failures are SILENT:
+    * anything else on this path (a bug in response assembly) would
+    * otherwise be invisible forever, so it leaves one stderr line —
+    * same style as the ingest daemon's shutdown-flush trace — before
+    * being contained.
     */
   def answer(ex: HttpExchange, status: Int, contentType: String, body: String): Unit = {
     try {
@@ -24,7 +28,11 @@ object OpsRoutes {
       ex.getResponseHeaders.set("Content-Type", contentType)
       ex.sendResponseHeaders(status, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
-    } catch { case _: Throwable => () }
+    } catch {
+      case _: java.io.IOException => () // routine client disconnect
+      case e: Throwable =>
+        System.err.println(s"[ops] response write for ${ex.getRequestURI} failed: $e")
+    }
     finally ex.close()
   }
 
@@ -44,11 +52,19 @@ object OpsRoutes {
   }
 
   /** Prometheus text exposition of whatever gauge/counter text `render`
-    * produces at scrape time.
+    * produces at scrape time. A throwing `render` (a serialization bug
+    * in a gauge collector) answers 500 with a stderr trace instead of
+    * escaping into the JDK dispatcher, which would drop the connection
+    * with no response and no log.
     */
   def metrics(server: HttpServer)(render: () => String): Unit = {
     server.createContext("/metrics", (ex: HttpExchange) =>
-      answer(ex, 200, "text/plain; version=0.0.4", render()))
+      (try Right(render()) catch { case e: Throwable => Left(e) }) match {
+        case Right(body) => answer(ex, 200, "text/plain; version=0.0.4", body)
+        case Left(e) =>
+          System.err.println(s"[ops] metrics render failed: $e")
+          answer(ex, 500, "text/plain", "metrics render failed\n")
+      })
     ()
   }
 }

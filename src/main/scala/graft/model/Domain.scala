@@ -312,17 +312,28 @@ object Domain {
     else {
       var h = 0xcbf29ce484222325L
       def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val n = st.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) {
-          mix(st.getPath.toString.hashCode.toLong)
-          mix(st.getModificationTime)
-          mix(st.getLen)
+      try {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            mix(st.getPath.toString.hashCode.toLong)
+            mix(st.getModificationTime)
+            mix(st.getLen)
+          }
         }
+        java.lang.Long.toHexString(h)
+      } catch {
+        // the recursive listing races concurrent flush/migration churn: a
+        // part- file deleted between listing and stat throws out of the
+        // RemoteIterator, and propagating would turn the HTTP request
+        // into a 500. The directory is by definition mid-change — answer
+        // a version that matches nothing so the caller falls through to
+        // a rebuild against whatever the dimension reads as right now.
+        case _: java.io.FileNotFoundException =>
+          s"changed-${System.nanoTime()}"
       }
-      java.lang.Long.toHexString(h)
     }
   }
 

@@ -57,6 +57,8 @@ object StoreViews {
 
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val warnedAbsent =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** True when `dir` holds an ingest store (a `records/` table directory
     * and no testdata `events.parquet`). An EMPTY/ambiguous dir — a store
@@ -80,6 +82,17 @@ object StoreViews {
       val fs = records.getFileSystem(conf)
       val hasRecords = fs.exists(records) && fs.getFileStatus(records).isDirectory
       val isCorpus = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      // a base dir that does not EXIST at all is a different animal from
+      // the genuine startup window (exists, not yet committed): a typo'd
+      // serving dir would otherwise serve healthy-looking `{total:0}`
+      // 200s forever, and since the ambiguous verdict is never cached the
+      // misconfiguration never fails loud anywhere. Still answer store
+      // (the daemon may create the dir moments later), but leave one
+      // trace per dir for the operator.
+      if (!hasRecords && !isCorpus &&
+          !fs.exists(new org.apache.hadoop.fs.Path(dir)) && warnedAbsent.add(dir))
+        System.err.println(s"[serve] base dir does not exist (typo'd " +
+          s"SPARK_GRAFT_SF_DIR? serving empty store pages until it appears): $dir")
       // corpus wins when both markers exist (unchanged precedence); an
       // ambiguous dir (neither) answers store, uncached
       val is = !isCorpus

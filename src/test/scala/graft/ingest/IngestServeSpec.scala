@@ -651,6 +651,57 @@ class IngestServeSpec extends SparkSpec {
     assert(row.getAs[Boolean]("is_sequential"))
   }
 
+  test("a zero-row reload of a previously POPULATED pulse reverts to incomplete " +
+      "and stays re-requestable — never sealed complete over a wiped register") {
+    // the empty-completeness rule must only fire for pulses never seen
+    // populated: a transient upstream fetch that reaches its end-of-pulse
+    // marker with no records (flaky node, restarted exporter) would
+    // otherwise seal the pulse complete with jets=∅ while the zero-row
+    // partition overwrite left the old drop partitions on disk — the
+    // sequencer advances past it and the re-request loop that would have
+    // self-healed it is gone for good
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-zeroreload").toString
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
+      startPulse = start)
+    val full = new ReplayExporter(wire)
+    val half = new ReplayExporter(wire.filter(
+      col("pulse_number") =!= start || col("jet_id") === "0"))
+    // pulse 0 fetch phases (advanced per fetch START, i.e. recordNumber=0,
+    // so a portioned continuation stays within its phase): 1 = half cover
+    // (populated, incomplete), 2 = the transient ZERO-ROW reload (marker
+    // only), 3+ = full
+    @volatile var phase = 0
+    val flaky = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        if (pulse != start) full.export(pulse, recordNumber, count)
+        else {
+          if (recordNumber == 0) phase += 1
+          phase match {
+            case 1 => half.export(pulse, recordNumber, count)
+            case 2 => Iterator(Transport.Frame(pulse + delta, null))
+            case _ => full.export(pulse, recordNumber, count)
+          }
+        }
+    }
+    // short reload TTL so the post-zero-row re-request happens test-fast
+    val daemon = new Ingest.Daemon(spark, base, flaky, start,
+      fastCfg.copy(reloadTtlMs = 300L)).start()
+    try {
+      assert(await()(daemon.snapshot.get(start)
+        .exists(e => e.complete && e.recordAmount == 8L)),
+        s"pulse never healed past the zero-row reload (sealed-empty bug?): " +
+          s"${daemon.snapshot.get(start)}, phases seen: $phase")
+      assert(await()(daemon.sequentialPulse == start + delta))
+    } finally daemon.stop()
+    assert(phase >= 3, s"the zero-row reload phase was never exercised: $phase")
+    assert(spark.read.parquet(s"$base/records")
+      .filter(col("pulse_number") === start).count() == 8L,
+      "the healed pulse must hold the full record set, not the half store")
+    val row = spark.read.parquet(s"$base/pulses")
+      .filter(col("pulse_number") === start).collect().head
+    assert(row.getAs[Boolean]("is_complete") && row.getAs[Long]("record_amount") == 8L)
+  }
+
   test("zero-record pulses complete by construction, and a restart over a " +
       "store with a fileless jet_drops dir seeds instead of crash-looping") {
     // marker-only exporter: both pulses exist but carry no records —
