@@ -60,20 +60,25 @@ import graft.ingest.{Canonicalize, GrpcTransport, PulseWriter, Resilience, Trans
   * the register SEEDS from the existing `pulses`/`jet_drops` artifacts
   * (the reference reads the same state back from Postgres), so a
   * restart resumes the cursor, the sequential mark, and every open
-  * pulse's jet cover instead of truncating history. Writes go through
-  * bucket-partitioned dynamic overwrite (`pulse_bucket` spans
-  * [[Config.flushBucketSpan]] pulse numbers): a flush rewrites only the
-  * buckets containing changed pulses — bounded forever, however long
-  * the daemon runs.
+  * pulse's jet cover instead of truncating history — and the seed is
+  * BOUNDED by the open frontier, not the store's history: each flush
+  * summarizes the complete∧sequential prefix to a `_frontier.json`
+  * cursor, and seeding collects only the frontier buckets (see
+  * [[Daemon.seed]]; the reference's controller likewise registers only
+  * incomplete pulses, `etl/controller/controller.go:124-132`). Writes
+  * go through bucket-partitioned dynamic overwrite (`pulse_bucket`
+  * spans [[Config.flushBucketSpan]] pulse numbers): a flush rewrites
+  * only the buckets containing changed pulses — bounded forever,
+  * however long the daemon runs.
   *
   * 100 TB shape: the per-pulse record set is bounded by the pulse
   * cadence (the reference holds it in one goroutine's memory the same
   * way), the spine is the only distributed stage, the commit is a
   * pruned single-partition overwrite. Driver memory holds one
-  * [[PulseEntry]] per known pulse (~tens of bytes; a decade of 10 s
-  * pulses ≈ 100 MB — the dimension the reference keeps in Postgres),
-  * while per-tick scanning and flushing touch only the open frontier
-  * and dirty buckets.
+  * [[PulseEntry]] per pulse seeded or ingested THIS run (~tens of
+  * bytes each — bounded by the open frontier plus the run's own feed,
+  * never by a decade of persisted history), and per-tick scanning and
+  * flushing touch only the open frontier and dirty buckets.
   */
 object Ingest {
 
@@ -168,6 +173,25 @@ object Ingest {
       * drops table (partition-pruned to exactly those pulses), the
       * sequential mark is the max persisted sequential pulse, and the
       * cursor starts past the newest known pulse.
+      *
+      * Bounded, not O(history): each flush leaves a `_frontier.json`
+      * summary beside the data (the complete∧sequential PREFIX collapsed
+      * to its high-water cursor plus the first bucket holding an open
+      * pulse), so seeding collects only the frontier buckets — open
+      * pulses plus the handful of closed rows sharing their buckets —
+      * never the closed history (the reference's controller likewise
+      * holds only the incomplete set in its register,
+      * `etl/controller/controller.go:124-132`). The closed prefix is
+      * never needed in memory: completeness/sequence are prefix
+      * properties, so every not-closed pulse on disk sits at or above
+      * the summarized frontier bucket, and the flush path only ever
+      * rewrites buckets whose pulses are in the register (dirty ⊆
+      * entries, and the seed collects frontier buckets WHOLE, so a
+      * bucket rewrite can never drop closed siblings). A STALE summary
+      * (crash between the parquet commit and the summary write) only
+      * points LOWER — the seed then reads a superset and re-derives the
+      * true marks from the rows. No summary (legacy store, hand-built
+      * fixture, flat layout) falls back to the full read.
       */
     private def seed(): Unit = {
       // existence through the same Hadoop filesystem the reads/writes
@@ -203,7 +227,23 @@ object Ingest {
         } else fs.delete(migrating, true)
       }
       if (!fs.exists(pulsesPath)) return
-      val rows = spark.read.parquet(s"$basePath/pulses").collect()
+      val summary = readFrontier(fs, pulsesPath)
+      val pulsesDf = spark.read.parquet(s"$basePath/pulses")
+      val bounded = summary match {
+        case Some((_, frontierBucket))
+            if pulsesDf.schema.fieldNames.contains("pulse_bucket") =>
+          // frontier buckets only, partition-pruned; the bucket partition
+          // column reads back as its directory-inferred type (IntegerType
+          // when the values fit), so the probe literal must match it for
+          // pruning to stay eligible
+          val lit0: Any =
+            if (pulsesDf.schema("pulse_bucket").dataType ==
+                org.apache.spark.sql.types.IntegerType) frontierBucket.toInt
+            else frontierBucket
+          pulsesDf.filter(col("pulse_bucket") >= lit(lit0))
+        case _ => pulsesDf // legacy/flat/hand-built store: full read
+      }
+      val rows = bounded.collect()
       lock.synchronized {
         rows.foreach { r =>
           val p = r.getAs[Long]("pulse_number")
@@ -260,8 +300,12 @@ object Ingest {
         }
       }
       lock.synchronized {
-        seqPulse = entries.collect { case (p, e) if e.sequential => p }
-          .maxOption.getOrElse(fromPulse - cfg.pulseDelta)
+        // the summary's marks are lower bounds (stale-safe: written after
+        // the flush they describe); anything that moved since is in the
+        // collected frontier rows, so the max over both is exact
+        val summarySeq = summary.map(_._1)
+        seqPulse = (entries.collect { case (p, e) if e.sequential => p } ++
+          summarySeq).maxOption.getOrElse(fromPulse - cfg.pulseDelta)
         cursorNow = entries.keysIterator.maxOption
           .map(m => math.max(m + cfg.pulseDelta, fromPulse)).getOrElse(fromPulse)
       }
@@ -622,9 +666,19 @@ object Ingest {
       // entry that changes mid-write re-enters the (now empty) dirty set
       // and survives for the next flush instead of being lost to a
       // staged-then-cleared race
-      val staged: Option[(Seq[Row], Set[Long])] = lock.synchronized {
+      val staged: Option[(Seq[Row], Set[Long], (Long, Long))] = lock.synchronized {
         if (dirty.isEmpty) None
         else {
+          // frontier summary for the bounded restart seed: the sequential
+          // high-water mark plus the first bucket holding an open pulse
+          // (no open pulse → the tail bucket, so a fully-closed store
+          // still seeds its chain tail). Computed BEFORE the close-out
+          // that follows this flush, so the recorded bucket only ever
+          // points at or below the true frontier — stale-low is safe,
+          // the seed just reads a superset.
+          val frontierBucket = open.headOption.getOrElse(entries.lastKey) /
+            cfg.flushBucketSpan
+          val frontier = (seqPulse, frontierBucket)
           val dirtyBuckets = dirty.map(_ / cfg.flushBucketSpan).toSet
           // next link: the key successor, when it points back at us — an
           // O(log n) probe per staged row instead of an O(history) index
@@ -643,10 +697,10 @@ object Ingest {
           }
           val flushed = dirty.toSet
           dirty.clear()
-          Some((rows, flushed))
+          Some((rows, flushed, frontier))
         }
       }
-      staged.foreach { case (rows, flushed) =>
+      staged.foreach { case (rows, flushed, frontier) =>
         try writeLock.synchronized {
           val w = spark.createDataFrame(rows.asJava, PulsesSchema)
             .coalesce(1)
@@ -660,6 +714,16 @@ object Ingest {
            else w.option("partitionOverwriteMode", "static"))
             .partitionBy("pulse_bucket")
             .parquet(target)
+          // summary AFTER the data commit: a crash in between leaves the
+          // previous (stale-low) summary, never one ahead of the data. A
+          // summary write failure is non-fatal — the next flush retries,
+          // and a missing/old summary only costs seed read amplification.
+          try writeFrontier(spark, target, frontier._1, frontier._2)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[ingest] frontier summary write failed " +
+                s"(seed falls back to a wider read): $e")
+          }
         } catch {
           case e: Throwable =>
             // failed write: nothing persisted — re-mark for the next tick
@@ -667,6 +731,53 @@ object Ingest {
             throw e
         }
       }
+    }
+
+    /** Atomic-enough summary write (`_frontier.json`, ignored by parquet
+      * readers and by [[graft.model.Domain.storePulsesVersion]]'s change
+      * probe): stage to a dot-tmp sibling, then rename over. A crash in
+      * the tiny delete+rename window leaves no summary at all — the seed
+      * falls back to the full read, never to a torn summary (the JSON is
+      * also length-checked by the shape of [[readFrontier]]'s regex).
+      */
+    private def writeFrontier(spark: SparkSession, target: String,
+        seq: Long, frontierBucket: Long): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(target)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "._frontier.json.tmp")
+      val dst = new org.apache.hadoop.fs.Path(dir, "_frontier.json")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"""{"seq_pulse":$seq,"frontier_bucket":$frontierBucket}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"frontier summary rename failed: $dst")
+    }
+
+    /** Parse the flush-time frontier summary; any absence or damage reads
+      * as None (→ full-seed fallback).
+      */
+    private def readFrontier(fs: org.apache.hadoop.fs.FileSystem,
+        pulsesPath: org.apache.hadoop.fs.Path): Option[(Long, Long)] = {
+      val f = new org.apache.hadoop.fs.Path(pulsesPath, "_frontier.json")
+      if (!fs.exists(f)) None
+      else try {
+        val in = fs.open(f)
+        val text = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8")
+        } finally in.close()
+        val re = """\{"seq_pulse":(-?\d+),"frontier_bucket":(-?\d+)\}""".r
+        text.trim match {
+          case re(seq, bucket) => Some((seq.toLong, bucket.toLong))
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
     }
 
     // ---- lifecycle ------------------------------------------------------

@@ -493,8 +493,16 @@ object Queries {
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     capped.as("a").join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // the pair key is PACKED to one long before the count aggregate —
+      // this groupBy's input is the fattest stream of the query (one row
+      // per co-occurring pair per shared shingle), so key bytes dominate
+      // its shuffle; see [[graft.text.Dedup.packPair]] for the domain
+      // guard and the 100 TB note
+      .groupBy(graft.text.Dedup.packPair(
+        col("a.doc_id"), col("b.doc_id")).as("pk"))
       .agg(count(lit(1)).as("i"))
+      .select(graft.text.Dedup.unpackPairA(col("pk")).as("a_id"),
+        graft.text.Dedup.unpackPairB(col("pk")).as("b_id"), col("i"))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))

@@ -206,6 +206,26 @@ object Dedup {
     rows.join(broadcast(hot.select(col(keyCol))), Seq(keyCol), "left_anti")
   }
 
+  /** Pack an ordered candidate pair (a < b) into ONE long grouping key —
+    * the candidate-count aggregate is the widest shuffle of the near-dup
+    * pipelines (one row per co-occurring pair per shingle before the
+    * map-side combine), and a single 8-byte key both halves the key bytes
+    * on the wire and replaces a two-column hash/compare with a single
+    * long op in the aggregate's codegen. The id domain must fit 32 bits
+    * (4.29 B documents per corpus — beyond that, widen back to the
+    * two-column groupBy); the guard makes an overflow LOUD instead of
+    * silently merging unrelated pairs.
+    */
+  def packPair(a: Column, b: Column): Column =
+    when(a >= 0 && b >= 0 && b < (1L << 32),
+      shiftleft(a, 32).bitwiseOR(b))
+      .otherwise(raise_error(concat(
+        lit("packPair: doc id out of the packed 32-bit domain: "), a, lit(","), b)))
+
+  /** The two halves of a [[packPair]] key. */
+  def unpackPairA(pk: Column): Column = shiftrightunsigned(pk, 32)
+  def unpackPairB(pk: Column): Column = pk.bitwiseAND(lit(0xffffffffL))
+
   /** Exact Jaccard similarity of two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -277,8 +297,11 @@ object Dedup {
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id")).agg(count(lit(1)).as("_nb"))
-      .select(col("a_id"), col("b_id"))
+      // packed pair key (see [[packPair]]): the per-band co-occurrence
+      // stream is the fattest shuffle here, and one long key halves it
+      .groupBy(packPair(col("a.id"), col("b.id")).as("pk"))
+      .agg(count(lit(1)).as("_nb"))
+      .select(unpackPairA(col("pk")).as("a_id"), unpackPairB(col("pk")).as("b_id"))
     // exact Jaccard on the surviving candidates ONLY: the verification
     // side semi-joins the shingle stream down to candidate documents
     // before the distinct/size pass, so its cost scales with the

@@ -234,6 +234,86 @@ class StoreServeSpec extends SparkSpec {
       pulses, records, start, Seq(Array[Byte](1, 2, 3))).collect().isEmpty)
   }
 
+  test("reads racing a reload's partition overwrite of the SAME pulse serve " +
+      "{a committed page | retryable 500} — never a torn or empty page") {
+    // the documented isolation contract (StoreViews.scala): parquet gives
+    // per-partition-commit atomicity, not reader snapshots — a read
+    // overlapping the maintainer's rewrite of the hot pulse may fail
+    // retryably, but must never serve a page MIXING the two versions or
+    // a silently-empty page for a pulse the dimension says is populated
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-race").toString
+    val wireA = Fixtures.multiPulseBatches(spark, 2, perPulse, startPulse = start)
+    // version B: same rows, different payload bytes — so a page mixing
+    // file versions is DETECTABLE, not coincidentally byte-identical
+    val wireB = wireA.withColumn("memory",
+      concat(col("memory"), lit(Array[Byte](0x42))))
+    (0 until 2).foreach { i =>
+      PulseWriter.commitPulse(
+        wireA.filter(col("pulse_number") === start + i * delta), base)
+    }
+    import spark.implicits._
+    (0 until 2).map { i =>
+      val p = start + i * delta
+      (p, p - delta, p + delta, true, true, 2, perPulse.toLong,
+        p - graft.ingest.Canonicalize.MinTimePulse)
+    }.toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+      "is_complete", "is_sequential", "jet_drop_amount", "record_amount", "timestamp")
+      .coalesce(1).write.parquet(s"$base/pulses")
+
+    val hot = start + delta
+    val path = s"/jet-drops/0:$hot/records"
+    val h = HttpApi.start(spark, base, port = 0, poolSize = 4)
+    try {
+      // the two committed page versions, captured at rest
+      val bodyA = { val (s0, b0) = get(h.port, path); assert(s0 == 200, b0.take(200)); b0 }
+      PulseWriter.commitPulse(wireB.filter(col("pulse_number") === hot), base)
+      val bodyB = { val (s1, b1) = get(h.port, path); assert(s1 == 200, b1.take(200)); b1 }
+      assert(bodyA != bodyB, "versions must be distinguishable for the race to be observable")
+
+      @volatile var writing = true
+      val writerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() => {
+        try {
+          var i = 0
+          while (i < 14) { // ~alternating reloads of the hot pulse
+            val w = if (i % 2 == 0) wireA else wireB
+            PulseWriter.commitPulse(w.filter(col("pulse_number") === hot), base)
+            i += 1
+          }
+        } catch { case t: Throwable => writerFailure.set(t) }
+        finally writing = false
+      }, "race-writer")
+
+      val outcomes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+      def bump(k: String): Unit = outcomes.merge(k, 1, (a, b) => a + b)
+      val torn = new java.util.concurrent.atomic.AtomicReference[String]()
+      val readers = (0 until 3).map(r => new Thread(() => {
+        val cl = HttpClient.newHttpClient()
+        var go = true
+        while (go && writing && torn.get == null) {
+          val resp = cl.send(HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${h.port}/api/v1$path")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          (resp.statusCode(), resp.body()) match {
+            case (200, b) if b == bodyA => bump("200-A")
+            case (200, b) if b == bodyB => bump("200-B")
+            case (500, _) => bump("500")
+            case (s, b) =>
+              torn.compareAndSet(null, s"status=$s body=${b.take(400)}")
+              go = false
+          }
+        }
+      }, s"race-reader-$r"))
+      writer.start(); readers.foreach(_.start())
+      writer.join(120000); readers.foreach(_.join(10000))
+      assert(writerFailure.get == null, s"writer died: ${writerFailure.get}")
+      assert(torn.get == null,
+        s"torn/empty page under a racing reload: ${torn.get}\noutcomes=$outcomes")
+      val served = outcomes.getOrDefault("200-A", 0) + outcomes.getOrDefault("200-B", 0)
+      assert(served > 0, s"the endpoint never served during the race: $outcomes")
+    } finally h.stop()
+  }
+
   test("the live chain index follows a pulses append: version-keyed cache " +
       "rebuilds on change and reuses the instance when nothing moved") {
     val base = java.nio.file.Files.createTempDirectory("graft-serve-chain").toString

@@ -651,6 +651,93 @@ class IngestServeSpec extends SparkSpec {
     assert(row.getAs[Boolean]("is_sequential"))
   }
 
+  test("restart seed is bounded by the open frontier, not the store's history: " +
+      "500 closed pulses + 3 open seed only the frontier buckets") {
+    // the register only NEEDS the open frontier + chain tail: the closed
+    // complete∧sequential prefix is summarized to the _frontier.json
+    // cursor each flush, so a decade of history must not be collected
+    // onto the driver at every restart (the reference's controller also
+    // registers only incomplete pulses, controller.go:124-132)
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-longhist").toString
+    val span = 100L // 10 pulses per bucket at delta=10
+    val nClosed = 500
+    val openIdx = 500 to 502
+    def ts(p: Long) = p - Canonicalize.MinTimePulse
+    import spark.implicits._
+    val rows = (0 until nClosed).map { i =>
+      val p = start + i * delta
+      (p, p - delta, p + delta, true, true, 2, 8L, ts(p), p / span)
+    } ++ openIdx.map { i =>
+      val p = start + i * delta
+      (p, p - delta, p + delta, false, false, 2, 8L, ts(p), p / span)
+    }
+    rows.toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+      "is_complete", "is_sequential", "jet_drop_amount", "record_amount",
+      "timestamp", "pulse_bucket")
+      .coalesce(1).write.partitionBy("pulse_bucket").parquet(s"$base/pulses")
+    // records/drops exist for the OPEN pulses (their covers reload from
+    // the drops partitions); the closed prefix needs no fact partitions
+    // for this test — nothing may read it
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 8,
+      startPulse = start + 500 * delta)
+    openIdx.foreach { i =>
+      PulseWriter.commitPulse(
+        wire.filter(col("pulse_number") === start + i * delta), base)
+    }
+    // a STALE summary (crash between a flush and its summary write):
+    // points a couple of pulses LOW — the seed must read the superset
+    // and re-derive the true marks from the rows
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/pulses/_frontier.json"),
+      s"""{"seq_pulse":${start + 497 * delta},"frontier_bucket":${(start + 498 * delta) / span}}"""
+        .getBytes("UTF-8"))
+
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val headOnly = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        throw new Transport.PulseNotFound(pulse)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val daemon = try {
+      val d = new Ingest.Daemon(spark, base, headOnly, start,
+        fastCfg.copy(flushBucketSpan = span)).start()
+      Thread.sleep(500) // let the async listener bus drain the seed jobs
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    try {
+      // THE PIN: the seed collected the frontier buckets only — the open
+      // pulses plus the handful of closed rows sharing their bucket —
+      // and its Spark jobs read rows in that order of magnitude, not 503
+      assert(daemon.ingestedCount <= 20,
+        s"seed collected ${daemon.ingestedCount} entries — O(history), not O(frontier)")
+      assert(daemon.ingestedCount >= openIdx.size)
+      assert(recordsRead.get() <= 100L,
+        s"seed read ${recordsRead.get()} rows — the closed prefix leaked into the scan")
+      // stale summary re-derived: the seed starts at the TRUE mark (499),
+      // never the summary's stale 497 (≥, because the live sequencer may
+      // already have advanced past it during the listener-drain sleep)
+      assert(daemon.sequentialPulse >= start + 499 * delta)
+      assert(daemon.cursor == start + 503 * delta)
+      // the open pulses heal from their drops partitions and sequence
+      assert(await()(daemon.sequentialPulse == start + 502 * delta),
+        s"frontier never converged: ${daemon.snapshot}")
+      assert(await()(daemon.frontierStats == ((0, 0, 0))))
+    } finally daemon.stop()
+    // no truncation: the closed prefix survives every flush (only the
+    // frontier bucket was dirty), and the summary advanced to the new mark
+    val after = spark.read.parquet(s"$base/pulses")
+    assert(after.count() == (nClosed + openIdx.size).toLong)
+    assert(after.filter(col("is_sequential")).count() == (nClosed + openIdx.size).toLong)
+    val summary = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/pulses/_frontier.json")), "UTF-8")
+    assert(summary.contains(s""""seq_pulse":${start + 502 * delta}"""), summary)
+  }
+
   test("a zero-row reload of a previously POPULATED pulse reverts to incomplete " +
       "and stays re-requestable — never sealed complete over a wiped register") {
     // the empty-completeness rule must only fire for pulses never seen
