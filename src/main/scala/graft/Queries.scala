@@ -1266,9 +1266,16 @@ object Queries {
   }
 
   val mmFeatures: Q = (s, dir) => {
+    // REAL decode, oracle-checked: the fixture round-trips text bytes
+    // through genuine containers (gray-8 PNG via ImageIO, 8-bit PCM WAV
+    // via AudioSystem — both lossless), so the DECODED dimensions and
+    // sample sums are arithmetically derivable from the source text and
+    // DuckDB can verify the whole codec round trip. Video carries NULL
+    // decoded columns (no JDK video codec — honest absence, not a fake).
     val media = graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents"))
     graft.multimodal.Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("modality"), col("n_bytes"))
+      .select(col("media_id"), col("modality"), col("n_samples"),
+        col("width"), col("height"), col("sample_sum"))
       .orderBy(col("media_id"))
   }
 
@@ -1769,16 +1776,35 @@ object Queries {
         | TRUE AS p95_within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // the multimodal DECODE stays a stub, but the query's served columns
-    // (id, declared modality, payload byte length) are plain relational —
-    // strlen() is DuckDB's byte length
+    // the multimodal decode is REAL (gray-8 PNG via ImageIO, 8-bit PCM
+    // WAV via AudioSystem — both lossless), and because the fixture
+    // round-trips the text bytes through those containers, the DECODED
+    // width/height/frame-count/sample-sum are pure arithmetic over the
+    // source text: width = ceil(sqrt(n)) gray pixels laid out by the
+    // encoder, sample_sum = the byte sum (ord() equals the byte on the
+    // all-ASCII corpus, same argument as txt_fingerprint). Video has no
+    // JDK codec: decoded columns are NULL, n_samples = raw byte count.
     "mm_features" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio'
-        |       ELSE 'video' END AS modality,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS modality,
+        |    strlen(text) AS n,
+        |    list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS s
+        |  FROM documents),
+        |dims AS (
+        |  SELECT media_id, modality, n, s,
+        |    CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        |  FROM media)
+        |SELECT media_id, modality,
+        |  CAST(CASE WHEN modality = 'image' THEN w * ((n + w - 1) // w)
+        |            ELSE n END AS BIGINT) AS n_samples,
+        |  CASE WHEN modality = 'image' THEN w END AS width,
+        |  CASE WHEN modality = 'image' THEN (n + w - 1) // w END AS height,
+        |  CASE WHEN modality IN ('image', 'audio')
+        |       THEN CAST(s AS BIGINT) END AS sample_sum
+        |FROM dims ORDER BY media_id""".stripMargin,
 
     // FNV-1a replay, one recursive-CTE step per character. The Spark
     // kernel hashes UTF-8 BYTES while ord() yields code points — equal on
