@@ -33,6 +33,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache (a temp file per
+  // encode/decode, with a synchronized registry) — per-row codec calls
+  // from 32 executor threads would serialize on it and pay a file
+  // create/delete each. Memory-only caching is strictly better for the
+  // small per-row payloads this operator handles.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media row: id + opaque payload + declared modality/shape. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -75,6 +75,10 @@ class PlanAssertionsSpec extends SparkSpec {
       s"expected pre-shuffle df-cap directly over native shingles:\n$p")
     assert(!p.contains("Window"), s"set sizes must be an aggregate, not a window:\n$p")
     assert(p.contains("partial_count"), "sizes/pair counts must map-side combine")
+    // the candidate-pair count groups on the PACKED single-long key (the
+    // widest shuffle of the query carries 8 key bytes, not 16)
+    assert(p.contains("shiftleft"),
+      s"candidate pairs must aggregate on the packed pair key:\n$p")
   }
 
   test("records page: serves the spine artifact with pulse bounds pushed to the scan") {
