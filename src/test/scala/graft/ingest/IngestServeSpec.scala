@@ -692,10 +692,20 @@ class IngestServeSpec extends SparkSpec {
       s"""{"seq_pulse":${start + 497 * delta},"frontier_bucket":${(start + 498 * delta) / span}}"""
         .getBytes("UTF-8"))
 
+    // count input rows of the SEED's OWN jobs only: the shared test
+    // session may run other suites' jobs concurrently, so the listener
+    // filters to the job group set on the seeding thread (seed() runs
+    // synchronously inside start(), inheriting the group)
     val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val groupId = s"seed-pin-${System.nanoTime()}"
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            groupId == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageIds.foreach(groupStages.add(_))
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null && groupStages.contains(t.stageId))
           recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
     }
     val headOnly = new Transport.RecordStream {
@@ -704,8 +714,10 @@ class IngestServeSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     val daemon = try {
-      val d = new Ingest.Daemon(spark, base, headOnly, start,
+      spark.sparkContext.setJobGroup(groupId, "seed read pin", false)
+      val d = try new Ingest.Daemon(spark, base, headOnly, start,
         fastCfg.copy(flushBucketSpan = span)).start()
+      finally spark.sparkContext.clearJobGroup()
       Thread.sleep(500) // let the async listener bus drain the seed jobs
       d
     } finally spark.sparkContext.removeSparkListener(listener)
