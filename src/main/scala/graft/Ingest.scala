@@ -143,6 +143,14 @@ object Ingest {
     private val missed = new Resilience.MissedDataManager(cfg.reloadTtlMs)
     private val writeLock = new Object
     private var threads = Seq.empty[Thread]
+    // the (seq_pulse, frontier_bucket) summary currently ON DISK — the
+    // invariant the bounded seed depends on is that the persisted bucket
+    // never exceeds the true min open bucket of the persisted DATA, so a
+    // flush about to land an open pulse BELOW the recorded bucket (a gap
+    // backfill) must LOWER the summary before the data write (see
+    // [[flushTo]]); writes happen under `writeLock`, the seed reads it
+    // single-threaded before the loops start
+    @volatile private var summarized: Option[(Long, Long)] = None
 
     // ---- observability (the spec's and main's read surface) ------------
 
@@ -187,10 +195,13 @@ object Ingest {
       * the summarized frontier bucket, and the flush path only ever
       * rewrites buckets whose pulses are in the register (dirty ⊆
       * entries, and the seed collects frontier buckets WHOLE, so a
-      * bucket rewrite can never drop closed siblings). A STALE summary
-      * (crash between the parquet commit and the summary write) only
-      * points LOWER — the seed then reads a superset and re-derives the
-      * true marks from the rows. No summary (legacy store, hand-built
+      * bucket rewrite can never drop closed siblings). The persisted
+      * summary is kept ≤ the data's true frontier at EVERY instant:
+      * raises land strictly after the data commit, and a flush about to
+      * land a gap-backfilled pulse BELOW the recorded bucket lowers the
+      * summary first (see [[flushTo]]) — so any crash leaves a summary
+      * that at worst reads a superset, and the seed re-derives the true
+      * marks from the rows. No summary (legacy store, hand-built
       * fixture, flat layout) falls back to the full read.
       */
     private def seed(): Unit = {
@@ -228,6 +239,7 @@ object Ingest {
       }
       if (!fs.exists(pulsesPath)) return
       val summary = readFrontier(fs, pulsesPath)
+      summarized = summary
       val pulsesDf = spark.read.parquet(s"$basePath/pulses")
       val bounded = summary match {
         case Some((_, frontierBucket))
@@ -285,16 +297,31 @@ object Ingest {
           else openSnap
         val jets = drops
           .filter(col("pulse_number").isin(lits: _*))
-          .select(col("pulse_number").cast("long"), col("jet_id")).collect()
+          .select(col("pulse_number").cast("long"), col("jet_id"),
+            col("record_amount")).collect()
           .groupBy(_.getLong(0))
         lock.synchronized {
           jets.foreach { case (p, rs) =>
             // the drops table is the truth for an open pulse: refresh the
-            // counter along with the cover, so a pre-crash unflushed
-            // reload can't freeze a stale jet_drop_amount
+            // record counter and the drop counter along with the cover,
+            // so neither a pre-crash unflushed reload NOR a flushed
+            // zero-row revert (jets=∅, amounts=0 persisted while the old
+            // partitions survived the empty overwrite) can freeze stale
+            // counters — without the record_amount restore, a restart
+            // after such a revert would re-seal the pulse complete via
+            // its (still on-disk) cover while serving record_amount=0
             entries.get(p).foreach { e =>
               val cover = rs.map(_.getString(1)).toSet
-              entries.update(p, e.copy(jets = cover, jetDropAmount = cover.size))
+              val records = rs.map(_.getInt(2).toLong).sum
+              entries.update(p, e.copy(jets = cover, jetDropAmount = cover.size,
+                recordAmount = records))
+              // a restored counter that CONTRADICTS the persisted row
+              // (e.g. a flushed zero-row revert whose empty overwrite
+              // left the partitions intact) re-flushes, so the pulses
+              // dimension converges back to the store's truth even when
+              // the upstream can never serve the pulse again
+              if (e.jetDropAmount != cover.size || e.recordAmount != records)
+                dirty += p
             }
           }
         }
@@ -702,6 +729,25 @@ object Ingest {
       }
       staged.foreach { case (rows, flushed, frontier) =>
         try writeLock.synchronized {
+          // LOWER the on-disk summary BEFORE the data write when this
+          // flush lands a pulse below the recorded frontier (a gap
+          // backfill): a crash between the data commit and the post-data
+          // summary write would otherwise leave a summary pointing ABOVE
+          // an on-disk open pulse, and the bounded restart seed would
+          // never load it — the sequencer would stall forever once the
+          // exporter has pruned that pulse. The lowered summary keeps
+          // the last PERSISTED seq mark (the current one may be ahead of
+          // what is on disk until this data write lands); raising — the
+          // common case — stays strictly post-data-commit. A pre-write
+          // failure aborts the flush (dirty re-marks below), because
+          // proceeding would open exactly the window the pre-write
+          // closes.
+          if (dynamicOverwrite)
+            summarized.filter(s => frontier._2 < s._2).foreach { s =>
+              val lowered = (math.min(s._1, frontier._1), frontier._2)
+              writeFrontier(spark, target, lowered._1, lowered._2)
+              summarized = Some(lowered)
+            }
           val w = spark.createDataFrame(rows.asJava, PulsesSchema)
             .coalesce(1)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -714,12 +760,15 @@ object Ingest {
            else w.option("partitionOverwriteMode", "static"))
             .partitionBy("pulse_bucket")
             .parquet(target)
-          // summary AFTER the data commit: a crash in between leaves the
-          // previous (stale-low) summary, never one ahead of the data. A
-          // summary write failure is non-fatal — the next flush retries,
-          // and a missing/old summary only costs seed read amplification.
-          try writeFrontier(spark, target, frontier._1, frontier._2)
-          catch {
+          // summary raise AFTER the data commit: a crash in between
+          // leaves the previous (lower — see the pre-write above) summary,
+          // never one tighter than the data. A raise failure is non-fatal:
+          // the next flush retries, and an old summary only costs seed
+          // read amplification.
+          try {
+            writeFrontier(spark, target, frontier._1, frontier._2)
+            summarized = Some(frontier)
+          } catch {
             case e: Throwable =>
               System.err.println(s"[ingest] frontier summary write failed " +
                 s"(seed falls back to a wider read): $e")

@@ -1791,17 +1791,19 @@ object Queries {
         |         WHEN doc_id % 3 = 1 THEN 'audio'
         |         ELSE 'video' END AS modality,
         |    strlen(text) AS n,
-        |    list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS s
+        |    coalesce(list_sum(list_transform(string_split(text, ''), x -> ord(x))), 0) AS s
         |  FROM documents),
         |dims AS (
+        |  -- greatest(1, ...) mirrors the encoder's clamps: an empty doc
+        |  -- still encodes to a 1x1 zero image
         |  SELECT media_id, modality, n, s,
-        |    CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        |    greatest(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS w
         |  FROM media)
         |SELECT media_id, modality,
-        |  CAST(CASE WHEN modality = 'image' THEN w * ((n + w - 1) // w)
+        |  CAST(CASE WHEN modality = 'image' THEN w * greatest(1, (n + w - 1) // w)
         |            ELSE n END AS BIGINT) AS n_samples,
         |  CASE WHEN modality = 'image' THEN w END AS width,
-        |  CASE WHEN modality = 'image' THEN (n + w - 1) // w END AS height,
+        |  CASE WHEN modality = 'image' THEN greatest(1, (n + w - 1) // w) END AS height,
         |  CASE WHEN modality IN ('image', 'audio')
         |       THEN CAST(s AS BIGINT) END AS sample_sum
         |FROM dims ORDER BY media_id""".stripMargin,

@@ -89,8 +89,12 @@ object StoreViews {
       // misconfiguration never fails loud anywhere. Still answer store
       // (the daemon may create the dir moments later), but leave one
       // trace per dir for the operator.
-      if (!hasRecords && !isCorpus &&
-          !fs.exists(new org.apache.hadoop.fs.Path(dir)) && warnedAbsent.add(dir))
+      // probe-once ordering: add() short-circuits to true only on the
+      // FIRST ambiguous sighting of a dir, so the extra exists() RPC is
+      // paid at most once per dir — not on every request hammering a
+      // misconfigured (still-ambiguous, hence uncached) serving dir
+      if (!hasRecords && !isCorpus && warnedAbsent.add(dir) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(dir)))
         System.err.println(s"[serve] base dir does not exist (typo'd " +
           s"SPARK_GRAFT_SF_DIR? serving empty store pages until it appears): $dir")
       // corpus wins when both markers exist (unchanged precedence); an

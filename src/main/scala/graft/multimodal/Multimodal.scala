@@ -33,13 +33,6 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  // ImageIO defaults to a DISK-backed stream cache (a temp file per
-  // encode/decode, with a synchronized registry) — per-row codec calls
-  // from 32 executor threads would serialize on it and pay a file
-  // create/delete each. Memory-only caching is strictly better for the
-  // small per-row payloads this operator handles.
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** Typed media row: id + opaque payload + declared modality/shape. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -87,14 +80,25 @@ object Multimodal {
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "png", bos))
-      throw new java.io.IOException("no PNG writer available")
+    // memory-backed image stream, scoped to this call: ImageIO's default
+    // stream factory uses a DISK cache (a temp file per encode/decode,
+    // behind a synchronized registry) — per-row codec calls from 32
+    // executor threads would serialize on it and pay a file
+    // create/delete each. Scoping beats ImageIO.setUseCache(false),
+    // which is a process-global flip a host application may not want.
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      if (!javax.imageio.ImageIO.write(img, "png", out))
+        throw new java.io.IOException("no PNG writer available")
+    } finally out.close()
     bos.toByteArray
   }
 
   /** Decode a PNG through ImageIO: (width, height, sum of gray samples). */
   def decodeImage(png: Array[Byte]): (Int, Int, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png)))
     if (img == null) throw new java.io.IOException("undecodable image payload")
     val raster = img.getRaster
     var sum = 0L
@@ -154,17 +158,23 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init would go here (decoder/model handles)
+        // per-partition init would go here (decoder/model handles); each
+        // payload is decoded ONCE and every served statistic derives
+        // from the same decoded sample array
         it.map { case (id, mod, payload) =>
           mod match {
+            // the payload column is declared nullable: a NULL payload of
+            // any modality yields a zero row, never an NPE'd task
+            case _ if payload == null =>
+              MediaFeature(id, mod, 0L, None, None, None, new Array[Float](8))
             case "image" =>
-              val (w, h, sum) = decodeImage(payload)
+              val (w, h, samples) = decodedImageSamples(payload)
               MediaFeature(id, mod, w.toLong * h, Some(w.toLong), Some(h.toLong),
-                Some(sum), binProfile(decodedImageSamples(payload)))
+                Some(sampleSum(samples)), binProfile(samples))
             case "audio" =>
-              val (frames, sum) = decodeAudio(payload)
-              MediaFeature(id, mod, frames, None, None, Some(sum),
-                binProfile(decodedAudioSamples(payload)))
+              val samples = decodedAudioSamples(payload)
+              MediaFeature(id, mod, samples.length.toLong, None, None,
+                Some(sampleSum(samples)), binProfile(samples))
             case _ =>
               val n = if (payload == null) 0L else payload.length.toLong
               MediaFeature(id, mod, n, None, None, None, new Array[Float](8))
@@ -173,9 +183,12 @@ object Multimodal {
       }
   }
 
-  /** The decoded gray samples of a PNG, row-major. */
-  private def decodedImageSamples(png: Array[Byte]): Array[Int] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+  /** One ImageIO decode: (width, height, gray samples row-major). */
+  private def decodedImageSamples(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png)))
+    if (img == null) throw new java.io.IOException("undecodable image payload")
     val raster = img.getRaster
     val out = new Array[Int](img.getWidth * img.getHeight)
     var i = 0
@@ -183,7 +196,7 @@ object Multimodal {
       out(i) = raster.getSample(i % img.getWidth, i / img.getWidth, 0)
       i += 1
     }
-    out
+    (img.getWidth, img.getHeight, out)
   }
 
   private def decodedAudioSamples(wav: Array[Byte]): Array[Int] = {
@@ -191,6 +204,13 @@ object Multimodal {
       new java.io.ByteArrayInputStream(wav))
     try dec.readAllBytes().map(_ & 0xff)
     finally dec.close()
+  }
+
+  private def sampleSum(samples: Array[Int]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < samples.length) { sum += samples(i); i += 1 }
+    sum
   }
 
   /** 8-bin mean profile of decoded samples, normalized to [0,1]. */

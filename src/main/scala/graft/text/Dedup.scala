@@ -217,7 +217,7 @@ object Dedup {
     * silently merging unrelated pairs.
     */
   def packPair(a: Column, b: Column): Column =
-    when(a >= 0 && b >= 0 && b < (1L << 32),
+    when(a >= 0 && a < (1L << 32) && b >= 0 && b < (1L << 32),
       shiftleft(a, 32).bitwiseOR(b))
       .otherwise(raise_error(concat(
         lit("packPair: doc id out of the packed 32-bit domain: "), a, lit(","), b)))

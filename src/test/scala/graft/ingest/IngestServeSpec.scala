@@ -801,6 +801,141 @@ class IngestServeSpec extends SparkSpec {
     assert(row.getAs[Boolean]("is_complete") && row.getAs[Long]("record_amount") == 8L)
   }
 
+  test("restart after a FLUSHED zero-row revert restores the counters from the " +
+      "drops partitions — the register never serves amounts the store contradicts") {
+    // the revert persists jets=∅/amounts=0 while the zero-row overwrite
+    // left the old drop/record partitions intact; a restarted daemon must
+    // seed the truth back from the drops table (cover AND record counter),
+    // even when the upstream can no longer serve the pulse at all
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-revertrestart").toString
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 8,
+      startPulse = start)
+    val full = new ReplayExporter(wire)
+    val half = new ReplayExporter(wire.filter(
+      col("pulse_number") =!= start || col("jet_id") === "0"))
+    // life 1 phases for pulse 0: 1 = half cover (4 records on disk),
+    // 2+ = zero-row reloads (the transient that outlives life 1)
+    @volatile var phase = 0
+    val flaky = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        if (pulse != start) full.export(pulse, recordNumber, count)
+        else {
+          if (recordNumber == 0) phase += 1
+          if (phase <= 1) half.export(pulse, recordNumber, count)
+          else Iterator(Transport.Frame(pulse + delta, null))
+        }
+    }
+    val d1 = new Ingest.Daemon(spark, base, flaky, start,
+      fastCfg.copy(reloadTtlMs = 300L)).start()
+    try assert(await()(d1.snapshot.get(start)
+      .exists(e => !e.complete && e.recordAmount == 0L && e.jets.isEmpty)),
+      s"zero-row revert never registered: ${d1.snapshot.get(start)}")
+    finally d1.stop() // the shutdown flush persists the reverted row
+    assert(spark.read.parquet(s"$base/pulses")
+      .filter(col("pulse_number") === start).collect().head
+      .getAs[Long]("record_amount") == 0L, "fixture: the revert must be flushed")
+
+    // life 2: the upstream has pruned pulse 0 (PulseNotFound forever) —
+    // the seed alone must restore the on-disk truth into the register
+    val pruned = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        if (pulse == start) throw new Transport.PulseNotFound(pulse)
+        else full.export(pulse, recordNumber, count)
+    }
+    val d2 = new Ingest.Daemon(spark, base, pruned, start, fastCfg).start()
+    try {
+      val e = d2.snapshot(start)
+      assert(e.jets == Set("0") && e.jetDropAmount == 1 && e.recordAmount == 4L,
+        s"seed must restore cover AND counters from the drops partitions: $e")
+      assert(!e.complete, "a half cover must stay incomplete and re-requestable")
+      // and the persisted dimension converges back to the store's truth
+      // once the next flush lands (maintainer keeps re-requesting, the
+      // pruned exporter keeps answering NOT_FOUND — no heal, no harm).
+      // The poll retries on the documented racing-overwrite read window.
+      assert(await()(scala.util.Try(spark.read.parquet(s"$base/pulses")
+        .filter(col("pulse_number") === start).collect()).toOption
+        .exists(_.headOption.exists(_.getAs[Long]("record_amount") == 4L))),
+        "the restored counter must reach the persisted dimension")
+    } finally d2.stop()
+  }
+
+  test("a gap-backfill flush LOWERS the frontier summary before the data write: " +
+      "the on-disk summary never points above an on-disk open pulse") {
+    // the crash-window defense: if the summary could stay above a newly
+    // landed below-frontier pulse until the post-data raise, a crash in
+    // between would make the bounded seed skip that pulse forever. The
+    // poller samples both the summary and the pulse's bucket directory;
+    // at the first instant the backfilled bucket exists on disk, the
+    // summary must already point at or below it (the pre-write runs
+    // hundreds of ms before the Spark write commits).
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-backfill").toString
+    val span = 10L // every pulse its own bucket at delta=10
+    val cfg = fastCfg.copy(flushBucketSpan = span, reloadTtlMs = 300L,
+      headPauseMs = 30L, headProbeAfter = 1, headProbeSpan = 2)
+    val p0 = start
+    val p1 = start + delta     // the gap: unknown until released
+    val p2 = start + 2 * delta // found by the probe, HALF cover → stalls
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 3, recordsPerPulse = 8,
+      startPulse = start)
+    val full = new ReplayExporter(wire)
+    val halfP2 = new ReplayExporter(wire.filter(
+      col("pulse_number") =!= p2 || col("jet_id") === "0"))
+    @volatile var releaseGap = false
+    val gated = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        pulse match {
+          case `p1` if !releaseGap => throw new Transport.PulseNotFound(pulse)
+          case `p2` => halfP2.export(pulse, recordNumber, count) // never completes
+          case _ => full.export(pulse, recordNumber, count)
+        }
+    }
+    def summaryBucket(): Option[Long] = {
+      val f = java.nio.file.Paths.get(s"$base/pulses/_frontier.json")
+      if (!java.nio.file.Files.exists(f)) None
+      else """"frontier_bucket":(-?\d+)""".r
+        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+        .map(_.group(1).toLong)
+    }
+    val p1Dir = java.nio.file.Paths.get(s"$base/pulses/pulse_bucket=${p1 / span}")
+    @volatile var violation: String = null
+    @volatile var sawP1Dir = false
+    val poller = new Thread(() => {
+      while (violation == null && !sawP1Dir) {
+        if (java.nio.file.Files.exists(p1Dir)) {
+          sawP1Dir = true
+          val sb = summaryBucket()
+          if (!sb.exists(_ <= p1 / span))
+            violation = s"p1's bucket landed while the summary points at $sb"
+        }
+        Thread.sleep(2)
+      }
+    }, "frontier-poller")
+    val daemon = new Ingest.Daemon(spark, base, gated, start, cfg).start()
+    try {
+      // p0 closes; the probe finds p2 (half cover, stays open); the first
+      // flush records the frontier at p2's bucket with p1 unknown
+      assert(await()(daemon.snapshot.contains(p2) &&
+        summaryBucket().contains(p2 / span)),
+        s"fixture never reached the high-frontier state: known=" +
+          s"${daemon.snapshot.keySet}, summary=${summaryBucket()}")
+      poller.start()
+      // release the gap: the stalled sequencer re-requests p1, whose
+      // commit backfills BELOW the recorded frontier
+      releaseGap = true
+      assert(await()(sawP1Dir), "the backfilled pulse never reached disk")
+      poller.join(5000)
+      assert(violation == null, String.valueOf(violation))
+      // the backfill then chains and sequences normally (p2 stays open on
+      // its half cover; the summary tracks whatever the frontier is now)
+      assert(await()(daemon.sequentialPulse == p1),
+        s"backfilled pulse never sequenced: ${daemon.snapshot}")
+      assert(summaryBucket().exists(_ <= p2 / span), s"summary=${summaryBucket()}")
+    } finally {
+      if (poller.isAlive) { sawP1Dir = true; poller.join(2000) }
+      daemon.stop()
+    }
+  }
+
   test("zero-record pulses complete by construction, and a restart over a " +
       "store with a fileless jet_drops dir seeds instead of crash-looping") {
     // marker-only exporter: both pulses exist but carry no records —
