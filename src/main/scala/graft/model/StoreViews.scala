@@ -45,13 +45,19 @@ import org.apache.spark.sql.functions._
   * atomicity, not reader snapshots — a read that overlaps a maintainer
   * flush or a reload's partition overwrite of the SAME pulse can lose
   * its listed files mid-scan and surface as a retryable 500 (the
-  * reference gets MVCC from Postgres here). The write path confines
-  * rewrites to dirty buckets / reloaded pulses, so the window is the
-  * changing partition only; a deployment needing overlap-free reads
-  * swaps the writer/reader pair onto a snapshot-isolated table format
-  * (the layout is deliberately directory-per-table to make that a
-  * drop-in), which is why this adapter — not the endpoints — owns the
-  * physical reads.
+  * reference gets MVCC from Postgres here; StoreServeSpec's racing-
+  * rewrite test pins that outcome set). One narrower window exists
+  * beneath that: the dynamic-overwrite committer swaps each partition
+  * directory by delete-then-rename, so a file LISTING landing inside
+  * those two metadata ops (microseconds, vs the mid-scan window spanning
+  * the whole read) sees the pulse's directory absent and would serve a
+  * silently short page rather than a 500 — acceptable for this layout
+  * because the write path touches only the one changing pulse and the
+  * page heals on the next request, but it is the precise reason a
+  * deployment needing overlap-free reads swaps the writer/reader pair
+  * onto a snapshot-isolated table format (the layout is deliberately
+  * directory-per-table to make that a drop-in), which is why this
+  * adapter — not the endpoints — owns the physical reads.
   */
 object StoreViews {
 
