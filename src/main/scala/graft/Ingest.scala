@@ -554,10 +554,13 @@ object Ingest {
           }
         } catch {
           case _: InterruptedException => return
-          case _: Throwable =>
+          case e: Throwable =>
             // exporter down past the reopen budget, or a commit failure:
             // hold the cursor and retry after a pause — the extractor
-            // retries forever under its controller's cancellation
+            // retries forever under its controller's cancellation (the
+            // throttled trace keeps a persistent outage visible without
+            // flooding at the retry cadence)
+            traceLoopFailure("follower", e)
             try nap(cfg.errorPauseMs)
             catch { case _: InterruptedException => return }
         }
@@ -599,11 +602,24 @@ object Ingest {
       }
     }
 
+    // throttled trace for the background loops: a tick failure is
+    // RECOVERABLE by design (flush re-marks dirty, the next tick
+    // retries), but a persistent one — a store that stopped accepting
+    // writes, say — must not be INVISIBLE; one line per ~10 s keeps a
+    // crash-looping tick from flooding stderr at cadence speed
+    private val lastLoopTraceNs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    private def traceLoopFailure(loop: String, e: Throwable): Unit = {
+      val now = System.nanoTime()
+      val prev = lastLoopTraceNs.get()
+      if (now - prev > 10000000000L && lastLoopTraceNs.compareAndSet(prev, now))
+        System.err.println(s"[ingest] $loop tick failed (retrying at cadence): $e")
+    }
+
     private def maintainLoop(): Unit =
       while (running) {
         try { nap(cfg.pulsePeriodMs); if (running) maintainOnce() }
         catch { case _: InterruptedException => return
-                case _: Throwable => () }
+                case e: Throwable => traceLoopFailure("maintainer", e) }
       }
 
     // ---- sequencer (pulseSequence analog) -------------------------------
@@ -655,7 +671,7 @@ object Ingest {
       while (running) {
         try { nap(cfg.sequentialPeriodMs); if (running) sequenceOnce() }
         catch { case _: InterruptedException => return
-                case _: Throwable => () }
+                case e: Throwable => traceLoopFailure("sequencer", e) }
       }
 
     // ---- pulses dimension -----------------------------------------------
