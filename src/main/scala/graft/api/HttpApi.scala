@@ -74,12 +74,48 @@ object HttpApi {
 
   // ---- routing ---------------------------------------------------------
 
+  /** True when `e` is a scan that raced a live store's partition
+    * rewrite (the maintainer flush / reload overwrite window the
+    * StoreViews isolation contract documents): the listed file is gone
+    * by read time. Such a read is idempotent and self-heals against a
+    * fresh listing, so the handler retries it ONCE before answering
+    * 500 — the reference never surfaces these at all (Postgres MVCC).
+    */
+  private[api] def isScanRace(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 10) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case s: org.apache.spark.SparkException
+            if s.getMessage != null &&
+              (s.getMessage.contains("FAILED_READ_FILE") ||
+                s.getMessage.contains("does not exist")) => return true
+        case _ =>
+      }
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
+
   private def handle(spark: SparkSession, dir: String, metrics: ApiMetrics,
       ex: HttpExchange): Unit = {
     val t0 = System.nanoTime()
     val (status, body) =
       try route(spark, dir, ex)
       catch {
+        case e: Throwable if isScanRace(e) =>
+          // every route is a GET read: one retry against a fresh file
+          // listing converts most racing-rewrite 500s into the committed
+          // page; a second failure answers the documented retryable 500
+          try route(spark, dir, ex)
+          catch {
+            case e2: Throwable =>
+              System.err.println(
+                s"[http] ${ex.getRequestURI} failed after scan-race retry: ${e2.getMessage}")
+              (500, "{}")
+          }
         case e: Throwable =>
           System.err.println(s"[http] ${ex.getRequestURI} failed: ${e.getMessage}")
           (500, "{}")
