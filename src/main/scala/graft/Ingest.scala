@@ -605,14 +605,24 @@ object Ingest {
     // throttled trace for the background loops: a tick failure is
     // RECOVERABLE by design (flush re-marks dirty, the next tick
     // retries), but a persistent one — a store that stopped accepting
-    // writes, say — must not be INVISIBLE; one line per ~10 s keeps a
-    // crash-looping tick from flooding stderr at cadence speed
-    private val lastLoopTraceNs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    private def traceLoopFailure(loop: String, e: Throwable): Unit = {
+    // writes, say — must not be INVISIBLE; one line per loop per ~10 s
+    // keeps a crash-looping tick from flooding stderr at cadence speed.
+    // PER-LOOP timestamps, not one shared token: the 1 s-cadence loops
+    // would otherwise win a shared token every time and starve a
+    // maintainer-only failure's trace indefinitely. First failure of a
+    // loop always prints (no sentinel arithmetic — a Long.MinValue
+    // baseline would overflow `now - prev` and silence the trace
+    // forever). Each loop is its own single writer, so plain get/put
+    // per key suffices.
+    private val lastLoopTraceNs =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private[graft] def traceLoopFailure(loop: String, e: Throwable): Unit = {
       val now = System.nanoTime()
-      val prev = lastLoopTraceNs.get()
-      if (now - prev > 10000000000L && lastLoopTraceNs.compareAndSet(prev, now))
+      val prev = lastLoopTraceNs.get(loop)
+      if (prev == null || now - prev.longValue() > 10000000000L) {
+        lastLoopTraceNs.put(loop, now)
         System.err.println(s"[ingest] $loop tick failed (retrying at cadence): $e")
+      }
     }
 
     private def maintainLoop(): Unit =

@@ -87,10 +87,15 @@ object HttpApi {
     while (t != null && depth < 10) {
       t match {
         case _: java.io.FileNotFoundException => return true
+        // anchored on the FAILED_READ_FILE error class only — a generic
+        // "does not exist" substring would classify PERMANENT failures
+        // (a table directory deleted out from under the server) as
+        // transient and double every request's time-to-500 during an
+        // outage; genuine lost-file races also carry a
+        // FileNotFoundException cause, matched above
         case s: org.apache.spark.SparkException
             if s.getMessage != null &&
-              (s.getMessage.contains("FAILED_READ_FILE") ||
-                s.getMessage.contains("does not exist")) => return true
+              s.getMessage.contains("FAILED_READ_FILE") => return true
         case _ =>
       }
       t = if (t.getCause eq t) null else t.getCause

@@ -750,8 +750,13 @@ class HttpApiSpec extends SparkSpec {
     // everything else must NOT be retried (it would double-log and delay 500s)
     assert(!HttpApi.isScanRace(new IllegalArgumentException("bad request")))
     assert(!HttpApi.isScanRace(new SparkException("[INTERNAL_ERROR] boom")))
-    // a cycle-proof walk: an exception whose cause is itself terminates
-    val cyclic = new RuntimeException("self")
+    // a cycle-proof walk: getCause() never returns `this` on a standard
+    // Throwable (initCause(this) throws), so the cycle can only be built
+    // via an override — which is exactly what the depth/self guard exists
+    // to survive
+    val cyclic: Throwable = new RuntimeException("self") {
+      override def getCause: Throwable = this
+    }
     assert(!HttpApi.isScanRace(cyclic))
   }
 

@@ -936,6 +936,29 @@ class IngestServeSpec extends SparkSpec {
     }
   }
 
+  test("loop-failure tracing: the FIRST failure of each loop prints immediately, " +
+      "repeats throttle per loop, and one loop cannot starve another's trace") {
+    val noStream = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        throw new Transport.PulseNotFound(pulse)
+    }
+    val d = new Ingest.Daemon(spark,
+      java.nio.file.Files.createTempDirectory("graft-trace").toString, noStream, start)
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try {
+      d.traceLoopFailure("maintainer", new RuntimeException("boom-m1"))
+      d.traceLoopFailure("maintainer", new RuntimeException("boom-m2")) // throttled
+      d.traceLoopFailure("sequencer", new RuntimeException("boom-s1")) // own token
+    } finally System.setErr(old)
+    val err = buf.toString("UTF-8")
+    assert(err.contains("boom-m1"), s"first failure must print immediately: '$err'")
+    assert(!err.contains("boom-m2"), s"repeat inside the window must throttle: '$err'")
+    assert(err.contains("boom-s1"),
+      s"a fast loop must not starve another loop's first trace: '$err'")
+  }
+
   test("zero-record pulses complete by construction, and a restart over a " +
       "store with a fileless jet_drops dir seeds instead of crash-looping") {
     // marker-only exporter: both pulses exist but carry no records —
