@@ -27,12 +27,20 @@ object ExporterServe {
     */
   def bootstrap(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       port: Int, pulsePeriodMs: Long = 10000L): graft.streaming.GrpcPulseExporter.Handle = {
-    val pulses = graft.model.Domain.servedPulses(spark, sfDir)
-    val recs = graft.model.Domain.servedRecords(spark, sfDir)
-    val records =
+    // SUPPLIERS, not captured frames: a parquet DataFrame freezes its
+    // file listing at creation, so a captured view of a LIVE ingest
+    // store would long-poll the boot-time snapshot forever (or the
+    // startup window's empty frame). Re-resolving per poll is what the
+    // HTTP routes do; over the immutable corpus the supplier hits the
+    // relation cache, so the per-poll cost is a lookup.
+    def records(): org.apache.spark.sql.DataFrame = {
+      val recs = graft.model.Domain.servedRecords(spark, sfDir)
       if (recs.columns.contains("prototype_reference")) recs
       else recs.withColumn("prototype_reference", lit(null).cast("binary"))
-    graft.streaming.GrpcPulseExporter.start(pulses, records, port, pulsePeriodMs)
+    }
+    graft.streaming.GrpcPulseExporter.start(
+      () => graft.model.Domain.servedPulses(spark, sfDir), () => records(),
+      port, pulsePeriodMs)
   }
 
   def main(args: Array[String]): Unit = {

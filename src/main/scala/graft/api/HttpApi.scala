@@ -81,7 +81,7 @@ object HttpApi {
     * fresh listing, so the handler retries it ONCE before answering
     * 500 — the reference never surfaces these at all (Postgres MVCC).
     */
-  private[api] def isScanRace(e: Throwable): Boolean = {
+  private[graft] def isScanRace(e: Throwable): Boolean = {
     var t = e
     var depth = 0
     while (t != null && depth < 10) {

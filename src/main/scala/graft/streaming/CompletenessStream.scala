@@ -28,6 +28,17 @@ import graft.functions.JetFunctions
   * timeout-check batches forever, which livelocks `processAllAvailable`
   * in every harness — sealing-removal covers the dominant growth term
   * without that hazard.)
+  *
+  * Delivery contract: the operator assumes the engine's usual
+  * EXACTLY-ONCE micro-batch replay (file/Kafka sources under
+  * checkpointing), like every flatMapGroupsWithState fold. Under an
+  * at-least-once source that duplicates events ACROSS epochs, a
+  * redelivered drop of an already-sealed pulse re-opens it from the
+  * duplicate alone (a spurious incomplete verdict, and a straggler
+  * entry until the rest of the cover is also redelivered) — dedup such
+  * a source upstream (`dropDuplicates` within a watermark) rather than
+  * tombstoning sealed pulses here, which would reintroduce the
+  * grows-with-uptime register this operator exists to avoid.
   */
 object CompletenessStream {
 

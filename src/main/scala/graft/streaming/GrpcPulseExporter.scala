@@ -44,9 +44,16 @@ object GrpcPulseExporter {
   }
 
   /** The service definition — shared by the netty listener and in-process
-    * test servers.
+    * test servers. The table views are SUPPLIERS, re-invoked per poll
+    * step: a long-poll over a LIVE ingest store must observe pulses
+    * committed after the server started, and a parquet DataFrame freezes
+    * its file listing at creation — a captured frame would replay the
+    * boot-time snapshot forever (and a server started inside the
+    * startup window would long-poll the schema-stable empty frame for
+    * the stream's whole life). Over the immutable corpus the supplier
+    * resolves the relation cache, so the per-poll cost is a map lookup.
     */
-  def service(pulses: DataFrame, records: DataFrame,
+  def service(pulsesFn: () => DataFrame, recordsFn: () => DataFrame,
       pulsePeriodMs: Long): ServerServiceDefinition =
     ServerServiceDefinition.builder("exporter.PulseExporter")
       .addMethod(GrpcWire.GetNextPulseMethod,
@@ -54,7 +61,7 @@ object GrpcPulseExporter {
           new ServerCalls.ServerStreamingMethod[GetNextPulseRequest, GetNextPulseResponse] {
             override def invoke(req: GetNextPulseRequest,
                 obs: StreamObserver[GetNextPulseResponse]): Unit =
-              feed(pulses, records, pulsePeriodMs, req, obs)
+              feed(pulsesFn, recordsFn, pulsePeriodMs, req, obs)
           }))
       .build()
 
@@ -62,39 +69,57 @@ object GrpcPulseExporter {
     * ([[PulseFeed.nextCompletePulseFiltered]], the oracled
     * `be_exporter_next` twin) scans the records side bounded only by the
     * join — right for a batch query, wrong per-poll at 100 TB. Here the
-    * candidate probe touches ONLY the pulse spine (one row), and the
-    * recount runs with a STATIC `pulse_number = pn` predicate the
-    * range-clustered records artifact prunes to one pulse's row groups —
-    * the columnar analog of the reference's indexed
+    * candidate probe touches ONLY the pulse spine (a handful of rows),
+    * and each recount runs with a STATIC `pulse_number = pn` predicate
+    * the range-clustered records artifact prunes to one pulse's row
+    * groups — the columnar analog of the reference's indexed
     * `JOIN records ... WHERE pulses.prev_pulse_number = ?`
-    * (`etl/storage/storage.go:563-585`). Semantics are the batch body's
-    * exactly, including the stall: a complete successor whose records
-    * match nothing is NOT served — the stream waits at the cursor, as the
+    * (`etl/storage/storage.go:563-585`). Candidates are tried
+    * smallest-first and the first with matching records is served — the
+    * reference's JOIN admits only candidates WITH matching records, so
+    * when two complete pulses share a prev (a reloaded fork), a
+    * matching-less sibling must not stall the stream while its twin
+    * matches (GORM's unordered `Find` picks an arbitrary one; smallest-
+    * first is the deterministic refinement). No candidate matching at
+    * all IS the stall: the stream waits at the cursor, as the
     * reference's `currentPN >= receivedPulse.PulseNumber` sleep does for
     * the zero-value pulse its empty Find returns.
     */
   private[streaming] def pollStep(pulses: DataFrame, records: DataFrame,
       from: Long, prototypes: Seq[Array[Byte]]): Option[GetNextPulseResponse] = {
-    import org.apache.spark.sql.functions.{col, min}
-    val cand = pulses
+    import org.apache.spark.sql.functions.col
+    val cands = pulses
       .filter(col("is_complete") && col("prev_pulse_number") === from)
-      .agg(min(col("pulse_number"))).collect().head
-    if (cand.isNullAt(0)) None
+      .select(col("pulse_number")).collect().map(_.getLong(0)).sorted
+    if (cands.isEmpty) None
     else {
-      val pn = cand.getLong(0)
       val matched = PulseFeed.prototypeFiltered(records, prototypes)
-      val amount = matched.filter(col("pulse_number") === pn).count()
-      if (amount == 0) None else Some(GetNextPulseResponse(pn, from, amount))
+      cands.iterator
+        .map(pn => (pn, matched.filter(col("pulse_number") === pn).count()))
+        .collectFirst { case (pn, amount) if amount > 0 =>
+          GetNextPulseResponse(pn, from, amount)
+        }
     }
   }
 
-  private def feed(pulses: DataFrame, records: DataFrame, pulsePeriodMs: Long,
-      req: GetNextPulseRequest, obs: StreamObserver[GetNextPulseResponse]): Unit = {
+  private def feed(pulsesFn: () => DataFrame, recordsFn: () => DataFrame,
+      pulsePeriodMs: Long, req: GetNextPulseRequest,
+      obs: StreamObserver[GetNextPulseResponse]): Unit = {
     val sco = obs.asInstanceOf[ServerCallStreamObserver[GetNextPulseResponse]]
     var current = req.pulseNumberFrom
     try {
       while (!sco.isCancelled) {
-        pollStep(pulses, records, current, req.prototypes) match {
+        val step =
+          try pollStep(pulsesFn(), recordsFn(), current, req.prototypes)
+          catch {
+            // a poll racing the maintainer's rewrite of the same pulse
+            // (the StoreViews isolation window) must not kill every
+            // subscriber with INTERNAL: the next poll re-resolves a
+            // fresh listing and self-heals — the same classification
+            // the HTTP layer retries on
+            case e: Throwable if graft.api.HttpApi.isScanRace(e) => None
+          }
+        step match {
           case Some(resp) =>
             sco.onNext(resp)
             current = resp.pulseNumber
@@ -116,19 +141,27 @@ object GrpcPulseExporter {
   }
 
   /** Bind the netty listener (`port=0` → ephemeral). Callers own
-    * `stop()`.
+    * `stop()`. The supplier form is the live-store entry point; the
+    * DataFrame overload serves an immutable snapshot (tests, corpus).
     */
-  def start(pulses: DataFrame, records: DataFrame, port: Int = 0,
-      pulsePeriodMs: Long = 10000L): Handle = {
+  def start(pulsesFn: () => DataFrame, recordsFn: () => DataFrame,
+      port: Int, pulsePeriodMs: Long): Handle = {
     val pool = Executors.newCachedThreadPool()
     val server = NettyServerBuilder.forPort(port)
       .executor(pool)
       // match the reference transport's 1 GiB message cap
       // (configuration.go:67 MaxTransportMsg) on the serve side too
       .maxInboundMessageSize(1 << 30)
-      .addService(service(pulses, records, pulsePeriodMs))
+      .addService(service(pulsesFn, recordsFn, pulsePeriodMs))
       .build()
       .start()
     new Handle(server, pool)
   }
+
+  /** Snapshot overload: serve fixed frames (an immutable corpus or a
+    * test fixture — anything whose file listing must not move).
+    */
+  def start(pulses: DataFrame, records: DataFrame, port: Int = 0,
+      pulsePeriodMs: Long = 10000L): Handle =
+    start(() => pulses, () => records, port, pulsePeriodMs)
 }

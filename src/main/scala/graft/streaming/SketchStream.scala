@@ -24,6 +24,11 @@ object SketchStream {
   final case class GroupEstimate(group: String, kmv_distinct: Double)
 
   def apply(events: Dataset[KeyEvent], k: Int): Dataset[GroupEstimate] = {
+    // mirror the batch twin's guard (Sketches.eventSketch): k <= 0 would
+    // NoSuchElementException on set.last inside an executor's state
+    // function, and k == 1 silently estimates 0.0 for every group (the
+    // (k-1) numerator) — fail at the entry point, not mid-stream
+    require(k >= 2, s"KMV sketch needs k >= 2, got $k")
     import events.sparkSession.implicits._
     events
       .select(col("group"),

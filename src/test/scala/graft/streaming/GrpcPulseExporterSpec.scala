@@ -87,6 +87,32 @@ class GrpcPulseExporterSpec extends SparkSpec {
     }
   }
 
+  test("two complete pulses sharing a prev (a reloaded fork): a matching-less " +
+      "sibling must not stall the stream while its twin matches") {
+    // the reference's query JOINs records, so only candidates WITH
+    // matching records are admitted (storage.go:563-585) — probing just
+    // min(pulse_number) and stalling on its empty recount diverges
+    val forkPulses = Seq(
+      (70010L, 70000L, true), (70020L, 70010L, true), (70030L, 70010L, true))
+      .toDF("pulse_number", "prev_pulse_number", "is_complete")
+    val forkRecords = Seq((70020L, "x"), (70030L, "b"), (70030L, "b"))
+      .toDF("pulse_number", "payload")
+      .withColumn("prototype_reference", encode(col("payload"), "UTF-8"))
+      .drop("payload")
+    // filtered: the smaller sibling matches nothing → serve the twin
+    val filtered = GrpcPulseExporter.pollStep(
+      forkPulses, forkRecords, 70010L, Seq("b".getBytes))
+    assert(filtered.map(r => (r.pulseNumber, r.recordAmount)) == Some((70030L, 2L)),
+      s"matching twin must be served past the matching-less sibling: $filtered")
+    // unfiltered: both match → smallest-first (the deterministic
+    // refinement of GORM's unordered Find)
+    val both = GrpcPulseExporter.pollStep(forkPulses, forkRecords, 70010L, Nil)
+    assert(both.map(_.pulseNumber) == Some(70020L))
+    // nothing matches anywhere → the documented stall
+    assert(GrpcPulseExporter.pollStep(
+      forkPulses, forkRecords, 70010L, Seq("zzz".getBytes)).isEmpty)
+  }
+
   test("concurrent subscribers each get the full chain (one pool thread per stream)") {
     withServer() { (_, ch) =>
       import scala.jdk.CollectionConverters._
