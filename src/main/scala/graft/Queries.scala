@@ -791,7 +791,9 @@ object Queries {
   val EmbLshBits = 4
   val EmbLshThreshold = 0.45
   val EmbLshTables: Int = graft.vector.CosineDedup.tablesFor(EmbLshThreshold, EmbLshBits)
-  val AnnLshBits = 6
+  // aliases the index layer's constant so the catalog, the pre-build
+  // (AnnIndex.ensureAll), and the hash-replay oracle can never drift
+  val AnnLshBits: Int = graft.vector.AnnIndex.ServedLshBits
   val AnnLshK = 10
   val AnnLshMaxProbes = 16
 
@@ -1237,7 +1239,7 @@ object Queries {
     // deterministic, so capturing the bucket list replays the prune exactly
     captureLsh(dir, graft.vector.Similarity.marginProbeBuckets(
       q, AnnLshBits, maxProbes = AnnLshMaxProbes))
-    val path = graft.vector.AnnIndex.lshPath(dir, bits = AnnLshBits)
+    val path = graft.vector.AnnIndex.lshPath(dir, bits = AnnLshBits, dim = q.length)
     graft.vector.AnnIndex.ensureLsh(emb, path, dim = q.length, bits = AnnLshBits)
     graft.vector.AnnIndex.lshTopK(s, path, q, AnnLshK, bits = AnnLshBits,
       maxProbes = AnnLshMaxProbes, excludeId = Some(0L))

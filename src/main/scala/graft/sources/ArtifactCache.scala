@@ -37,8 +37,13 @@ object ArtifactCache {
 
   /** Drop the cached key `prefix` itself and every key under it (path
     * components only — `/idx/a` never evicts its sibling `/idx/a0`).
+    * A trailing slash is normalized away, like [[RelationCache.invalidate]]:
+    * without it `forget("/idx/a/")` would compare `"/idx/a//"` prefixes
+    * and silently evict nothing — the next ensure would then serve the
+    * wiped path off the stale positive marker.
     */
-  def forget(prefix: String): Unit = {
+  def forget(prefix0: String): Unit = {
+    val prefix = if (prefix0.endsWith("/")) prefix0.dropRight(1) else prefix0
     val it = known.iterator()
     while (it.hasNext) {
       val k = it.next()

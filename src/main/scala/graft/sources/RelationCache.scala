@@ -75,8 +75,20 @@ object RelationCache {
         // we resolved; otherwise serve the frame uncached.
         val e0 = epoch.get()
         val df = spark.read.parquet(path)
-        if (epoch.get() == e0)
-          cache.putIfAbsent(key(spark, path), Entry(spark, df))
+        if (epoch.get() == e0) {
+          val k = key(spark, path)
+          cache.putIfAbsent(k, Entry(spark, df))
+          // the pre-put epoch check alone leaves a window: an invalidate
+          // can run entirely between it and the put (its removeIf finds
+          // no key yet) and the pre-rewrite index would be published
+          // "clean". Re-check AFTER publishing and withdraw on any
+          // movement — this may evict another reader's fresh post-
+          // invalidate entry, which errs toward a missed cache, never
+          // toward a stale index (invalidate() increments the epoch
+          // BEFORE its sweep, so one of the two checks always observes
+          // a racing invalidation).
+          if (epoch.get() != e0) cache.remove(k)
+        }
         df
     }
 

@@ -72,23 +72,48 @@ object AnnIndex {
 
   /** Centroid sets are tiny and immutable once written — memoize per path
     * so repeated queries don't pay a Spark job just to reload them.
+    * Eviction rides [[graft.sources.RelationCache.onInvalidate]] (the hook
+    * registered below), so "writer rewrote the path" stays ONE
+    * invalidation call for every cache keyed by it — a wipe site that
+    * remembers RelationCache.invalidate but forgets this memo would
+    * otherwise probe a rebuilt index with the OLD centroid array, the
+    * silent kNN corruption [[forgetCached]] warns about.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Float]]]()
 
-  def readCentroids(spark: SparkSession, path: String): Array[Seq[Float]] =
-    centroidCache.computeIfAbsent(path, { p =>
-      import spark.implicits._
-      spark.read.parquet(s"$p/centroids")
-        .orderBy("cell").select("centroid").as[Seq[Float]].collect()
-    })
+  graft.sources.RelationCache.onInvalidate { p =>
+    if (p == null) centroidCache.clear() else forgetCached(p)
+  }
 
-  /** Drop memoized centroids at or under `prefix`. Wipe-and-rebuild
-    * harnesses must call this with the wiped root: probing a rebuilt
-    * index with the OLD centroid array silently corrupts kNN (cell ids
-    * would no longer correspond to the pruning centroids).
+  def readCentroids(spark: SparkSession, path: String): Array[Seq[Float]] = {
+    // load OUTSIDE the map: computeIfAbsent holds the bin lock for the
+    // mapping function's duration, and this one is a whole Spark job —
+    // an unrelated key hashing to the same bin would block behind it.
+    // The load is deterministic and idempotent, so a racing double-load
+    // costs one redundant job, not correctness (putIfAbsent keeps the
+    // first published copy).
+    val cached = centroidCache.get(path)
+    if (cached != null) cached
+    else {
+      import spark.implicits._
+      val loaded = spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").select("centroid").as[Seq[Float]].collect()
+      val prev = centroidCache.putIfAbsent(path, loaded)
+      if (prev != null) prev else loaded
+    }
+  }
+
+  /** Drop memoized centroids at or under `prefix` (trailing slash
+    * normalized, like the sibling eviction routines). Wipe-and-rebuild
+    * harnesses must invalidate the wiped root (one
+    * [[graft.sources.RelationCache.invalidate]] call reaches here via the
+    * hook): probing a rebuilt index with the OLD centroid array silently
+    * corrupts kNN (cell ids would no longer correspond to the pruning
+    * centroids).
     */
-  def forgetCached(prefix: String): Unit = {
+  def forgetCached(prefix0: String): Unit = {
+    val prefix = if (prefix0.endsWith("/")) prefix0.dropRight(1) else prefix0
     val it = centroidCache.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()
@@ -123,12 +148,17 @@ object AnnIndex {
   /** Batch kNN JOIN against the persisted IVF index — the scale twin of
     * [[Similarity.topKJoin]], which compares every query against the FULL
     * corpus. Here each query row explodes to its `nProbe` nearest cells,
-    * the (small) query side equi-joins the cell-partitioned corpus on the
-    * cell key (Catalyst broadcasts it), and the per-query top-k rank
-    * window sees only the probed nProbe/nCells fraction. A corpus vector
-    * lives in exactly one cell and probe cells are distinct, so no pair
-    * dedup is needed. Approximate by construction — recall vs the exact
-    * join is bounded in RecallInvariantsSpec.
+    * the query side equi-joins the cell-partitioned corpus on the cell
+    * key, and the per-query top-k rank window sees only the probed
+    * nProbe/nCells fraction. The join is deliberately UN-hinted: a small
+    * query batch gets broadcast by AQE at runtime (when it actually
+    * fits), while a huge batch — where a forced broadcast would be a
+    * driver-memory cliff — probes essentially every cell anyway, so the
+    * shuffle join IS the right plan there (the same reasoning as the
+    * dedup pipelines' un-hinted candidate joins). A corpus vector lives
+    * in exactly one cell and probe cells are distinct, so no pair dedup
+    * is needed. Approximate by construction — recall vs the exact join
+    * is bounded in RecallInvariantsSpec.
     */
   def ivfKnnJoin(
       spark: SparkSession,
@@ -276,23 +306,37 @@ object AnnIndex {
     root
   }
 
+  /** The signature width every served/prebuilt LSH index uses — ONE
+    * constant shared by the catalog query (`Queries.AnnLshBits` aliases
+    * it, including its hash-replay oracle) and [[ensureAll]]'s pre-build,
+    * so the two can never drift: a drifted pre-build would leave the
+    * timed query paying a full corpus-scan index build on its cold pass.
+    */
+  val ServedLshBits = 6
+
   /** Canonical index paths — the build PARAMETERS are part of the path,
     * so a parameter change at any call site can never silently read an
     * index built with different ones (wrong bits against wrong partition
-    * values would return near-empty results without an error).
+    * values — or hyperplanes generated for a different embedding
+    * DIMENSION, hence `dim` in the LSH tag — would return near-empty
+    * results without an error).
     */
   def ivfPath(dir: String, nCells: Int = 16): String =
     indexRoot(dir) + s"/ivf-c$nCells"
-  def lshPath(dir: String, bits: Int, seed: Long = 42L): String =
-    indexRoot(dir) + s"/lsh-b$bits-s$seed"
+  def lshPath(dir: String, bits: Int, dim: Int, seed: Long = 42L): String =
+    indexRoot(dir) + s"/lsh-b$bits-d$dim-s$seed"
 
   /** Ensure both ANN indexes for a testdata dir exist (called by Bench
     * before timing so query numbers measure the read path, mirroring a
-    * standing index in production).
+    * standing index in production). `dim` is the testdata corpus's
+    * embedding width; a corpus with a different width misses this
+    * pre-build and cold-builds its own correctly-dimensioned index at
+    * its own path (the dim-tagged [[lshPath]] makes a mismatch a miss,
+    * never a silent wrong-planes probe).
     */
   def ensureAll(spark: SparkSession, dir: String, dim: Int = 64): Unit = {
     val emb = graft.model.Domain.embeddings(spark, dir)
     ensureIvf(emb, ivfPath(dir))
-    ensureLsh(emb, lshPath(dir, bits = 6), dim, bits = 6)
+    ensureLsh(emb, lshPath(dir, ServedLshBits, dim), dim, bits = ServedLshBits)
   }
 }
