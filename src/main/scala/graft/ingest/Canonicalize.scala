@@ -51,8 +51,12 @@ object Canonicalize {
         when(col("virtual_type").isin("amend", "deactivate"),
           Codecs.emptyRefToNull(col("prev_state_id")))
           .otherwise(lit(null).cast("binary")).as("prev_record_reference"),
-        sha2(coalesce(col("raw_data"), lit(Array.emptyByteArray)), 256)
-          .cast("binary").as("hash"),
+        // unhex, NOT cast: sha2 returns the ASCII-HEX string, and casting
+        // that to binary stores the 64 hex characters' UTF-8 bytes — the
+        // served base64 would then be base64-of-hex, not the reference's
+        // base64 of the 32-byte digest, and the column doubles in size
+        unhex(sha2(coalesce(col("raw_data"), lit(Array.emptyByteArray)), 256))
+          .as("hash"),
         col("raw_data"),
         col("jet_id"),
         col("pulse_number"),

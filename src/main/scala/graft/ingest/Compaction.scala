@@ -60,12 +60,22 @@ object Compaction {
       sortCols: Seq[String] = Seq("jet_id", "order"),
       targetFileBytes: Long = 128L * 1024 * 1024
   ): (Int, Int, Int) = {
+    // a partition is a candidate only when it holds MORE files than its
+    // own target fan-in max(1, ceil(bytes/targetFileBytes)) — comparing
+    // against a flat maxFiles=1 would re-select every partition that
+    // LEGITIMATELY needs n>1 files and rewrite the same bytes on every
+    // maintenance run (at 100 TB most pulse partitions exceed one target
+    // file, so "the second run is a no-op" would be false exactly where
+    // compaction matters)
+    def targetFiles(bytes: Long): Int =
+      math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val cands = candidates(spark, tablePath)
+      .filter(c => c.files > targetFiles(c.bytes))
     if (cands.isEmpty) return (0, 0, 0)
     // One job per distinct target file count (partitions needing the same
     // fan-in batch together); each overwrites only its own partition
     // values (dynamic mode), so untouched partitions keep their files.
-    val byN = cands.groupBy(c => math.max(1, math.ceil(c.bytes.toDouble / targetFileBytes).toInt))
+    val byN = cands.groupBy(c => targetFiles(c.bytes))
     byN.foreach { case (n, group) =>
       val vals = group.map(_.partition.split("=", 2)(1))
       val base = spark.read.parquet(tablePath)

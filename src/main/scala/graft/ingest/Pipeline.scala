@@ -51,24 +51,47 @@ final class Pipeline(
   /** [[ingestPulse]] with failures contained: a pulse whose fetch/commit
     * throws (even after source-side retries) is treated as missing this
     * round — the gap loop re-requests it later (reference: the extractor
-    * retries forever, the controller owns re-request).
+    * retries forever, the controller owns re-request). Interrupts are
+    * NOT contained: a stopping thread must exit the sweep, not grind on
+    * treating its own interrupt as "pulse missing" (the same rethrow
+    * contract the transport layer keeps).
     */
   private def tryIngest(p: Long): Boolean =
-    try ingestPulse(p) catch { case _: Throwable => false }
+    try ingestPulse(p) catch {
+      case e: InterruptedException => throw e
+      case _: Throwable => false
+    }
+
+  /** Distinct pulse numbers PRESENT in `table` — a directory that does
+    * not exist or holds no data files (a store whose only commits were
+    * zero-row pulses leaves `records/` with just `_SUCCESS`) reads as
+    * empty instead of failing schema inference and aborting the round.
+    * Existence resolves through the same Hadoop FS the writes go to, so
+    * a non-local default filesystem behaves like the local one.
+    */
+  private def presentPulses(table: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$basePath/$table")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData)
+      spark.read.parquet(s"$basePath/$table")
+        .select(col("pulse_number").cast("long").as("pulse_number")).distinct()
+    else spark.range(0).selectExpr("id AS pulse_number")
+  }
 
   /** Drive `[from, to]`, then run one gap-detection + reload round. */
   def run(from: Long, to: Long): Report = {
     val ingested = (from to to by pulseDelta).filter(tryIngest)
-    // nothing written yet (e.g. the feed was down for the whole sweep) →
-    // every pulse in range is missing; don't crash on the absent path.
-    // Existence resolves through the same Hadoop FS the writes go to, so
-    // a non-local default filesystem behaves like the local one.
-    val recordsPath = new org.apache.hadoop.fs.Path(s"$basePath/records")
-    val fs = recordsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present =
-      if (fs.exists(recordsPath))
-        spark.read.parquet(s"$basePath/records").select(col("pulse_number")).distinct()
-      else spark.range(0).selectExpr("id AS pulse_number")
+    // a pulse is PRESENT only when BOTH tables hold it: commitPulse
+    // writes records before jet_drops, so a failure between the two
+    // leaves records without drops — keying the gap scan off records
+    // alone would classify that pulse healthy and the jet_drops hole
+    // would never be re-requested by anything, permanently
+    val present = presentPulses("records")
+      .join(presentPulses("jet_drops"), "pulse_number")
     val missing = Completeness
       .missingInRange(present, "pulse_number", from, to, pulseDelta)
       .collect().map(_.getLong(0)).toSeq
@@ -85,7 +108,10 @@ final class Pipeline(
           val ok = ingestPulse(p)
           missedData.addIfNew(p, p)
           ok
-        } catch { case _: Throwable => false }
+        } catch {
+          case e: InterruptedException => throw e
+          case _: Throwable => false
+        }
     }
     Report(ingested, missing, reloaded)
   }
@@ -107,9 +133,15 @@ final class Pipeline(
     val missing = scala.collection.mutable.ArrayBuffer.empty[Long]
     var p = from
     while (p <= to) {
-      (try rich(p) catch { case _: Throwable => None }) match {
+      (try rich(p) catch {
+        case e: InterruptedException => throw e
+        case _: Throwable => None
+      }) match {
         case Some((wire, hint)) =>
-          val ok = try { commit(wire); true } catch { case _: Throwable => false }
+          val ok = try { commit(wire); true } catch {
+            case e: InterruptedException => throw e
+            case _: Throwable => false
+          }
           if (ok) ingested += p else missing += p
           p = if (hint > p) hint else p + pulseDelta
         case None =>
@@ -124,14 +156,31 @@ final class Pipeline(
           val ok = rich(q).exists { case (wire, _) => commit(wire); true }
           missedData.addIfNew(q, q)
           ok
-        } catch { case _: Throwable => false }
+        } catch {
+          case e: InterruptedException => throw e
+          case _: Throwable => false
+        }
     }
     Report(ingested.toSeq, missing.toSeq, reloaded)
   }
 
-  /** The derived pulse-status view (A1 counters + ST2 + sequence). */
-  def status(): DataFrame =
-    graft.model.Domain.pulses(
-      spark.read.parquet(s"$basePath/records")
-        .withColumn("ts_sec", col("timestamp")))
+  /** The derived pulse-status view (A1 counters + ST2 + sequence). A
+    * data-less records directory (zero-row commits only, or nothing
+    * ingested yet) yields an empty status frame instead of a schema-
+    * inference crash.
+    */
+  def status(): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$basePath/records")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val records =
+      if (hasData) spark.read.parquet(s"$basePath/records")
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        graft.model.Schemas.records)
+    graft.model.Domain.pulses(records.withColumn("ts_sec", col("timestamp")))
+  }
 }

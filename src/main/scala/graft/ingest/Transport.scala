@@ -100,6 +100,21 @@ object Transport {
         }
         marker match {
           case Some(f) =>
+            // drain the portion's remainder (≤ batchSize frames the
+            // server already pushed — records of the NEXT pulse) so the
+            // underlying stream COMPLETES instead of sitting half-
+            // consumed with buffered frames until the transport gives
+            // up (the reference extractor closes its stream on the
+            // marker, platform_impl.go:310-319). Bounded and best-
+            // effort: a drain failure is irrelevant, the marker is
+            // already in hand — but an interrupt still exits promptly.
+            try {
+              var d = 0
+              while (d < batchSize && it.hasNext) { it.next(); d += 1 }
+            } catch {
+              case e: InterruptedException => throw e
+              case _: Throwable => ()
+            }
             return Some(FetchedPulse(acc.toSeq, f.shouldIterateFrom.getOrElse(f.recPulse)))
           case None =>
             if (acc.length == before)

@@ -46,9 +46,15 @@ class CompactionSpec extends SparkSpec {
     appendPulse(path, 80000L, 4)
     val bytes = Compaction.candidates(spark, path, maxFiles = 0).head.bytes
     // force a 2-file target
-    val (_, _, after) = Compaction.compact(spark, path, targetFileBytes = bytes / 2 + 1)
+    val target = bytes / 2 + 1
+    val (_, _, after) = Compaction.compact(spark, path, targetFileBytes = target)
     assert(after == 2)
     val rows = spark.read.parquet(path).count()
     assert(rows == 40)
+    // a partition sitting AT its multi-file target is no longer a
+    // candidate: re-running must be a no-op, not an eternal rewrite of
+    // every partition that legitimately needs n>1 files
+    assert(Compaction.compact(spark, path, targetFileBytes = target) == ((0, 0, 0)),
+      "a correctly-sized multi-file partition must not be re-compacted")
   }
 }

@@ -42,4 +42,62 @@ class PipelineSpec extends SparkSpec {
     // jet_drops got the same treatment
     assert(spark.read.parquet(s"$base/jet_drops").count() == 8) // 4 pulses x 2 jets
   }
+
+  test("a pulse whose records committed but whose jet_drops write was lost is " +
+      "detected missing and healed — gap detection keys off BOTH tables") {
+    // commitPulse writes records before jet_drops: a crash between the
+    // two leaves a records partition with no drops row; a gap scan keyed
+    // off records alone would classify the pulse healthy forever
+    val base = java.nio.file.Files.createTempDirectory("graft-pipe-drophole").toString
+    val start = Fixtures.GenesisPulse + Fixtures.PulseDelta
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 6,
+      startPulse = start)
+    def src(pulse: Long) = {
+      val out = wire.filter(col("pulse_number") === pulse)
+      if (out.isEmpty) None else Some(out)
+    }
+    val pipe = new Pipeline(spark, base, src)
+    assert(pipe.run(start, start + 10).missing.isEmpty)
+    // simulate the crash window: wipe the second pulse's jet_drops rows
+    val holed = s"$base/jet_drops/pulse_number=${start + 10}"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      assert(f.delete(), s"fixture delete failed: $f")
+    }
+    deleteRec(new java.io.File(holed))
+    graft.sources.RelationCache.invalidate(s"$base/jet_drops")
+    // the regression shape: the FEED no longer serves these pulses (a
+    // pruned exporter), so only the gap SCAN can notice the hole — a
+    // records-only present set would report nothing missing forever
+    val pruned = new Pipeline(spark, base, _ => None)
+    val r = pruned.run(start, start + 10)
+    assert(r.missing == Seq(start + 10),
+      s"the drops hole must be classified missing: $r")
+    // a source that heals on re-request restores the partition through
+    // the reload path of a fresh round
+    val healing = new Pipeline(spark, base, src)
+    val r2 = healing.run(start, start + 10)
+    assert(spark.read.parquet(s"$base/jet_drops")
+      .filter(col("pulse_number") === (start + 10)).count() == 2L,
+      s"the re-ingest must restore the jet_drops partition: $r2")
+    assert(healing.run(start, start + 10).missing.isEmpty)
+  }
+
+  test("the stored record hash is the 32-byte sha256 DIGEST of raw_data, " +
+      "not the hex string's bytes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pipe-hash").toString
+    val start = Fixtures.GenesisPulse + Fixtures.PulseDelta
+    val wire = Fixtures.multiPulseBatches(spark, 1, recordsPerPulse = 4, startPulse = start)
+    PulseWriter.commitPulse(wire, base)
+    val rows = spark.read.parquet(s"$base/records")
+      .select("hash", "raw_data").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Array[Byte]]("hash")
+      assert(h.length == 32, s"sha256 digest must be 32 bytes, got ${h.length}")
+      val expected = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(Option(r.getAs[Array[Byte]]("raw_data")).getOrElse(Array.emptyByteArray))
+      assert(h.sameElements(expected), "hash must equal sha256(raw_data)")
+    }
+  }
 }
