@@ -98,7 +98,16 @@ object ApiMetrics {
       val n = math.min(visible.get(), capacity.toLong).toInt
       val snap = Array.tabulate(n)(ring.get).filter(_ > 0L).sorted
       if (snap.isEmpty) qs.map(_ -> Double.NaN)
-      else qs.map(q => q -> snap(math.min(snap.length - 1, (q * snap.length).toInt)) / 1e9)
+      // nearest-rank: index ceil(q*n)-1, clamped. The truncating
+      // (q*n).toInt form is one order statistic too HIGH everywhere it
+      // matters — the median of [1s, 10s] would report 10s, and p90
+      // over 10 samples would report the max — skewing every dashboard
+      // and load-probe read of these summaries upward.
+      else qs.map { q =>
+        val idx = math.min(snap.length - 1,
+          math.max(0, math.ceil(q * snap.length).toInt - 1))
+        q -> snap(idx) / 1e9
+      }
     }
   }
 

@@ -47,9 +47,12 @@ object HttpApi {
   private val InvalidParamsMessage = "Invalid query or path parameters"
 
   final class Handle private[HttpApi] (server: HttpServer,
-      pool: java.util.concurrent.ExecutorService, val metrics: ApiMetrics) {
+      pool: java.util.concurrent.ExecutorService,
+      dispatch: java.util.concurrent.ExecutorService, val metrics: ApiMetrics) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+    def stop(): Unit = {
+      server.stop(0); pool.shutdownNow(); dispatch.shutdownNow(); ()
+    }
   }
 
   /** Bind and start. `port=0` picks an ephemeral port (tests). The
@@ -57,19 +60,39 @@ object HttpApi {
     * (the reference starts it as its metrics HTTP server,
     * `cmd/api/main.go:66-76`; one port here — no second listener in
     * the sandbox).
+    *
+    * Two executors, deliberately: the server DISPATCHES on a cached pool
+    * that only ever runs cheap work (the ops routes, and handing an API
+    * exchange to the worker pool), while the Spark-bound API handlers run
+    * on the bounded `poolSize` pool. With one shared pool, `poolSize`
+    * concurrent multi-second page scans would queue the liveness probe
+    * behind them and an orchestrator would restart the service exactly at
+    * peak load — the opposite of OpsRoutes' "must answer even while the
+    * session is busy" contract.
     */
   def start(spark: SparkSession, dir: String, port: Int = 0, poolSize: Int = 8): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val dispatch = Executors.newCachedThreadPool()
     val pool = Executors.newFixedThreadPool(poolSize)
-    server.setExecutor(pool)
+    server.setExecutor(dispatch)
     val metrics = new ApiMetrics // per-listener registry (see its doc)
-    server.createContext("/api/v1", (ex: HttpExchange) => handle(spark, dir, metrics, ex))
+    server.createContext("/api/v1", { (ex: HttpExchange) =>
+      // hand off and return: the exchange stays open until the worker
+      // closes it (answer() always does); a rejected hand-off (stop() in
+      // flight) still answers rather than leaking the exchange
+      try pool.execute(() => handle(spark, dir, metrics, ex))
+      catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          OpsRoutes.answer(ex, 503, "application/json", "{}")
+      }
+    })
     // the shared ops mux (liveness + metrics), one implementation with
-    // the ingest daemon's listener — see [[OpsRoutes]]
+    // the ingest daemon's listener — see [[OpsRoutes]]; runs directly on
+    // the dispatch pool, so it answers regardless of API saturation
     OpsRoutes.healthcheck(server)
     OpsRoutes.metrics(server)(() => metrics.render())
     server.start()
-    new Handle(server, pool, metrics)
+    new Handle(server, pool, dispatch, metrics)
   }
 
   // ---- routing ---------------------------------------------------------
@@ -107,21 +130,26 @@ object HttpApi {
   private def handle(spark: SparkSession, dir: String, metrics: ApiMetrics,
       ex: HttpExchange): Unit = {
     val t0 = System.nanoTime()
+    import scala.util.control.NonFatal
     val (status, body) =
       try route(spark, dir, ex)
       catch {
-        case e: Throwable if isScanRace(e) =>
+        // fatal VM errors (OutOfMemoryError & co) PROPAGATE: converting
+        // them to a routine 500 would keep serving on a heap in
+        // undefined state — and the scan-race branch would even re-run
+        // the failing query, doubling the pressure
+        case e if NonFatal(e) && isScanRace(e) =>
           // every route is a GET read: one retry against a fresh file
           // listing converts most racing-rewrite 500s into the committed
           // page; a second failure answers the documented retryable 500
           try route(spark, dir, ex)
           catch {
-            case e2: Throwable =>
+            case e2 if NonFatal(e2) =>
               System.err.println(
                 s"[http] ${ex.getRequestURI} failed after scan-race retry: ${e2.getMessage}")
               (500, "{}")
           }
-        case e: Throwable =>
+        case e if NonFatal(e) =>
           System.err.println(s"[http] ${ex.getRequestURI} failed: ${e.getMessage}")
           (500, "{}")
       }
@@ -190,7 +218,11 @@ object HttpApi {
           case Array(k, v) => decodeLenient(k) -> decodeLenient(v)
           case Array(k)    => decodeLenient(k) -> ""
         }
-      }.toMap
+        // FIRST occurrence wins on a duplicated param — the reference's
+        // binding layer reads url.Values.Get (the first value), while a
+        // plain toMap would keep the LAST and diverge on adversarial
+        // ?limit=20&limit=9999 inputs
+      }.distinctBy(_._1).toMap
     }
 
   // ---- param validation (api/handlers.go:677-703) ----------------------
@@ -290,10 +322,11 @@ object HttpApi {
     */
   private def parseObjectRef(spark: SparkSession, dir: String,
       s: String): Option[Long] = {
-    val t = s.trim
-    if (t.isEmpty) None
-    else t.toLongOption.orElse(
-      Codecs.parseReference(t).filter(_.length == 36)
+    // untrimmed: the reference parses the raw path param, so a
+    // whitespace-padded ref is a 400, not a silently-normalized lookup
+    if (s.isEmpty) None
+    else s.toLongOption.orElse(
+      Codecs.parseReference(s).filter(_.length == 36)
         .map(graft.model.Domain.refToKey(spark, dir, _)))
   }
 
@@ -441,10 +474,12 @@ object HttpApi {
     val limit = if (q.contains("limit")) parsedLimit else 1000
     // check order (handlers.go:149-184): limit, jet id, sort_by, then
     // pulse bounds gt, gte, lt, lte
-    val jetTrim = jet.trim
+    // the RAW path param, untrimmed: the reference's checkJetID regexp
+    // rejects whitespace-padded values with 400; trimming here would
+    // serve a 200 page the reference refuses
     val jetFail: Failures =
-      if (JetIdPattern.matches(jetTrim)) Nil
-      else if (jetTrim.isEmpty)
+      if (JetIdPattern.matches(jet)) Nil
+      else if (jet.isEmpty)
         // checkJetID stacks BOTH failures for an empty value: the empty
         // check and the regexp mismatch (handlers.go:749-776)
         List(("jet-id path parameter", "empty value of path parameter"),
@@ -459,7 +494,7 @@ object HttpApi {
     val failures = f1 ++ jetFail ++ f2 ++ f3 ++ f4 ++ f5 ++ f6
     if (failures.nonEmpty) return badRequest(failures)
     // "*" is the root jet: every drop is in its subtree (empty prefix)
-    val prefix = if (jetTrim == "*") "" else jetTrim
+    val prefix = if (jet == "*") "" else jet
     // strict bounds fold into the inclusive builders: integral pulses, so
     // lt v == lte v-1 (same as pulsesList / storage.go filterByPulseNumber)
     val lte = Seq(pnLte, pnLt.map(_ - 1)).flatten.reduceOption(_ min _)

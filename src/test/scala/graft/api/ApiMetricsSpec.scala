@@ -14,7 +14,10 @@ class ApiMetricsSpec extends AnyFunSuite {
     Seq(10L, 20L, 30L, 40L).foreach(n => s.record(n * 1000000L)) // ms in nanos
     val q = s.quantiles(Seq(0.0, 0.5, 0.99)).toMap
     assert(q(0.0) == 0.010)
-    assert(q(0.5) == 0.030) // (0.5*4).toInt = index 2 of [10,20,30,40]
+    // nearest-rank: ceil(0.5*4)-1 = index 1 of [10,20,30,40] — the
+    // truncating (q*n).toInt form would report 30, one rank too high
+    // (and the median of a 2-sample window as its max)
+    assert(q(0.5) == 0.020)
     assert(q(0.99) == 0.040)
     assert(s.count.sum() == 4)
     assert(s.sumNanos.sum() == 100L * 1000000L)
