@@ -10,9 +10,14 @@ object Codecs {
 
   /** F4 — record index `"<pulse>:<order>"`.
     * reference: `etl/storage/storage.go:147-163`, `api/mappers.go:26`.
+    * NULL-strict: concat_ws silently SKIPS null arguments, so a null
+    * pulse or order would otherwise serve a colon-less one-field string
+    * no [[parseIndex]] can ever read back — an unusable cursor is worse
+    * than an omitted field, so either-null yields NULL.
     */
   def indexString(pulse: Column, order: Column): Column =
-    concat_ws(":", pulse.cast("string"), order.cast("string"))
+    when(pulse.isNull || order.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws(":", pulse.cast("string"), order.cast("string")))
 
   /** Parse `"P:O"` → (pulse, order); caller validates shape (P7).
     * ParseInt-strict like `storage.CheckIndex` (storage.go:147-163) — no
@@ -27,11 +32,16 @@ object Codecs {
   }
 
   /** F3 — jet drop id `"<jet>:<pulse>"`, root jet rendered "*".
-    * reference: `etl/models/models.go:115-125`.
+    * reference: `etl/models/models.go:115-125`. A NULL jet id renders as
+    * the root too: the reference's Go model scans SQL NULL into the empty
+    * string, and without the isNull arm the `length === 0` check is NULL,
+    * the `when` falls through to the NULL jet, and concat_ws SKIPS it —
+    * serving a bare "<pulse>" id that [[parseJetDropId]] can never read
+    * back.
     */
   def jetDropIdString(jetId: Column, pulse: Column): Column =
     concat_ws(":",
-      when(length(jetId) === 0, lit("*")).otherwise(jetId),
+      when(jetId.isNull || length(jetId) === 0, lit("*")).otherwise(jetId),
       pulse.cast("string"))
 
   private val JetDropIdRe = "^(\\*|[0-1]{1,216}):([+-]?\\d+)$".r

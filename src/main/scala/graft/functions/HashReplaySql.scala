@@ -160,7 +160,7 @@ private[graft] object HashReplaySql {
        |  SELECT doc_id AS id,
        |    CAST(SUM(CASE WHEN v > 0 THEN vt.pw ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS s
        |  FROM votes JOIN pow2 vt USING (b) GROUP BY doc_id),
-       |bandrow AS (
+       |bandrow AS MATERIALIZED (
        |  SELECT id, b AS band, (s >> (b * 16)) & 65535 AS bh, s
        |  FROM sig, range(4) t(b)),
        |pairs AS (
@@ -366,7 +366,10 @@ private[graft] object HashReplaySql {
        |$eCte,
        |sampled AS (
        |  SELECT g, v FROM (
-       |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY u2, sid) AS sr
+       |    -- v as the final tiebreak mirrors the heap's total (key, sid,
+    -- payload) order: duplicate sample ids then resolve identically on
+    -- both engines instead of by task/scan order
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY u2, sid, v) AS sr
        |    FROM ehash) WHERE sr <= $kSample),
        |ranked AS (
        |  SELECT g, v,
@@ -431,7 +434,7 @@ private[graft] object HashReplaySql {
        |$shCte,
        |slots0 AS MATERIALIZED (SELECT id, h, i FROM sh, range($k) t(i)),
        |$slotCte,
-       |sigrow AS (SELECT id, i, MIN(sh) AS m FROM sloth GROUP BY id, i),
+       |sigrow AS MATERIALIZED (SELECT id, i, MIN(sh) AS m FROM sloth GROUP BY id, i),
        |bandrow AS MATERIALIZED (
        |  SELECT e.id, CAST(e.i // 2 AS INT) AS band,
        |    ${toUnsignedCol("e.m")} AS me_u,
@@ -443,8 +446,8 @@ private[graft] object HashReplaySql {
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
-       |shd AS (SELECT DISTINCT id, h FROM sh),
-       |sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+       |shd AS MATERIALIZED (SELECT DISTINCT id, h FROM sh),
+       |sizes AS MATERIALIZED (SELECT id, count(*) AS n FROM shd GROUP BY id),
        |inter AS (
        |  SELECT p.a_id, p.b_id, count(*) AS i
        |  FROM pairs p

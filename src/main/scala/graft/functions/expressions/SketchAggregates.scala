@@ -11,9 +11,12 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded-heap aggregation state shared by the sketch aggregates: a
-  * size-capped binary MAX-heap ordered by (key1, key2), so inserting past
-  * capacity evicts the largest — what remains is exactly the k smallest
-  * pairs. Payload slots ride along with their keys.
+  * size-capped binary MAX-heap ordered by (key1, key2, payload) — the
+  * payload tiebreak makes the order TOTAL even when two rows share both
+  * keys (duplicate sample ids under at-least-once delivery), so the kept
+  * set never depends on Spark's task/merge order and the bit-exact
+  * oracle parity holds unconditionally, not just on tie-free data.
+  * Payload slots ride along with their keys.
   *
   * This is the sketch aggregates' scale story: per-group state is O(k)
   * regardless of group size, partials merge associatively (map-side
@@ -26,8 +29,9 @@ private[expressions] final class BoundedPairHeap(val k: Int) {
   val k2 = new Array[Long](k)
   val pay = new Array[Double](k)
 
-  private def less(aK1: Long, aK2: Long, bK1: Long, bK2: Long): Boolean =
-    aK1 < bK1 || (aK1 == bK1 && aK2 < bK2)
+  private def less(aK1: Long, aK2: Long, aP: Double,
+      bK1: Long, bK2: Long, bP: Double): Boolean =
+    aK1 < bK1 || (aK1 == bK1 && (aK2 < bK2 || (aK2 == bK2 && aP < bP)))
 
   private def swap(i: Int, j: Int): Unit = {
     val a = k1(i); k1(i) = k1(j); k1(j) = a
@@ -37,7 +41,8 @@ private[expressions] final class BoundedPairHeap(val k: Int) {
 
   private def siftUp(start: Int): Unit = {
     var i = start
-    while (i > 0 && less(k1((i - 1) / 2), k2((i - 1) / 2), k1(i), k2(i))) {
+    while (i > 0 && less(k1((i - 1) / 2), k2((i - 1) / 2), pay((i - 1) / 2),
+        k1(i), k2(i), pay(i))) {
       swap(i, (i - 1) / 2); i = (i - 1) / 2
     }
   }
@@ -49,8 +54,8 @@ private[expressions] final class BoundedPairHeap(val k: Int) {
       val l = 2 * i + 1
       val r = 2 * i + 2
       var m = i
-      if (l < size && less(k1(m), k2(m), k1(l), k2(l))) m = l
-      if (r < size && less(k1(m), k2(m), k1(r), k2(r))) m = r
+      if (l < size && less(k1(m), k2(m), pay(m), k1(l), k2(l), pay(l))) m = l
+      if (r < size && less(k1(m), k2(m), pay(m), k1(r), k2(r), pay(r))) m = r
       if (m == i) done = true else { swap(i, m); i = m }
     }
   }
@@ -60,7 +65,7 @@ private[expressions] final class BoundedPairHeap(val k: Int) {
       k1(size) = a; k2(size) = b; pay(size) = p
       size += 1
       siftUp(size - 1)
-    } else if (less(a, b, k1(0), k2(0))) {
+    } else if (less(a, b, p, k1(0), k2(0), pay(0))) {
       k1(0) = a; k2(0) = b; pay(0) = p
       siftDown()
     }

@@ -118,7 +118,15 @@ object TextKernels {
   * < UDF; this is the Expression tier for the two text kernels that have
   * no built-in equivalent.
   */
-case class FnvFingerprint(child: Expression) extends UnaryExpression {
+case class FnvFingerprint(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // declared input type, so a wrong-typed SQL argument fails ANALYSIS
+  // with the clear "expects string" error instead of a mid-job
+  // ClassCastException (interpreted) or Janino compile failure (codegen)
+  // narrowed to the public DataType (AbstractDataType is private[sql];
+  // Seq is covariant, so this satisfies ExpectsInputTypes.inputTypes)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextKernels.fnv64(v.asInstanceOf[UTF8String])
@@ -131,7 +139,12 @@ case class FnvFingerprint(child: Expression) extends UnaryExpression {
 /** Native Catalyst expression for one-pass SimHash64 (tokenize + vote in
   * a single scan of the string).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // narrowed to the public DataType (AbstractDataType is private[sql];
+  // Seq is covariant, so this satisfies ExpectsInputTypes.inputTypes)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextKernels.simhash64(v.asInstanceOf[UTF8String])
@@ -147,8 +160,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * dedup hot paths (the window's per-document sort was the dominant cost
   * of dd_minhash / dd_ngram_jaccard).
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(n >= 1, "shingle width must be >= 1")
+  // narrowed to the public DataType (AbstractDataType is private[sql];
+  // Seq is covariant, so this satisfies ExpectsInputTypes.inputTypes)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =

@@ -57,6 +57,22 @@ class CodecsSpec extends SparkSpec {
     assert(out(1).getString(0) == "01:70000" && out(1).getString(1) == "70000:3")
   }
 
+  test("NULL inputs never render as colon-less ids (concat_ws skips nulls)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a NULL jet id is the root (the reference's Go model scans SQL NULL
+    // into ""); a NULL pulse/order yields a NULL cursor, never a bare
+    // one-field string parseIndex can't read back
+    val df = Seq((Option.empty[String], Option(65537L), Option.empty[Long]))
+      .toDF("jet", "pulse", "ord")
+    val out = df.select(
+      Codecs.jetDropIdString(col("jet"), col("pulse")).as("jid"),
+      Codecs.indexString(col("pulse"), col("ord")).as("idx")).collect().head
+    assert(out.getString(0) == "*:65537",
+      s"NULL jet must render as root, got ${out.getString(0)}")
+    assert(out.isNullAt(1), "a NULL order must yield a NULL index, not '65537'")
+  }
+
   test("empty refs normalize to null") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
