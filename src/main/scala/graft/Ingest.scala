@@ -110,6 +110,7 @@ object Ingest {
       jets: Set[String],
       jetDropAmount: Int,
       recordAmount: Long,
+      resultAmount: Long,
       timestamp: Long,
       complete: Boolean,
       sequential: Boolean)
@@ -241,9 +242,15 @@ object Ingest {
       val summary = readFrontier(fs, pulsesPath)
       summarized = summary
       val pulsesDf = spark.read.parquet(s"$basePath/pulses")
+      // a pre-result_amount store (or a flat one) must be read WHOLE and
+      // rewritten: a dynamic overwrite of one dirty bucket in the NEW
+      // schema would leave mixed footers across buckets, which parquet
+      // reads resolve from an arbitrary file — the migration below does
+      // one staged full rewrite instead (same machinery as flat->bucketed)
+      val legacySchema = !pulsesDf.schema.fieldNames.contains("result_amount")
       val bounded = summary match {
         case Some((_, frontierBucket))
-            if pulsesDf.schema.fieldNames.contains("pulse_bucket") =>
+            if !legacySchema && pulsesDf.schema.fieldNames.contains("pulse_bucket") =>
           // frontier buckets only, partition-pruned; the bucket partition
           // column reads back as its directory-inferred type (IntegerType
           // when the values fit), so the probe literal must match it for
@@ -264,6 +271,8 @@ object Ingest {
             jets = Set.empty,
             jetDropAmount = r.getAs[Int]("jet_drop_amount"),
             recordAmount = r.getAs[Long]("record_amount"),
+            resultAmount =
+              if (legacySchema) 0L else r.getAs[Long]("result_amount"),
             timestamp = r.getAs[Long]("timestamp"),
             complete = r.getAs[Boolean]("is_complete"),
             sequential = r.getAs[Boolean]("is_sequential"))
@@ -344,7 +353,33 @@ object Ingest {
       // table in bucketed form.
       val flat = fs.listStatus(pulsesPath).exists(st =>
         st.isFile && st.getPath.getName.startsWith("part-"))
-      if (flat) {
+      // a legacy pre-result_amount store migrates the same way a flat one
+      // does (one staged full rewrite in the new schema): mixed-schema
+      // buckets are never left behind, and the persisted result counters
+      // BACKFILL from the records table's own type column — the store
+      // holds the truth, so legacy closed history serves real counts, not
+      // zeros
+      if (legacySchema) {
+        val recordsDir = new org.apache.hadoop.fs.Path(s"$basePath/records")
+        val hasRecords = fs.exists(recordsDir) && fs.listStatus(recordsDir).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (hasRecords) {
+          val counts = spark.read.parquet(s"$basePath/records")
+            .filter(col("type") === "result")
+            .groupBy(col("pulse_number").cast("long").as("pn"))
+            .count().collect()
+          lock.synchronized {
+            counts.foreach { r =>
+              entries.get(r.getAs[Long]("pn")).foreach(e =>
+                entries.update(r.getAs[Long]("pn"),
+                  e.copy(resultAmount = r.getAs[Long]("count"))))
+            }
+          }
+        }
+      }
+      if (flat || legacySchema) {
         // Rewrite IMMEDIATELY (threads are not running yet) and CRASH-SAFE:
         // stage the full bucketed table to the sibling path, then swap.
         // A persisted copy of the dimension exists at every instant — the
@@ -381,6 +416,11 @@ object Ingest {
       lock.synchronized {
         val jets = dropRows.map(_.getAs[String]("jet_id")).toSet
         val amount = dropRows.map(_.getAs[Int]("record_amount").toLong).sum
+        // per-type presence counter, persisted for the status/gap views —
+        // the corpus spine materializes the same column (Domain.pulses);
+        // "result" is the wire union's own tag (Canonicalize F9 maps it
+        // 1:1), counted over the driver-held pulse rows
+        val results = rows.count(_.getAs[String]("virtual_type") == "result").toLong
         val prior = entries.get(pulse)
         // prev fallback order: known predecessor → (empty register) the
         // sequencer's start mark, so the FIRST pulse a fresh daemon finds
@@ -397,6 +437,7 @@ object Ingest {
           jets = jets,
           jetDropAmount = jets.size,
           recordAmount = amount,
+          resultAmount = results,
           timestamp = pulse - Canonicalize.MinTimePulse,
           // a reload that no longer covers the tree revokes completeness;
           // a ZERO-record pulse is complete by construction — the fetch
@@ -745,7 +786,8 @@ object Ingest {
             entries.range(b * cfg.flushBucketSpan, (b + 1) * cfg.flushBucketSpan)
               .iterator.map { case (p, e) =>
                 Row(p, e.prev, nextOf(p), e.complete, e.sequential,
-                  e.jetDropAmount, e.recordAmount, e.timestamp, b)
+                  e.jetDropAmount, e.recordAmount, e.resultAmount,
+                  e.timestamp, b)
               }.toSeq
           }
           val flushed = dirty.toSet
@@ -898,6 +940,7 @@ object Ingest {
     org.apache.spark.sql.types.StructField("is_sequential", org.apache.spark.sql.types.BooleanType, nullable = false),
     org.apache.spark.sql.types.StructField("jet_drop_amount", org.apache.spark.sql.types.IntegerType, nullable = false),
     org.apache.spark.sql.types.StructField("record_amount", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("result_amount", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("pulse_bucket", org.apache.spark.sql.types.LongType, nullable = false)))
 

@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.JetFunctions
@@ -145,11 +145,10 @@ object Domain {
     * drop blocks coarsen.
     */
   def jetDrops(records: DataFrame): DataFrame = {
-    val merged = col("pulse_number") % 4 === 0
-    val prevMerged = col("pulse_number") % 4 === 1
+    val merged = isMergePulse(col("pulse_number"))
+    val prevMerged = col("pulse_number") % JetMergeCadence === 1
     records
-      .withColumn("jet_id",
-        when(merged, substring(col("jet_id"), 1, 2)).otherwise(col("jet_id")))
+      .withColumn("jet_id", coarsenedJetId(col("pulse_number"), col("jet_id")))
       .groupBy(col("pulse_number"), col("jet_id"))
       .agg(count(lit(1)).as("record_amount"), min(col("ts_sec")).as("timestamp"))
       .withColumn("hash", md5(concat_ws(":", col("jet_id"), col("pulse_number"))))
@@ -366,9 +365,35 @@ object Domain {
     graft.GraftExtensions.installInto(spark)
   }
 
+  /** Every [[JetMergeCadence]]-th pulse coarsens its drop tree to depth 2
+    * (the jet-merge case). ONE definition for the drop view and the
+    * counter aggregate below: the two coarsenings previously duplicated
+    * this expression, and a cadence/depth change missing one site would
+    * silently desynchronize `jet_drop_amount` from the pulse's own drop
+    * list — the exact disagreement the counter's comment warns against.
+    */
+  private val JetMergeCadence = 4
+  private def isMergePulse(pulse: Column): Column =
+    pulse % JetMergeCadence === 0
+  private def coarsenedJetId(pulse: Column, jetId: Column): Column =
+    when(isMergePulse(pulse), substring(jetId, 1, 2)).otherwise(jetId)
+
   /** The `pulses` dimension (A1 counters + ST2 completeness + sequence).
     * Stored prev/next follow the hourly ledger contract (pulse ± 1); reads
     * never trust them and re-derive links per page (J3).
+    *
+    * Deliberate semantic split, for the record: `is_complete` is computed
+    * over the RAW depth-3 record jets (the corpus fixture's completeness
+    * notion — the oracle twin agrees), while `jet_drop_amount` counts the
+    * merge-COARSENED saved drops; on a merge pulse with one empty sibling
+    * the two can disagree (complete drop list, incomplete record cover).
+    * The daemon's live register implements the reference's drops-based
+    * semantics (`pulsemaintainer.go:145-212`); this view is the corpus
+    * twin whose truth is its own oracle. `is_sequential` likewise means
+    * "every PRESENT earlier pulse is complete" — the corpus has inherent
+    * gaps (events-derived pulses are sparse), so chain-contiguity would
+    * mark everything non-sequential; the daemon's sequencer owns the real
+    * chain semantics.
     */
   def pulses(records: DataFrame): DataFrame = {
     val cover = udaf(graft.operators.JetCoverAggregator,
@@ -379,8 +404,7 @@ object Domain {
       // depth-2) — counting raw record jets would disagree with the
       // pulse's own drop list (8 vs 4 on a merged pulse), and the
       // reference increments the counter once per saved jet drop
-      countDistinct(when(col("pulse_number") % 4 === 0,
-        substring(col("jet_id"), 1, 2)).otherwise(col("jet_id")))
+      countDistinct(coarsenedJetId(col("pulse_number"), col("jet_id")))
         .as("jet_drop_amount"),
       count(lit(1)).as("record_amount"),
       // per-type presence counters, materialized at build time so the

@@ -139,7 +139,8 @@ object StoreViews {
     field("pulse_number", "long"), field("prev_pulse_number", "long"),
     field("next_pulse_number", "long"), field("is_complete", "boolean"),
     field("is_sequential", "boolean"), field("timestamp", "long"),
-    field("jet_drop_amount", "long"), field("record_amount", "long")))
+    field("jet_drop_amount", "long"), field("record_amount", "long"),
+    field("result_amount", "long")))
 
   private def field(name: String, t: String) =
     org.apache.spark.sql.types.StructField(name,
@@ -206,13 +207,24 @@ object StoreViews {
     */
   def pulses(spark: SparkSession, dir: String): DataFrame =
     if (!hasData(spark, s"$dir/pulses")) emptyFrame(spark, PulsesServingSchema)
-    else spark.read.parquet(s"$dir/pulses").select(
-      col("pulse_number").cast("long").as("pulse_number"),
-      col("prev_pulse_number"),
-      col("next_pulse_number"),
-      col("is_complete"),
-      col("is_sequential"),
-      col("timestamp"),
-      col("jet_drop_amount").cast("long").as("jet_drop_amount"),
-      col("record_amount"))
+    else {
+      val raw = spark.read.parquet(s"$dir/pulses")
+      raw.select(
+        col("pulse_number").cast("long").as("pulse_number"),
+        col("prev_pulse_number"),
+        col("next_pulse_number"),
+        col("is_complete"),
+        col("is_sequential"),
+        col("timestamp"),
+        col("jet_drop_amount").cast("long").as("jet_drop_amount"),
+        col("record_amount"),
+        // the per-type counter the gap/status views consume — the corpus
+        // spine carries it too, so the SERVED schema is layout-stable.
+        // A hand-built legacy dimension without the column serves 0 (the
+        // daemon migrates its own legacy stores with a records-table
+        // backfill at seed time; a dimension nobody re-seeds has no
+        // better source at serve time)
+        (if (raw.columns.contains("result_amount")) col("result_amount")
+         else lit(0L)).as("result_amount"))
+    }
 }

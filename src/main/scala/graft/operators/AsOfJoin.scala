@@ -32,6 +32,14 @@ object AsOfJoin {
       rightTime: String,
       rightCols: Seq[String]
   ): DataFrame = {
+    // reserved working columns (the same loud-guard discipline as
+    // Pagination.pageWithTotalCarried): a left frame already carrying one
+    // of these would silently corrupt the carry — its own `_r` values
+    // would win last(_r) over the right payload, its `_t` would be
+    // overwritten and returned under the original name
+    Seq("_t", "_side", "_r").foreach(n =>
+      require(!left.columns.contains(n),
+        s"AsOfJoin reserves column name '$n'; rename it on the left frame"))
     val payload = (rightTime +: rightCols).map(col)
     // Join-equality semantics for NULLs (what a real ASOF join — and the
     // DuckDB oracle — produces): a NULL equi-key matches nothing, and a

@@ -149,6 +149,17 @@ object Components {
         prevSum = nextSum
         i += 1
       }
+      // hitting maxIter mid-propagation would return (and the ensure
+      // wrapper would PERSIST) labels that split one real component into
+      // several, each with its own "keeper" — silently wrong dedup output
+      // forever. Min-label propagation needs O(component diameter)
+      // rounds; near-dup clusters are near-cliques (diameter ~1-2), so a
+      // non-converged run signals pathological input or a too-small
+      // maxIter — fail LOUD and let the caller raise it.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds — " +
+            "component diameter exceeds the iteration budget; raise maxIter")
       release(symRdd)
       ok = true
       (labels, Seq(labelsRdd)) // labelsRdd stays pinned — the caller owns it

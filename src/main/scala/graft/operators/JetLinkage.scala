@@ -45,6 +45,12 @@ object JetLinkage {
     * against the page.
     */
   def hashLinkIds(page: DataFrame, neighbors: DataFrame): DataFrame = {
+    // next-links key by first_prev_hash ONLY, deliberately: the
+    // reference's own next map does the same — its
+    // `add(jetDrop.SecondPrevHash)` is COMMENTED OUT in
+    // `api/handlers.go:296` — so a merge drop's second parent never
+    // lists the merged child as next there either. Faithful quirk, not
+    // an omission (prev-links still carry both parents).
     val n = neighbors.select(col("jet_drop_id").as("_nid"), col("hash").as("_nh"),
       col("first_prev_hash").as("_nfp"))
     // Both link relations resolve in ONE aggregation pass: tag each

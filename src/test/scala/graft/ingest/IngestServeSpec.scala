@@ -666,14 +666,14 @@ class IngestServeSpec extends SparkSpec {
     import spark.implicits._
     val rows = (0 until nClosed).map { i =>
       val p = start + i * delta
-      (p, p - delta, p + delta, true, true, 2, 8L, ts(p), p / span)
+      (p, p - delta, p + delta, true, true, 2, 8L, 2L, ts(p), p / span)
     } ++ openIdx.map { i =>
       val p = start + i * delta
-      (p, p - delta, p + delta, false, false, 2, 8L, ts(p), p / span)
+      (p, p - delta, p + delta, false, false, 2, 8L, 2L, ts(p), p / span)
     }
     rows.toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
       "is_complete", "is_sequential", "jet_drop_amount", "record_amount",
-      "timestamp", "pulse_bucket")
+      "result_amount", "timestamp", "pulse_bucket")
       .coalesce(1).write.partitionBy("pulse_bucket").parquet(s"$base/pulses")
     // records/drops exist for the OPEN pulses (their covers reload from
     // the drops partitions); the closed prefix needs no fact partitions
@@ -748,6 +748,48 @@ class IngestServeSpec extends SparkSpec {
     val summary = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/pulses/_frontier.json")), "UTF-8")
     assert(summary.contains(s""""seq_pulse":${start + 502 * delta}"""), summary)
+  }
+
+  test("the daemon persists per-pulse result counters, and a legacy store " +
+      "without the column migrates with a records-table backfill at seed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-results").toString
+    // every 3rd record is a "result" → 3 results per 9-record pulse
+    val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 9,
+      startPulse = start)
+      .withColumn("virtual_type",
+        when(col("record_number") % 3 === 0, lit("result")).otherwise(lit("activate")))
+    val s1 = bindOn(0, new ReplayExporter(wire))
+    val h1 = Ingest.bootstrap(spark, base, "localhost", s1.getPort, start, fastCfg)
+    try assert(await()(h1.daemon.sequentialPulse == start + delta))
+    finally { h1.stop(); s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS) }
+    val persisted = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(persisted.map(_.getAs[Long]("result_amount")).toSeq == Seq(3L, 3L),
+      s"per-type counter must persist: ${persisted.mkString(", ")}")
+
+    // legacy store: same data, pulses dimension rewritten WITHOUT the
+    // column (a pre-result_amount deployment); the seed must migrate the
+    // layout in one staged rewrite and BACKFILL the counters from the
+    // records table's own type column — real counts, not zeros
+    val legacyRows = spark.read.parquet(s"$base/pulses")
+      .drop("result_amount", "pulse_bucket").collect()
+    val legacySchema = spark.read.parquet(s"$base/pulses")
+      .drop("result_amount", "pulse_bucket").schema
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(legacyRows.toSeq.asJava, legacySchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/pulses")
+    val noFeed = new Transport.RecordStream {
+      def export(pulse: Long, recordNumber: Int, count: Int): Iterator[Transport.Frame] =
+        throw new Transport.PulseNotFound(pulse)
+    }
+    val d2 = new Ingest.Daemon(spark, base, noFeed, start, fastCfg).start()
+    try {
+      assert(d2.snapshot.values.map(_.resultAmount).toSeq == Seq(3L, 3L),
+        s"legacy seed must backfill result counters: ${d2.snapshot}")
+    } finally d2.stop()
+    val migrated = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    assert(migrated.map(_.getAs[Long]("result_amount")).toSeq == Seq(3L, 3L),
+      "the migration rewrite must persist the backfilled counters")
+    assert(migrated.map(_.getAs[Long]("record_amount")).toSeq == Seq(9L, 9L))
   }
 
   test("a zero-row reload of a previously POPULATED pulse reverts to incomplete " +
