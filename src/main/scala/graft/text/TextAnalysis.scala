@@ -31,7 +31,12 @@ object TextAnalysis {
   def tokenEstimate(text: Column): Column = {
     val words = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
     val wordToks = aggregate(words, lit(0L), (acc, w) => acc + ceil(length(w) / 4.0).cast("long"))
-    val punct = size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]")))
+    // one codegen'd regexp_replace pass, NOT a per-character array with an
+    // interpreted rlike per element (that materialized a length(text)
+    // array and ran length(text) regex matches per row — orders of
+    // magnitude more work on the long documents this budget estimator is
+    // for); the length difference counts exactly the same \p{Punct} chars
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
     (wordToks + punct.cast("long")).as("token_estimate")
   }
 

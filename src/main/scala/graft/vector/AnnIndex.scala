@@ -159,6 +159,12 @@ object AnnIndex {
     * in exactly one cell and probe cells are distinct, so no pair dedup
     * is needed. Approximate by construction — recall vs the exact join
     * is bounded in RecallInvariantsSpec.
+    *
+    * NOTE unlike [[Similarity.topKJoin]], there is NO implicit self-pair
+    * exclusion (the query and corpus id columns are independently named,
+    * so identity is not decidable here): a query drawn from the indexed
+    * corpus returns itself at cosine 1.0 rank 1 unless the caller
+    * excludes it via `corpusFilter` (as every in-repo call site does).
     */
   def ivfKnnJoin(
       spark: SparkSession,

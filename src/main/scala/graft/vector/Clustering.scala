@@ -63,9 +63,12 @@ object Clustering {
     val dots: Seq[Column] = cents.toIndexedSeq.map(c =>
       graft.vector.expressions.VectorExpressions.vecDot(col(vecCol), typedlit(c.toArray)))
     val nrm = Similarity.normFixed(col(vecCol), dim)
+    // greatest() requires >= 2 arguments — a single-centroid set (k=1, or
+    // a 1-row sample) must not throw AnalysisException
+    val best = if (dots.length == 1) dots.head else greatest(dots: _*)
     embeddings
       .select((when(nrm === 0, lit(0.0))
-        .otherwise(greatest(dots: _*) / nrm)).as("c"))
+        .otherwise(best / nrm)).as("c"))
       .agg(avg(col("c"))).head().getDouble(0)
   }
 
@@ -195,7 +198,20 @@ object Clustering {
       softLevels: Int = 1, maxDepth: Int = MaxSplitDepth
   ): DataFrame = {
     require(k >= 2, s"k must be >= 2 to make progress, got $k")
+    // coarse labels are cellOf+1 in [1, k]; the base-(MaxFanout+1) path
+    // encoding is prefix-free only while they stay below the first
+    // depth-2 label (enc + 1) — a larger coarse k would alias unrelated
+    // coarse cells onto child labels and silently merge their clusters
+    require(k <= MaxFanout,
+      s"coarse k must be <= $MaxFanout (the label-encoding base), got $k")
     require(softP >= 1 && softP <= k, s"softP must be in [1, k], got $softP")
+    // Known sharp edge, for the record: the no-shrink freeze below
+    // compares a child's member count to its parent's; under soft
+    // assignment (softP > 1) one seed inside every member's top-softP
+    // makes the counts equal and freezes a still-oversized cell (its
+    // exact verify then runs quadratic in that one cell). The replay
+    // oracle mirrors the same rule, so engine and oracle agree; lowering
+    // softP (or the hard levels below the first) is the mitigation.
     val spark = start.sparkSession
     val enc = MaxFanout + 1
     // Narrow inputs single-thread every UDF pass (measured 46s for one

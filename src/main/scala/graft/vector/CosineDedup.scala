@@ -88,7 +88,15 @@ object CosineDedup {
     // materialization is the cheaper side of that trade at every tested
     // configuration; revisit only if per-pair verification cost drops
     // below the shuffle cost of a candidate row.
-    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // degenerate embeddings (NULL, or all-zero — failed embedding rows
+    // are common in real corpora) are EXCLUDED before banding: a zero
+    // vector's every hyperplane dot is 0, so all m of them share one
+    // bucket in every table and the self-join goes m²/2 for pairs the
+    // cosine verify would drop anyway (the same quadratic guard
+    // simhashPairs applies to token-less documents)
+    val base = embeddings
+      .filter(col(vecCol).isNotNull && exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
     // The bucket self-join is compute-dense per BYTE (in-bucket pair
     // fan-out is quadratic), so AQE's byte-targeted partition coalescing
     // under-parallelizes it — measured 12 post-coalesce tasks carrying 3s
