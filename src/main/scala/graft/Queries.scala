@@ -776,7 +776,11 @@ object Queries {
     */
   val ddEmbed: Q = (s, dir) => {
     graft.vector.CosineDedup.exactPairs(
-        Domain.embeddings(s, dir).filter(col("vec_id") < 2000L), dim = 64, threshold = 0.45)
+        Domain.embeddings(s, dir).filter(col("vec_id") < 2000L), dim = 64,
+        // the NAMED threshold, not a literal: this query is the recall
+        // baseline RecallInvariantsSpec bounds dd_embed_lsh against — a
+        // retuned EmbLshThreshold must move both pair sets together
+        threshold = EmbLshThreshold)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -969,7 +973,14 @@ object Queries {
       // percentile of a valueless group is vacuously in-bounds
       when(col("n_events") < lit(20),
         coalesce(array_contains(col("value_set"), approx), approx.isNull))
-        .otherwise(approx.between(col("rank_windows")(loRank), col("rank_windows")(hiRank)))
+        // the large-group branch needs the same all-null closure: a
+        // >=20-row group whose values are all NULL yields NULL windows
+        // and a NULL approx, and between(NULL, NULL) is NULL where the
+        // static oracle expects TRUE — a null percentile of a valueless
+        // group is vacuously in-bounds at any size
+        .otherwise(coalesce(
+          approx.between(col("rank_windows")(loRank), col("rank_windows")(hiRank)),
+          approx.isNull))
     Domain.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -2290,7 +2301,7 @@ object Queries {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "dd_embed" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
         |  FROM embeddings WHERE vec_id < 2000),
         |dots AS (
@@ -2306,7 +2317,7 @@ object Queries {
         |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
         |  FROM dots)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
-        |WHERE c >= 0.45 ORDER BY a_id, b_id""".stripMargin,
+        |WHERE c >= $EmbLshThreshold ORDER BY a_id, b_id""".stripMargin,
 
     "ev_asof" ->
       """SELECT l.event_id, l.user_id,
@@ -2559,7 +2570,10 @@ object Queries {
     "mm_frames" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id, encode(text) AS payload
-        |  FROM documents WHERE doc_id % 3 = 2),
+        |  -- NOT IN (0,1), not "= 2": both engines' % keeps the dividend's
+        |  -- sign, and the Scala side's fall-through arm classifies a
+        |  -- NEGATIVE doc_id (% of -1/-2) as video too
+        |  FROM documents WHERE doc_id % 3 NOT IN (0, 1)),
         |m AS (
         |  SELECT media_id, octet_length(payload) AS n_bytes,
         |         least(16, greatest(1, octet_length(payload) // 10240)) AS n

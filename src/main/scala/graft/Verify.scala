@@ -26,6 +26,14 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a REUSED outDir may hold a previous run's parquet for this
+          // name — left in place, the oracle compare would validate the
+          // STALE rows and report green for a query that no longer runs;
+          // the failure must surface as a missing output, never as a
+          // phantom pass
+          val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(stale)) fs.delete(stale, true)
         }
       }
     // ONE JSON string escaper for the whole repo (graft.api.JsonOut.str):
