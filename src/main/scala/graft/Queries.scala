@@ -1088,12 +1088,14 @@ object Queries {
       .select(col("doc_id"), graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** Multimodal frame-sampling plumbing (row explosion, integer shape). */
+  /** Multimodal frame sampling over the GVF1 container: the row
+    * explosion PLUS real per-frame stats — frame count from the
+    * container header, width/height from each sampled PNG frame's IHDR,
+    * all parsed by native expressions (no UDF, no row decode).
+    */
   val mmFrames: Q = (s, dir) => {
     val media = graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents"))
     graft.multimodal.Multimodal.sampleFrames(media)
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("n_bytes").cast("long").as("n_bytes"))
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
@@ -1281,10 +1283,10 @@ object Queries {
   val mmFeatures: Q = (s, dir) => {
     // REAL decode, oracle-checked: the fixture round-trips text bytes
     // through genuine containers (gray-8 PNG via ImageIO, 8-bit PCM WAV
-    // via AudioSystem — both lossless), so the DECODED dimensions and
-    // sample sums are arithmetically derivable from the source text and
-    // DuckDB can verify the whole codec round trip. Video carries NULL
-    // decoded columns (no JDK video codec — honest absence, not a fake).
+    // via AudioSystem, PNG-framed GVF1 for video — all lossless), so the
+    // DECODED dimensions and sample sums are arithmetically derivable
+    // from the source text and DuckDB can verify the whole codec round
+    // trip, video included (n_samples = decoded frame pixels).
     val media = graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents"))
     graft.multimodal.Multimodal.extractFeatures(media).toDF()
       .select(col("media_id"), col("modality"), col("n_samples"),
@@ -1790,13 +1792,16 @@ object Queries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the multimodal decode is REAL (gray-8 PNG via ImageIO, 8-bit PCM
-    // WAV via AudioSystem — both lossless), and because the fixture
-    // round-trips the text bytes through those containers, the DECODED
-    // width/height/frame-count/sample-sum are pure arithmetic over the
-    // source text: width = ceil(sqrt(n)) gray pixels laid out by the
-    // encoder, sample_sum = the byte sum (ord() equals the byte on the
-    // all-ASCII corpus, same argument as txt_fingerprint). Video has no
-    // JDK codec: decoded columns are NULL, n_samples = raw byte count.
+    // WAV via AudioSystem, PNG-framed GVF1 video — all lossless), and
+    // because the fixture round-trips the text bytes through those
+    // containers, the DECODED width/height/frame-count/sample-sum are
+    // pure arithmetic over the source text: width = ceil(sqrt(n)) gray
+    // pixels laid out by the encoder, sample_sum = the byte sum (ord()
+    // equals the byte on the all-ASCII corpus, same argument as
+    // txt_fingerprint). Video n_samples = decoded pixels across the
+    // container's frames: full 4096-byte chunks decode as exact 64x64
+    // rasters, the tail chunk as its own ceil(sqrt) layout, and an
+    // empty payload still carries one 1x1 zero frame.
     "mm_features" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id,
@@ -1808,17 +1813,23 @@ object Queries {
         |  FROM documents),
         |dims AS (
         |  -- greatest(1, ...) mirrors the encoder's clamps: an empty doc
-        |  -- still encodes to a 1x1 zero image
+        |  -- still encodes to a 1x1 zero image; vw is the tail video
+        |  -- frame's width over the tail chunk length
         |  SELECT media_id, modality, n, s,
-        |    greatest(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS w
+        |    greatest(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS w,
+        |    greatest(1, CAST(ceil(sqrt(CAST(n % 4096 AS DOUBLE))) AS BIGINT)) AS vw
         |  FROM media)
         |SELECT media_id, modality,
         |  CAST(CASE WHEN modality = 'image' THEN w * greatest(1, (n + w - 1) // w)
-        |            ELSE n END AS BIGINT) AS n_samples,
+        |            WHEN modality = 'audio' THEN n
+        |            ELSE (n // 4096) * 4096 +
+        |                 CASE WHEN n = 0 THEN 1
+        |                      WHEN n % 4096 = 0 THEN 0
+        |                      ELSE vw * ((n % 4096 + vw - 1) // vw) END
+        |       END AS BIGINT) AS n_samples,
         |  CASE WHEN modality = 'image' THEN w END AS width,
         |  CASE WHEN modality = 'image' THEN greatest(1, (n + w - 1) // w) END AS height,
-        |  CASE WHEN modality IN ('image', 'audio')
-        |       THEN CAST(s AS BIGINT) END AS sample_sum
+        |  CAST(s AS BIGINT) AS sample_sum
         |FROM dims ORDER BY media_id""".stripMargin,
 
     // FNV-1a replay, one recursive-CTE step per character. The Spark
@@ -2567,20 +2578,40 @@ object Queries {
         |FROM e GROUP BY label, i
         |ORDER BY label, dim_i""".stripMargin,
 
+    // GVF1 frame sampling replay: frame count = ceil(bytes/4096) with an
+    // empty payload still carrying one frame; every 10th frame sampled,
+    // at most 16; a sampled frame's decoded dims are 64x64 for full
+    // chunks and the tail chunk's own ceil(sqrt) layout — the same
+    // arithmetic the encoder's PNG IHDRs carry, which is what the Spark
+    // side reads back from the REAL container bytes.
     "mm_frames" ->
       """WITH media AS (
-        |  SELECT doc_id AS media_id, encode(text) AS payload
+        |  SELECT doc_id AS media_id, strlen(text) AS n
         |  -- NOT IN (0,1), not "= 2": both engines' % keeps the dividend's
         |  -- sign, and the Scala side's fall-through arm classifies a
         |  -- NEGATIVE doc_id (% of -1/-2) as video too
         |  FROM documents WHERE doc_id % 3 NOT IN (0, 1)),
         |m AS (
-        |  SELECT media_id, octet_length(payload) AS n_bytes,
-        |         least(16, greatest(1, octet_length(payload) // 10240)) AS n
-        |  FROM media)
-        |SELECT * FROM (
-        |  SELECT media_id, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS frame_idx,
-        |         CAST(n_bytes AS BIGINT) AS n_bytes
-        |  FROM m) ORDER BY media_id, frame_idx""".stripMargin
+        |  SELECT media_id, n, greatest(1, (n + 4095) // 4096) AS nf FROM media),
+        |f AS (
+        |  SELECT media_id, n, nf,
+        |         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 10)) AS j
+        |  FROM m),
+        |lim AS (
+        |  SELECT *, row_number() OVER (PARTITION BY media_id ORDER BY j) AS rn
+        |  FROM f),
+        |d AS (
+        |  SELECT media_id, j AS frame_idx, nf,
+        |    CASE WHEN n = 0 THEN 0
+        |         WHEN j < n // 4096 THEN 4096
+        |         ELSE n % 4096 END AS len
+        |  FROM lim WHERE rn <= 16),
+        |w AS (
+        |  SELECT *, greatest(1, CAST(ceil(sqrt(CAST(len AS DOUBLE))) AS BIGINT)) AS fw
+        |  FROM d)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(fw AS BIGINT) AS frame_w,
+        |  CAST(greatest(1, (len + fw - 1) // fw) AS BIGINT) AS frame_h
+        |FROM w ORDER BY media_id, frame_idx""".stripMargin
   )
 }

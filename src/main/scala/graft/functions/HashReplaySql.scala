@@ -367,9 +367,9 @@ private[graft] object HashReplaySql {
        |sampled AS (
        |  SELECT g, v FROM (
        |    -- v as the final tiebreak mirrors the heap's total (key, sid,
-    -- payload) order: duplicate sample ids then resolve identically on
-    -- both engines instead of by task/scan order
-    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY u2, sid, v) AS sr
+       |    -- payload) order: duplicate sample ids then resolve identically on
+       |    -- both engines instead of by task/scan order
+       |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY u2, sid, v) AS sr
        |    FROM ehash) WHERE sr <= $kSample),
        |ranked AS (
        |  SELECT g, v,

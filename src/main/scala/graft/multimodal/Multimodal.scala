@@ -16,22 +16,35 @@ import org.apache.spark.sql.types._
   *  - '''audio''' payloads are WAV (8-bit mono PCM) containers decoded
   *    through `javax.sound.sampled.AudioSystem`: frame count and sample
   *    statistics come from the decoded PCM stream.
-  *  - '''video''' has no JDK codec; its decoded columns are NULL (never
-  *    fake values), while its REAL plumbing — the 1-video→N-frames row
-  *    explosion a frame sampler produces — lives in [[sampleFrames]].
+  *  - '''video''' is the GVF1 fixture container — an indexed
+  *    concatenation of gray-8 PNG frames (magic + frame count + length
+  *    table + PNG blobs; see [[encodeVideo]]) — so video DECODE is the
+  *    image codec applied per frame: served frame counts, dimensions and
+  *    sample statistics come from genuinely decoded rasters. The JDK has
+  *    no codec for real-world video formats; a non-GVF1 video payload
+  *    keeps the honest NULL decoded columns.
   *
   * The synthetic fixture ([[syntheticMedia]]) round-trips the corpus
   * text bytes through the same codecs (text → gray-8 PNG / 8-bit PCM
-  * WAV), which keeps the decoded statistics arithmetically derivable
-  * from the source text — that is what lets the SQL oracle verify a real
-  * codec round trip end-to-end (gray-8 PNG and 8-bit PCM are lossless).
+  * WAV / PNG-frame GVF1), which keeps the decoded statistics
+  * arithmetically derivable from the source text — that is what lets
+  * the SQL oracle verify a real codec round trip end-to-end (gray-8 PNG
+  * and 8-bit PCM are lossless).
   *
   * Scale shape: per-row decode is embarrassingly parallel; the operator
-  * repartitions to spread large blobs evenly (binary columns defeat
-  * row-group skew heuristics) and keeps decoded features narrow so the
+  * rebalances blobs only when a partition's payload byte-sum says a task
+  * would be skewed (binary columns defeat row-group size heuristics, but
+  * an unconditional shuffle of 100 TB of media bytes is worse than the
+  * skew it guards against) and keeps decoded features narrow so the
   * downstream shuffle carries features, never raw media.
   */
 object Multimodal {
+
+  /** GVF1 frame payload size: 4096 bytes → full frames encode as exact
+    * 64×64 gray-8 PNGs, which keeps the decoded pixel count of every
+    * non-tail frame a constant the SQL oracle can state in closed form.
+    */
+  val VideoFrameChunk: Int = 4096
 
   /** Typed media row: id + opaque payload + declared modality/shape. */
   val mediaSchema: StructType = StructType(Seq(
@@ -46,10 +59,16 @@ object Multimodal {
 
   /** Decoded per-media features. `width`/`height` are image-only;
     * `sample_sum` is the exact sum of decoded 8-bit samples (image
-    * raster incl. padding pixels, audio PCM frames) — NULL for video,
-    * where no decoder exists. `n_samples` counts decoded samples
-    * (image: raster pixels; audio: PCM frames; video: raw payload
-    * bytes). `feature` is an 8-bin mean profile of the DECODED samples.
+    * raster incl. padding pixels, audio PCM frames, video GVF1 frame
+    * rasters). `n_samples` counts decoded samples (image: raster
+    * pixels; audio: PCM frames; video: decoded frame pixels across the
+    * container, or raw payload bytes for a non-GVF1 payload). `feature`
+    * is an 8-bin mean profile of the DECODED samples. `decode_ok` is
+    * false ONLY when a decode was attempted and the payload was
+    * undecodable — such a row is contained as zeros/NULLs instead of
+    * failing the job (one corrupt blob in 100 TB must cost one row, not
+    * the pipeline); a NULL payload or a modality with no decoder is not
+    * a failure.
     */
   final case class MediaFeature(
       media_id: Long,
@@ -58,7 +77,8 @@ object Multimodal {
       width: Option[Long],
       height: Option[Long],
       sample_sum: Option[Long],
-      feature: Array[Float])
+      feature: Array[Float],
+      decode_ok: Boolean)
 
   // ---- real codecs (JDK-builtin, no added dependency) -------------------
 
@@ -140,44 +160,153 @@ object Multimodal {
     } finally dec.close()
   }
 
+  /** Encode raw bytes as a GVF1 video container: the payload split into
+    * [[VideoFrameChunk]]-byte frames (≥1 — an empty payload still carries
+    * one empty frame, which the image encoder clamps to a 1×1 zero
+    * raster), each frame a gray-8 PNG, indexed so a sampler can seek to
+    * any frame without decoding its predecessors:
+    *
+    * {{{
+    * bytes 0..3    magic "GVF1"
+    * bytes 4..7    frame count N  (int32, big-endian)
+    * bytes 8..8+4N frame byte lengths (int32 BE each)
+    * then          N concatenated PNG blobs
+    * }}}
+    *
+    * The layout is this repo's own fixture format (the container in the
+    * brief is builder-defined); what matters is that decode exercises a
+    * REAL image codec per frame and the length index makes frame seeks
+    * O(1) — the shape a real container (moof/mdat, matroska clusters)
+    * gives a sampler.
+    */
+  def encodeVideo(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val nFrames = math.max(1, (n + VideoFrameChunk - 1) / VideoFrameChunk)
+    val frames = (0 until nFrames).map { i =>
+      val from = i * VideoFrameChunk
+      val until = math.min(n, from + VideoFrameChunk)
+      encodePng(java.util.Arrays.copyOfRange(payload, from, until))
+    }
+    val out = java.nio.ByteBuffer.allocate(8 + 4 * nFrames + frames.map(_.length).sum)
+    out.put("GVF1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(nFrames)
+    frames.foreach(f => out.putInt(f.length))
+    frames.foreach(out.put)
+    out.array()
+  }
+
+  /** True when the payload leads with the GVF1 magic. */
+  def isGvf1(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 8 &&
+      payload(0) == 'G' && payload(1) == 'V' && payload(2) == 'F' && payload(3) == '1'
+
+  /** Decode a GVF1 container: per-frame (width, height, gray samples),
+    * via the same ImageIO path images take. Throws on a torn container
+    * (callers contain that per row).
+    */
+  def decodeVideo(container: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+    if (!isGvf1(container))
+      throw new java.io.IOException("not a GVF1 container")
+    val buf = java.nio.ByteBuffer.wrap(container)
+    buf.position(4)
+    val nFrames = buf.getInt
+    if (nFrames < 1 || 8L + 4L * nFrames > container.length)
+      throw new java.io.IOException(s"torn GVF1 header: $nFrames frames")
+    val lens = (0 until nFrames).map(_ => buf.getInt)
+    var off = 8 + 4 * nFrames
+    lens.map { len =>
+      if (len < 0 || off + len > container.length)
+        throw new java.io.IOException("torn GVF1 frame index")
+      val frame = java.util.Arrays.copyOfRange(container, off, off + len)
+      off += len
+      decodedImageSamples(frame)
+    }
+  }
+
   /** Feature extraction over a media frame: batch-shaped `mapPartitions`
     * (the Scala analog of `mapInPandas` — one iterator per partition, so
     * codec/library handles amortize per partition, not per row). Image
-    * and audio payloads are DECODED through the real JDK codecs; video
-    * rows carry NULL decoded columns (no JDK video codec — an honest
-    * absence, not a fake).
+    * and audio payloads are DECODED through the real JDK codecs; a GVF1
+    * video payload decodes per frame through the same image path; a
+    * non-GVF1 video payload carries NULL decoded columns (no JDK codec
+    * for real-world video — an honest absence, not a fake).
+    *
+    * An UNDECODABLE payload is contained per row (`decode_ok = false`,
+    * zero/NULL decoded columns) — a corrupt blob must cost its own row,
+    * not four task retries and the job; systemic errors (OOM, linkage)
+    * still propagate.
+    *
+    * Skew handling is SIZE-AWARE, not unconditional: one cheap
+    * pre-aggregation sums payload bytes per input partition, and the
+    * blobs are round-robin rebalanced only when some task's byte-sum
+    * exceeds both `skewThresholdBytes` and twice its fair share at full
+    * parallelism. Uniform corpora therefore decode in place with NO
+    * shuffle of the media bytes (at 100 TB the unconditional shuffle
+    * this replaces would move the whole corpus through the fabric to
+    * defend against a skew that usually is not there), while a few huge
+    * blobs among small ones still spread. The pre-pass scans payload
+    * lengths only; against a source that carries a size/metadata column
+    * the same decision is computable without touching the blobs at all.
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
+  def extractFeatures(media: DataFrame,
+      skewThresholdBytes: Long = 64L << 20): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("modality"), col("payload"))
-      // round-robin spread of the blobs (the doc's skew promise): a few
-      // huge videos among many small images otherwise land in one
-      // file-split task while the rest idle — binary payloads defeat the
-      // size-based split heuristics that balance numeric columns
-      .repartition(spark.sparkContext.defaultParallelism)
+    val blobs = media.select(col("media_id"), col("modality"), col("payload"))
+    val perPartition = blobs
+      .select(spark_partition_id().as("p"),
+        coalesce(length(col("payload")).cast("long"), lit(0L)).as("b"))
+      .groupBy(col("p")).agg(sum(col("b")).as("bytes"))
+      .agg(max(col("bytes")).as("mx"), sum(col("bytes")).as("total"))
+      .head()
+    val skewed = if (perPartition.isNullAt(0)) false else {
+      val mx = perPartition.getLong(0)
+      val fairShare = math.max(1L,
+        perPartition.getLong(1) / math.max(1, spark.sparkContext.defaultParallelism))
+      mx > skewThresholdBytes && mx > 2L * fairShare
+    }
+    val spread =
+      if (skewed) blobs.repartition(spark.sparkContext.defaultParallelism)
+      else blobs
+    spread
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (decoder/model handles); each
         // payload is decoded ONCE and every served statistic derives
         // from the same decoded sample array
         it.map { case (id, mod, payload) =>
-          mod match {
-            // the payload column is declared nullable: a NULL payload of
-            // any modality yields a zero row, never an NPE'd task
-            case _ if payload == null =>
-              MediaFeature(id, mod, 0L, None, None, None, new Array[Float](8))
-            case "image" =>
-              val (w, h, samples) = decodedImageSamples(payload)
-              MediaFeature(id, mod, w.toLong * h, Some(w.toLong), Some(h.toLong),
-                Some(sampleSum(samples)), binProfile(samples))
-            case "audio" =>
-              val samples = decodedAudioSamples(payload)
-              MediaFeature(id, mod, samples.length.toLong, None, None,
-                Some(sampleSum(samples)), binProfile(samples))
-            case _ =>
-              val n = if (payload == null) 0L else payload.length.toLong
-              MediaFeature(id, mod, n, None, None, None, new Array[Float](8))
+          try {
+            mod match {
+              // the payload column is declared nullable: a NULL payload of
+              // any modality yields a zero row, never an NPE'd task
+              case _ if payload == null =>
+                MediaFeature(id, mod, 0L, None, None, None,
+                  new Array[Float](8), decode_ok = true)
+              case "image" =>
+                val (w, h, samples) = decodedImageSamples(payload)
+                MediaFeature(id, mod, w.toLong * h, Some(w.toLong), Some(h.toLong),
+                  Some(sampleSum(samples)), binProfile(samples), decode_ok = true)
+              case "audio" =>
+                val samples = decodedAudioSamples(payload)
+                MediaFeature(id, mod, samples.length.toLong, None, None,
+                  Some(sampleSum(samples)), binProfile(samples), decode_ok = true)
+              case "video" if isGvf1(payload) =>
+                val frames = decodeVideo(payload)
+                val samples = Array.concat(frames.map(_._3): _*)
+                MediaFeature(id, mod, samples.length.toLong, None, None,
+                  Some(sampleSum(samples)), binProfile(samples), decode_ok = true)
+              case _ =>
+                MediaFeature(id, mod, payload.length.toLong, None, None, None,
+                  new Array[Float](8), decode_ok = true)
+            }
+          } catch {
+            // one corrupt blob = one contained row, like the NULL-payload
+            // arm — NOT a failed job after task retries. NonFatal keeps
+            // OOM/linkage errors propagating (a heap in undefined state
+            // must not keep decoding).
+            case scala.util.control.NonFatal(_) =>
+              MediaFeature(id, mod, 0L, None, None, None,
+                new Array[Float](8), decode_ok = false)
           }
         }
       }
@@ -226,27 +355,53 @@ object Multimodal {
     f
   }
 
-  /** Frame sampling stub for video: emit every `stride`-th synthetic frame
-    * index with a per-frame stub feature — the row-explosion shape (1 video
-    * → N frames) that a real sampler produces, with deterministic content.
+  /** Frame sampling over GVF1 video containers: every `stride`-th frame,
+    * at most `maxFrames` of them, with each sampled frame's REAL decoded
+    * dimensions. All of it is pure Catalyst expressions — the container
+    * header (magic, frame count, length index) and each PNG frame's
+    * IHDR width/height live at fixed offsets, so the sampler reads them
+    * with `substring`/`conv` arithmetic and never deserializes a row or
+    * calls a UDF: the 1-video→N-frames explosion, the seek (a running
+    * sum over the length index), and the per-frame stats all stay inside
+    * native expressions. Full pixel decode (which genuinely needs the
+    * codec) stays in [[extractFeatures]]'s `mapPartitions`.
+    *
+    * Non-GVF1 video payloads produce no rows (nothing decodable to
+    * sample — the same honesty as extractFeatures' NULL columns).
     */
   def sampleFrames(media: DataFrame, stride: Int = 10, maxFrames: Int = 16): DataFrame = {
-    val n = least(lit(maxFrames),
-      greatest(lit(1), (length(col("payload")) / lit(1024 * stride)).cast("int")))
+    // int32 big-endian at 1-BASED byte position `pos` of the payload
+    def be32(pos: String): String =
+      s"cast(conv(hex(substring(payload, $pos, 4)), 16, 10) as int)"
     media
       .filter(col("modality") === "video")
+      .filter(expr("substring(payload, 1, 4) = cast('GVF1' as binary)"))
+      .withColumn("n_frames", expr(be32("5")))
+      // the frame length index: lens[j] = byte length of frame j (0-based)
+      .withColumn("lens",
+        expr(s"transform(sequence(0, n_frames - 1), j -> ${be32("9 + 4 * j")})"))
+      // every stride-th frame, capped — slice is 1-based, sequence inclusive
+      .withColumn("frame_idx",
+        explode(expr(s"slice(sequence(0, n_frames - 1, $stride), 1, $maxFrames)")))
+      // seek: container header + the index + the sampled frame's
+      // predecessors (slice len 0 → empty array → aggregate seeds 0)
+      .withColumn("off",
+        expr("8 + 4 * n_frames + aggregate(slice(lens, 1, frame_idx), 0, (a, x) -> a + x)"))
+      // PNG layout: 8-byte signature, IHDR length+type (8 bytes), then
+      // width/height as int32 BE at frame-relative offsets 16/20
       .select(col("media_id"),
-        explode(sequence(lit(0), n - 1)).as("frame_idx"),
-        length(col("payload")).as("n_bytes"))
-      .withColumn("frame_hash", xxhash64(col("media_id"), col("frame_idx"), col("n_bytes")))
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("n_frames").cast("long").as("n_frames"),
+        expr(s"cast(${be32("off + 17")} as bigint)").as("frame_w"),
+        expr(s"cast(${be32("off + 21")} as bigint)").as("frame_h"))
   }
 
   /** Build a synthetic media frame from the documents table: the text
     * bytes are round-tripped through the REAL containers — gray-8 PNG
-    * for image rows, 8-bit PCM WAV for audio rows — so decode exercises
-    * genuine codecs while the decoded statistics stay derivable from the
-    * source text (what the SQL oracle checks). Video rows keep raw bytes
-    * (no JDK video codec to target).
+    * for image rows, 8-bit PCM WAV for audio rows, PNG-framed GVF1 for
+    * video rows — so decode exercises genuine codecs while the decoded
+    * statistics stay derivable from the source text (what the SQL
+    * oracle checks).
     */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -258,7 +413,7 @@ object Multimodal {
           (id % 3) match {
             case 0 => (id, "image", encodePng(payload), "image/png")
             case 1 => (id, "audio", encodeWav(payload), "audio/wav")
-            case _ => (id, "video", payload, "application/octet-stream")
+            case _ => (id, "video", encodeVideo(payload), "video/x-gvf1")
           }
         }
       }.toDF("media_id", "modality", "payload", "mime")

@@ -12,7 +12,7 @@ class MultimodalSpec extends SparkSpec {
     Seq(
       (0L, "image", Multimodal.encodePng(payload("abcdefgh"))),
       (1L, "audio", Multimodal.encodeWav(payload("qrs"))),
-      (2L, "video", payload("x" * 25000)))
+      (2L, "video", Multimodal.encodeVideo(payload("x" * 9000))))
       .toDF("media_id", "modality", "payload")
   }
 
@@ -39,13 +39,36 @@ class MultimodalSpec extends SparkSpec {
     assert(sum == bytes.map(_ & 0xff).map(_.toLong).sum)
   }
 
-  test("extractFeatures decodes image/audio through the real codecs and " +
-      "leaves video's decoded columns NULL") {
-    val out = Multimodal.extractFeatures(media)
+  test("GVF1 round trip: chunked PNG frames decode to the exact per-frame " +
+      "dims and total sample sum; empty payload carries one 1x1 frame") {
+    val bytes = payload("v" * 9000) // 2 full chunks + 808-byte tail
+    val gvf = Multimodal.encodeVideo(bytes)
+    assert(Multimodal.isGvf1(gvf))
+    val frames = Multimodal.decodeVideo(gvf)
+    assert(frames.length == 3)
+    assert(frames(0)._1 == 64 && frames(0)._2 == 64)
+    assert(frames(1)._1 == 64 && frames(1)._2 == 64)
+    val tail = 9000 - 2 * 4096
+    val tw = math.ceil(math.sqrt(tail.toDouble)).toInt
+    assert(frames(2)._1 == tw && frames(2)._2 == (tail + tw - 1) / tw)
+    assert(frames.map(_._3.map(_.toLong).sum).sum ==
+      bytes.map(_ & 0xff).map(_.toLong).sum,
+      "padding pixels are zero, so the container round-trips the byte sum")
+    val empty = Multimodal.decodeVideo(Multimodal.encodeVideo(Array.emptyByteArray))
+    assert(empty.length == 1 && empty.head._1 == 1 && empty.head._2 == 1)
+  }
+
+  test("extractFeatures decodes image/audio/GVF1-video through the real " +
+      "codecs; non-GVF1 video keeps NULL decoded columns") {
+    import spark.implicits._
+    val withRaw = media.union(
+      Seq((3L, "video", payload("not a container"))) // legacy raw bytes
+        .toDF("media_id", "modality", "payload"))
+    val out = Multimodal.extractFeatures(withRaw)
     assert(out.columns.toSeq == Seq("media_id", "modality", "n_samples",
-      "width", "height", "sample_sum", "feature"))
+      "width", "height", "sample_sum", "feature", "decode_ok"))
     val rows = out.collect().sortBy(_.media_id)
-    assert(rows.length == 3)
+    assert(rows.length == 4 && rows.forall(_.decode_ok))
     // image: 8 bytes → 3x3 raster (9 samples incl. padding)
     assert(rows(0).width.contains(3L) && rows(0).height.contains(3L))
     assert(rows(0).n_samples == 9L)
@@ -53,21 +76,77 @@ class MultimodalSpec extends SparkSpec {
     // audio: 3 PCM frames
     assert(rows(1).n_samples == 3L && rows(1).width.isEmpty)
     assert(rows(1).sample_sum.contains(payload("qrs").map(_ & 0xff).map(_.toLong).sum))
-    // video: no decoder — honest NULLs, raw byte count only
-    assert(rows(2).n_samples == 25000L && rows(2).sample_sum.isEmpty)
+    // GVF1 video: decoded pixels across frames (2 full 64x64 + tail)
+    val tail = 9000 - 2 * 4096
+    val tw = math.ceil(math.sqrt(tail.toDouble)).toInt
+    assert(rows(2).n_samples == 2L * 4096 + tw.toLong * ((tail + tw - 1) / tw))
+    assert(rows(2).sample_sum.contains(('x' & 0xff).toLong * 9000))
     assert(rows(2).width.isEmpty && rows(2).height.isEmpty)
+    // non-GVF1 video: no decoder claimed — NULLs, raw byte count
+    assert(rows(3).n_samples == 15L && rows(3).sample_sum.isEmpty)
     // determinism: same payload → same decoded feature
-    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val again = Multimodal.extractFeatures(withRaw).collect().sortBy(_.media_id)
     assert(rows(0).feature.toSeq == again(0).feature.toSeq)
     assert(rows(0).feature.exists(_ > 0f), "decoded image samples feed the profile")
+    assert(rows(2).feature.exists(_ > 0f), "decoded video frames feed the profile")
   }
 
-  test("sampleFrames: video-only row explosion with bounded frame count") {
-    val out = Multimodal.sampleFrames(media, stride = 10, maxFrames = 16)
+  test("an undecodable payload is contained as one decode_ok=false row, " +
+      "never a failed job") {
+    import spark.implicits._
+    val corrupt = Seq(
+      (0L, "image", Array[Byte](1, 2, 3)),
+      (1L, "audio", Array[Byte](9, 9)),
+      (2L, "video", "GVF1".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 9)),
+      (3L, "image", Multimodal.encodePng(payload("fine"))))
+      .toDF("media_id", "modality", "payload")
+    val rows = Multimodal.extractFeatures(corrupt).collect().sortBy(_.media_id)
+    assert(rows.length == 4)
+    assert(!rows(0).decode_ok && rows(0).n_samples == 0L && rows(0).sample_sum.isEmpty)
+    assert(!rows(1).decode_ok && !rows(2).decode_ok)
+    assert(rows(3).decode_ok && rows(3).n_samples == 4L)
+  }
+
+  test("size-aware rebalance: uniform blobs decode with NO shuffle of the " +
+      "media bytes; a skewed partition triggers the spread") {
+    import spark.implicits._
+    val uniform = media
+    val planUniform = Multimodal.extractFeatures(uniform)
+      .queryExecution.executedPlan.toString
+    assert(!planUniform.contains("Exchange"),
+      s"uniform blobs must not shuffle payload bytes:\n$planUniform")
+    // skew fixture: everything on one partition, threshold forced low
+    val skewed = Seq.tabulate(8)(i =>
+      (i.toLong, "image", Multimodal.encodePng(payload("p" * 2000))))
+      .toDF("media_id", "modality", "payload").coalesce(1)
+    val ds = Multimodal.extractFeatures(skewed, skewThresholdBytes = 64L)
+    assert(ds.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a partition above the threshold and its fair share must rebalance")
+    assert(ds.collect().length == 8, "the spread preserves every row")
+  }
+
+  test("sampleFrames: GVF1-only row explosion with REAL per-frame dims " +
+      "parsed from the container by native expressions (no UDF)") {
+    import spark.implicits._
+    // 11 frames: 10 full chunks + 1536-byte tail → sampled j = 0, 10
+    val long = Seq((7L, "video", Multimodal.encodeVideo(payload("z" * 42496))),
+      (8L, "video", payload("raw, not a container")),
+      (9L, "image", Multimodal.encodePng(payload("img"))))
+      .toDF("media_id", "modality", "payload")
+    val out = Multimodal.sampleFrames(long, stride = 10, maxFrames = 16)
+    assert(!out.queryExecution.executedPlan.toString.contains("BatchEvalPython"))
     val rows = out.collect()
-    assert(rows.forall(_.getAs[Long]("media_id") == 2L)) // only the video
-    // 25000 bytes / 10240 = 2 frames
-    assert(rows.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1))
+    assert(rows.forall(_.getAs[Long]("media_id") == 7L),
+      "only decodable GVF1 video explodes into frames")
+    assert(rows.map(_.getAs[Long]("frame_idx")).sorted.toSeq == Seq(0L, 10L))
+    assert(rows.forall(_.getAs[Long]("n_frames") == 11L))
+    val byIdx = rows.map(r => r.getAs[Long]("frame_idx") ->
+      (r.getAs[Long]("frame_w"), r.getAs[Long]("frame_h"))).toMap
+    assert(byIdx(0L) == (64L, 64L), "full chunks are exact 64x64 rasters")
+    val tail = 42496 - 10 * 4096 // 1536
+    val tw = math.ceil(math.sqrt(tail.toDouble)).toLong
+    assert(byIdx(10L) == (tw, (tail + tw - 1) / tw),
+      "the tail frame's IHDR dims come from the real PNG bytes")
   }
 
   test("syntheticMedia assigns modalities by id and round-trips text through " +
@@ -77,14 +156,16 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.syntheticMedia(docs).orderBy("media_id").collect()
     assert(out.map(_.getAs[String]("modality")).toSeq == Seq("image", "audio", "video"))
     assert(out.map(_.getAs[String]("mime")).toSeq ==
-      Seq("image/png", "audio/wav", "application/octet-stream"))
+      Seq("image/png", "audio/wav", "video/x-gvf1"))
     // image payload is a PNG whose decoded samples are the text bytes
     val (w, h, sum) = Multimodal.decodeImage(out(0).getAs[Array[Byte]]("payload"))
     assert(w * h >= 5 && sum == payload("alpha").map(_ & 0xff).map(_.toLong).sum)
     // audio payload is a WAV whose frames are the text bytes
     val (frames, asum) = Multimodal.decodeAudio(out(1).getAs[Array[Byte]]("payload"))
     assert(frames == 4L && asum == payload("beta").map(_ & 0xff).map(_.toLong).sum)
-    // video payload stays raw
-    assert(new String(out(2).getAs[Array[Byte]]("payload"), "UTF-8") == "gamma")
+    // video payload is a GVF1 container whose frames decode to the text
+    val vf = Multimodal.decodeVideo(out(2).getAs[Array[Byte]]("payload"))
+    assert(vf.length == 1 &&
+      vf.head._3.map(_.toLong).sum == payload("gamma").map(_ & 0xff).map(_.toLong).sum)
   }
 }
