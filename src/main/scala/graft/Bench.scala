@@ -485,7 +485,8 @@ object Bench {
       val wire = graft.gen.Fixtures.multiPulseBatches(spark, 1, 2000, jets)
       val t0 = System.nanoTime()
       val staged = graft.ingest.Spine(wire)
-      graft.ingest.PulseWriter.writePulsePartition(staged, "records", "/tmp/graft-bench-ingest")
+      graft.ingest.PulseWriter.writePulsePartition(staged, "records", "/tmp/graft-bench-ingest",
+        pulses = Some(Seq(graft.gen.Fixtures.GenesisPulse + graft.gen.Fixtures.PulseDelta)))
       (System.nanoTime() - t0) / 1e9
     } catch {
       case e: Throwable =>
@@ -513,7 +514,8 @@ object Bench {
         val fp = Transport.fetchPulse(grpc, start, batchSize = 100).get
         val staged = graft.ingest.Spine(spark.createDataFrame(
           java.util.Arrays.asList(fp.rows: _*), graft.model.Schemas.wireRecords))
-        graft.ingest.PulseWriter.writePulsePartition(staged, "records", "/tmp/graft-bench-ingest-grpc")
+        graft.ingest.PulseWriter.writePulsePartition(staged, "records",
+          "/tmp/graft-bench-ingest-grpc", pulses = Some(Seq(start)))
         (System.nanoTime() - t0) / 1e9
       } finally {
         GrpcTransport.close(ch)

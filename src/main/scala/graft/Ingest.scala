@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.JetFunctions
-import graft.ingest.{Canonicalize, GrpcTransport, PulseWriter, Resilience, Transport}
+import graft.ingest.{Canonicalize, GrpcTransport, PulseWriter, Resilience, TableManifest, Transport}
 
 /** The ingest daemon binary — the reference's FIRST binary, the
   * `cmd/block-explorer/main.go:35-180` analog: connect to a live record
@@ -241,7 +241,15 @@ object Ingest {
       if (!fs.exists(pulsesPath)) return
       val summary = readFrontier(fs, pulsesPath)
       summarized = summary
-      val pulsesDf = spark.read.parquet(s"$basePath/pulses")
+      // manifest-aware: a steady-state flush appends generations and the
+      // snapshot manifest says which files are current — a raw directory
+      // read here would double-count superseded buckets. Legacy stores
+      // (no manifest) keep the plain directory read; a dir with no
+      // committed data at all seeds nothing.
+      val pulsesDf = TableManifest.readTable(spark, s"$basePath/pulses") match {
+        case Some(df) => df
+        case None => return
+      }
       // a pre-result_amount store (or a flat one) must be read WHOLE and
       // rewritten: a dynamic overwrite of one dirty bucket in the NEW
       // schema would leave mixed footers across buckets, which parquet
@@ -281,25 +289,22 @@ object Ingest {
         }
       }
       val openSnap = lock.synchronized(open.toVector)
-      // the drops read needs a DATA guard, not just existence: a store
-      // whose only committed pulses were empty (zero records) has a
-      // jet_drops directory holding nothing but _SUCCESS — no partition
-      // dirs, no files — and schema inference on it would throw, turning
-      // every restart into a crash loop the daemon could never ingest
-      // its way out of
-      val dropsDir = new org.apache.hadoop.fs.Path(s"$basePath/jet_drops")
-      val hasDrops = fs.exists(dropsDir) && fs.listStatus(dropsDir).exists { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      if (openSnap.nonEmpty && hasDrops) {
+      // the drops read goes through the manifest-aware reader: None
+      // covers BOTH the no-directory case and a store whose only
+      // committed pulses were empty (a jet_drops dir holding nothing but
+      // _SUCCESS — schema inference on it would throw, turning every
+      // restart into a crash loop), and a manifested store resolves its
+      // committed file set instead of a raw listing
+      val dropsRead =
+        if (openSnap.isEmpty) None
+        else TableManifest.readTable(spark, s"$basePath/jet_drops")
+      dropsRead.foreach { drops =>
         // pulse-partition pruning keeps this read bounded by the open
         // frontier however large the history is. pulse_number comes back
         // as a PARTITION column here — Spark re-infers its type from the
         // directory names (IntegerType when the values fit) — so the
         // probe literals match the inferred type (pruning stays eligible)
         // and the collect reads through an explicit long cast.
-        val drops = spark.read.parquet(s"$basePath/jet_drops")
         val lits: Seq[Any] =
           if (drops.schema("pulse_number").dataType ==
               org.apache.spark.sql.types.IntegerType) openSnap.map(_.toInt)
@@ -360,13 +365,8 @@ object Ingest {
       // holds the truth, so legacy closed history serves real counts, not
       // zeros
       if (legacySchema) {
-        val recordsDir = new org.apache.hadoop.fs.Path(s"$basePath/records")
-        val hasRecords = fs.exists(recordsDir) && fs.listStatus(recordsDir).exists { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-        if (hasRecords) {
-          val counts = spark.read.parquet(s"$basePath/records")
+        TableManifest.readTable(spark, s"$basePath/records").foreach { recs =>
+          val counts = recs
             .filter(col("type") === "result")
             .groupBy(col("pulse_number").cast("long").as("pn"))
             .count().collect()
@@ -411,7 +411,8 @@ object Ingest {
     private def commit(pulse: Long, rows: Seq[Row]): Unit = {
       val dropRows = writeLock.synchronized {
         PulseWriter.commitPulse(
-          spark.createDataFrame(rows.asJava, graft.model.Schemas.wireRecords), basePath)
+          spark.createDataFrame(rows.asJava, graft.model.Schemas.wireRecords), basePath,
+          pulses = Some(Seq(pulse)))
       }
       lock.synchronized {
         val jets = dropRows.map(_.getAs[String]("jet_id")).toSet
@@ -816,18 +817,46 @@ object Ingest {
               writeFrontier(spark, target, lowered._1, lowered._2)
               summarized = Some(lowered)
             }
-          val w = spark.createDataFrame(rows.asJava, PulsesSchema)
-            .coalesce(1)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          // the static branch PINS the mode rather than omitting the
-          // option, as defense against ANY session-global
-          // partitionOverwriteMode=dynamic (set by a host application or
-          // a future writer): "no option" would silently inherit it and
-          // reopen the _SUCCESS-before-move window
-          (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic")
-           else w.option("partitionOverwriteMode", "static"))
-            .partitionBy("pulse_bucket")
-            .parquet(target)
+          val frame = spark.createDataFrame(rows.asJava, PulsesSchema).coalesce(1)
+          if (dynamicOverwrite) {
+            // steady-state flush: MANIFESTED append-replace of exactly
+            // the dirty buckets (TableManifest) — the same snapshot
+            // protocol the records/jet_drops commits use, so a serving
+            // read racing this flush always resolves a committed file
+            // set instead of the delete-then-rename window dynamic
+            // overwrite had. The bucket list is driver-held (staged from
+            // the register), so no partition-discovery job runs.
+            val buckets = rows.iterator.map(_.getLong(9)).toSet.toSeq.sorted
+              .map(b => s"pulse_bucket=$b")
+            val tpath = new org.apache.hadoop.fs.Path(target)
+            val tfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val before = buckets.map(p => p ->
+              TableManifest.listPartitionFiles(tfs, target, p).toSeq.sorted).toMap
+            frame.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .partitionBy("pulse_bucket").parquet(target)
+            val replaced = buckets.map { p =>
+              val now = TableManifest.listPartitionFiles(tfs, target, p)
+              p -> (now -- before(p).toSet).toSeq.sorted
+            }.toMap.filter(_._2.nonEmpty)
+            if (replaced.nonEmpty) {
+              TableManifest.commit(spark, target, replaced,
+                before.view.filterKeys(replaced.contains).toMap)
+              ()
+            }
+          } else {
+            // migration staging: a full STATIC overwrite of a fresh
+            // sibling, pinned (not omitted) as defense against ANY
+            // session-global partitionOverwriteMode=dynamic — the
+            // recovery block in seed() trusts the sibling's _SUCCESS as
+            // proof of completeness, and only the static committer
+            // writes it last. No manifest is staged: the swapped-in
+            // table is a fresh single-generation directory (legacy read
+            // mode), and the next steady-state flush bootstraps one.
+            frame.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "static")
+              .partitionBy("pulse_bucket")
+              .parquet(target)
+          }
           // summary raise AFTER the data commit: a crash in between
           // leaves the previous (lower — see the pre-write above) summary,
           // never one tighter than the data. A raise failure is non-fatal:

@@ -1813,7 +1813,7 @@ object Queries {
         |  FROM documents),
         |dims AS (
         |  -- greatest(1, ...) mirrors the encoder's clamps: an empty doc
-        |  -- still encodes to a 1x1 zero image; vw is the tail video
+        |  -- still encodes to a 1x1 zero image. vw is the tail video
         |  -- frame's width over the tail chunk length
         |  SELECT media_id, modality, n, s,
         |    greatest(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS w,

@@ -97,12 +97,14 @@ object HttpApi {
 
   // ---- routing ---------------------------------------------------------
 
-  /** True when `e` is a scan that raced a live store's partition
-    * rewrite (the maintainer flush / reload overwrite window the
-    * StoreViews isolation contract documents): the listed file is gone
-    * by read time. Such a read is idempotent and self-heals against a
-    * fresh listing, so the handler retries it ONCE before answering
-    * 500 — the reference never surfaces these at all (Postgres MVCC).
+  /** True when `e` is a scan that raced a LEGACY (pre-manifest) store's
+    * partition rewrite: the listed file is gone by read time. Manifested
+    * stores cannot produce this class — reads plan over a committed
+    * snapshot whose superseded generation survives a full commit cycle
+    * ([[graft.ingest.TableManifest]]) — so the HTTP handler no longer
+    * retries on it; the classifier remains for the exporter's poll loop,
+    * whose next poll re-resolves a fresh listing by design and must not
+    * kill every subscriber over a legacy store's transient window.
     */
   private[graft] def isScanRace(e: Throwable): Boolean = {
     var t = e
@@ -136,19 +138,11 @@ object HttpApi {
       catch {
         // fatal VM errors (OutOfMemoryError & co) PROPAGATE: converting
         // them to a routine 500 would keep serving on a heap in
-        // undefined state — and the scan-race branch would even re-run
-        // the failing query, doubling the pressure
-        case e if NonFatal(e) && isScanRace(e) =>
-          // every route is a GET read: one retry against a fresh file
-          // listing converts most racing-rewrite 500s into the committed
-          // page; a second failure answers the documented retryable 500
-          try route(spark, dir, ex)
-          catch {
-            case e2 if NonFatal(e2) =>
-              System.err.println(
-                s"[http] ${ex.getRequestURI} failed after scan-race retry: ${e2.getMessage}")
-              (500, "{}")
-          }
+        // undefined state. No scan-race retry lives here anymore: store
+        // reads resolve through commit manifests, so a racing rewrite
+        // serves the committed page instead of losing files (the class
+        // the deleted retry papered over; a LEGACY pre-manifest store
+        // keeps its historical — rare — raw 500 in that window)
         case e if NonFatal(e) =>
           System.err.println(s"[http] ${ex.getRequestURI} failed: ${e.getMessage}")
           (500, "{}")

@@ -13,20 +13,25 @@ import org.apache.spark.sql.functions._
   * file-open overhead and the namenode/listing layer becomes the
   * bottleneck. A maintenance-window compactor rewrites the affected
   * partitions into few large files — same rows, same layout contract
-  * (sorted by (jet_id, order) for row-group pruning), same idempotent
-  * partition-overwrite commit the writer uses, so a crashed compaction
-  * retries to a byte-identical result.
+  * (sorted by (jet_id, order) for row-group pruning), same MANIFESTED
+  * commit the writer uses ([[TableManifest]]), so readers racing a
+  * compaction keep serving the committed snapshot and a crashed
+  * compaction retries to an identical result.
   *
-  * The scan of candidate partitions is driver-side FS listing (cheap, the
-  * same listing a FileIndex does); the rewrite is a narrow per-partition
-  * job — no shuffle unless `targetFileBytes` forces a split.
+  * On a manifested table, candidates and row reads come from the CURRENT
+  * snapshot (a raw directory listing would count the superseded
+  * generation the manifest keeps as crash grace and re-select partitions
+  * forever); sizes are driver-side file stats over exactly the
+  * manifest's files. A legacy table keeps the original listing +
+  * dynamic-overwrite path.
   */
 object Compaction {
 
   final case class PartitionStat(partition: String, files: Int, bytes: Long)
 
-  /** Partitions under `tablePath` with more than `maxFiles` data files —
-    * the compaction candidates.
+  /** Partitions under `tablePath` with more than `maxFiles` CURRENT data
+    * files — the compaction candidates. Manifest-aware: superseded
+    * generations awaiting GC are not counted.
     */
   def candidates(
       spark: SparkSession,
@@ -36,22 +41,34 @@ object Compaction {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map { dir =>
-        val data = fs.listStatus(dir.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        PartitionStat(dir.getPath.getName, data.length, data.map(_.getLen).sum)
-      }
-      .filter(_.files > maxFiles)
+    val stats = TableManifest.latest(fs, tablePath) match {
+      case Some(snap) =>
+        snap.partitions.toSeq.map { case (part, files) =>
+          val bytes = files.map { f =>
+            try fs.getFileStatus(new Path(root, s"$part/$f")).getLen
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }.sum
+          PartitionStat(part, files.length, bytes)
+        }
+      case None =>
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .map { dir =>
+            val data = fs.listStatus(dir.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            PartitionStat(dir.getPath.getName, data.length, data.map(_.getLen).sum)
+          }
+    }
+    stats.filter(_.files > maxFiles)
   }
 
   /** Rewrite every candidate partition into
     * `max(1, ceil(bytes / targetFileBytes))` files, preserving the store's
     * sort contract. Returns (partitions rewritten, files before, files
-    * after). Idempotent: a second run finds no candidates and is a no-op;
-    * a retry after a crash overwrites to the same bytes (deterministic
-    * input, deterministic sort, dynamic partition overwrite).
+    * after — CURRENT files, per the manifest when one exists). Idempotent:
+    * a second run finds no candidates and is a no-op; a retry after a
+    * crash re-replaces the same partitions with identical rows
+    * (deterministic input, deterministic sort, manifested replace).
     */
   def compact(
       spark: SparkSession,
@@ -72,40 +89,67 @@ object Compaction {
     val cands = candidates(spark, tablePath)
       .filter(c => c.files > targetFiles(c.bytes))
     if (cands.isEmpty) return (0, 0, 0)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifested = TableManifest.latest(fs, tablePath).isDefined
     // One job per distinct target file count (partitions needing the same
-    // fan-in batch together); each overwrites only its own partition
-    // values (dynamic mode), so untouched partitions keep their files.
+    // fan-in batch together); each replaces only its own partition
+    // values, so untouched partitions keep their files.
     val byN = cands.groupBy(c => targetFiles(c.bytes))
     byN.foreach { case (n, group) =>
       val vals = group.map(_.partition.split("=", 2)(1))
-      val base = spark.read.parquet(tablePath)
-        .filter(col(partitionCol).cast("string").isin(vals: _*))
+      val source = TableManifest.readTable(spark, tablePath).getOrElse(
+        throw new IllegalStateException(s"compaction candidates on a table " +
+          s"with no committed data: $tablePath"))
+      val base = source.filter(col(partitionCol).cast("string").isin(vals: _*))
       // One task per partition value; for n > 1 the task splits its
       // sorted stream every ceil(rows/n) records (maxRecordsPerFile) —
       // deterministic file boundaries, contiguous sort ranges per file
       // (row-group min/max stats stay tight), retry-identical bytes.
-      val writer = base
+      val shaped = base
         .repartition(group.size, col(partitionCol))
         .sortWithinPartitions(col(partitionCol) +: sortCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite)
-        // per-writer dynamic mode (never spark.conf.set — a session-global
-        // flip would change every later partitioned overwrite's semantics)
-        .option("partitionOverwriteMode", "dynamic")
-      val sized =
-        if (n == 1) writer
-        else {
-          val maxRows = base.groupBy(col(partitionCol)).count()
-            .agg(max("count")).head().getLong(0)
-          writer.option("maxRecordsPerFile", math.max(1L, (maxRows + n - 1) / n))
+      val maxRows =
+        if (n == 1) None
+        else Some(base.groupBy(col(partitionCol)).count()
+          .agg(max("count")).head().getLong(0))
+      if (manifested) {
+        // the writer's protocol: append uniquely-named files, then
+        // publish a manifest version replacing the candidate partitions
+        val parts = group.map(_.partition)
+        val before = parts.map(p => p ->
+          TableManifest.listPartitionFiles(fs, tablePath, p).toSeq.sorted).toMap
+        val w0 = shaped.write.mode(SaveMode.Append)
+        maxRows.foreach(m => w0.option("maxRecordsPerFile", math.max(1L, (m + n - 1) / n)))
+        w0.partitionBy(partitionCol).parquet(tablePath)
+        val replaced = parts.map { p =>
+          val now = TableManifest.listPartitionFiles(fs, tablePath, p)
+          p -> (now -- before(p).toSet).toSeq.sorted
+        }.toMap.filter(_._2.nonEmpty)
+        if (replaced.nonEmpty) {
+          TableManifest.commit(spark, tablePath, replaced,
+            before.view.filterKeys(replaced.contains).toMap)
+          ()
         }
-      sized.partitionBy(partitionCol).parquet(tablePath)
+      } else {
+        val writer = shaped.write.mode(SaveMode.Overwrite)
+          // per-writer dynamic mode (never spark.conf.set — a
+          // session-global flip would change every later partitioned
+          // overwrite's semantics)
+          .option("partitionOverwriteMode", "dynamic")
+        maxRows.foreach(m => writer.option("maxRecordsPerFile", math.max(1L, (m + n - 1) / n)))
+        writer.partitionBy(partitionCol).parquet(tablePath)
+      }
     }
     graft.sources.RelationCache.invalidate(tablePath)
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val currentSnap = TableManifest.latest(fs, tablePath)
     val after = cands.map { c =>
-      fs.listStatus(new Path(root, c.partition))
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      currentSnap match {
+        case Some(snap) => snap.partitions.getOrElse(c.partition, Seq.empty).length
+        case None =>
+          fs.listStatus(new Path(root, c.partition))
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
     }.sum
     (cands.size, cands.map(_.files).sum, after)
   }

@@ -34,8 +34,11 @@ final class Pipeline(
     * (the shared [[PulseWriter.commitPulse]] — one implementation for
     * this batch loop and the [[graft.Ingest]] daemon).
     */
-  private def commit(wire: DataFrame): Unit = {
-    PulseWriter.commitPulse(wire, basePath, collectDrops = false)
+  private def commit(wire: DataFrame, pulse: Long): Unit = {
+    // the pulse number is driver-held: passing it spares the writer a
+    // partition-discovery job over the spine per commit
+    PulseWriter.commitPulse(wire, basePath, collectDrops = false,
+      pulses = Some(Seq(pulse)))
     ()
   }
 
@@ -44,7 +47,7 @@ final class Pipeline(
     */
   def ingestPulse(pulse: Long): Boolean =
     source(pulse) match {
-      case Some(wire) => commit(wire); true
+      case Some(wire) => commit(wire, pulse); true
       case None => false
     }
 
@@ -62,25 +65,18 @@ final class Pipeline(
       case _: Throwable => false
     }
 
-  /** Distinct pulse numbers PRESENT in `table` — a directory that does
-    * not exist or holds no data files (a store whose only commits were
-    * zero-row pulses leaves `records/` with just `_SUCCESS`) reads as
-    * empty instead of failing schema inference and aborting the round.
-    * Existence resolves through the same Hadoop FS the writes go to, so
-    * a non-local default filesystem behaves like the local one.
+  /** Distinct pulse numbers PRESENT in `table` — manifest-aware
+    * ([[TableManifest.readTable]]): a directory that does not exist or
+    * holds no committed data (a store whose only commits were zero-row
+    * pulses leaves `records/` with just `_SUCCESS`) reads as empty
+    * instead of failing schema inference and aborting the round, and a
+    * manifested store resolves its committed file set rather than a raw
+    * listing (which would also see superseded generations).
     */
-  private def presentPulses(table: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$basePath/$table")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData)
-      spark.read.parquet(s"$basePath/$table")
-        .select(col("pulse_number").cast("long").as("pulse_number")).distinct()
-    else spark.range(0).selectExpr("id AS pulse_number")
-  }
+  private def presentPulses(table: String): DataFrame =
+    TableManifest.readTable(spark, s"$basePath/$table")
+      .map(_.select(col("pulse_number").cast("long").as("pulse_number")).distinct())
+      .getOrElse(spark.range(0).selectExpr("id AS pulse_number"))
 
   /** Drive `[from, to]`, then run one gap-detection + reload round. */
   def run(from: Long, to: Long): Report = {
@@ -138,7 +134,7 @@ final class Pipeline(
         case _: Throwable => None
       }) match {
         case Some((wire, hint)) =>
-          val ok = try { commit(wire); true } catch {
+          val ok = try { commit(wire, p); true } catch {
             case e: InterruptedException => throw e
             case _: Throwable => false
           }
@@ -153,7 +149,7 @@ final class Pipeline(
       if (missedData.covered(q, q)) false
       else
         try {
-          val ok = rich(q).exists { case (wire, _) => commit(wire); true }
+          val ok = rich(q).exists { case (wire, _) => commit(wire, q); true }
           missedData.addIfNew(q, q)
           ok
         } catch {
@@ -170,17 +166,10 @@ final class Pipeline(
     * inference crash.
     */
   def status(): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$basePath/records")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    val records =
-      if (hasData) spark.read.parquet(s"$basePath/records")
-      else spark.createDataFrame(
+    val records = TableManifest.readTable(spark, s"$basePath/records")
+      .getOrElse(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        graft.model.Schemas.records)
+        graft.model.Schemas.records))
     graft.model.Domain.pulses(records.withColumn("ts_sec", col("timestamp")))
   }
 }

@@ -32,21 +32,59 @@ object PulseWriter {
     records.withColumn("order", row_number().over(w))
   }
 
-  /** Write one pulse's records/jet_drops as an overwrite of exactly the
-    * `pulse_number=N` partitions present in `df` (dynamic mode), sorted for
+  /** Write one pulse's records/jet_drops as a MANIFESTED replacement of
+    * exactly the `pulse_number=N` partitions present in `df`, sorted for
     * row-group locality.
+    *
+    * The physical write APPENDS uniquely-named files and then publishes
+    * a [[TableManifest]] version mapping each touched partition to its
+    * new files — logically identical to the dynamic partition overwrite
+    * this replaces (same rows per partition, same idempotent retry: a
+    * re-delivered pulse re-replaces its partition with byte-identical
+    * content), but the PREVIOUS generation's files survive one more
+    * commit cycle, which is what lets concurrent readers finish against
+    * the snapshot they planned without ever seeing a lost file or a
+    * torn page (the retryable-500 class this deletes — see the manifest
+    * doc). An empty frame still creates the table directory (the
+    * zero-row-commit layout the serving empties rely on) but publishes
+    * nothing.
     */
-  def writePulsePartition(df: DataFrame, table: String, basePath: String): Unit = {
+  def writePulsePartition(df: DataFrame, table: String, basePath: String,
+      pulses: Option[Seq[Long]] = None): Unit = {
+    val spark = df.sparkSession
+    val tablePath = s"$basePath/$table"
+    // the affected partitions: the caller's pulse list when it knows it
+    // (the daemon/pipeline commit exactly one pulse and hold its number
+    // driver-side — an extra distinct() job per commit would re-run the
+    // spine), derived from the DATA otherwise. Same contract as the
+    // dynamic overwrite this replaces: a partition with NO rows in the
+    // frame is never touched (the zero-row-reload case leaves old rows).
+    val parts = pulses.getOrElse(
+        df.select(col("pulse_number")).distinct().collect()
+          .map(r => r.get(0).toString.toLong).toSeq)
+      .map(p => s"pulse_number=$p")
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = parts.map(p =>
+      p -> TableManifest.listPartitionFiles(fs, tablePath, p).toSeq.sorted).toMap
     df.sortWithinPartitions(col("jet_id"))
       .write
-      .mode(SaveMode.Overwrite)
-      // per-writer dynamic mode (never spark.conf.set — a session-global
-      // flip would change every later partitioned overwrite's semantics,
-      // including the migration staging write that relies on STATIC
-      // commit ordering for its _SUCCESS marker)
-      .option("partitionOverwriteMode", "dynamic")
+      // append, never overwrite: visibility is the MANIFEST's job, and
+      // an overwrite would delete the generation in-flight readers hold
+      .mode(SaveMode.Append)
       .partitionBy("pulse_number")
-      .parquet(s"$basePath/$table")
+      .parquet(tablePath)
+    // only partitions that actually RECEIVED files are replaced — a
+    // provided pulse with no rows keeps its manifest entry untouched
+    val replaced = parts.map { p =>
+      val now = TableManifest.listPartitionFiles(fs, tablePath, p)
+      p -> (now -- before(p).toSet).toSeq.sorted
+    }.toMap.filter(_._2.nonEmpty)
+    if (replaced.nonEmpty) {
+      TableManifest.commit(spark, tablePath, replaced,
+        before.view.filterKeys(replaced.contains).toMap)
+      ()
+    }
   }
 
   /** The shared two-table pulse commit — ONE implementation for the
@@ -58,14 +96,15 @@ object PulseWriter {
     * controller's `jetDropRegister`.
     */
   def commitPulse(wire: DataFrame, basePath: String,
-      collectDrops: Boolean = true): Array[org.apache.spark.sql.Row] = {
+      collectDrops: Boolean = true,
+      pulses: Option[Seq[Long]] = None): Array[org.apache.spark.sql.Row] = {
     val records = Spine(wire).cache()
     try {
-      writePulsePartition(records, "records", basePath)
+      writePulsePartition(records, "records", basePath, pulses)
       val drops = records.groupBy(col("pulse_number"), col("jet_id"))
         .agg(count(lit(1)).cast("int").as("record_amount"),
           min(col("timestamp")).as("timestamp"))
-      writePulsePartition(drops, "jet_drops", basePath)
+      writePulsePartition(drops, "jet_drops", basePath, pulses)
       // callers without a register (the batch Pipeline) skip the collect
       if (collectDrops) drops.collect() else Array.empty
     } finally { records.unpersist(); () }

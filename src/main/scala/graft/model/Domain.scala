@@ -299,14 +299,18 @@ object Domain {
         .eval(null).asInstanceOf[Long]
     else java.nio.ByteBuffer.wrap(ref.takeRight(8)).getLong
 
-  /** FNV-1a over (path, mtime, length) of every data file under the
-    * store's pulses dimension — the rebuild trigger for the live chain
-    * index above. Bounded by the dimension's file count (bucketed, a few
-    * tiny files per bucket), and never a Spark job.
+  /** Change token for the store's pulses dimension — the rebuild trigger
+    * for the live chain index above. A MANIFESTED store answers its
+    * commit-manifest version (one tiny-dir listing, no recursive walk,
+    * bumped by every flush — [[graft.ingest.TableManifest]]); a legacy
+    * store falls back to FNV-1a over (path, mtime, length) of every data
+    * file. Bounded by the dimension's file count either way, and never a
+    * Spark job.
     */
   private def storePulsesVersion(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/pulses")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ingest.TableManifest.versionToken(spark, s"$dir/pulses").getOrElse {
     if (!fs.exists(p)) "absent"
     else {
       var h = 0xcbf29ce484222325L
@@ -333,6 +337,7 @@ object Domain {
         case _: java.io.FileNotFoundException =>
           s"changed-${System.nanoTime()}"
       }
+    }
     }
   }
 

@@ -35,29 +35,21 @@ import org.apache.spark.sql.functions._
   *    PARTITION DIRECTORIES on this layout — at 100 TB a pulse-bounded
   *    page lists a handful of directories instead of scanning anything.
   *
-  * Reads are deliberately NOT relation-cached: a store is live (the
-  * daemon appends pulses between requests), so each query re-resolves
-  * the file listing — the pulses dimension is a directory of tiny
-  * bucketed files and the fact reads are partition-pruned, so the
-  * listing cost stays bounded by the predicate, not the history.
-  *
-  * Isolation contract: the parquet layout gives per-partition-commit
-  * atomicity, not reader snapshots — a read that overlaps a maintainer
-  * flush or a reload's partition overwrite of the SAME pulse can lose
-  * its listed files mid-scan and surface as a retryable 500 (the
-  * reference gets MVCC from Postgres here; StoreServeSpec's racing-
-  * rewrite test pins that outcome set). One narrower window exists
-  * beneath that: the dynamic-overwrite committer swaps each partition
-  * directory by delete-then-rename, so a file LISTING landing inside
-  * those two metadata ops (microseconds, vs the mid-scan window spanning
-  * the whole read) sees the pulse's directory absent and would serve a
-  * silently short page rather than a 500 — acceptable for this layout
-  * because the write path touches only the one changing pulse and the
-  * page heals on the next request, but it is the precise reason a
-  * deployment needing overlap-free reads swaps the writer/reader pair
-  * onto a snapshot-isolated table format (the layout is deliberately
-  * directory-per-table to make that a drop-in), which is why this
-  * adapter — not the endpoints — owns the physical reads.
+  * Isolation contract: reads resolve through the store's COMMIT
+  * MANIFESTS ([[graft.ingest.TableManifest]]) — each request plans over
+  * the explicit file set some committed version defined, superseded
+  * generations survive one full commit cycle, and a read racing a
+  * hot-pulse rewrite therefore always serves a committed page: no
+  * lost-file 500s, no torn or silently-short pages (StoreServeSpec's
+  * racing-rewrite test pins ZERO failures; the reference gets the same
+  * guarantee from Postgres MVCC, `etl/dbconn/connection.go:13-22`).
+  * The resolved relations are cached per manifest VERSION — an
+  * unchanged store pays zero listings and zero schema probes per
+  * request, and staleness is structurally impossible because the
+  * version moves with every commit. A legacy store written before
+  * manifests falls back to the old per-request directory listing with
+  * its (historical) racing-rewrite 500 window — the first manifested
+  * commit upgrades it in place.
   */
 object StoreViews {
 
@@ -118,6 +110,23 @@ object StoreViews {
   private def refKey(c: Column): Column =
     when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
 
+  /** Record-hash FORMAT-BREAK normalization: builds before round 13
+    * stored `sha2(...)` hex-STRING bytes (64 ASCII chars) where the
+    * current writer stores the 32-byte digest. A store that appends new
+    * pulses onto old history therefore mixes the two encodings in one
+    * column; rewriting the history (100 TB of records for a 32-byte
+    * column) is the wrong fix, so the SERVE boundary normalizes instead:
+    * a 64-byte value that decodes as lowercase hex is unhexed to its
+    * digest, anything else passes through. Precise by construction —
+    * this writer has only ever produced the two encodings, and a real
+    * digest is always 32 bytes.
+    */
+  private def normalizedHash(c: Column): Column = {
+    val asStr = decode(c, "UTF-8")
+    when(length(c) === 64 && asStr.rlike("^[0-9a-f]{64}$"), unhex(asStr))
+      .otherwise(c)
+  }
+
   // Canonical serving schemas, for the EMPTY-TABLE branch below: a brand
   // new store serves `{total:0}` pages from a schema-stable empty frame
   // until the daemon's first commit/flush lands — the records table is
@@ -146,69 +155,60 @@ object StoreViews {
     org.apache.spark.sql.types.StructField(name,
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
 
-  /** True when the table directory holds committed data (at least one
-    * non-hidden file or partition dir) — a just-created or mid-first-write
-    * directory serves as empty instead of failing schema inference.
-    */
-  private def hasData(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
-
   private def emptyFrame(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
-  /** The records fact in the endpoints' serving shape. */
+  /** The records fact in the endpoints' serving shape. A table with no
+    * committed data — including a just-created or mid-first-write
+    * directory — serves as the schema-stable empty frame instead of
+    * failing schema inference (same for the two views below).
+    */
   def records(spark: SparkSession, dir: String): DataFrame =
-    if (!hasData(spark, s"$dir/records")) emptyFrame(spark, RecordsServingSchema)
-    else spark.read.parquet(s"$dir/records").select(
-      refKey(col("reference")).as("reference"),
-      col("type"),
-      refKey(col("object_reference")).as("object_reference"),
-      refKey(col("prototype_reference")).as("prototype_reference"),
-      refKey(col("prev_record_reference")).as("prev_record_reference"),
-      col("payload"),
-      col("hash"),
-      col("jet_id"),
-      col("pulse_number").cast("long").as("pulse_number"),
-      col("order"),
-      col("timestamp").as("ts_sec"))
+    graft.ingest.TableManifest.readTable(spark, s"$dir/records")
+      .fold(emptyFrame(spark, RecordsServingSchema))(_.select(
+        refKey(col("reference")).as("reference"),
+        col("type"),
+        refKey(col("object_reference")).as("object_reference"),
+        refKey(col("prototype_reference")).as("prototype_reference"),
+        refKey(col("prev_record_reference")).as("prev_record_reference"),
+        col("payload"),
+        normalizedHash(col("hash")).as("hash"),
+        col("jet_id"),
+        col("pulse_number").cast("long").as("pulse_number"),
+        col("order"),
+        col("timestamp").as("ts_sec")))
 
   /** The jet_drops dimension with the serving hash convention derived
     * over the pulses chain (broadcast — one row per pulse).
     */
-  def jetDrops(spark: SparkSession, dir: String): DataFrame = {
-    if (!hasData(spark, s"$dir/jet_drops")) return emptyFrame(spark, DropsServingSchema)
-    val drops = spark.read.parquet(s"$dir/jet_drops").select(
-      col("pulse_number").cast("long").as("pulse_number"),
-      col("jet_id"),
-      col("record_amount"),
-      col("timestamp"))
-    val chain = pulses(spark, dir)
-      .select(col("pulse_number").as("pn"), col("prev_pulse_number").as("prev_pn"))
-    drops.join(broadcast(chain), col("pulse_number") === col("pn"), "left")
-      .withColumn("hash", md5(concat_ws(":", col("jet_id"), col("pulse_number"))))
-      .withColumn("first_prev_hash",
-        when(col("prev_pn").isNull, lit(null).cast("string"))
-          .otherwise(md5(concat_ws(":", col("jet_id"), col("prev_pn")))))
-      .withColumn("second_prev_hash", lit(null).cast("string"))
-      .drop("pn", "prev_pn")
-  }
+  def jetDrops(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.TableManifest.readTable(spark, s"$dir/jet_drops")
+      .fold(emptyFrame(spark, DropsServingSchema)) { raw =>
+        val drops = raw.select(
+          col("pulse_number").cast("long").as("pulse_number"),
+          col("jet_id"),
+          col("record_amount"),
+          col("timestamp"))
+        val chain = pulses(spark, dir)
+          .select(col("pulse_number").as("pn"), col("prev_pulse_number").as("prev_pn"))
+        drops.join(broadcast(chain), col("pulse_number") === col("pn"), "left")
+          .withColumn("hash", md5(concat_ws(":", col("jet_id"), col("pulse_number"))))
+          .withColumn("first_prev_hash",
+            when(col("prev_pn").isNull, lit(null).cast("string"))
+              .otherwise(md5(concat_ws(":", col("jet_id"), col("prev_pn")))))
+          .withColumn("second_prev_hash", lit(null).cast("string"))
+          .drop("pn", "prev_pn")
+      }
 
   /** The daemon-maintained pulses dimension in the serving shape (the
     * bucket partition column is a flush concern, never served; a legacy
     * FLAT layout — no bucket column — serves identically).
     */
   def pulses(spark: SparkSession, dir: String): DataFrame =
-    if (!hasData(spark, s"$dir/pulses")) emptyFrame(spark, PulsesServingSchema)
-    else {
-      val raw = spark.read.parquet(s"$dir/pulses")
+    graft.ingest.TableManifest.readTable(spark, s"$dir/pulses")
+      .fold(emptyFrame(spark, PulsesServingSchema)) { raw =>
       raw.select(
         col("pulse_number").cast("long").as("pulse_number"),
         col("prev_pulse_number"),

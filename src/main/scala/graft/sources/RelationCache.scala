@@ -92,6 +92,36 @@ object RelationCache {
         df
     }
 
+  // ---- version-keyed relations (manifested store tables) ----------------
+
+  private val versionedCache = new ConcurrentHashMap[String, (Long, Entry)]()
+
+  /** Resolved relation for a MANIFESTED table at snapshot `version`
+    * ([[graft.ingest.TableManifest]]): one live entry per (session,
+    * path), replaced on version bump. An unchanged store re-serves the
+    * cached file index with ZERO directory listings; a commit's version
+    * bump swaps it out on the next read. No epoch dance is needed here —
+    * the caller resolves the CURRENT version before asking, so a racing
+    * commit can at worst leave an older (version, df) pair in the map,
+    * which the very next read sees as a mismatch and rebuilds; it can
+    * never be SERVED stale. invalidate()/clear() still drop these
+    * entries, for writers that bypass the manifest protocol (a test
+    * rewriting a fixture in place).
+    */
+  def versionedParquet(spark: SparkSession, path: String, version: Long)(
+      build: => DataFrame): DataFrame = {
+    val k = key(spark, path)
+    val cur = versionedCache.get(k)
+    if (cur != null && cur._1 == version &&
+        !cur._2.session.sparkContext.isStopped) cur._2.df
+    else {
+      versionedCache.entrySet().removeIf(_.getValue._2.session.sparkContext.isStopped)
+      val df = build
+      versionedCache.put(k, (version, Entry(spark, df)))
+      df
+    }
+  }
+
   /** Drop every session's entry for `path` AND anything under it (call
     * after rewriting a path). Subtree matching matters: artifact roots
     * hold nested datasets (`<ivf>/vectors`, `<ivf>/centroids`) cached
@@ -102,16 +132,19 @@ object RelationCache {
   def invalidate(path: String): Unit = {
     epoch.incrementAndGet() // before the sweep: see the publish guard
     val prefix = if (path.endsWith("/")) path else path + "/"
-    cache.keySet().removeIf { k =>
+    def hit(k: String): Boolean = {
       val p = k.substring(k.indexOf(':') + 1)
       p == path || p.startsWith(prefix)
     }
+    cache.keySet().removeIf(hit(_))
+    versionedCache.keySet().removeIf(hit(_))
     invalidationHooks.forEach(_.apply(path))
   }
 
   def clear(): Unit = {
     epoch.incrementAndGet()
     cache.clear()
+    versionedCache.clear()
     invalidationHooks.forEach(_.apply(null))
   }
 }

@@ -7,6 +7,16 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local SparkSession for operator specs. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Manifest-aware read of a STORE table (records/jet_drops/pulses).
+    * Store writes are manifested commits: a raw `spark.read.parquet`
+    * over the directory would also read the superseded generation the
+    * manifest keeps as crash/reader grace, double-counting any
+    * re-committed pulse — assertions must see what a reader sees.
+    */
+  def storeTable(base: String, table: String): org.apache.spark.sql.DataFrame =
+    graft.ingest.TableManifest.readTable(spark, s"$base/$table").getOrElse(
+      throw new IllegalStateException(s"no committed data in $base/$table"))
 }
 
 object SparkSpec {

@@ -191,7 +191,7 @@ class StoreServeSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$base/pulses")
 
     // raw STORED bytes (the storage schema keeps references binary)
-    val raw = spark.read.parquet(s"$base/records")
+    val raw = storeTable(base, "records")
     val rec = raw.filter(col("object_reference").isNotNull).select(
       col("reference"), col("object_reference")).head()
     val recBytes = rec.getAs[Array[Byte]]("reference")
@@ -234,13 +234,43 @@ class StoreServeSpec extends SparkSpec {
       pulses, records, start, Seq(Array[Byte](1, 2, 3))).collect().isEmpty)
   }
 
-  test("reads racing a reload's partition overwrite of the SAME pulse serve " +
-      "{a committed page | retryable 500} — never a torn or empty page") {
-    // the documented isolation contract (StoreViews.scala): parquet gives
-    // per-partition-commit atomicity, not reader snapshots — a read
-    // overlapping the maintainer's rewrite of the hot pulse may fail
-    // retryably, but must never serve a page MIXING the two versions or
-    // a silently-empty page for a pulse the dimension says is populated
+  test("legacy hex-encoded record hashes normalize to the 32-byte digest " +
+      "at the serve boundary — a mixed-encoding store serves uniformly") {
+    // builds before the sha2-digest fix stored the 64-char HEX STRING's
+    // bytes; a store appending new pulses onto that history mixes the
+    // two encodings in one column. The serve boundary unhexes the legacy
+    // shape instead of rewriting history (ADVICE r13).
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-hash").toString
+    val raw = "legacy payload".getBytes("UTF-8")
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(raw)
+    val hexBytes = digest.map("%02x".format(_)).mkString.getBytes("UTF-8")
+    assert(hexBytes.length == 64)
+    import scala.jdk.CollectionConverters._
+    def recordRow(p: Long, hash: Array[Byte]) = org.apache.spark.sql.Row(
+      Array[Byte](1, 2, 3), "state", null, null, raw, null, hash, raw,
+      "0", p, 1, p - graft.ingest.Canonicalize.MinTimePulse)
+    // legacy pulse with hex-bytes hash; current pulse with the digest
+    spark.createDataFrame(
+      Seq(recordRow(start, hexBytes), recordRow(start + delta, digest)).asJava,
+      graft.model.Schemas.records)
+      .write.partitionBy("pulse_number").parquet(s"$base/records")
+    val served = graft.model.StoreViews.records(spark, base)
+      .select("pulse_number", "hash").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(served(start).toSeq == digest.toSeq,
+      "legacy hex encoding must serve as the 32-byte digest")
+    assert(served(start + delta).toSeq == digest.toSeq,
+      "current digests pass through untouched")
+  }
+
+  test("reads racing a reload's rewrite of the SAME pulse ALWAYS serve a " +
+      "committed page — zero 500s, zero torn or empty pages") {
+    // the manifest isolation contract (StoreViews.scala): every read
+    // plans over a committed snapshot's explicit file set and the
+    // superseded generation survives one full commit cycle, so a racing
+    // hot-pulse rewrite can produce neither a lost-file 500 nor a page
+    // MIXING the two versions — the retryable-500 outcome this test used
+    // to tolerate (and the HTTP retry that papered over it) are gone
     val base = java.nio.file.Files.createTempDirectory("graft-serve-race").toString
     val wireA = Fixtures.multiPulseBatches(spark, 2, perPulse, startPulse = start)
     // version B: same rows, different payload bytes — so a page mixing
@@ -297,8 +327,9 @@ class StoreServeSpec extends SparkSpec {
           (resp.statusCode(), resp.body()) match {
             case (200, b) if b == bodyA => bump("200-A")
             case (200, b) if b == bodyB => bump("200-B")
-            case (500, _) => bump("500")
             case (s, b) =>
+              // a 500 is a FAILURE here now: manifested reads must never
+              // lose a file to the racing rewrite
               torn.compareAndSet(null, s"status=$s body=${b.take(400)}")
               go = false
           }

@@ -83,12 +83,12 @@ class IngestServeSpec extends SparkSpec {
     }
 
     // ---- the three tables converged on disk ----------------------------
-    val records = spark.read.parquet(s"$base/records")
+    val records = storeTable(base, "records")
     assert(records.count() == nPulses * 12L)
     assert(records.select("pulse_number").distinct().count() == nPulses.toLong)
-    val drops = spark.read.parquet(s"$base/jet_drops")
+    val drops = storeTable(base, "jet_drops")
     assert(drops.count() == nPulses * 2L) // 2 jets per pulse
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.length == nPulses)
     assert(pulses.forall(_.getAs[Boolean]("is_complete")), "every cover is full")
     assert(pulses.forall(_.getAs[Boolean]("is_sequential")), "chain is gapless")
@@ -139,14 +139,14 @@ class IngestServeSpec extends SparkSpec {
       s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
     }
 
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.length == nPulses,
       "life-1 pulses must survive life 2 — restart must not truncate the dimension")
     assert(pulses.forall(_.getAs[Boolean]("is_complete")))
     assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
     val pns = pulses.map(_.getAs[Long]("pulse_number"))
     assert(pns.toSeq == (0 until nPulses).map(start + _ * delta))
-    assert(spark.read.parquet(s"$base/records").count() == nPulses * 6L)
+    assert(storeTable(base, "records").count() == nPulses * 6L)
   }
 
   test("restart with an OPEN pulse: the seeded register reloads its jet cover " +
@@ -169,7 +169,7 @@ class IngestServeSpec extends SparkSpec {
       h1.stop()
       s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS)
     }
-    assert(!spark.read.parquet(s"$base/pulses")
+    assert(!storeTable(base, "pulses")
       .filter(col("pulse_number") === p1).collect().head.getAs[Boolean]("is_complete"),
       "life 1 must persist pulse 1 as incomplete")
 
@@ -185,7 +185,7 @@ class IngestServeSpec extends SparkSpec {
       h2.stop()
       s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
     }
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.length == 3)
     assert(pulses.forall(_.getAs[Boolean]("is_complete")))
     assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
@@ -194,7 +194,7 @@ class IngestServeSpec extends SparkSpec {
     // counter independently of the never-reloaded cover set)
     assert(pulses.map(_.getAs[Int]("jet_drop_amount")).toSeq == Seq(2, 2, 2),
       s"closed-pulse counters corrupted: ${pulses.mkString(", ")}")
-    assert(spark.read.parquet(s"$base/records")
+    assert(storeTable(base, "records")
       .filter(col("pulse_number") === p1).count() == 8L,
       "the healed pulse's partition holds the full record set")
   }
@@ -238,10 +238,10 @@ class IngestServeSpec extends SparkSpec {
       handle.stop()
       server.shutdownNow(); server.awaitTermination(5, TimeUnit.SECONDS)
     }
-    val records = spark.read.parquet(s"$base/records")
+    val records = storeTable(base, "records")
     assert(records.count() == 40L, "no loss, no duplication under chaos")
     assert(records.select("pulse_number").distinct().count() == 4L)
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.length == 4)
     assert(pulses.forall(_.getAs[Boolean]("is_complete")))
     assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
@@ -281,7 +281,7 @@ class IngestServeSpec extends SparkSpec {
         "migration must produce the bucketed layout")
       assert(!dirs.exists(f => f.isFile && f.getName.startsWith("part-")),
         "no flat-era files may survive next to bucket partitions")
-      val migrated = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+      val migrated = storeTable(base, "pulses").orderBy("pulse_number").collect()
       assert(migrated.length == nPulses)
       assert(migrated.forall(_.getAs[Boolean]("is_sequential")))
       assert(migrated.map(_.getAs[Long]("record_amount")).toSeq == Seq(6L, 6L))
@@ -322,7 +322,7 @@ class IngestServeSpec extends SparkSpec {
     try {
       assert(!new java.io.File(s"$base2/pulses_migrating").exists(),
         "recovery must consume the staged sibling")
-      val rec = spark.read.parquet(s"$base2/pulses").orderBy("pulse_number").collect()
+      val rec = storeTable(base2, "pulses").orderBy("pulse_number").collect()
       assert(rec.length == 2)
       assert(rec.forall(_.getAs[Boolean]("is_sequential")))
       assert(rec.map(_.getAs[Long]("record_amount")).toSeq == Seq(6L, 6L))
@@ -358,7 +358,7 @@ class IngestServeSpec extends SparkSpec {
       val dirs = new java.io.File(s"$base1/pulses").listFiles()
       assert(dirs.exists(f => f.isDirectory && f.getName.startsWith("pulse_bucket=")))
       assert(!dirs.exists(f => f.isFile && f.getName.startsWith("part-")))
-      val rec = spark.read.parquet(s"$base1/pulses").orderBy("pulse_number").collect()
+      val rec = storeTable(base1, "pulses").orderBy("pulse_number").collect()
       assert(rec.length == 2)
       assert(rec.map(_.getAs[Long]("record_amount")).toSeq == Seq(6L, 6L))
     } finally {
@@ -399,7 +399,7 @@ class IngestServeSpec extends SparkSpec {
     } finally {
       h2.stop(); s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
     }
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq ==
       Seq(start, start + delta, start + 4 * delta))
     assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
@@ -492,10 +492,10 @@ class IngestServeSpec extends SparkSpec {
       s"open register held $peakOpen entries for a ${slots.length}-pulse feed")
 
     // exact store: no loss, no duplication, holes chained across
-    val records = spark.read.parquet(s"$base/records")
+    val records = storeTable(base, "records")
     assert(records.count() == slots.length * 8L)
     assert(records.select("pulse_number").distinct().count() == slots.length.toLong)
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq ==
       slots.map(start + _ * delta))
     assert(pulses.forall(_.getAs[Boolean]("is_complete")))
@@ -568,10 +568,10 @@ class IngestServeSpec extends SparkSpec {
       server.shutdownNow()
       server.awaitTermination(5, TimeUnit.SECONDS)
     }
-    val records = spark.read.parquet(s"$base/records")
+    val records = storeTable(base, "records")
     assert(records.filter(col("pulse_number") === start).count() == 8L,
       "the reload's partition overwrite replaced the half pulse with the full one")
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.forall(_.getAs[Boolean]("is_complete")))
     assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
   }
@@ -616,7 +616,7 @@ class IngestServeSpec extends SparkSpec {
           s"cursor=${daemon.cursor}, probed to $maxProbed, " +
           s"known=${daemon.snapshot.keySet}")
     } finally daemon.stop()
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq == Seq(start, resumedPulse))
     assert(pulses.last.getAs[Long]("prev_pulse_number") == start,
       "the resumed pulse must chain back across the stall")
@@ -644,7 +644,7 @@ class IngestServeSpec extends SparkSpec {
       assert(await()(daemon.frontierStats == ((0, 0, 0))),
         s"frontier never drained: ${daemon.frontierStats}")
     } finally daemon.stop()
-    val row = spark.read.parquet(s"$base/pulses").collect().head
+    val row = storeTable(base, "pulses").collect().head
     assert(row.getAs[Long]("pulse_number") == firstReal)
     assert(row.getAs[Long]("prev_pulse_number") == start - delta,
       "chain must start at the sequencer's start mark")
@@ -742,7 +742,7 @@ class IngestServeSpec extends SparkSpec {
     } finally daemon.stop()
     // no truncation: the closed prefix survives every flush (only the
     // frontier bucket was dirty), and the summary advanced to the new mark
-    val after = spark.read.parquet(s"$base/pulses")
+    val after = storeTable(base, "pulses")
     assert(after.count() == (nClosed + openIdx.size).toLong)
     assert(after.filter(col("is_sequential")).count() == (nClosed + openIdx.size).toLong)
     val summary = new String(java.nio.file.Files.readAllBytes(
@@ -762,7 +762,7 @@ class IngestServeSpec extends SparkSpec {
     val h1 = Ingest.bootstrap(spark, base, "localhost", s1.getPort, start, fastCfg)
     try assert(await()(h1.daemon.sequentialPulse == start + delta))
     finally { h1.stop(); s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS) }
-    val persisted = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val persisted = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(persisted.map(_.getAs[Long]("result_amount")).toSeq == Seq(3L, 3L),
       s"per-type counter must persist: ${persisted.mkString(", ")}")
 
@@ -770,9 +770,9 @@ class IngestServeSpec extends SparkSpec {
     // column (a pre-result_amount deployment); the seed must migrate the
     // layout in one staged rewrite and BACKFILL the counters from the
     // records table's own type column — real counts, not zeros
-    val legacyRows = spark.read.parquet(s"$base/pulses")
+    val legacyRows = storeTable(base, "pulses")
       .drop("result_amount", "pulse_bucket").collect()
-    val legacySchema = spark.read.parquet(s"$base/pulses")
+    val legacySchema = storeTable(base, "pulses")
       .drop("result_amount", "pulse_bucket").schema
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(legacyRows.toSeq.asJava, legacySchema)
@@ -786,7 +786,7 @@ class IngestServeSpec extends SparkSpec {
       assert(d2.snapshot.values.map(_.resultAmount).toSeq == Seq(3L, 3L),
         s"legacy seed must backfill result counters: ${d2.snapshot}")
     } finally d2.stop()
-    val migrated = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val migrated = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(migrated.map(_.getAs[Long]("result_amount")).toSeq == Seq(3L, 3L),
       "the migration rewrite must persist the backfilled counters")
     assert(migrated.map(_.getAs[Long]("record_amount")).toSeq == Seq(9L, 9L))
@@ -835,10 +835,10 @@ class IngestServeSpec extends SparkSpec {
       assert(await()(daemon.sequentialPulse == start + delta))
     } finally daemon.stop()
     assert(phase >= 3, s"the zero-row reload phase was never exercised: $phase")
-    assert(spark.read.parquet(s"$base/records")
+    assert(storeTable(base, "records")
       .filter(col("pulse_number") === start).count() == 8L,
       "the healed pulse must hold the full record set, not the half store")
-    val row = spark.read.parquet(s"$base/pulses")
+    val row = storeTable(base, "pulses")
       .filter(col("pulse_number") === start).collect().head
     assert(row.getAs[Boolean]("is_complete") && row.getAs[Long]("record_amount") == 8L)
   }
@@ -873,7 +873,7 @@ class IngestServeSpec extends SparkSpec {
       .exists(e => !e.complete && e.recordAmount == 0L && e.jets.isEmpty)),
       s"zero-row revert never registered: ${d1.snapshot.get(start)}")
     finally d1.stop() // the shutdown flush persists the reverted row
-    assert(spark.read.parquet(s"$base/pulses")
+    assert(storeTable(base, "pulses")
       .filter(col("pulse_number") === start).collect().head
       .getAs[Long]("record_amount") == 0L, "fixture: the revert must be flushed")
 
@@ -894,7 +894,7 @@ class IngestServeSpec extends SparkSpec {
       // once the next flush lands (maintainer keeps re-requesting, the
       // pruned exporter keeps answering NOT_FOUND — no heal, no harm).
       // The poll retries on the documented racing-overwrite read window.
-      assert(await()(scala.util.Try(spark.read.parquet(s"$base/pulses")
+      assert(await()(scala.util.Try(storeTable(base, "pulses")
         .filter(col("pulse_number") === start).collect()).toOption
         .exists(_.headOption.exists(_.getAs[Long]("record_amount") == 4L))),
         "the restored counter must reach the persisted dimension")
@@ -1020,7 +1020,7 @@ class IngestServeSpec extends SparkSpec {
       assert(await()(d1.frontierStats == ((0, 0, 0))),
         "an empty pulse must not sit in the open frontier forever")
     } finally d1.stop()
-    val pulses = spark.read.parquet(s"$base/pulses").orderBy("pulse_number").collect()
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
     assert(pulses.map(_.getAs[Long]("pulse_number")).toSeq ==
       Seq(start, start + delta))
     assert(pulses.forall(_.getAs[Boolean]("is_complete")), "complete by construction")

@@ -63,10 +63,12 @@ class IngestSpec extends SparkSpec {
     val df = Seq((1L, "0", "x"), (1L, "1", "y"), (2L, "0", "z"))
       .toDF("pulse_number", "jet_id", "payload")
     PulseWriter.writePulsePartition(df, "records", tmp)
-    val first = spark.read.parquet(s"$tmp/records").collect().map(_.toString).sorted
+    val first = storeTable(tmp, "records").collect().map(_.toString).sorted
     PulseWriter.writePulsePartition(df, "records", tmp) // retry / re-delivery
-    val second = spark.read.parquet(s"$tmp/records").collect().map(_.toString).sorted
-    assert(first.toSeq == second.toSeq)
+    val second = storeTable(tmp, "records").collect().map(_.toString).sorted
+    assert(first.toSeq == second.toSeq,
+      "a re-delivered pulse must replace its partition with identical data " +
+        "(manifested read — the superseded grace generation is invisible)")
     assert(first.length == 3)
   }
 

@@ -28,7 +28,7 @@ class PipelineSpec extends SparkSpec {
     assert(r1.reloaded == Seq(start + 20)) // re-request healed it
 
     // after reload everything is present and counters are right
-    val records = spark.read.parquet(s"$base/records")
+    val records = storeTable(base, "records")
     assert(records.count() == 24)
     val status = flakyPipe.status().orderBy("pulse_number").collect()
     assert(status.length == 4)
@@ -38,9 +38,9 @@ class PipelineSpec extends SparkSpec {
     val pipe2 = new Pipeline(spark, base, src(flaky = false))
     val r2 = pipe2.run(start, start + 30)
     assert(r2.missing.isEmpty)
-    assert(spark.read.parquet(s"$base/records").count() == 24)
+    assert(storeTable(base, "records").count() == 24)
     // jet_drops got the same treatment
-    assert(spark.read.parquet(s"$base/jet_drops").count() == 8) // 4 pulses x 2 jets
+    assert(storeTable(base, "jet_drops").count() == 8) // 4 pulses x 2 jets
   }
 
   test("a pulse whose records committed but whose jet_drops write was lost is " +
@@ -57,15 +57,16 @@ class PipelineSpec extends SparkSpec {
       if (out.isEmpty) None else Some(out)
     }
     val pipe = new Pipeline(spark, base, src)
-    assert(pipe.run(start, start + 10).missing.isEmpty)
-    // simulate the crash window: wipe the second pulse's jet_drops rows
-    val holed = s"$base/jet_drops/pulse_number=${start + 10}"
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
-      assert(f.delete(), s"fixture delete failed: $f")
-    }
-    deleteRec(new java.io.File(holed))
-    graft.sources.RelationCache.invalidate(s"$base/jet_drops")
+    assert(pipe.run(start, start).missing.isEmpty)
+    // the crash window, produced the way it actually happens: the second
+    // pulse's RECORDS commit lands (manifested) but the process dies
+    // before the jet_drops commit — so jet_drops' manifest simply never
+    // learned the pulse (under snapshot manifests a partition cannot
+    // half-disappear out from under its manifest; loss is "the commit
+    // never published", not a torn directory)
+    PulseWriter.writePulsePartition(
+      Spine(wire.filter(col("pulse_number") === (start + 10))),
+      "records", base, pulses = Some(Seq(start + 10)))
     // the regression shape: the FEED no longer serves these pulses (a
     // pruned exporter), so only the gap SCAN can notice the hole — a
     // records-only present set would report nothing missing forever
@@ -77,7 +78,7 @@ class PipelineSpec extends SparkSpec {
     // the reload path of a fresh round
     val healing = new Pipeline(spark, base, src)
     val r2 = healing.run(start, start + 10)
-    assert(spark.read.parquet(s"$base/jet_drops")
+    assert(storeTable(base, "jet_drops")
       .filter(col("pulse_number") === (start + 10)).count() == 2L,
       s"the re-ingest must restore the jet_drops partition: $r2")
     assert(healing.run(start, start + 10).missing.isEmpty)
@@ -89,7 +90,7 @@ class PipelineSpec extends SparkSpec {
     val start = Fixtures.GenesisPulse + Fixtures.PulseDelta
     val wire = Fixtures.multiPulseBatches(spark, 1, recordsPerPulse = 4, startPulse = start)
     PulseWriter.commitPulse(wire, base)
-    val rows = spark.read.parquet(s"$base/records")
+    val rows = storeTable(base, "records")
       .select("hash", "raw_data").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>

@@ -158,7 +158,7 @@ class TransportSpec extends SparkSpec {
     val report = pipe.run(start, start + 20)
     assert(report.ingested == Seq(start, start + 10, start + 20))
     assert(report.missing.isEmpty)
-    val records = spark.read.parquet(s"$base/records")
+    val records = storeTable(base, "records")
     assert(records.count() == 18, "reconnect must not lose or duplicate records")
     assert(records.select("reference").distinct().count() == 18)
   }
@@ -181,7 +181,7 @@ class TransportSpec extends SparkSpec {
       "pulses the exporter redirected past are not gaps and must not enter the reload loop")
     assert(!exporter.probedPulses.exists(p => p == start + 10 || p == start + 20),
       s"redirected-past pulses must never be requested, probed: ${exporter.probedPulses}")
-    assert(spark.read.parquet(s"$base/records").count() == 6)
+    assert(storeTable(base, "records").count() == 6)
   }
 
   test("Pipeline.follow: a non-advancing hint falls back to delta stepping; a still-absent pulse stays missing") {
@@ -200,7 +200,7 @@ class TransportSpec extends SparkSpec {
       "a self-pointing hint must not stall the sweep")
     assert(report.missing == Seq(start + 10), "an unredirected hole is a gap")
     assert(report.reloaded.isEmpty, "a still-absent pulse cannot report as reloaded")
-    assert(spark.read.parquet(s"$base/records").count() == 6)
+    assert(storeTable(base, "records").count() == 6)
   }
 
   test("Pipeline.follow: the reload pass picks up a pulse that arrives late") {
@@ -222,7 +222,7 @@ class TransportSpec extends SparkSpec {
     assert(report.ingested == Seq(start, start + 20))
     assert(report.missing == Seq(start + 10), "the first probe saw the pulse absent")
     assert(report.reloaded == Seq(start + 10), "the reload pass must ingest the late pulse")
-    assert(spark.read.parquet(s"$base/records").count() == 9,
+    assert(storeTable(base, "records").count() == 9,
       "all three pulses' records must land")
   }
 }

@@ -59,7 +59,7 @@ class PulseFeedSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
 
     // the store must now serve the lifeline in causal order
-    val got = spark.read.parquet(s"$store/records")
+    val got = storeTable(store, "records")
       .filter(col("type") === "state")
       .orderBy(col("pulse_number"), col("order"))
       .select(decode(col("reference"), "UTF-8").as("r"))
