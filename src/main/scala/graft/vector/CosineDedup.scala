@@ -61,10 +61,105 @@ object CosineDedup {
     math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt)
   }
 
+  /** Signature width that minimizes estimated total work for a corpus of
+    * `n` vectors at `threshold`, holding `targetRecall`.
+    *
+    * The two cost terms trade against each other: banding writes
+    * `n × L(bits)` rows (L from [[tablesFor]], growing ≈ p^-bits), while
+    * candidate generation pairs bucket-mates — ≈ `L(bits) × n² / 2^bits`
+    * under a uniform-occupancy model. A FIXED bits therefore saturates:
+    * once n outgrows `2^bits` buckets, in-bucket pair counts grow
+    * quadratically (measured on the sf1 scale curve: the catalog's
+    * 4-bit/16-table configuration, sized for the small-SF oracle gate,
+    * went 31× for a 10× row step). Minimizing the modeled sum over bits
+    * restores the hyperplane-LSH cost exponent — total work ∝
+    * n^(1+ρ) with ρ = -log2 p — which is the best this family offers: a
+    * LOW threshold (τ=0.45 → p≈0.65, ρ≈0.63) is intrinsically expensive
+    * at scale, and a pipeline that can tolerate τ≈0.8 (ρ≈0.33) should.
+    */
+  def bitsFor(n: Long, threshold: Double, targetRecall: Double = 0.95,
+      dim: Int = 64): Int = {
+    def cost(bits: Int): Double = {
+      val l = tablesFor(threshold, bits, targetRecall).toDouble
+      // weighted terms, calibrated coarsely against the measured sf1
+      // curve: a banded row costs its signature flops (bits×dim, native
+      // kernel) plus ~500 units of shuffle/row overhead; a candidate
+      // pair costs ~60 units through the join + distinct + verify
+      l * n * (bits.toDouble * dim + 500.0) +
+        l * n.toDouble * n.toDouble / math.pow(2.0, bits) * 60.0
+    }
+    (4 to 24).minBy(cost)
+  }
+
+  /** [[lshPairs]] with corpus-sized parameters: one metadata-cheap
+    * count picks the cost-minimizing signature width ([[bitsFor]]) and
+    * the recall-holding table count ([[tablesFor]]); banding runs
+    * through the native multi-table signature kernel
+    * ([[graft.vector.expressions.LshSignatures]] — one array-returning
+    * call with executor-cached planes), because the literal-plane form
+    * the small-SF catalog query uses ships tables×bits×dim floats in
+    * every task and blows codegen once the table count grows past a few
+    * dozen. The scale entrypoint — fixed (bits, tables) saturate their
+    * bucket count and go quadratic beyond the corpus they were sized
+    * for (measured: 31× for a 10× step at sf1).
+    */
+  def lshPairsAuto(
+      embeddings: DataFrame,
+      dim: Int,
+      threshold: Double = 0.8,
+      targetRecall: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val n = math.max(1L, embeddings.count())
+    val bits = bitsFor(n, threshold, targetRecall, dim)
+    val tables = tablesFor(threshold, bits, targetRecall)
+    val base = eligible(embeddings, idCol, vecCol)
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val banded = base.select(
+      col("id"),
+      posexplode(graft.vector.expressions.VectorExpressions
+        .vecLshSignatures(col("v"), tables, bits, seed = 42L)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "sig")
+      .repartition(parts, col("table"), col("sig"))
+    verifyCandidates(base, banded, dim, threshold)
+  }
+
+  /** Degenerate-embedding exclusion shared by both banding paths (see
+    * the inline note in [[lshPairs]]).
+    */
+  private def eligible(embeddings: DataFrame, idCol: String, vecCol: String) =
+    embeddings
+      .filter(col(vecCol).isNotNull && exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+
+  /** Bucket-mate candidate generation + exact-cosine verification over a
+    * banded frame of (id, table, sig) — the shared tail of the fixed and
+    * auto paths.
+    */
+  private def verifyCandidates(base: DataFrame, banded: DataFrame, dim: Int,
+      threshold: Double): DataFrame = {
+    val pairs = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.table") === col("y.table") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+      .withColumn("cosine", Similarity.cosineFixed(col("a_v"), col("b_v"), dim))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** LSH-bucketed near-dup pairs: candidates share a signature bucket in
     * at least one of `tables` independent hash tables; exact cosine
-    * verifies. Recall rises with tables; cost stays near-linear.
-    * Size `tables` with [[tablesFor]] — defaults suit τ ≈ 0.8.
+    * verifies. Recall rises with tables; cost stays near-linear while
+    * the corpus fits the bucket count — size (bits, tables) with
+    * [[bitsFor]]/[[tablesFor]] (or call [[lshPairsAuto]]); defaults suit
+    * τ ≈ 0.8 at small corpora.
     */
   def lshPairs(
       embeddings: DataFrame,
@@ -94,9 +189,7 @@ object CosineDedup {
     // bucket in every table and the self-join goes m²/2 for pairs the
     // cosine verify would drop anyway (the same quadratic guard
     // simhashPairs applies to token-less documents)
-    val base = embeddings
-      .filter(col(vecCol).isNotNull && exists(col(vecCol), x => x =!= lit(0.0f)))
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = eligible(embeddings, idCol, vecCol)
     // The bucket self-join is compute-dense per BYTE (in-bucket pair
     // fan-out is quadratic), so AQE's byte-targeted partition coalescing
     // under-parallelizes it — measured 12 post-coalesce tasks carrying 3s
@@ -113,17 +206,6 @@ object CosineDedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.table"), col("bk.sig"))
       .repartition(parts, col("table"), col("sig"))
-    val pairs = banded.alias("x")
-      .join(banded.alias("y"),
-        col("x.table") === col("y.table") && col("x.sig") === col("y.sig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-    pairs
-      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
-      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
-      .withColumn("cosine", Similarity.cosineFixed(col("a_v"), col("b_v"), dim))
-      .filter(col("cosine") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cosine"))
+    verifyCandidates(base, banded, dim, threshold)
   }
 }

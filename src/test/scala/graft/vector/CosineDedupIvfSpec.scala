@@ -33,6 +33,26 @@ class CosineDedupIvfSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L))) // 6 tables of 2 bits: miss probability ~0
   }
 
+  test("lshPairsAuto sizes the signature with the corpus and keeps the " +
+      "subset + recall contract of the fixed-parameter path") {
+    val exact = CosineDedup.exactPairs(emb, dim = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = CosineDedup.lshPairsAuto(emb, dim = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact) && auto.contains((1L, 2L)))
+    // the saturation defect the sf1 curve measured: fixed bits hold the
+    // bucket count constant while n grows, so in-bucket pairs (the
+    // candidate cost) grow quadratically — auto sizing must WIDEN the
+    // signature as the corpus grows
+    val small = CosineDedup.bitsFor(1000L, 0.45)
+    val big = CosineDedup.bitsFor(100000L, 0.45)
+    assert(big > small, s"bits must grow with n: n=1e3→$small, n=1e5→$big")
+    // and the modeled candidate volume per vector stays bounded: buckets
+    // scale with n up to the table-count tradeoff the cost model makes
+    assert(math.pow(2, big) >= 100000L / 64,
+      s"bucket count must track the corpus: 2^$big buckets for 1e5 vectors")
+  }
+
   test("IVF top-k agrees with brute force when probing all cells") {
     val q = Seq(1f, 0.1f, 0f, 0f)
     val brute = Similarity.bruteForceTopK(emb, q, 3)
