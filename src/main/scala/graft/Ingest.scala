@@ -828,20 +828,9 @@ object Ingest {
             // the register), so no partition-discovery job runs.
             val buckets = rows.iterator.map(_.getLong(9)).toSet.toSeq.sorted
               .map(b => s"pulse_bucket=$b")
-            val tpath = new org.apache.hadoop.fs.Path(target)
-            val tfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val before = buckets.map(p => p ->
-              TableManifest.listPartitionFiles(tfs, target, p).toSeq.sorted).toMap
-            frame.write.mode(org.apache.spark.sql.SaveMode.Append)
-              .partitionBy("pulse_bucket").parquet(target)
-            val replaced = buckets.map { p =>
-              val now = TableManifest.listPartitionFiles(tfs, target, p)
-              p -> (now -- before(p).toSet).toSeq.sorted
-            }.toMap.filter(_._2.nonEmpty)
-            if (replaced.nonEmpty) {
-              TableManifest.commit(spark, target, replaced,
-                before.view.filterKeys(replaced.contains).toMap)
-              ()
+            TableManifest.appendCommit(spark, target, buckets) {
+              frame.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .partitionBy("pulse_bucket").parquet(target)
             }
           } else {
             // migration staging: a full STATIC overwrite of a fresh

@@ -114,22 +114,13 @@ object Compaction {
         else Some(base.groupBy(col(partitionCol)).count()
           .agg(max("count")).head().getLong(0))
       if (manifested) {
-        // the writer's protocol: append uniquely-named files, then
-        // publish a manifest version replacing the candidate partitions
-        val parts = group.map(_.partition)
-        val before = parts.map(p => p ->
-          TableManifest.listPartitionFiles(fs, tablePath, p).toSeq.sorted).toMap
-        val w0 = shaped.write.mode(SaveMode.Append)
-        maxRows.foreach(m => w0.option("maxRecordsPerFile", math.max(1L, (m + n - 1) / n)))
-        w0.partitionBy(partitionCol).parquet(tablePath)
-        val replaced = parts.map { p =>
-          val now = TableManifest.listPartitionFiles(fs, tablePath, p)
-          p -> (now -- before(p).toSet).toSeq.sorted
-        }.toMap.filter(_._2.nonEmpty)
-        if (replaced.nonEmpty) {
-          TableManifest.commit(spark, tablePath, replaced,
-            before.view.filterKeys(replaced.contains).toMap)
-          ()
+        // the writer's protocol ([[TableManifest.appendCommit]]): append
+        // uniquely-named files, then publish a manifest version
+        // replacing the candidate partitions
+        TableManifest.appendCommit(spark, tablePath, group.map(_.partition)) {
+          val w0 = shaped.write.mode(SaveMode.Append)
+          maxRows.foreach(m => w0.option("maxRecordsPerFile", math.max(1L, (m + n - 1) / n)))
+          w0.partitionBy(partitionCol).parquet(tablePath)
         }
       } else {
         val writer = shaped.write.mode(SaveMode.Overwrite)

@@ -63,27 +63,14 @@ object PulseWriter {
         df.select(col("pulse_number")).distinct().collect()
           .map(r => r.get(0).toString.toLong).toSeq)
       .map(p => s"pulse_number=$p")
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = parts.map(p =>
-      p -> TableManifest.listPartitionFiles(fs, tablePath, p).toSeq.sorted).toMap
-    df.sortWithinPartitions(col("jet_id"))
-      .write
-      // append, never overwrite: visibility is the MANIFEST's job, and
-      // an overwrite would delete the generation in-flight readers hold
-      .mode(SaveMode.Append)
-      .partitionBy("pulse_number")
-      .parquet(tablePath)
-    // only partitions that actually RECEIVED files are replaced — a
-    // provided pulse with no rows keeps its manifest entry untouched
-    val replaced = parts.map { p =>
-      val now = TableManifest.listPartitionFiles(fs, tablePath, p)
-      p -> (now -- before(p).toSet).toSeq.sorted
-    }.toMap.filter(_._2.nonEmpty)
-    if (replaced.nonEmpty) {
-      TableManifest.commit(spark, tablePath, replaced,
-        before.view.filterKeys(replaced.contains).toMap)
-      ()
+    TableManifest.appendCommit(spark, tablePath, parts) {
+      df.sortWithinPartitions(col("jet_id"))
+        .write
+        // append, never overwrite: visibility is the MANIFEST's job, and
+        // an overwrite would delete the generation in-flight readers hold
+        .mode(SaveMode.Append)
+        .partitionBy("pulse_number")
+        .parquet(tablePath)
     }
   }
 

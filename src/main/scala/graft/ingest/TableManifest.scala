@@ -91,8 +91,20 @@ object TableManifest {
     * write protocol makes that state impossible without external damage,
     * and silently falling back to a directory listing would serve
     * superseded generations as duplicates.
+    *
+    * One narrow race is retried instead of thrown: [[commit]]'s step-4
+    * prune deletes manifests older than the previous version, so a
+    * reader that listed version v and then lost the CPU long enough for
+    * TWO commits (v+1 and v+2) to land finds v's file gone at open time.
+    * Re-resolving once picks up whatever is newest now; a second failure
+    * means external damage and propagates (the zero-500 serving contract
+    * rests on this path never throwing for protocol-internal reasons).
     */
-  def latest(fs: FileSystem, tablePath: String): Option[Snapshot] = {
+  def latest(fs: FileSystem, tablePath: String): Option[Snapshot] =
+    try latestOnce(fs, tablePath)
+    catch { case _: java.io.FileNotFoundException => latestOnce(fs, tablePath) }
+
+  private def latestOnce(fs: FileSystem, tablePath: String): Option[Snapshot] = {
     val table = new Path(tablePath)
     latestVersion(fs, table).map { v =>
       val p = versionFile(table, v)
@@ -165,6 +177,39 @@ object TableManifest {
     // cache replaces its entry on the version bump by itself
     graft.sources.RelationCache.invalidate(tablePath)
     next
+  }
+
+  /** THE writer-side protocol, shared by every manifested append site
+    * (pulse commits, compaction, the daemon's pulses-dimension flush):
+    * list the named partitions, run the caller's APPEND-mode write
+    * (uniquely-named files only — Spark part files carry the write job's
+    * UUID), diff the listings to find what the write added, and publish
+    * one manifest version replacing exactly the partitions that received
+    * files, with their prior generation as the new version's tombstones.
+    * A partition in `parts` that received nothing keeps its manifest
+    * entry untouched (the zero-row-reload contract); a write that
+    * received nothing anywhere publishes nothing.
+    *
+    * Centralized because the list→append→diff→commit dance IS the
+    * snapshot-isolation guarantee — three hand-rolled copies of it can
+    * drift (e.g. one forgetting the nonEmpty filter would tombstone and
+    * eventually DELETE a live partition's files).
+    */
+  def appendCommit(spark: SparkSession, tablePath: String, parts: Seq[String])(
+      append: => Unit): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = parts.map(p =>
+      p -> listPartitionFiles(fs, tablePath, p).toSeq.sorted).toMap
+    append
+    val replaced = parts.map { p =>
+      val now = listPartitionFiles(fs, tablePath, p)
+      p -> (now -- before(p).toSet).toSeq.sorted
+    }.toMap.filter(_._2.nonEmpty)
+    if (replaced.nonEmpty) {
+      commit(spark, tablePath, replaced,
+        before.view.filterKeys(replaced.contains).toMap)
+      ()
+    }
   }
 
   /** The data files currently in `tablePath/partition` — the writer's
