@@ -627,7 +627,8 @@ object Ingest {
               // only once it ran without throwing (like Pipeline.run)
               try { fetchAndCommit(p); missed.addIfNew(p, p); () }
               catch { case _: InterruptedException => throw new InterruptedException
-                      case _: Throwable => () }
+                      // NonFatal: VM errors propagate (HTTP-handler policy)
+                      case scala.util.control.NonFatal(_) => () }
             }
           }
         }
@@ -712,7 +713,7 @@ object Ingest {
                   missed.addIfNew(from, to)
                   ()
                 } catch { case _: InterruptedException => throw new InterruptedException
-                          case _: Throwable => () }
+                          case scala.util.control.NonFatal(_) => () }
               }
             }
         }

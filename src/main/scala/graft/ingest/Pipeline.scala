@@ -62,7 +62,10 @@ final class Pipeline(
   private def tryIngest(p: Long): Boolean =
     try ingestPulse(p) catch {
       case e: InterruptedException => throw e
-      case _: Throwable => false
+      // NonFatal only: an OOM/linkage error means the JVM is in an
+      // undefined state — "pulse missing, retry later" would grind a
+      // broken heap (same fatal-propagate policy as the HTTP handler)
+      case scala.util.control.NonFatal(_) => false
     }
 
   /** Distinct pulse numbers PRESENT in `table` — manifest-aware
@@ -106,7 +109,7 @@ final class Pipeline(
           ok
         } catch {
           case e: InterruptedException => throw e
-          case _: Throwable => false
+          case scala.util.control.NonFatal(_) => false
         }
     }
     Report(ingested, missing, reloaded)
@@ -131,12 +134,12 @@ final class Pipeline(
     while (p <= to) {
       (try rich(p) catch {
         case e: InterruptedException => throw e
-        case _: Throwable => None
+        case scala.util.control.NonFatal(_) => None
       }) match {
         case Some((wire, hint)) =>
           val ok = try { commit(wire, p); true } catch {
             case e: InterruptedException => throw e
-            case _: Throwable => false
+            case scala.util.control.NonFatal(_) => false
           }
           if (ok) ingested += p else missing += p
           p = if (hint > p) hint else p + pulseDelta
@@ -154,7 +157,7 @@ final class Pipeline(
           ok
         } catch {
           case e: InterruptedException => throw e
-          case _: Throwable => false
+          case scala.util.control.NonFatal(_) => false
         }
     }
     Report(ingested.toSeq, missing.toSeq, reloaded)

@@ -113,7 +113,7 @@ object Transport {
               while (d < batchSize && it.hasNext) { it.next(); d += 1 }
             } catch {
               case e: InterruptedException => throw e
-              case _: Throwable => ()
+              case scala.util.control.NonFatal(_) => ()
             }
             return Some(FetchedPulse(acc.toSeq, f.shouldIterateFrom.getOrElse(f.recPulse)))
           case None =>
