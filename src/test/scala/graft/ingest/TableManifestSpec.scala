@@ -120,6 +120,39 @@ class TableManifestSpec extends SparkSpec {
     assert(TableManifest.readTable(spark, s"$base/records").get.count() == 1)
   }
 
+  test("crash recovery: a file appended without a commit is an invisible " +
+      "orphan — never served, tombstoned by the next commit of its " +
+      "partition, physically deleted one cycle later") {
+    import spark.implicits._
+    val base = tmp()
+    val table = s"$base/records"
+    def write(tag: String): Unit =
+      PulseWriter.writePulsePartition(
+        Seq((65546L, "0", tag)).toDF("pulse_number", "jet_id", "payload"),
+        "records", base, pulses = Some(Seq(65546L)))
+    write("v1")
+    // simulate a crash between the physical append and the manifest
+    // publish: a uniquely-named data file lands in the partition dir
+    // with no commit (content is irrelevant — a manifested read must
+    // never even open it)
+    val orphan = "part-00000-crashed-orphan.c000.snappy.parquet"
+    val f = fs(table)
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      s"$table/pulse_number=65546/$orphan"))
+    out.write("not parquet at all".getBytes("UTF-8")); out.close()
+    assert(TableManifest.readTable(spark, table).get.count() == 1,
+      "the orphan is invisible to manifested reads")
+    write("v2")
+    val s2 = TableManifest.latest(f, table).get
+    assert(s2.tombstones.contains(s"pulse_number=65546/$orphan"),
+      s"the re-commit tombstones the orphan: ${s2.tombstones}")
+    assert(TableManifest.readTable(spark, table).get
+      .select("payload").as[String].collect().toSeq == Seq("v2"))
+    write("v3")
+    assert(!TableManifest.listPartitionFiles(f, table, "pulse_number=65546")
+      .contains(orphan), "the orphan is physically deleted one cycle later")
+  }
+
   test("versionToken answers the manifest version for manifested tables, " +
       "None for legacy") {
     import spark.implicits._
