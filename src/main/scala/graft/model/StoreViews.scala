@@ -44,10 +44,12 @@ import org.apache.spark.sql.functions._
   * racing-rewrite test pins ZERO failures; the reference gets the same
   * guarantee from Postgres MVCC, `etl/dbconn/connection.go:13-22`).
   * The resolved relations are cached per manifest VERSION — an
-  * unchanged store pays zero listings and zero schema probes per
-  * request, and staleness is structurally impossible because the
-  * version moves with every commit. A legacy store written before
-  * manifests falls back to the old per-request directory listing with
+  * unchanged store pays ONE bounded `_manifests/` dir listing + one
+  * small JSON read per table per request (the change signal; the
+  * Postgres analog is snapshot acquisition) and zero DATA-directory
+  * listings or schema probes, and staleness is structurally impossible
+  * because the version moves with every commit. A legacy store written
+  * before manifests falls back to the old per-request directory listing with
   * its (historical) racing-rewrite 500 window — the first manifested
   * commit upgrades it in place.
   */
