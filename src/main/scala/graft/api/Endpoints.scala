@@ -39,12 +39,61 @@ object Endpoints {
     * (`etl/storage/storage.go:326-379`): the page's newest row gets the
     * true successor (the pulse whose stored prev points at it), the
     * oldest row its true predecessor — both may sit outside the filter.
+    *
+    * Pulse-bounded pages (no timestamp filter — the hot home-page shape)
+    * serve from the DRIVER-HELD chain index: `total` and the page's
+    * exact pulse numbers are positions in its sorted array
+    * ([[Domain.PulseChainIndex.countInRange]]/[[Domain.PulseChainIndex.pageSlice]]),
+    * so the request costs one tight `pulse_number BETWEEN` row fetch —
+    * O(page) via row-group stats — instead of a full scan-sort-count of
+    * the dimension, which grows with pulse HISTORY (one row per 10 s ≈
+    * 3 M rows/year; measured by `graft.ServeScale`: the scan path
+    * doubles from 50k → 500k pulses while this path is flat). A length
+    * mismatch between the index slice and the fetched rows (a racing
+    * commit between the two resolutions) falls back to the scan path;
+    * timestamp-filtered pages always take it (the index holds pulse
+    * numbers only).
     */
   def pulses(spark: SparkSession, dir: String, page: PageParams = PageParams(),
       fromPulse: Option[Long] = None, toPulse: Option[Long] = None,
       fromTimestamp: Option[Long] = None, toTimestamp: Option[Long] = None,
       asc: Boolean = false): DataFrame = {
     val p = pulsesView(spark, dir)
+    if (fromTimestamp.isEmpty && toTimestamp.isEmpty) {
+      val chain = Domain.pulseChainIndex(spark, dir)
+      val total = chain.countInRange(fromPulse, toPulse)
+      val slice = chain.pageSlice(fromPulse, toPulse, asc, page.offset, page.limit)
+      // the slow path's post-join shape: page columns nullable (the
+      // sentinel row carries nulls there), then total + marker
+      val schema = org.apache.spark.sql.types.StructType(
+        p.schema.fields.map(_.copy(nullable = true)) ++ Seq(
+          org.apache.spark.sql.types.StructField("total",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(Pagination.PageRowMarker,
+            org.apache.spark.sql.types.BooleanType, nullable = false)))
+      val fetched: Array[org.apache.spark.sql.Row] =
+        if (slice.isEmpty) Array.empty
+        else p.filter(col("pulse_number").between(slice.head, slice.last)).collect()
+      if (slice.isEmpty || fetched.length == slice.length) {
+        val out: Array[org.apache.spark.sql.Row] =
+          if (fetched.isEmpty)
+            Array(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              p.schema.fields.map(_ => null: Any) ++ Array[Any](total, false), schema))
+          else {
+            val paged = fetched.map(r =>
+              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                (r.toSeq ++ Seq[Any](total, true)).toArray, schema)
+                : org.apache.spark.sql.Row)
+            val repaired = repairAndPatchPage(spark, dir, paged)
+            val pnIdx = schema.fieldIndex("pulse_number")
+            if (asc) repaired.sortBy(_.getLong(pnIdx))
+            else repaired.sortBy(-_.getLong(pnIdx))
+          }
+        return spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+      }
+      // fall through: the index slice and the fetch disagreed (a commit
+      // landed in between) — the scan path below resolves one snapshot
+    }
     val filtered = p
       .filter(Predicates.range(col("pulse_number"), gte = fromPulse, lte = toPulse))
       .filter(Predicates.range(col("timestamp"), gte = fromTimestamp, lte = toTimestamp))

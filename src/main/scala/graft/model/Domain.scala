@@ -254,6 +254,49 @@ object Domain {
       val at = if (i >= 0) i else -(i + 1)
       if (at < byPulse.length) Some(byPulse(at)) else None
     }
+
+    // -- page algebra over the sorted pulse array: the pulses-list
+    // endpoint's total and page cut are POSITIONS in this array, so a
+    // pulse-bounded page needs no scan of the dimension at all (the
+    // index is already maintained, version-fresh, and O(pulses) —
+    // time-bounded, not data-bounded). Timestamp bounds are NOT
+    // answerable here (the index holds pulse numbers only); those pages
+    // keep the scan path.
+
+    private def lowerBound(x: Long): Int = {
+      val i = java.util.Arrays.binarySearch(byPulse, x)
+      if (i >= 0) i else -(i + 1)
+    }
+
+    /** Saved pulses within the optional [gte, lte] pulse bounds — the
+      * A3 `total` of a pulse-bounded pulses page, zero Spark jobs.
+      */
+    def countInRange(gte: Option[Long], lte: Option[Long]): Long = {
+      val lo = lowerBound(gte.getOrElse(Long.MinValue))
+      val hi = lte.fold(byPulse.length)(t =>
+        if (t == Long.MaxValue) byPulse.length else lowerBound(t + 1))
+      math.max(0, hi - lo).toLong
+    }
+
+    /** The EXACT pulse numbers of one page over the bounded dimension
+      * in the endpoint's (asc|desc, offset, limit) order — returned
+      * ASCENDING (callers re-order their rows anyway). Empty when the
+      * offset runs past the bounded set (→ total-only sentinel).
+      */
+    def pageSlice(gte: Option[Long], lte: Option[Long], asc: Boolean,
+        offset: Int, limit: Int): Array[Long] = {
+      val lo = lowerBound(gte.getOrElse(Long.MinValue)).toLong
+      val hi = lte.fold(byPulse.length)(t =>
+        if (t == Long.MaxValue) byPulse.length else lowerBound(t + 1)).toLong
+      // Long window math: a hostile offset near Int.MaxValue must fall
+      // out as an empty page, never wrap into a wrong one
+      val (from, until) =
+        if (asc) (lo + offset, math.min(hi, lo + offset.toLong + limit))
+        else (math.max(lo, hi - offset.toLong - limit), hi - offset)
+      if (from >= until || until <= lo || from >= hi) Array.emptyLongArray
+      else java.util.Arrays.copyOfRange(byPulse,
+        math.max(lo, from).toInt, math.min(hi, until).toInt)
+    }
   }
 
   private val chainCache =

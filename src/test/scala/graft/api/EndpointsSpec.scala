@@ -205,6 +205,55 @@ class EndpointsSpec extends SparkSpec {
     n.get()
   }
 
+  test("pulses index fast path: every page shape matches the scan path " +
+      "row-for-row (a no-op timestamp bound forces the scan)") {
+    // fromTimestamp = MinValue filters nothing but routes to the scan
+    // path (the index cannot answer timestamp bounds), so the two paths
+    // are comparable on identical semantics
+    def both(page: Endpoints.PageParams, fromP: Option[Long] = None,
+        toP: Option[Long] = None, asc: Boolean = false) = {
+      val fast = Endpoints.pulses(spark, dir, page, fromP, toP, asc = asc)
+      val scan = Endpoints.pulses(spark, dir, page, fromP, toP,
+        fromTimestamp = Some(Long.MinValue), asc = asc)
+      assert(fast.columns.toSeq == scan.columns.toSeq)
+      (fast.collect().map(_.toSeq).toSeq, scan.collect().map(_.toSeq).toSeq)
+    }
+    val total = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1))
+      .collect().head.getAs[Long]("total").toInt
+    val anyPulse = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1),
+      asc = true).collect().head.getAs[Long]("pulse_number")
+    val shapes = Seq(
+      ("desc first page", both(Endpoints.PageParams(limit = 5))),
+      ("asc first page", both(Endpoints.PageParams(limit = 5), asc = true)),
+      ("mid offset desc", both(Endpoints.PageParams(limit = 3, offset = 4))),
+      ("mid offset asc", both(Endpoints.PageParams(limit = 3, offset = 4), asc = true)),
+      ("offset past end", both(Endpoints.PageParams(limit = 3, offset = total + 7))),
+      ("pulse range", both(Endpoints.PageParams(limit = 100),
+        fromP = Some(anyPulse + 10), toP = Some(anyPulse + 60))),
+      ("range + offset", both(Endpoints.PageParams(limit = 2, offset = 1),
+        fromP = Some(anyPulse + 10), toP = Some(anyPulse + 60), asc = true)),
+      ("empty range", both(Endpoints.PageParams(limit = 3),
+        fromP = Some(anyPulse - 1000), toP = Some(anyPulse - 900))),
+      ("limit 1 last", both(Endpoints.PageParams(limit = 1, offset = total - 1))))
+    shapes.foreach { case (name, (fast, scan)) =>
+      assert(fast == scan, s"$name: fast=$fast scan=$scan")
+    }
+  }
+
+  test("pulses index fast path: an out-of-range or empty-range page runs " +
+      "ZERO Spark jobs (total answers from the driver-held index)") {
+    val total = Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 1))
+      .collect().head.getAs[Long]("total").toInt
+    val jobs = jobsDuring {
+      val out = Endpoints.pulses(spark, dir,
+        Endpoints.PageParams(limit = 3, offset = total + 5)).collect()
+      assert(out.length == 1 &&
+        !out.head.getAs[Boolean](graft.operators.Pagination.PageRowMarker))
+      assert(out.head.getAs[Long]("total") == total)
+    }
+    assert(jobs == 0, s"total-only page must not scan: ran $jobs jobs")
+  }
+
   test("pulses out-of-range page: true total carried, same job count as in-range") {
     // warm the shape (spine build + first-plan jobs out of the count)
     Endpoints.pulses(spark, dir, Endpoints.PageParams(limit = 3)).collect()
