@@ -46,8 +46,14 @@ object LoadProbe {
     val shapes = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.fold(n.startsWith("be_"))(_.contains(n)) }
       .sortBy(_._1)
+    // SPARK_GRAFT_HTTP=1: attack the endpoints through a live HttpApi
+    // server instead of the DataFrame layer (the reference's load suite
+    // attacks HTTP) — same gate, full serving stack. Resolved HERE so a
+    // filter naming only http_* shapes doesn't die on the DataFrame-
+    // shape check below before HTTP mode is even consulted.
+    val httpMode = sys.env.get("SPARK_GRAFT_HTTP").contains("1")
     // fail BEFORE minutes of index builds + warmup, not on .min at the end
-    require(shapes.nonEmpty,
+    require(shapes.nonEmpty || httpMode,
       s"no shapes match SPARK_GRAFT_SHAPES=${only.fold("")(_.mkString(","))}")
     // Standing indexes first (write-path cost, excluded from serving q/s).
     graft.vector.AnnIndex.ensureAll(spark, sfDir)
@@ -59,10 +65,6 @@ object LoadProbe {
     // runtime sizes, so a different par can leave plans cold).
     warmToPlateau(spark, sfDir, shapes, par = attackers)
 
-    // SPARK_GRAFT_HTTP=1: attack the endpoints through a live HttpApi
-    // server instead of the DataFrame layer (the reference's load suite
-    // attacks HTTP) — same gate, full serving stack.
-    val httpMode = sys.env.get("SPARK_GRAFT_HTTP").contains("1")
     val httpHandle = if (httpMode) Some(graft.api.HttpApi.start(spark, sfDir, port = 0)) else None
     val httpBase = httpHandle.map(h => s"http://localhost:${h.port}")
     // SPARK_GRAFT_SHAPES filters HTTP mode too — otherwise a one-shape
