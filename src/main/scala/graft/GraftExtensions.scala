@@ -48,13 +48,36 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (es: Seq[Expression]) => {
         require(es.length == 2, s"shingle_hashes expects (text, n), got ${es.length} args")
-        val n = es(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"shingle_hashes n must be an integer literal, got $other")
-        }
-        ShingleHashes(es.head, n)
+        ShingleHashes(es.head, intLit("shingle_hashes n", es(1)))
+      }),
+    (FunctionIdentifier("vec_lsh_signatures"),
+      new ExpressionInfo(
+        classOf[graft.vector.expressions.LshSignatures].getName, "vec_lsh_signatures"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4,
+          s"vec_lsh_signatures expects (vec, tables, bits, seed), got ${es.length} args")
+        graft.vector.expressions.LshSignatures(es.head,
+          intLit("vec_lsh_signatures tables", es(1)),
+          intLit("vec_lsh_signatures bits", es(2)),
+          longLit("vec_lsh_signatures seed", es(3)))
       }))
+
+  // SQL literals for the kernels' plan-time constants: the expressions
+  // fold these into the generated call (plane sets are keyed by them),
+  // so a non-literal is a caller error worth a clear message, not a
+  // MatchError out of the analyzer.
+  private def intLit(what: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(what: String, e: Expression): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
 
   /** Register the same functions on an already-built session. */
   def installInto(spark: SparkSession): Unit =

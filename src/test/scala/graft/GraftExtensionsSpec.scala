@@ -39,12 +39,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sh == shCol && sh.length == 3)
     assertThrows[Exception](
       spark.sql("SELECT shingle_hashes(t, a) FROM ext_probe").collect())
+    // vec_lsh_signatures: SQL form matches the Column API (same plane
+    // cache keyed by (seed, tables, bits, dim)) and rejects non-literal
+    // plan-time constants
+    val sig = spark.sql("SELECT vec_lsh_signatures(a, 4, 8, 42L) AS s FROM ext_probe")
+      .collect().head.getSeq[Long](0)
+    val sigCol = Seq(Seq(1f, 2f, 3f)).toDF("a")
+      .select(graft.vector.expressions.VectorExpressions
+        .vecLshSignatures(col("a"), tables = 4, bits = 8, seed = 42L))
+      .collect().head.getSeq[Long](0)
+    assert(sig == sigCol && sig.length == 4)
+    assertThrows[Exception](
+      spark.sql("SELECT vec_lsh_signatures(a, 4, 8, vec_dot(a, a)) FROM ext_probe")
+        .collect())
   }
 
   test("extension class injects the same table (arity errors included)") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(names == Set("vec_dot", "vec_norm", "fnv_fingerprint", "simhash64",
-      "shingle_hashes"))
+      "shingle_hashes", "vec_lsh_signatures"))
     val vecDotBuilder = GraftExtensions.functions.find(_._1.funcName == "vec_dot").get._3
     intercept[IllegalArgumentException](vecDotBuilder(Seq.empty))
   }
