@@ -77,4 +77,45 @@ class PulseChainIndexSpec extends SparkSpec {
       assert(idx.nextByPrev(pn) == byPrev.get(pn), s"nextByPrev($pn)")
     }
   }
+
+  test("page algebra: countInRange/pageSlice match a brute-force model " +
+      "over 300 random (index, bounds, order, offset/limit) draws — " +
+      "hostile offsets included") {
+    for (seed <- 0 until 300) {
+      val rnd = new scala.util.Random(seed)
+      val n = rnd.nextInt(40) // includes the empty index
+      val pulses = Seq.fill(n)(rnd.between(0L, 2000L)).distinct.sorted
+      val idx = {
+        val pairs = pulses.map(p => (p, p - 1))
+        val byPrev = pairs.sortBy(q => (q._2, q._1))
+        new Domain.PulseChainIndex(
+          pairs.map(_._1).toArray, pairs.map(_._2).toArray,
+          byPrev.map(_._2).toArray, byPrev.map(_._1).toArray)
+      }
+      def bound() = rnd.nextInt(4) match {
+        case 0 => None
+        case 1 => Some(rnd.between(0L, 2000L))
+        case 2 => Some(Long.MinValue)
+        case _ => Some(Long.MaxValue)
+      }
+      val (gte, lte) = (bound(), bound())
+      val asc = rnd.nextBoolean()
+      val offset = rnd.nextInt(4) match {
+        case 0 => 0
+        case 1 => rnd.nextInt(50)
+        case 2 => Int.MaxValue // hostile: must fall out empty, never wrap
+        case _ => Int.MaxValue - rnd.nextInt(3)
+      }
+      val limit = 1 + rnd.nextInt(25)
+      val window = pulses.filter(p => gte.forall(p >= _) && lte.forall(p <= _))
+      val ordered = if (asc) window else window.reverse
+      val modelPage = ordered.drop(offset).take(limit).sorted // drop clamps
+      val got = idx.pageSlice(gte, lte, asc, offset, limit).toSeq
+      assert(idx.countInRange(gte, lte) == window.length.toLong,
+        s"seed=$seed count (gte=$gte lte=$lte n=$n)")
+      assert(got == modelPage,
+        s"seed=$seed page: got $got want $modelPage " +
+          s"(gte=$gte lte=$lte asc=$asc offset=$offset limit=$limit pulses=$pulses)")
+    }
+  }
 }
