@@ -345,6 +345,68 @@ class StoreServeSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("GET /pulses racing a manifested pulses-dimension reflush ALWAYS " +
+      "serves a committed page — the index fast path under dim churn, " +
+      "zero 500s (exercises the manifest prune-race retry too)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pulses-race").toString
+    // a records/ dir makes it a store
+    PulseWriter.commitPulse(
+      Fixtures.multiPulseBatches(spark, 2, 4, startPulse = start), base)
+    import spark.implicits._
+    def dim(recordAmount: Long) = (0 until 2).map { i =>
+      val p = start + i * delta
+      (p, p - delta, p + delta, true, true, 2L, recordAmount,
+        p - graft.ingest.Canonicalize.MinTimePulse,
+        p / graft.Ingest.Config().flushBucketSpan)
+    }.toDF("pulse_number", "prev_pulse_number", "next_pulse_number",
+      "is_complete", "is_sequential", "jet_drop_amount", "record_amount",
+      "timestamp", "pulse_bucket")
+    def flush(recordAmount: Long): Unit = {
+      val d = dim(recordAmount)
+      val buckets = d.select(col("pulse_bucket")).distinct()
+        .collect().map(r => s"pulse_bucket=${r.getLong(0)}").toSeq
+      graft.ingest.TableManifest.appendCommit(spark, s"$base/pulses", buckets) {
+        d.coalesce(1).write.mode("append").partitionBy("pulse_bucket")
+          .parquet(s"$base/pulses")
+      }
+    }
+    flush(4L)
+    val h = HttpApi.start(spark, base, port = 0, poolSize = 4)
+    try {
+      val bodyA = { val (s0, b0) = get(h.port, "/pulses"); assert(s0 == 200, b0.take(200)); b0 }
+      flush(5L)
+      val bodyB = { val (s1, b1) = get(h.port, "/pulses"); assert(s1 == 200, b1.take(200)); b1 }
+      assert(bodyA != bodyB, "dim versions must be distinguishable")
+
+      @volatile var writing = true
+      val writerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() => {
+        try { var i = 0; while (i < 12) { flush(if (i % 2 == 0) 4L else 5L); i += 1 } }
+        catch { case t: Throwable => writerFailure.set(t) }
+        finally writing = false
+      }, "pulses-race-writer")
+      val torn = new java.util.concurrent.atomic.AtomicReference[String]()
+      val served = new java.util.concurrent.atomic.AtomicLong()
+      val readers = (0 until 3).map(r => new Thread(() => {
+        val cl = HttpClient.newHttpClient()
+        while (writing && torn.get == null) {
+          val resp = cl.send(HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${h.port}/api/v1/pulses")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          (resp.statusCode(), resp.body()) match {
+            case (200, b) if b == bodyA || b == bodyB => served.incrementAndGet()
+            case (s, b) => torn.compareAndSet(null, s"status=$s body=${b.take(400)}")
+          }
+        }
+      }, s"pulses-race-reader-$r"))
+      writer.start(); readers.foreach(_.start())
+      writer.join(120000); readers.foreach(_.join(10000))
+      assert(writerFailure.get == null, s"writer died: ${writerFailure.get}")
+      assert(torn.get == null, s"non-committed pulses page under dim churn: ${torn.get}")
+      assert(served.get > 0, "the endpoint never served during the race")
+    } finally h.stop()
+  }
+
   test("the live chain index follows a pulses append: version-keyed cache " +
       "rebuilds on change and reuses the instance when nothing moved") {
     val base = java.nio.file.Files.createTempDirectory("graft-serve-chain").toString
