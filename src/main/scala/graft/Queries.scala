@@ -1520,8 +1520,13 @@ object Queries {
         "dd_semdedup_verdicts" ->
           s"""${assignRanked.replaceFirst("^WITH ", "WITH RECURSIVE ")},
              |$semPairs,
-             |sp AS (SELECT a_id, b_id FROM scored WHERE c >= $SemDedupThreshold),
-             |edges AS (SELECT a_id AS u, b_id AS v FROM sp
+             |-- MATERIALIZED: the recursive reach loop references edges
+             |-- every iteration, and DuckDB inlines plain CTEs — without
+             |-- the hint each iteration re-evaluates the whole pair
+             |-- pipeline (scored/pd/...), which exhausts memory at 10x
+             |-- the gate SF; the hint is semantics-neutral
+             |sp AS MATERIALIZED (SELECT a_id, b_id FROM scored WHERE c >= $SemDedupThreshold),
+             |edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM sp
              |          UNION SELECT b_id, a_id FROM sp),
              |reach AS (
              |  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
