@@ -1524,7 +1524,7 @@ object Queries {
              |-- every iteration, and DuckDB inlines plain CTEs — without
              |-- the hint each iteration re-evaluates the whole pair
              |-- pipeline (scored/pd/...), which exhausts memory at 10x
-             |-- the gate SF; the hint is semantics-neutral
+             |-- the gate SF. The hint is semantics-neutral
              |sp AS MATERIALIZED (SELECT a_id, b_id FROM scored WHERE c >= $SemDedupThreshold),
              |edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM sp
              |          UNION SELECT b_id, a_id FROM sp),
