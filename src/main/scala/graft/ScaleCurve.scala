@@ -159,15 +159,16 @@ object ScaleCurve {
       } catch { case e: Throwable => System.err.println(s"[scale] ensure $dir: ${e.getMessage}") }
     }
 
-    // the scale-path variant of the one query the curve flagged
-    // superlinear: the catalog's dd_embed_lsh pins (bits=4, tables=16)
-    // for the small-SF oracle gate, which saturates 16 buckets/table at
-    // sf1 — lshPairsAuto cost-sizes both from the corpus count
+    // the round-14 curve flagged the then-fixed (bits=4, tables=16)
+    // catalog row superlinear (26× for the 10× sf1 step — bucket
+    // saturation); the catalog row now routes through the corpus-sized
+    // geometry itself, so the curve keeps the OLD fixed configuration as
+    // the comparison twin to show what the auto wiring bought
     val extraOps: Seq[(String, String => Long)] = Seq(
-      "dd_embed_lsh_AUTO" -> { dir =>
-        graft.vector.CosineDedup.lshPairsAuto(
+      "dd_embed_lsh_FIXED_4_16" -> { dir =>
+        graft.vector.CosineDedup.lshPairsSized(
           graft.model.Domain.embeddings(spark, dir), dim = 64,
-          threshold = Queries.EmbLshThreshold).count()
+          threshold = Queries.EmbLshThreshold, bits = 4, tables = 16).count()
       })
     val allOps: Seq[(String, String => Long)] =
       HeavyQueries.map(q => q -> ((dir: String) =>

@@ -74,7 +74,19 @@ object Endpoints {
       val fetched: Array[org.apache.spark.sql.Row] =
         if (slice.isEmpty) Array.empty
         else p.filter(col("pulse_number").between(slice.head, slice.last)).collect()
-      if (slice.isEmpty || fetched.length == slice.length) {
+      // accept the fast path only when the fetched rows are EXACTLY the
+      // index's slice by value, not just by count: a same-cardinality
+      // add+remove reflush between the two resolutions (the daemon's
+      // normal flush replaces a pulse in place) must not serve a page
+      // whose membership disagrees with the index that produced `total`
+      // and the cut — ≤1000 longs, negligible vs the fetch itself
+      val fetchedPulses =
+        if (slice.isEmpty) Array.empty[Long]
+        else {
+          val pnIdx = p.schema.fieldIndex("pulse_number")
+          fetched.map(_.getLong(pnIdx)).sorted
+        }
+      if (slice.isEmpty || java.util.Arrays.equals(fetchedPulses, slice.sorted.toArray)) {
         val out: Array[org.apache.spark.sql.Row] =
           if (fetched.isEmpty)
             Array(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(

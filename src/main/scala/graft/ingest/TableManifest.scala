@@ -96,24 +96,64 @@ object TableManifest {
     * prune deletes manifests older than the previous version, so a
     * reader that listed version v and then lost the CPU long enough for
     * TWO commits (v+1 and v+2) to land finds v's file gone at open time.
-    * Re-resolving once picks up whatever is newest now; a second failure
-    * means external damage and propagates (the zero-500 serving contract
-    * rests on this path never throwing for protocol-internal reasons).
+    * Re-resolving picks up whatever is newest now; each retry can in
+    * principle lose the same microseconds-vs-seconds race again under
+    * sustained commit churn, so a small bounded loop (3 resolutions)
+    * drives the residual odds to negligible before propagating — a
+    * failure past that means external damage (the zero-500 serving
+    * contract rests on this path never throwing for protocol-internal
+    * reasons).
     */
-  def latest(fs: FileSystem, tablePath: String): Option[Snapshot] =
-    try latestOnce(fs, tablePath)
-    catch { case _: java.io.FileNotFoundException => latestOnce(fs, tablePath) }
+  def latest(fs: FileSystem, tablePath: String): Option[Snapshot] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return latestOnce(fs, tablePath)
+      catch { case e: java.io.FileNotFoundException => if (attempt >= 3) throw e }
+    }
+    None // unreachable
+  }
+
+  /** Parsed snapshots memoized by table path, validated against the
+    * manifest file's identity — (version, mtime, length), all free from
+    * the listing we do anyway: the per-request freshness probe is then
+    * the tiny `_manifests/` listing ALONE, no re-open and re-parse of a
+    * JSON the process already holds. One live entry per table (replaced
+    * on version bump), so memory is bounded by the table count. The
+    * mtime+length guard covers the one path a bare version key would
+    * not: a store deleted and recreated at the same path restarts its
+    * version numbering, and v1-of-the-new-store must not read as
+    * v1-of-the-old.
+    */
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Snapshot)]()
 
   private def latestOnce(fs: FileSystem, tablePath: String): Option[Snapshot] = {
     val table = new Path(tablePath)
-    latestVersion(fs, table).map { v =>
-      val p = versionFile(table, v)
-      val bytes = {
-        val in = fs.open(p)
-        try in.readAllBytes() finally in.close()
+    val dir = manifestsDir(table)
+    val newest =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).iterator.flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(v) => Some((v.toLong, st))
+          case _ => None
+        }
+      }.maxByOption(_._1)
+    newest.map { case (v, st) =>
+      val cached = snapshotCache.get(tablePath)
+      if (cached != null && cached._1 == v && cached._2 == st.getModificationTime
+          && cached._3 == st.getLen) cached._4
+      else {
+        val p = versionFile(table, v)
+        val bytes = {
+          val in = fs.open(p)
+          try in.readAllBytes() finally in.close()
+        }
+        val snap = parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          .getOrElse(throw new java.io.IOException(s"damaged table manifest: $p"))
+        snapshotCache.put(tablePath, (v, st.getModificationTime, st.getLen, snap))
+        snap
       }
-      parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-        .getOrElse(throw new java.io.IOException(s"damaged table manifest: $p"))
     }
   }
 

@@ -114,6 +114,23 @@ object CosineDedup {
     val n = math.max(1L, embeddings.count())
     val bits = bitsFor(n, threshold, targetRecall, dim)
     val tables = tablesFor(threshold, bits, targetRecall)
+    lshPairsSized(embeddings, dim, threshold, bits, tables, idCol, vecCol)
+  }
+
+  /** The auto path's banding with the (bits, tables) decision hoisted to
+    * the caller — the catalog row uses this so it can CAPTURE the sizes
+    * it ran with for the replay oracle (the decision itself stays
+    * deterministic: [[bitsFor]]/[[tablesFor]] of the corpus count).
+    */
+  def lshPairsSized(
+      embeddings: DataFrame,
+      dim: Int,
+      threshold: Double,
+      bits: Int,
+      tables: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
     val base = eligible(embeddings, idCol, vecCol)
     val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val banded = base.select(

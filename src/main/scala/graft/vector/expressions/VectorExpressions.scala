@@ -77,6 +77,15 @@ object VectorKernels {
       out
     })
 
+  /** Driver-side view of the memoized plane family, flat
+    * `(table·bits + bit)·dim + j` layout — the replay oracle spells these
+    * weights out as SQL literals (±1, exactly representable, so the
+    * DuckDB ordered-SUM dot reproduces the kernel's double accumulation
+    * bit-for-bit).
+    */
+  def planeWeights(seed: Long, tables: Int, bits: Int, dim: Int): Array[Float] =
+    planes(seed, tables, bits, dim)
+
   /** All `tables` SRP signatures of a vector in one pass: sig[t] packs
     * `bits` hyperplane signs. Sign-random-projection recall math is the
     * same as the literal-plane form (P(plane agrees) = 1 − θ/π holds for

@@ -20,7 +20,9 @@ class CatalogContractSpec extends AnyFunSuite {
     // the driver's correctness gate stays strong. emb_kmeans/dd_semdedup
     // gain a generated centroid-literal oracle once the kmeans family has
     // executed in this JVM (Verify's order guarantees it; suite order here
-    // doesn't), so they are rows-only exactly while uncaptured.
+    // doesn't), so they are rows-only exactly while uncaptured;
+    // dd_embed_lsh likewise — its replay interpolates the corpus-sized
+    // (bits, tables) captured at query execution.
     // snapshot the three generated maps ONCE and derive both sides from
     // it — reading the volatile capture state twice would flake if a
     // concurrently running suite executes a kmeans/IVF/LSH query between
@@ -34,7 +36,7 @@ class CatalogContractSpec extends AnyFunSuite {
       (Set("dd_semdedup", "emb_kmeans", "dd_semdedup_verdicts",
         "dd_semdedup_fixed") -- centroid.keySet) ++
       (Set("ann_ivf", "ann_ivf_knn") -- ivf.keySet) ++
-      (Set("ann_lsh") -- lsh.keySet)
+      (Set("ann_lsh", "dd_embed_lsh") -- lsh.keySet)
     assert(rowsOnly == declared,
       s"rows-only set drifted: extra=${rowsOnly.diff(declared)} missing=${declared.diff(rowsOnly)}")
   }
