@@ -1473,20 +1473,35 @@ object Queries {
       c.iterator.zipWithIndex.map { case (v, i) => s"($cell,${i + 1},${v.toDouble})" }
     }.mkString(",")
 
+  /** Centroids as one DOUBLE[] literal per cell — exact decimal
+    * renderings of the float32 values, so the doubles DuckDB parses are
+    * bit-identical to what the engine multiplies.
+    */
+  private def centsListsSql(cs: Array[Seq[Float]]): String =
+    cs.iterator.zipWithIndex.map { case (c, cell) =>
+      s"($cell,CAST(${c.iterator.map(_.toDouble).mkString("[", ",", "]")} AS DOUBLE[]))"
+    }.mkString(",")
+
   /** Shared replay prefix: per-vector dots to every centroid literal and
     * the (dot DESC, cell DESC) affinity ranking — the tie-break of both
     * [[graft.vector.Ivf.cellOf]] (array_max over struct) and
     * [[graft.vector.Ivf.topCells]] (reversed ascending struct sort).
+    *
+    * Dots run through `list_dot_product` on DOUBLE[] casts — verified
+    * bit-identical to the kernel's ascending double fold (and to the
+    * ordered-SUM unnest form this replaced) — which keeps every replay
+    * in this family O(vectors·cells + candidates): the per-pair
+    * ordered-SUM shape buffered sorted per-group state for every
+    * candidate pair and exceeded the oracle node's ~63 GB commit limit
+    * at sf1 (ann_ivf_knn was the one non-green sf1 row in round 14).
     */
   private def affinityPrefix(cs: Array[Seq[Float]]): String =
-    s"""WITH cents AS (SELECT * FROM (VALUES ${centsValuesSql(cs)}) AS t(cell, i, cv)),
-       |e AS (
-       |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
+    s"""WITH cents AS (SELECT * FROM (VALUES ${centsListsSql(cs)}) AS t(cell, cv)),
+       |ed AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dots AS (
-       |  SELECT e.vec_id, c.cell,
-       |    SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY e.i) AS dot
-       |  FROM e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.cell),
+       |  SELECT ed.vec_id, c.cell, list_dot_product(ed.v, c.cv) AS dot
+       |  FROM ed CROSS JOIN cents c),
        |ranked AS (
        |  SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
@@ -1516,20 +1531,15 @@ object Queries {
            |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
            |  FROM assign a JOIN assign b
            |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
-           |pd AS (
-           |  SELECT p.a_id, p.b_id,
-           |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot,
-           |    SUM(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE) ORDER BY ea.i) AS na2,
-           |    SUM(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY eb.i) AS nb2
-           |  FROM pairs p
-           |  JOIN e ea ON ea.vec_id = p.a_id
-           |  JOIN e eb ON eb.vec_id = p.b_id AND ea.i = eb.i
-           |  GROUP BY p.a_id, p.b_id),
            |scored AS (
-           |  SELECT a_id, b_id,
-           |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
-           |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
-           |  FROM pd)""".stripMargin
+           |  SELECT p.a_id, p.b_id,
+           |    CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0
+           |         THEN 0.0
+           |         ELSE list_dot_product(ea.v, eb.v) /
+           |              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS c
+           |  FROM pairs p
+           |  JOIN ed ea ON ea.vec_id = p.a_id
+           |  JOIN ed eb ON eb.vec_id = p.b_id)""".stripMargin
       Map(
         "emb_kmeans" ->
           s"""$assignRanked
@@ -1582,14 +1592,11 @@ object Queries {
       Map(
         "ann_ivf" ->
           s"""$prefix,
-             |q AS (SELECT v AS qv, i FROM e WHERE vec_id = 0),
-             |qn AS (
-             |  SELECT sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) ORDER BY i)) AS nq
-             |  FROM q),
+             |q AS (SELECT v AS qv FROM ed WHERE vec_id = 0),
+             |qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS nq FROM q),
              |qcell AS (
-             |  SELECT c.cell,
-             |    SUM(CAST(q.qv AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY q.i) AS dot
-             |  FROM q JOIN cents c ON q.i = c.i GROUP BY c.cell),
+             |  SELECT c.cell, list_dot_product(q.qv, c.cv) AS dot
+             |  FROM q CROSS JOIN cents c),
              |probed AS (
              |  SELECT cell FROM (
              |    SELECT cell, row_number() OVER (ORDER BY dot DESC, cell DESC) AS rk
@@ -1598,11 +1605,10 @@ object Queries {
              |  SELECT r.vec_id FROM ranked r JOIN probed p USING (cell)
              |  WHERE r.rk = 1 AND r.vec_id <> 0),
              |scored AS (
-             |  SELECT e.vec_id,
-             |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
-             |    sqrt(SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i)) AS na
-             |  FROM e JOIN q ON e.i = q.i JOIN cand ON cand.vec_id = e.vec_id
-             |  GROUP BY e.vec_id)
+             |  SELECT ed.vec_id,
+             |    list_dot_product(ed.v, q.qv) AS dot,
+             |    sqrt(list_dot_product(ed.v, ed.v)) AS na
+             |  FROM ed JOIN cand ON cand.vec_id = ed.vec_id CROSS JOIN q)
              |SELECT vec_id,
              |  CASE WHEN na * qn.nq = 0 THEN 0.0 ELSE dot / (na * qn.nq) END AS cosine
              |FROM scored, qn ORDER BY cosine DESC, vec_id LIMIT $AnnIvfK""".stripMargin,
@@ -1616,20 +1622,15 @@ object Queries {
              |  WHERE rk = 1 AND vec_id >= 10),
              |cand AS (
              |  SELECT q.query_id, c.neighbor_id FROM qprobe q JOIN corpus c USING (cell)),
-             |pd AS (
-             |  SELECT cd.query_id, cd.neighbor_id,
-             |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot,
-             |    SUM(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE) ORDER BY ea.i) AS na2,
-             |    SUM(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY eb.i) AS nb2
-             |  FROM cand cd
-             |  JOIN e ea ON ea.vec_id = cd.query_id
-             |  JOIN e eb ON eb.vec_id = cd.neighbor_id AND ea.i = eb.i
-             |  GROUP BY cd.query_id, cd.neighbor_id),
              |scored AS (
-             |  SELECT query_id, neighbor_id,
-             |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
-             |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
-             |  FROM pd),
+             |  SELECT cd.query_id, cd.neighbor_id,
+             |    CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) = 0
+             |         THEN 0.0
+             |         ELSE list_dot_product(ea.v, eb.v) /
+             |              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS c
+             |  FROM cand cd
+             |  JOIN ed ea ON ea.vec_id = cd.query_id
+             |  JOIN ed eb ON eb.vec_id = cd.neighbor_id),
              |rk AS (
              |  SELECT query_id, neighbor_id, c,
              |    CAST(row_number() OVER (
