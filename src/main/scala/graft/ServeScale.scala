@@ -67,7 +67,9 @@ object ServeScale {
     def ms(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
     }
-    val sizes = Seq(5000, 50000, 500000)
+    // 5M ≈ 19 months of 10 s cadence — one decade past the r14 ceiling,
+    // deep into "mature deployment" pulse history
+    val sizes = Seq(5000, 50000, 500000, 5000000)
     // JIT/codegen warmup outside the timed points: full pass over a
     // throwaway smallest-size store
     locally {
@@ -79,14 +81,24 @@ object ServeScale {
           fromTimestamp = Some(Long.MinValue)).collect()
       }
     }
+    // settled used-heap reading for the index-memory column (driver-side
+    // measurement tool — a GC call here is fine)
+    def usedHeapMb(): Double = {
+      System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / 1e6
+    }
     println("SERVE-SCALE-BEGIN")
-    println("| pulses | ≈cadence-time | chain build (ms) | chain reuse (ms) | page fast cold (ms) | page fast warm (ms) | page scan warm (ms) |")
-    println("|---|---|---|---|---|---|---|")
+    println("| pulses | ≈cadence-time | chain build (ms) | index heap (MB) | chain reuse (ms) | page fast cold (ms) | page fast warm (ms) | page scan warm (ms) |")
+    println("|---|---|---|---|---|---|---|---|")
     for (n <- sizes) {
       val dir = buildStore(spark, n)
-      val labels = Map(5000 -> "14 h", 50000 -> "6 d", 500000 -> "2 mo")
+      val labels = Map(5000 -> "14 h", 50000 -> "6 d", 500000 -> "2 mo",
+        5000000 -> "19 mo")
       var idx: graft.model.Domain.PulseChainIndex = null
+      val heapBefore = usedHeapMb()
       val build = ms { idx = graft.model.Domain.pulseChainIndex(spark, dir) }
+      val heapDelta = usedHeapMb() - heapBefore
       val reuse = ms {
         val again = graft.model.Domain.pulseChainIndex(spark, dir)
         require(again eq idx, "unchanged store must reuse the cached index")
@@ -104,7 +116,7 @@ object ServeScale {
       val fastCold = ms(endpointFast())
       val fastWarm = (1 to 3).map(_ => ms(endpointFast())).min
       val scanWarm = (1 to 3).map(_ => ms(endpointScan())).min
-      println(f"| $n | ${labels(n)} | $build%.0f | $reuse%.1f | $fastCold%.0f | $fastWarm%.0f | $scanWarm%.0f |")
+      println(f"| $n | ${labels(n)} | $build%.0f | $heapDelta%.0f | $reuse%.1f | $fastCold%.0f | $fastWarm%.0f | $scanWarm%.0f |")
     }
     println("SERVE-SCALE-END")
     spark.stop()

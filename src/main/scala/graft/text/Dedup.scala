@@ -262,6 +262,23 @@ object Dedup {
     *     (id, band, bucket).
     *  3. exact-Jaccard verification re-attaches shingle sets to the small
     *     surviving candidate set — the wide payload never shuffles.
+    *
+    * Sizing (bands b, rows-per-band r = k/b): candidate probability for
+    * a pair at Jaccard s is 1 − (1 − s^r)^b; recall R at threshold τ
+    * needs b ≥ ln(1−R)/ln(1−τ^r), so the defaults (r=2, b=8) hold
+    * R ≈ 0.90 at τ=0.5 — measured ≥ 0.9 on the testdata
+    * (RecallInvariantsSpec). Unlike fixed hyperplane buckets (the class
+    * the embedding dedup retired in r15), band buckets hash into a 2^64
+    * domain, so there is NO structural saturation with corpus size: cost
+    * is signature work (n·k) plus candidates admitted by the S-curve,
+    * and ScaleProbe measures 1.2× for a 10× step at the 50k→500k-doc
+    * decade with a realistic vocabulary. The ceiling is the corpus's
+    * MODERATE-similarity mass: r=2 admits s=0.3 pairs with p≈0.53, so a
+    * boilerplate-dense corpus with super-linear near-threshold mass
+    * needs r=3 (b=23) or r=4 (b=47) to hold R=0.95 at τ=0.5 — steeper
+    * S-curve, k=69–188 signature slots as the price. The verification
+    * semi-join bounds the damage either way (candidates are verified
+    * against exact Jaccard before anything wide shuffles).
     */
   def minhashPairs(
       docs: DataFrame,
