@@ -1476,11 +1476,6 @@ object Queries {
   /** Exact decimal renderings of a float32 centroid set as a DuckDB VALUES
     * list `(cell, i, cv)` with 1-based `i` matching generate_subscripts.
     */
-  private def centsValuesSql(cs: Array[Seq[Float]]): String =
-    cs.iterator.zipWithIndex.flatMap { case (c, cell) =>
-      c.iterator.zipWithIndex.map { case (v, i) => s"($cell,${i + 1},${v.toDouble})" }
-    }.mkString(",")
-
   /** Centroids as one DOUBLE[] literal per cell — exact decimal
     * renderings of the float32 values, so the doubles DuckDB parses are
     * bit-identical to what the engine multiplies.
@@ -1559,7 +1554,7 @@ object Queries {
              |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
              |WHERE c >= $SemDedupThreshold ORDER BY a_id, b_id""".stripMargin,
         "dd_semdedup_fixed" -> graft.functions.HashReplaySql.fixedSemdedupOracle(
-          centsValuesSql(cs), SemDedupMaxCell, SemDedupProbe,
+          centsListsSql(cs), SemDedupMaxCell, SemDedupProbe,
           SemDedupSplitProbe, softLevels = 1, SemDedupThreshold),
         "dd_semdedup_verdicts" ->
           s"""${assignRanked.replaceFirst("^WITH ", "WITH RECURSIVE ")},
@@ -2366,22 +2361,21 @@ object Queries {
         |       n_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // all-pairs over the bounded slice in list_dot_product form (the
+    // same bit-exact ascending double fold as the unnest + ordered-SUM
+    // shape it replaced, minus the per-pair sorted-group buffers that
+    // timed the replay out at sf1)
     "dd_embed" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
+      s"""WITH ed AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id < 2000),
-        |dots AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) ORDER BY a.i) AS dot,
-        |    SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE) ORDER BY a.i) AS na2,
-        |    SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE) ORDER BY b.i) AS nb2
-        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id),
         |scored AS (
-        |  SELECT a_id, b_id,
-        |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
-        |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
-        |  FROM dots)
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+        |         THEN 0.0
+        |         ELSE list_dot_product(a.v, b.v) /
+        |              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS c
+        |  FROM ed a JOIN ed b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
         |WHERE c >= $EmbLshThreshold ORDER BY a_id, b_id""".stripMargin,
 

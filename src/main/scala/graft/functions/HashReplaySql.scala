@@ -180,11 +180,15 @@ private[graft] object HashReplaySql {
     * fanout, seed sampling in (xxh64(id), id) order (the id hashes ride
     * one CteChain, reused by every level), float-rounded seed
     * normalization (CAST AS FLOAT = Scala .toFloat, round-to-nearest),
-    * member×seed ordered-SUM dots, and top-softP/argmax branching with
-    * ties to the higher seed index. Settled memberships union into the
-    * leaf set; exact cosine verifies within leaves. Every per-level CTE
-    * is MATERIALIZED — each references its predecessor several times, so
+    * member×seed dots, and top-softP/argmax branching with ties to the
+    * higher seed index. Settled memberships union into the leaf set;
+    * exact cosine verifies within leaves. Every per-level CTE is
+    * MATERIALIZED — each references its predecessor several times, so
     * inlining would expand the plan ~4^depth (measured: minutes vs 2.4s).
+    * All dots run through `list_dot_product` on DOUBLE[] (bit-identical
+    * ascending fold; `centsValues` is the (cell, DOUBLE[]) list form) —
+    * the earlier per-pair/per-seed ordered-SUM unnest shape OOM'd the
+    * oracle node at sf1.
     */
   def fixedSemdedupOracle(
       centsValues: String,
@@ -228,20 +232,20 @@ private[graft] object HashReplaySql {
            |    row_number() OVER (PARTITION BY m.cluster ORDER BY uh.u, m.id) AS rn
            |  FROM $prev m JOIN liv_$l v USING (cluster) JOIN idh uh ON uh.id = m.id),
            |sv_$l AS MATERIALIZED (
-           |  SELECT s.cluster, s.rn - 1 AS sidx, e.i,
-           |    CAST(CASE WHEN n.nrm = 0 THEN CAST(e.v AS DOUBLE)
-           |         ELSE CAST(e.v AS DOUBLE) / n.nrm END AS FLOAT) AS sv
+           |  SELECT s.cluster, s.rn - 1 AS sidx,
+           |    list_transform(ed.v, x -> CAST(CAST(
+           |      CASE WHEN n.nrm = 0 THEN x ELSE x / n.nrm END
+           |      AS FLOAT) AS DOUBLE)) AS sv
            |  FROM sr_$l s
-           |  JOIN e ON e.vec_id = s.id
+           |  JOIN ed ON ed.vec_id = s.id
            |  JOIN vnorm n ON n.vec_id = s.id
            |  WHERE s.rn <= s.fo),
            |d_$l AS MATERIALIZED (
            |  SELECT m.id, m.cluster, s.sidx,
-           |    SUM(CAST(ev.v AS DOUBLE) * CAST(s.sv AS DOUBLE) ORDER BY ev.i) AS dot
+           |    list_dot_product(ev.v, s.sv) AS dot
            |  FROM $prev m
-           |  JOIN e ev ON ev.vec_id = m.id
-           |  JOIN sv_$l s ON s.cluster = m.cluster AND s.i = ev.i
-           |  GROUP BY m.id, m.cluster, s.sidx),
+           |  JOIN ed ev ON ev.vec_id = m.id
+           |  JOIN sv_$l s ON s.cluster = m.cluster),
            |set_$l AS MATERIALIZED (
            |  SELECT id, cluster FROM $prev
            |  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM sv_$l)),
@@ -257,14 +261,12 @@ private[graft] object HashReplaySql {
     }
     settled += s"SELECT id, cluster FROM $prev"
 
-    s"""WITH cents AS (SELECT * FROM (VALUES $centsValues) AS t(cell, i, cv)),
-       |e AS MATERIALIZED (
-       |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
+    s"""WITH cents AS (SELECT * FROM (VALUES $centsValues) AS t(cell, cv)),
+       |ed AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dots AS MATERIALIZED (
-       |  SELECT e.vec_id, c.cell,
-       |    SUM(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE) ORDER BY e.i) AS dot
-       |  FROM e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.cell),
+       |  SELECT ed.vec_id, c.cell, list_dot_product(ed.v, c.cv) AS dot
+       |  FROM ed CROSS JOIN cents c),
        |ranked AS MATERIALIZED (
        |  SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell DESC) AS rk
@@ -273,8 +275,7 @@ private[graft] object HashReplaySql {
        |  SELECT vec_id AS id, CAST(cell AS BIGINT) + 1 AS cluster
        |  FROM ranked WHERE rk <= $coarseP),
        |vnorm AS MATERIALIZED (
-       |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i)) AS nrm
-       |  FROM e GROUP BY vec_id),
+       |  SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM ed),
        |ihsrc AS MATERIALIZED (
        |  SELECT id, CAST(CASE WHEN id < 0 THEN CAST(id AS HUGEINT) + $M64
        |                       ELSE CAST(id AS HUGEINT) END AS UBIGINT) AS xu
@@ -284,19 +285,15 @@ private[graft] object HashReplaySql {
        |prs AS MATERIALIZED (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
        |  FROM leaf a JOIN leaf b ON a.cluster = b.cluster AND a.id < b.id),
-       |pd AS MATERIALIZED (
-       |  SELECT p.a_id, p.b_id,
-       |    SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE) ORDER BY ea.i) AS dot
-       |  FROM prs p
-       |  JOIN e ea ON ea.vec_id = p.a_id
-       |  JOIN e eb ON eb.vec_id = p.b_id AND ea.i = eb.i
-       |  GROUP BY p.a_id, p.b_id),
        |scored AS MATERIALIZED (
-       |  SELECT pd.a_id, pd.b_id,
+       |  SELECT p.a_id, p.b_id,
        |    CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
-       |         ELSE pd.dot / (na.nrm * nb.nrm) END AS c
-       |  FROM pd JOIN vnorm na ON na.vec_id = pd.a_id
-       |  JOIN vnorm nb ON nb.vec_id = pd.b_id)
+       |         ELSE list_dot_product(ea.v, eb.v) / (na.nrm * nb.nrm) END AS c
+       |  FROM prs p
+       |  JOIN ed ea ON ea.vec_id = p.a_id
+       |  JOIN ed eb ON eb.vec_id = p.b_id
+       |  JOIN vnorm na ON na.vec_id = p.a_id
+       |  JOIN vnorm nb ON nb.vec_id = p.b_id)
        |SELECT a_id, b_id, round(c, 6) AS cosine FROM scored
        |WHERE c >= $threshold ORDER BY a_id, b_id""".stripMargin
   }
