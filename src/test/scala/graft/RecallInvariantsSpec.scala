@@ -49,6 +49,24 @@ class RecallInvariantsSpec extends SparkSpec {
     assert(recall >= 0.9, s"embedding-LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("dd_embed_lsh oracle replays exactly the corpus-sized geometry the " +
+      "query ran with") {
+    // the catalog row captures (bits, tables) per dataset dir; the
+    // generated replay must interpolate the same sizes — one plane row
+    // per (table, bit), each a dim-64 DOUBLE[] literal
+    Queries.catalog("dd_embed_lsh")(spark, dir).count()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val bits = graft.vector.CosineDedup.bitsFor(
+      n, Queries.EmbLshThreshold, Queries.EmbLshTargetRecall, dim = 64)
+    val tables = graft.vector.CosineDedup.tablesFor(
+      Queries.EmbLshThreshold, bits, Queries.EmbLshTargetRecall)
+    val sql = Queries.lshOracle.getOrElse("dd_embed_lsh",
+      fail("dd_embed_lsh oracle absent after the query ran"))
+    val planeRows = "CAST\\(\\[".r.findAllIn(sql).length
+    assert(planeRows == tables * bits,
+      s"oracle has $planeRows plane literals, query ran ${tables}x$bits")
+  }
+
   test("ev_sketch verdict frame: every sketch lands inside its error bound") {
     // the query ITSELF now carries the tolerance verdicts (the oracle
     // expects TRUE per group); assert them here too, plus that the exact

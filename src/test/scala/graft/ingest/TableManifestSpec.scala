@@ -153,6 +153,33 @@ class TableManifestSpec extends SparkSpec {
       .contains(orphan), "the orphan is physically deleted one cycle later")
   }
 
+  test("snapshot memo: a store deleted and recreated at the same path " +
+      "serves the NEW content, not the memoized old snapshot") {
+    import spark.implicits._
+    val base = tmp()
+    val table = s"$base/records"
+    def write(tag: String, pulses: Seq[Long]): Unit =
+      PulseWriter.writePulsePartition(
+        pulses.map(p => (p, "0", tag)).toDF("pulse_number", "jet_id", "payload"),
+        "records", base, pulses = Some(pulses))
+    write("old-store", Seq(65546L, 65556L))
+    // prime the (path → snapshot) memo
+    assert(TableManifest.readTable(spark, table).get.count() == 2)
+    // wipe the whole store and recreate: version numbering RESTARTS at 1,
+    // so a bare (path, version) memo key would serve the dead store's
+    // partition map — the (version, mtime, length) identity must not
+    val f = fs(table)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    graft.sources.RelationCache.invalidate(table)
+    write("new-store", Seq(65546L, 65566L, 65576L))
+    val again = TableManifest.readTable(spark, table).get
+    assert(again.count() == 3, "the recreated store's own row count")
+    assert(again.select("payload").distinct().as[String].collect().toSeq ==
+      Seq("new-store"))
+    assert(TableManifest.latest(f, table).get.partitions.keySet ==
+      Set("pulse_number=65546", "pulse_number=65566", "pulse_number=65576"))
+  }
+
   test("versionToken answers the manifest version for manifested tables, " +
       "None for legacy") {
     import spark.implicits._
