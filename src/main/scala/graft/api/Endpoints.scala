@@ -48,11 +48,12 @@ object Endpoints {
     * O(page) via row-group stats — instead of a full scan-sort-count of
     * the dimension, which grows with pulse HISTORY (one row per 10 s ≈
     * 3 M rows/year; measured by `graft.ServeScale`: the scan path
-    * doubles from 50k → 500k pulses while this path is flat). A length
-    * mismatch between the index slice and the fetched rows (a racing
-    * commit between the two resolutions) falls back to the scan path;
-    * timestamp-filtered pages always take it (the index holds pulse
-    * numbers only).
+    * doubles from 50k → 500k pulses while this path is flat). The fast
+    * path is accepted only when the fetched rows' pulse numbers equal
+    * the index slice BY VALUE (a racing commit between the two
+    * resolutions — including a same-cardinality replace — falls back to
+    * the scan path); timestamp-filtered pages always take the scan path
+    * (the index holds pulse numbers only).
     */
   def pulses(spark: SparkSession, dir: String, page: PageParams = PageParams(),
       fromPulse: Option[Long] = None, toPulse: Option[Long] = None,

@@ -263,7 +263,7 @@ private[graft] object HashReplaySql {
 
     s"""WITH cents AS (SELECT * FROM (VALUES $centsValues) AS t(cell, cv)),
        |ed AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v FROM embeddings),
        |dots AS MATERIALIZED (
        |  SELECT ed.vec_id, c.cell, list_dot_product(ed.v, c.cv) AS dot
        |  FROM ed CROSS JOIN cents c),

@@ -75,15 +75,23 @@ object TableManifest {
   def isManifested(fs: FileSystem, tablePath: String): Boolean =
     latestVersion(fs, new Path(tablePath)).isDefined
 
-  private def latestVersion(fs: FileSystem, table: Path): Option[Long] = {
+  private def latestVersion(fs: FileSystem, table: Path): Option[Long] =
+    latestVersionStatus(fs, table).map(_._1)
+
+  /** The newest committed manifest's (version, FileStatus) — ONE listing
+    * serving both the version probe and the snapshot read (two copies of
+    * the listing/regex/max dance would drift).
+    */
+  private def latestVersionStatus(fs: FileSystem, table: Path)
+      : Option[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val dir = manifestsDir(table)
     if (!fs.exists(dir)) None
     else fs.listStatus(dir).iterator.flatMap { st =>
       st.getPath.getName match {
-        case VersionRe(v) => Some(v.toLong)
+        case VersionRe(v) => Some((v.toLong, st))
         case _ => None
       }
-    }.maxOption
+    }.maxByOption(_._1)
   }
 
   /** The newest committed snapshot. Absence (no `_manifests/`) means a
@@ -114,33 +122,34 @@ object TableManifest {
     None // unreachable
   }
 
-  /** Parsed snapshots memoized by table path, validated against the
-    * manifest file's identity — (version, mtime, length), all free from
-    * the listing we do anyway: the per-request freshness probe is then
-    * the tiny `_manifests/` listing ALONE, no re-open and re-parse of a
-    * JSON the process already holds. One live entry per table (replaced
-    * on version bump), so memory is bounded by the table count. The
-    * mtime+length guard covers the one path a bare version key would
-    * not: a store deleted and recreated at the same path restarts its
-    * version numbering, and v1-of-the-new-store must not read as
-    * v1-of-the-old.
+  /** Parsed snapshots memoized per (filesystem, table path), validated
+    * against the manifest file's identity — (version, mtime, length),
+    * all free from the listing we do anyway: the per-request freshness
+    * probe is then the tiny `_manifests/` listing ALONE, no re-open and
+    * re-parse of a JSON the process already holds. One live entry per
+    * table (replaced on version bump, EVICTED when the manifests dir
+    * vanishes — transient per-run stores must not accumulate dead
+    * snapshots), so memory is bounded by the live table count. The
+    * mtime+length guard covers the path a bare version key would not: a
+    * store deleted and recreated at the same path restarts its version
+    * numbering, and v1-of-the-new-store must not read as v1-of-the-old.
+    * Residual window: a recreate landing inside one mtime tick of the
+    * filesystem (ms locally, seconds on some object stores) with a
+    * byte-identical manifest LENGTH — and even then the stale partition
+    * map names files the new store does not have, so the read fails
+    * loud (the zero-500 contract covers protocol-internal races, not
+    * external store replacement, same as the tombstone-grace section).
     */
   private val snapshotCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Snapshot)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long, Long, Snapshot)]()
 
   private def latestOnce(fs: FileSystem, tablePath: String): Option[Snapshot] = {
     val table = new Path(tablePath)
-    val dir = manifestsDir(table)
-    val newest =
-      if (!fs.exists(dir)) None
-      else fs.listStatus(dir).iterator.flatMap { st =>
-        st.getPath.getName match {
-          case VersionRe(v) => Some((v.toLong, st))
-          case _ => None
-        }
-      }.maxByOption(_._1)
+    val key = (fs.getUri.toString, tablePath)
+    val newest = latestVersionStatus(fs, table)
+    if (newest.isEmpty) snapshotCache.remove(key)
     newest.map { case (v, st) =>
-      val cached = snapshotCache.get(tablePath)
+      val cached = snapshotCache.get(key)
       if (cached != null && cached._1 == v && cached._2 == st.getModificationTime
           && cached._3 == st.getLen) cached._4
       else {
@@ -151,7 +160,7 @@ object TableManifest {
         }
         val snap = parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
           .getOrElse(throw new java.io.IOException(s"damaged table manifest: $p"))
-        snapshotCache.put(tablePath, (v, st.getModificationTime, st.getLen, snap))
+        snapshotCache.put(key, (v, st.getModificationTime, st.getLen, snap))
         snap
       }
     }
