@@ -244,18 +244,28 @@ object Multimodal {
     * shuffle of the media bytes (at 100 TB the unconditional shuffle
     * this replaces would move the whole corpus through the fabric to
     * defend against a skew that usually is not there), while a few huge
-    * blobs among small ones still spread. The pre-pass scans payload
-    * lengths only; against a source that carries a size/metadata column
-    * the same decision is computable without touching the blobs at all.
+    * blobs among small ones still spread.
+    *
+    * The pre-pass prefers a `payload_bytes` metadata column when the
+    * frame carries one ([[syntheticMedia]] does; any real media table
+    * should — blob stores know their object sizes): the decision then
+    * reads a tiny long column through parquet column pruning instead of
+    * materializing every blob to measure `length(payload)`. The
+    * length-based fallback remains for size-less sources.
     */
   def extractFeatures(media: DataFrame,
       skewThresholdBytes: Long = 64L << 20): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     val blobs = media.select(col("media_id"), col("modality"), col("payload"))
-    val perPartition = blobs
-      .select(spark_partition_id().as("p"),
-        coalesce(length(col("payload")).cast("long"), lit(0L)).as("b"))
+    val sizeCol =
+      if (media.schema.fieldNames.contains("payload_bytes"))
+        media.select(spark_partition_id().as("p"),
+          coalesce(col("payload_bytes").cast("long"), lit(0L)).as("b"))
+      else
+        blobs.select(spark_partition_id().as("p"),
+          coalesce(length(col("payload")).cast("long"), lit(0L)).as("b"))
+    val perPartition = sizeCol
       .groupBy(col("p")).agg(sum(col("b")).as("bytes"))
       .agg(max(col("bytes")).as("mx"), sum(col("bytes")).as("total"))
       .head()
@@ -421,5 +431,9 @@ object Multimodal {
       .withColumn("width", lit(null).cast("int"))
       .withColumn("height", lit(null).cast("int"))
       .withColumn("duration_ms", lit(null).cast("long"))
+      // the size metadata a real media table carries from its blob
+      // store; lets extractFeatures make its skew decision without
+      // materializing payloads
+      .withColumn("payload_bytes", length(col("payload")).cast("long"))
   }
 }
