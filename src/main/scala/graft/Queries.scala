@@ -1662,13 +1662,6 @@ object Queries {
     * sum is integer arithmetic.
     */
   private[graft] def lshOracle: Map[String, String] = {
-    def planeValues(tables: Int, bits: Int, baseSeed: Long): String =
-      (0 until tables).iterator.flatMap { t =>
-        val ps = graft.vector.Similarity.lshPlanes(64, bits, baseSeed + t)
-        ps.iterator.zipWithIndex.flatMap { case (p, b) =>
-          p.iterator.zipWithIndex.map { case (w, i) => s"($t,$b,${i + 1},${w.toDouble})" }
-        }
-      }.mkString(",")
     // One row per (table, bit) whose plane is a DOUBLE[] literal, flat
     // (table·bits + bit)·dim + j kernel layout. list_dot_product on
     // DOUBLE[] casts accumulates sequentially in double — verified
@@ -1715,36 +1708,38 @@ object Queries {
          |SELECT a_id, b_id, c AS cosine FROM scored
          |WHERE c >= $EmbLshThreshold ORDER BY a_id, b_id""".stripMargin
     }
+    // the served index's Gaussian plane family, one DOUBLE[] per bit
+    // (exact decimal renderings of the float weights)
+    def gaussianPlaneLists(bits: Int, seed: Long): String = {
+      val ps = graft.vector.Similarity.lshPlanes(64, bits, seed)
+      ps.iterator.zipWithIndex.map { case (p, b) =>
+        s"($b,CAST(${p.iterator.map(_.toDouble).mkString("[", ",", "]")} AS DOUBLE[]))"
+      }.mkString(",")
+    }
     val annLshEntry = lshProbes.map { probes =>
       "ann_lsh" ->
         s"""WITH planes AS (
-           |  SELECT * FROM (VALUES ${planeValues(1, AnnLshBits, 42L)})
-           |  AS t(tbl, bit, i, pv)),
-           |e AS (
-           |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
+           |  SELECT * FROM (VALUES ${gaussianPlaneLists(AnnLshBits, 42L)})
+           |  AS t(bit, pv)),
+           |ed AS (
+           |  SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v
            |  FROM embeddings),
-           |q AS (SELECT v AS qv, i FROM e WHERE vec_id = 0),
-           |qn AS (
-           |  SELECT sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) ORDER BY i)) AS nq
-           |  FROM q),
-           |pd AS (
-           |  SELECT e.vec_id, p.bit,
-           |    SUM(CAST(e.v AS DOUBLE) * CAST(p.pv AS DOUBLE) ORDER BY e.i) AS dot
-           |  FROM e JOIN planes p ON e.i = p.i GROUP BY e.vec_id, p.bit),
+           |q AS (SELECT v AS qv FROM ed WHERE vec_id = 0),
+           |qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS nq FROM q),
            |sigs AS (
-           |  SELECT vec_id,
-           |    CAST(SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit
+           |  SELECT ed.vec_id,
+           |    CAST(SUM(CASE WHEN list_dot_product(ed.v, p.pv) >= 0
+           |                  THEN CAST(1 AS BIGINT) << p.bit
            |                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
-           |  FROM pd GROUP BY vec_id),
+           |  FROM ed CROSS JOIN planes p GROUP BY ed.vec_id),
            |cand AS (
            |  SELECT vec_id FROM sigs
            |  WHERE sig IN (${probes.mkString(",")}) AND vec_id <> 0),
            |scored AS (
-           |  SELECT e.vec_id,
-           |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
-           |    sqrt(SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i)) AS na
-           |  FROM e JOIN q ON e.i = q.i JOIN cand ON cand.vec_id = e.vec_id
-           |  GROUP BY e.vec_id)
+           |  SELECT ed.vec_id,
+           |    list_dot_product(ed.v, q.qv) AS dot,
+           |    sqrt(list_dot_product(ed.v, ed.v)) AS na
+           |  FROM ed JOIN cand ON cand.vec_id = ed.vec_id CROSS JOIN q)
            |SELECT vec_id,
            |  CASE WHEN na * qn.nq = 0 THEN 0.0 ELSE dot / (na * qn.nq) END AS cosine
            |FROM scored, qn ORDER BY cosine DESC, vec_id LIMIT $AnnLshK""".stripMargin
@@ -2262,44 +2257,31 @@ object Queries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "ann_topk" ->
-      """WITH q AS (
-        |  SELECT unnest(CAST(embedding AS FLOAT[])) AS qv, generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings WHERE vec_id = 0),
-        |e AS (
-        |  SELECT vec_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings WHERE vec_id <> 0),
-        |dots AS (
-        |  SELECT e.vec_id,
-        |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
-        |    SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i) AS na2,
-        |    SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY q.i) AS nb2
-        |  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+      """WITH ed AS (
+        |  SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM ed WHERE vec_id = 0),
         |scored AS (
-        |  SELECT vec_id,
-        |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
-        |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
-        |  FROM dots)
+        |  SELECT ed.vec_id,
+        |    CASE WHEN sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(q.qv, q.qv)) = 0
+        |         THEN 0.0
+        |         ELSE list_dot_product(ed.v, q.qv) /
+        |              (sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(q.qv, q.qv))) END AS c
+        |  FROM ed CROSS JOIN q WHERE ed.vec_id <> 0)
         |SELECT vec_id, round(c, 6) AS cosine FROM scored
         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_knn" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, unnest(CAST(embedding AS FLOAT[])) AS qv, generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings WHERE vec_id < 10),
-        |e AS (
-        |  SELECT vec_id AS neighbor_id, unnest(CAST(embedding AS FLOAT[])) AS v, generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings WHERE vec_id >= 10),
-        |dots AS (
-        |  SELECT q.query_id, e.neighbor_id,
-        |    SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY e.i) AS dot,
-        |    SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ORDER BY e.i) AS na2,
-        |    SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE) ORDER BY q.i) AS nb2
-        |  FROM e JOIN q ON e.i = q.i GROUP BY q.query_id, e.neighbor_id),
+      """WITH ed AS (
+        |  SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v
+        |  FROM embeddings),
         |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |    CASE WHEN sqrt(na2) * sqrt(nb2) = 0 THEN 0.0
-        |         ELSE dot / (sqrt(na2) * sqrt(nb2)) END AS c
-        |  FROM dots),
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) = 0
+        |         THEN 0.0
+        |         ELSE list_dot_product(e.v, q.v) /
+        |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) END AS c
+        |  FROM ed q JOIN ed e ON q.vec_id < 10 AND e.vec_id >= 10),
         |ranked AS (
         |  SELECT query_id, neighbor_id, c,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
