@@ -491,7 +491,7 @@ object Queries {
     // No broadcast hint: sizes is one row per document and grows with the
     // corpus — AQE picks broadcast exactly while it actually fits.
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    capped.as("a").join(capped.as("b"),
+    val agged = capped.as("a").join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       // the pair key is PACKED to one long before the count aggregate —
       // this groupBy's input is the fattest stream of the query (one row
@@ -503,6 +503,39 @@ object Queries {
       .agg(count(lit(1)).as("i"))
       .select(graft.text.Dedup.unpackPairA(col("pk")).as("a_id"),
         graft.text.Dedup.unpackPairB(col("pk")).as("b_id"), col("i"))
+    // Single-shingle candidate pairs are the corpus-quadratic term: once
+    // the corpus is large against its shingle space, RANDOM one-shingle
+    // collisions grow ∝ n²/|space|, and the size join-backs shuffle every
+    // one of them (ScaleProbe measured the 500k→5M-doc step going 47×
+    // on exactly these). Yet an i=1 pair can clear
+    // jaccard = i/(na+nb−i) ≥ τ only when na+nb ≤ (1+τ)/τ — i.e. BOTH
+    // docs have ≤ ⌊1/τ⌋ capped shingles — so dropping i=1 pairs whose
+    // docs are not both tiny is LOSSLESS (every dropped pair provably
+    // fails the exact filter below). The tiny list is a filtered slice
+    // of `sizes` left-joined as a broadcast marker BEFORE any shuffle
+    // join-back, cutting the quadratic stream to qualifying pairs at the
+    // price of one extra linear `capped` evaluation for the slice.
+    // Shapes measured at the 500k→5M-doc decade (same probe protocol):
+    // no prefilter 17.3 s/815 s (47×); union-of-branches 67.5/866 — each
+    // branch re-ran the whole shingle upstream; filters interleaved
+    // between the existing size joins 28.6/867 (30×) — join-1 still eats
+    // the full i=1 stream; THIS marker shape 37.8/499 (13.2×) — the
+    // extra linear pass buys the only form whose join-backs see
+    // qualifying pairs alone, and the n² term it removes only grows.
+    val tinyEligible = sizes
+      .filter(col("n").cast("double") <= lit(1.0 / JaccardThreshold))
+      .select(col("doc_id"), lit(true).as("tiny"))
+    // no broadcast HINT: on a pathological all-short-docs corpus the tiny
+    // list is O(corpus) and a forced broadcast would be a driver-memory
+    // cliff — AQE upgrades to broadcast exactly while it actually fits
+    // (the same policy as the minhash candIds note)
+    agged
+      .join(tinyEligible.select(col("doc_id").as("a_id"), col("tiny").as("a_tiny")),
+        Seq("a_id"), "left")
+      .join(tinyEligible.select(col("doc_id").as("b_id"), col("tiny").as("b_tiny")),
+        Seq("b_id"), "left")
+      .filter(col("i") >= 2 ||
+        (coalesce(col("a_tiny"), lit(false)) && coalesce(col("b_tiny"), lit(false))))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))

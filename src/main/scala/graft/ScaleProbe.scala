@@ -91,12 +91,17 @@ object ScaleProbe {
 
     // catalog queries whose cost is dominated by the corpus (not by
     // fixed per-query overhead), plus direct calls where the scale knob
-    // (cluster count) must grow with the corpus
+    // (cluster count) must grow with the corpus. GRAFT_SCALE_OPS
+    // (comma-separated) narrows a run to named ops — a two-decade probe
+    // of one family shouldn't pay the whole list.
+    val opFilter: Option[Set[String]] =
+      sys.env.get("GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
     val catalogOps: Seq[String] = Seq(
       "dd_exact", "dd_ngram_jaccard", "dd_minhash", "dd_simhash",
       "dd_decontam", "txt_repetition", "txt_stats", "emb_quant", "emb_kmeans",
       "txt_filter", "txt_idf")
-    def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq(
+      .filter(op => opFilter.forall(_.contains(op)))
+    def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq[(String, () => Long)](
       "dd_semdedup(k~sqrt n)" -> { () =>
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val k = math.max(16, math.sqrt(n.toDouble).toInt / 2)
@@ -120,7 +125,11 @@ object ScaleProbe {
         graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"), path)
         graft.text.Dedup
           .incrementalVerdicts(docs.filter(col("source") === "src0"), path).count()
-      })
+      }).filter { case (name, _) =>
+        // the filter matches direct-op names by their catalog-ish prefix
+        // (the parenthesized knob suffix is display-only)
+        opFilter.forall(f => f.exists(name.startsWith))
+      }
 
     // warm the code paths once at the small size so JIT/codegen is out of
     // both measured columns equally
@@ -129,7 +138,7 @@ object ScaleProbe {
     directOps(dirs(n1), n1).foreach { case (_, f) => try f() catch { case _: Throwable => () } }
     // standing-index builds are write-path cost, not query cost — pre-build
     // at both sizes so the timed dd_incremental rows measure the read path
-    Seq(n1, n2).foreach { n =>
+    if (opFilter.forall(_.contains("dd_incremental"))) Seq(n1, n2).foreach { n =>
       val dir = dirs(n)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       try graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"),
@@ -166,8 +175,13 @@ object ScaleProbe {
       graft.sources.ArtifactCache.forget(p)
       graft.vector.AnnIndex.forgetCached(p)
     }
-    val artifactSizes = (Seq(n1, n2) ++ args.drop(2).headOption.map(_.toLong)).distinct
-    println(f"[scale] ${"artifact (per size)"}%-28s ${"build+serve"}%12s ${"probe"}%12s")
+    // a GRAFT_SCALE_OPS-focused run measures only its named ops — the
+    // standing-artifact section belongs to full runs
+    val artifactSizes =
+      if (opFilter.nonEmpty) Seq.empty
+      else (Seq(n1, n2) ++ args.drop(2).headOption.map(_.toLong)).distinct
+    if (artifactSizes.nonEmpty)
+      println(f"[scale] ${"artifact (per size)"}%-28s ${"build+serve"}%12s ${"probe"}%12s")
     artifactSizes.foreach { n =>
       val dir = ensureCorpus(spark, root, n)
       val idxRoot = graft.vector.AnnIndex.indexRoot(dir)

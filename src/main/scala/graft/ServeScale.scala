@@ -35,8 +35,13 @@ object ServeScale {
       base, collectDrops = false)
     // the pulses dimension at n rows, flushed exactly like the daemon:
     // bucket-partitioned manifested append (flushBucketSpan pulse numbers
-    // per bucket), so reads resolve through the manifest path
-    val span = Ingest.Config().flushBucketSpan
+    // per bucket), so reads resolve through the manifest path.
+    // GRAFT_SERVE_SPAN overrides the span — the curve's 5M point showed
+    // the fast path paying partition-count plan width (500 buckets), and
+    // the documented remedy is a coarser span for deep history; this
+    // knob measures that remedy instead of asserting it
+    val span = sys.env.get("GRAFT_SERVE_SPAN").map(_.toLong)
+      .getOrElse(Ingest.Config().flushBucketSpan)
     val dim = spark.range(n.toLong).select(
       (lit(start) + col("id") * 10L).as("pulse_number"),
       (lit(start) + (col("id") - 1L) * 10L).as("prev_pulse_number"),
@@ -68,8 +73,11 @@ object ServeScale {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
     }
     // 5M ≈ 19 months of 10 s cadence — one decade past the r14 ceiling,
-    // deep into "mature deployment" pulse history
-    val sizes = Seq(5000, 50000, 500000, 5000000)
+    // deep into "mature deployment" pulse history. GRAFT_SERVE_SIZES
+    // (comma-separated) narrows a run (e.g. a span-knob A/B at 5M only).
+    val sizes = sys.env.get("GRAFT_SERVE_SIZES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(5000, 50000, 500000, 5000000))
     // JIT/codegen warmup outside the timed points: full pass over a
     // throwaway smallest-size store
     locally {
@@ -116,7 +124,7 @@ object ServeScale {
       val fastCold = ms(endpointFast())
       val fastWarm = (1 to 3).map(_ => ms(endpointFast())).min
       val scanWarm = (1 to 3).map(_ => ms(endpointScan())).min
-      println(f"| $n | ${labels(n)} | $build%.0f | $heapDelta%.0f | $reuse%.1f | $fastCold%.0f | $fastWarm%.0f | $scanWarm%.0f |")
+      println(f"| $n | ${labels.getOrElse(n, "—")} | $build%.0f | $heapDelta%.0f | $reuse%.1f | $fastCold%.0f | $fastWarm%.0f | $scanWarm%.0f |")
     }
     println("SERVE-SCALE-END")
     spark.stop()
