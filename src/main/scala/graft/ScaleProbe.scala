@@ -93,14 +93,21 @@ object ScaleProbe {
     // fixed per-query overhead), plus direct calls where the scale knob
     // (cluster count) must grow with the corpus. GRAFT_SCALE_OPS
     // (comma-separated) narrows a run to named ops — a two-decade probe
-    // of one family shouldn't pay the whole list.
+    // of one family shouldn't pay the whole list. Direct ops are named
+    // by the part before their parenthesized knob suffix, so the filter
+    // matches what the probe itself prints; empty entries are dropped
+    // (a set containing "" would prefix-match everything).
     val opFilter: Option[Set[String]] =
-      sys.env.get("GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("GRAFT_SCALE_OPS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+    def opSelected(name: String): Boolean =
+      opFilter.forall(_.contains(name.takeWhile(_ != '(')))
     val catalogOps: Seq[String] = Seq(
       "dd_exact", "dd_ngram_jaccard", "dd_minhash", "dd_simhash",
       "dd_decontam", "txt_repetition", "txt_stats", "emb_quant", "emb_kmeans",
       "txt_filter", "txt_idf")
-      .filter(op => opFilter.forall(_.contains(op)))
+      .filter(opSelected)
     def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq[(String, () => Long)](
       "dd_semdedup(k~sqrt n)" -> { () =>
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -125,11 +132,7 @@ object ScaleProbe {
         graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"), path)
         graft.text.Dedup
           .incrementalVerdicts(docs.filter(col("source") === "src0"), path).count()
-      }).filter { case (name, _) =>
-        // the filter matches direct-op names by their catalog-ish prefix
-        // (the parenthesized knob suffix is display-only)
-        opFilter.forall(f => f.exists(name.startsWith))
-      }
+      }).filter { case (name, _) => opSelected(name) }
 
     // warm the code paths once at the small size so JIT/codegen is out of
     // both measured columns equally
@@ -138,7 +141,7 @@ object ScaleProbe {
     directOps(dirs(n1), n1).foreach { case (_, f) => try f() catch { case _: Throwable => () } }
     // standing-index builds are write-path cost, not query cost — pre-build
     // at both sizes so the timed dd_incremental rows measure the read path
-    if (opFilter.forall(_.contains("dd_incremental"))) Seq(n1, n2).foreach { n =>
+    if (opSelected("dd_incremental(idx standing)")) Seq(n1, n2).foreach { n =>
       val dir = dirs(n)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       try graft.text.Dedup.ensureHashIndex(docs.filter(col("source") =!= "src0"),
@@ -176,7 +179,12 @@ object ScaleProbe {
       graft.vector.AnnIndex.forgetCached(p)
     }
     // a GRAFT_SCALE_OPS-focused run measures only its named ops — the
-    // standing-artifact section belongs to full runs
+    // standing-artifact section belongs to full runs. Say when a filter
+    // selected nothing at all (a typo'd name would otherwise print just
+    // the header and read as a clean empty run).
+    if (catalogOps.isEmpty && d1.isEmpty && opFilter.nonEmpty)
+      println(s"[scale] WARNING: GRAFT_SCALE_OPS=${opFilter.get.mkString(",")} " +
+        "matched no catalog or direct op — nothing was measured")
     val artifactSizes =
       if (opFilter.nonEmpty) Seq.empty
       else (Seq(n1, n2) ++ args.drop(2).headOption.map(_.toLong)).distinct

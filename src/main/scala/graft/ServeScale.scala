@@ -79,9 +79,11 @@ object ServeScale {
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(5000, 50000, 500000, 5000000))
     // JIT/codegen warmup outside the timed points: full pass over a
-    // throwaway smallest-size store
+    // throwaway SMALL store — always 5k, never sizes.head (a
+    // GRAFT_SERVE_SIZES=5000000 A/B run must not build the 5M store
+    // twice just to warm the JIT; the code paths are size-independent)
     locally {
-      val w = buildStore(spark, sizes.head)
+      val w = buildStore(spark, 5000)
       graft.model.Domain.pulseChainIndex(spark, w)
       (1 to 3).foreach { _ =>
         api.Endpoints.pulses(spark, w, api.Endpoints.PageParams(limit = 20)).collect()

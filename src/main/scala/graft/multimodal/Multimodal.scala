@@ -247,10 +247,15 @@ object Multimodal {
     * blobs among small ones still spread.
     *
     * The pre-pass prefers a `payload_bytes` metadata column when the
-    * frame carries one ([[syntheticMedia]] does; any real media table
-    * should — blob stores know their object sizes): the decision then
-    * reads a tiny long column through parquet column pruning instead of
-    * materializing every blob to measure `length(payload)`. The
+    * frame carries one (any real media table should — blob stores know
+    * their object sizes): against a STORED table the decision then reads
+    * a tiny long column through parquet column pruning instead of
+    * materializing every blob to measure `length(payload)`. Note the
+    * caveat the schema can't express: the saving needs the column to be
+    * physically stored — [[syntheticMedia]] carries it, but there it is
+    * length()-DERIVED from the in-flight payload, so Catalyst still
+    * encodes every blob to evaluate it (the column documents the
+    * contract; the saving is real only past a parquet boundary). The
     * length-based fallback remains for size-less sources.
     */
   def extractFeatures(media: DataFrame,
