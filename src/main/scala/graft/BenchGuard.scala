@@ -39,8 +39,48 @@ import scala.jdk.CollectionConverters._
   */
 object BenchGuard {
 
+  /** The standing best-clean-artifact file (see [[reference]]). */
+  val BestArtifactName = "BENCH_BEST.json"
+
   /** A committed pass to compare against: total + per-query seconds. */
   final case class PassRef(total: Double, perQuery: Map[String, Double], artifact: String)
+
+  /** Replace `BENCH_BEST.json` with this run's artifact when the run is
+    * eligible (error-free, no unresolved contention verdict) and
+    * STRICTLY faster than the standing best at the same SF — monotone
+    * improvement, so no amount of host contention can degrade the
+    * baseline future passes referee against. A code change that
+    * legitimately slows the engine leaves the old best standing; the
+    * per-query referee then retries the slowed rows once and publishes
+    * their (still slow) minimum — a real regression is delayed one
+    * duplicate execution of ≤ [[focalSuspects]]'s retry cap, never
+    * hidden. Returns true when the file was replaced.
+    */
+  def maybeUpdateBest(dir: java.nio.file.Path, json: String, total: Double,
+      eligible: Boolean, sf: String): Boolean = {
+    if (!eligible || total <= 0) return false
+    val p = dir.resolve(BestArtifactName)
+    val better =
+      if (!java.nio.file.Files.isRegularFile(p)) true
+      else {
+        val standing = try Some(java.nio.file.Files.readString(p))
+          catch { case _: Throwable => None }
+        standing match {
+          // a best recorded at ANOTHER sf is someone else's baseline —
+          // an sf0.001 experiment must never clobber the gate SF's best
+          case Some(s) if !s.contains(s""""sf":"$sf"""") => false
+          case Some(s) =>
+            parsePass(s, "value", "queries").forall(total < _._1)
+          case None => true // unreadable file: replace with a clean run
+        }
+      }
+    if (better)
+      try {
+        java.nio.file.Files.write(dir.resolve(BestArtifactName), json.getBytes("UTF-8"))
+        true
+      } catch { case _: Throwable => false }
+    else false
+  }
 
   /** Verdict of one comparison. `compared` is how many queries were
     * eligible — below `minCompared` the detector abstains (a reshaped
@@ -50,6 +90,41 @@ object BenchGuard {
       inflatedFrac: Double, compared: Int)
 
   val NoSignature: Signature = Signature(contended = false, -1.0, -1.0, 0)
+
+  /** One per-query focal suspect: a row the committed reference says
+    * should be fast, measured inflated this pass.
+    */
+  final case class Focal(name: String, refSec: Double, firstSec: Double)
+
+  /** FOCAL-contention suspects of `cur` against `ref` — the blind spot
+    * of [[signature]]'s uniform detector, measured in the r15 gate
+    * artifact: a loaded box (load1 11) inflated a MINORITY of rows
+    * (ann_* 2–3× on 0.1–0.4 s bases, `inflated_frac` 0.14), so the
+    * whole-pass referee correctly did not trip, yet the headline total
+    * moved 14.3 → 23.9 s on pure sub-second-row noise. The per-query
+    * referee names exactly those rows: reference time ≥ `minRefSec`
+    * (sub-50 ms rows are noise both ways) and this pass's time more
+    * than `queryFactor` over it. The caller re-runs each suspect once
+    * and keeps the per-query MIN — a genuinely regressed query is slow
+    * on both attempts, so the min still publishes the regression, while
+    * a burst must land on the same row twice to survive.
+    *
+    * Bounded at `maxRetries`, slowest absolute inflation first, so the
+    * retry budget binds on seconds recoverable — and so a pass inflated
+    * almost everywhere (which the uniform detector owns) cannot turn
+    * this into a full second pass.
+    */
+  def focalSuspects(
+      cur: Seq[(String, Double)],
+      ref: PassRef,
+      minRefSec: Double = 0.05,
+      queryFactor: Double = 1.5,
+      maxRetries: Int = 16): Seq[Focal] =
+    cur.flatMap { case (n, t) =>
+      ref.perQuery.get(n)
+        .filter(r => r >= minRefSec && t > r * queryFactor)
+        .map(r => Focal(n, r, t))
+    }.sortBy(f => -(f.firstSec - f.refSec)).take(maxRetries)
 
   /** Uniform-inflation test of `cur` against `ref` (see object doc). */
   def signature(
@@ -100,9 +175,17 @@ object BenchGuard {
   def cleanFailed(json: String): Boolean = json.contains("\"failed\":[]")
 
   /** The reference pass for `totalField`/`queriesField`, from the newest
-    * three committed `BENCH_FULL_r*.json` under `dir`: error-free
-    * artifacts preferred, smallest total wins (a contended committed
-    * artifact loses to any clean sibling). Only artifacts measured at
+    * three committed `BENCH_FULL_r*.json` under `dir` plus the standing
+    * `BENCH_BEST.json` (the best clean artifact this code has ever
+    * measured — maintained by the bench itself, replaced only by a
+    * strictly faster error-free uncontended run, so a contended gate
+    * run can never poison it AND can never evict the clean baseline the
+    * way it evicts its round's `BENCH_FULL_r*` slot: r15's clean
+    * 14.3 s artifact was overwritten in the working tree by the
+    * driver's 23.9 s load1-11 run, leaving the newest-3 window with no
+    * clean row under 21 s to referee against). Error-free artifacts
+    * preferred, smallest total wins (a contended committed artifact
+    * loses to any clean sibling). Only artifacts measured at
     * the SAME scale factor referee (`sf` — a 10x-bigger SF inflates
     * every query uniformly, exactly the signature, so a cross-SF
     * comparison would reject every legitimate scale run). None when no
@@ -119,7 +202,12 @@ object BenchGuard {
         }.toVector.sortBy(-_._1).take(3)
         finally s.close()
       } catch { case _: Throwable => Vector.empty }
-    val parsed = files.flatMap { case (_, p) =>
+    val best = {
+      val p = dir.resolve(BestArtifactName)
+      if (java.nio.file.Files.isRegularFile(p)) Vector((Int.MaxValue, p))
+      else Vector.empty
+    }
+    val parsed = (files ++ best).flatMap { case (_, p) =>
       try {
         val json = java.nio.file.Files.readString(p)
         val sfOk = sf.forall(want => json.contains(s""""sf":"$want""""))

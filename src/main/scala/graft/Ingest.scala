@@ -67,9 +67,12 @@ import graft.ingest.{Canonicalize, GrpcTransport, PulseWriter, Resilience, Table
   * [[Daemon.seed]]; the reference's controller likewise registers only
   * incomplete pulses, `etl/controller/controller.go:124-132`). Writes
   * go through bucket-partitioned dynamic overwrite (`pulse_bucket`
-  * spans [[Config.flushBucketSpan]] pulse numbers): a flush rewrites
-  * only the buckets containing changed pulses — bounded forever,
-  * however long the daemon runs.
+  * spans [[Config.flushBucketSpan]] pulse numbers at first; the span is
+  * a STORE property persisted in `_frontier.json` and coarsened by a
+  * seed-time re-bucketing migration once history outgrows
+  * [[Config.maxPulseBuckets]] dirs — see [[spanForExtent]]): a flush
+  * rewrites only the buckets containing changed pulses — bounded
+  * forever, however long the daemon runs.
   *
   * 100 TB shape: the per-pulse record set is bounded by the pulse
   * cadence (the reference holds it in one goroutine's memory the same
@@ -94,9 +97,36 @@ object Ingest {
       batchSize: Int = 100, // extractor portion size (main.go:79)
       fetchBackoffMs: Long = 200L, // in-fetch reopen backoff
       pulseDelta: Long = 10L,
-      flushBucketSpan: Long = 100000L, // pulses-table partition span
+      flushBucketSpan: Long = 100000L, // pulses-table partition span (base)
+      maxPulseBuckets: Int = 64, // re-bucket the dimension past this many dirs
       headProbeAfter: Int = 3, // consecutive NOT_FOUNDs before probing past a hole
       headProbeSpan: Int = 8) // how many pulses ahead one probe looks
+
+  /** Bucket span for a pulses dimension covering pulse numbers
+    * [lo, hi]: the smallest power-of-ten multiple of `base` that keeps
+    * the partition-directory count at or under `maxBuckets`.
+    *
+    * Why a store-size-dependent span is the DEFAULT (r15's ServeScale
+    * A/B, now wired in rather than left as the `GRAFT_SERVE_SPAN` env
+    * knob): the pulses dimension grows one row per 10 s pulse forever,
+    * and at 5M pulses the fixed base span leaves 500 partition dirs
+    * whose plan width is what the `GET /pulses` fast path pays — 10×
+    * coarser buckets measured fast-warm 283 → 209 ms on the same store.
+    * Coarser buckets cost nothing the other way at these sizes: a
+    * bucket rewrite is the dirty-bucket flush unit, and even the 10×
+    * span holds ≤ 100k pulses ≈ a few MB of rows per bucket. Bulk
+    * builders size the span from the extent they are about to write;
+    * the daemon adopts the span persisted in `_frontier.json` and
+    * re-buckets at seed when history has outgrown it (see
+    * [[Daemon.seed]]).
+    */
+  def spanForExtent(lo: Long, hi: Long, base: Long = 100000L,
+      maxBuckets: Int = 64): Long = {
+    require(base > 0 && maxBuckets > 0, s"spanForExtent($base, $maxBuckets)")
+    var s = base
+    while (hi / s - lo / s + 1 > maxBuckets && s <= Long.MaxValue / 10) s *= 10
+    s
+  }
 
   /** Driver-held register row: the reference's `jetDropRegister` entry
     * plus the pulse bookkeeping its storage rows carry. `jetDropAmount`
@@ -152,6 +182,14 @@ object Ingest {
     // [[flushTo]]); writes happen under `writeLock`, the seed reads it
     // single-threaded before the loops start
     @volatile private var summarized: Option[(Long, Long)] = None
+    // the span the ON-DISK pulse_bucket= dirs were written with — a
+    // STORE property, not a config constant: every dirty-bucket flush
+    // must address the same dirs the data lives in, so the span rides
+    // `_frontier.json` and changes only through the staged full-rewrite
+    // migration in [[seed]] (re-bucketing when history outgrows
+    // cfg.maxPulseBuckets). A store with no persisted span (legacy, or
+    // pre-r16) keeps the config base span it was written with.
+    @volatile private var bucketSpan: Long = cfg.flushBucketSpan
 
     // ---- observability (the spec's and main's read surface) ------------
 
@@ -240,7 +278,26 @@ object Ingest {
       }
       if (!fs.exists(pulsesPath)) return
       val summary = readFrontier(fs, pulsesPath)
-      summarized = summary
+      summarized = summary.map(s => (s._1, s._2))
+      // adopt the span the on-disk dirs were written with BEFORE any
+      // bucket arithmetic below (absent on pre-r16 stores → config base)
+      summary.flatMap(_._3).foreach(s => bucketSpan = s)
+      // has the dimension outgrown its span? One cheap driver-side count
+      // of the CURRENT bucket dirs (manifest partitions when manifested,
+      // else one listing), once per start. Past cfg.maxPulseBuckets the
+      // store re-buckets at the extent-sized span via the staged full
+      // rewrite below — the measured ServeScale remedy (500 dirs → 50 at
+      // 5M pulses, fast-warm 283 → 209 ms) as write-side default, no env
+      // knob. Growth between restarts is bounded by cadence (outgrowing
+      // 64 base-span buckets takes ~74 days of 10 s pulses), so
+      // seed-time is the right cadence for the rewrite.
+      val needCoarsen = {
+        val count = TableManifest.latest(fs, s"$basePath/pulses")
+          .map(_.partitions.keysIterator.count(_.startsWith("pulse_bucket=")))
+          .getOrElse(fs.listStatus(pulsesPath)
+            .count(st => st.isDirectory && st.getPath.getName.startsWith("pulse_bucket=")))
+        count > cfg.maxPulseBuckets
+      }
       // manifest-aware: a steady-state flush appends generations and the
       // snapshot manifest says which files are current — a raw directory
       // read here would double-count superseded buckets. Legacy stores
@@ -257,8 +314,9 @@ object Ingest {
       // one staged full rewrite instead (same machinery as flat->bucketed)
       val legacySchema = !pulsesDf.schema.fieldNames.contains("result_amount")
       val bounded = summary match {
-        case Some((_, frontierBucket))
-            if !legacySchema && pulsesDf.schema.fieldNames.contains("pulse_bucket") =>
+        case Some((_, frontierBucket, _))
+            if !needCoarsen && !legacySchema &&
+              pulsesDf.schema.fieldNames.contains("pulse_bucket") =>
           // frontier buckets only, partition-pruned; the bucket partition
           // column reads back as its directory-inferred type (IntegerType
           // when the values fit), so the probe literal must match it for
@@ -268,7 +326,9 @@ object Ingest {
                 org.apache.spark.sql.types.IntegerType) frontierBucket.toInt
             else frontierBucket
           pulsesDf.filter(col("pulse_bucket") >= lit(lit0))
-        case _ => pulsesDf // legacy/flat/hand-built store: full read
+        // legacy/flat/hand-built store OR a re-bucketing migration
+        // (which must stage the WHOLE dimension): full read
+        case _ => pulsesDf
       }
       val rows = bounded.collect()
       lock.synchronized {
@@ -379,7 +439,20 @@ object Ingest {
           }
         }
       }
-      if (flat || legacySchema) {
+      if (flat || legacySchema || needCoarsen) {
+        if (needCoarsen)
+          System.err.println(s"[ingest] pulses dimension outgrew its bucket " +
+            s"span (> ${cfg.maxPulseBuckets} dirs) — re-bucketing at the " +
+            s"extent-sized span via the staged migration")
+        // every full rewrite adopts the extent-sized span: this IS the
+        // re-bucketing migration when needCoarsen, and a no-op for small
+        // flat/legacy stores (spanForExtent returns the base span until
+        // the extent genuinely needs coarser dirs)
+        lock.synchronized {
+          if (entries.nonEmpty)
+            bucketSpan = spanForExtent(entries.firstKey, entries.lastKey,
+              cfg.flushBucketSpan, cfg.maxPulseBuckets)
+        }
         // Rewrite IMMEDIATELY (threads are not running yet) and CRASH-SAFE:
         // stage the full bucketed table to the sibling path, then swap.
         // A persisted copy of the dimension exists at every instant — the
@@ -395,6 +468,25 @@ object Ingest {
         if (!fs.rename(migrating, pulsesPath))
           throw new java.io.IOException(
             s"migration rename failed: $migrating -> $pulsesPath")
+        // the old summary went with the old directory AND spoke old span
+        // units — it must not govern the next flush's lowering guard.
+        // The next steady-state flush rewrites it (with the new span).
+        summarized = None
+        // the full read that fed a RE-BUCKETING rewrite must not stay
+        // resident (the register's contract is open-frontier-bounded
+        // memory; a 5M-pulse history would hold ~5M entries forever):
+        // evict entries strictly below the frontier bucket — all closed
+        // by the prefix property, their rows just rewritten to disk, and
+        // no flush can touch their buckets (dirty ⊆ register). The
+        // flat/legacy paths keep their historical keep-everything
+        // behavior (small stores by construction).
+        if (needCoarsen) lock.synchronized {
+          if (entries.nonEmpty) {
+            val fb = open.headOption.getOrElse(entries.lastKey) / bucketSpan
+            entries.keysIterator.takeWhile(_ < fb * bucketSpan).toVector
+              .foreach(entries.remove)
+          }
+        }
       }
     }
 
@@ -773,9 +865,9 @@ object Ingest {
           // points at or below the true frontier — stale-low is safe,
           // the seed just reads a superset.
           val frontierBucket = open.headOption.getOrElse(entries.lastKey) /
-            cfg.flushBucketSpan
+            bucketSpan
           val frontier = (seqPulse, frontierBucket)
-          val dirtyBuckets = dirty.map(_ / cfg.flushBucketSpan).toSet
+          val dirtyBuckets = dirty.map(_ / bucketSpan).toSet
           // next link: the key successor, when it points back at us — an
           // O(log n) probe per staged row instead of an O(history) index
           def nextOf(p: Long): Long =
@@ -785,7 +877,7 @@ object Ingest {
           // TreeMap range per dirty bucket: staging cost is bounded by
           // the dirty buckets' sizes, never the table's history
           val rows = dirtyBuckets.toSeq.sorted.flatMap { b =>
-            entries.range(b * cfg.flushBucketSpan, (b + 1) * cfg.flushBucketSpan)
+            entries.range(b * bucketSpan, (b + 1) * bucketSpan)
               .iterator.map { case (p, e) =>
                 Row(p, e.prev, nextOf(p), e.complete, e.sequential,
                   e.jetDropAmount, e.recordAmount, e.resultAmount,
@@ -883,8 +975,11 @@ object Ingest {
       val tmp = new org.apache.hadoop.fs.Path(dir, "._frontier.json.tmp")
       val dst = new org.apache.hadoop.fs.Path(dir, "_frontier.json")
       val out = fs.create(tmp, true)
+      // the span rides the summary (see `bucketSpan`): bucket numbers in
+      // this JSON and in the pulse_bucket= dirs are meaningless without
+      // the span that derived them
       try out.write(
-        s"""{"seq_pulse":$seq,"frontier_bucket":$frontierBucket}"""
+        s"""{"seq_pulse":$seq,"frontier_bucket":$frontierBucket,"span":$bucketSpan}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (fs.exists(dst)) fs.delete(dst, false)
@@ -893,10 +988,11 @@ object Ingest {
     }
 
     /** Parse the flush-time frontier summary; any absence or damage reads
-      * as None (→ full-seed fallback).
+      * as None (→ full-seed fallback). The span field is absent on
+      * pre-r16 stores (→ config base span).
       */
     private def readFrontier(fs: org.apache.hadoop.fs.FileSystem,
-        pulsesPath: org.apache.hadoop.fs.Path): Option[(Long, Long)] = {
+        pulsesPath: org.apache.hadoop.fs.Path): Option[(Long, Long, Option[Long])] = {
       val f = new org.apache.hadoop.fs.Path(pulsesPath, "_frontier.json")
       if (!fs.exists(f)) None
       else try {
@@ -908,9 +1004,10 @@ object Ingest {
           while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
           buf.toString("UTF-8")
         } finally in.close()
-        val re = """\{"seq_pulse":(-?\d+),"frontier_bucket":(-?\d+)\}""".r
+        val re = """\{"seq_pulse":(-?\d+),"frontier_bucket":(-?\d+)(?:,"span":(\d+))?\}""".r
         text.trim match {
-          case re(seq, bucket) => Some((seq.toLong, bucket.toLong))
+          case re(seq, bucket, span) =>
+            Some((seq.toLong, bucket.toLong, Option(span).map(_.toLong)))
           case _ => None
         }
       } catch { case _: Throwable => None }

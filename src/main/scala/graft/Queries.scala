@@ -468,6 +468,50 @@ object Queries {
     * df-capped shingle space (stop-shingles carry no dedup signal and make
     * the self-join quadratic — see [[graft.text.Dedup.capDf]]).
     */
+  // n-gram→minhash scale hand-off advisory (the r15 verdict's task 3):
+  // SCALE.md says "use dd_minhash at this scale" about the i=1 collision
+  // term that keeps dd_ngram_jaccard at 13.2× per decade at 5M docs —
+  // these knobs make the query itself SAY it when it applies. Checked
+  // once per dataset dir per JVM; corpora under MinDocs skip even the
+  // doc count's follow-up (the gate SFs and sf1 — 50k docs — pay one
+  // metadata-cheap count and nothing else). Above it, one extra
+  // map-side-combined aggregate over the capped shingle stream measures
+  // the TRUE candidate-pair count Σ C(df,2); more than PairsPerDoc
+  // candidates per document means the collision term (not the near-dup
+  // mass) dominates the join — measured 3.1 pairs/doc at the 5M-doc
+  // probe vs 0.3 at 500k, so the advisory fires exactly one decade after
+  // the last silent point.
+  val NgramAdvisoryMinDocs = 200000L
+  val NgramAdvisoryPairsPerDoc = 1.0
+  private val ngramAdvisedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Measure-and-log form of the advisory — also the ScaleProbe/spec
+    * entry point. Returns the stats when the advisory FIRED (corpus at
+    * or above `minDocs` and measured candidate pairs above
+    * `pairsPerDoc × nDocs`), None when silent.
+    */
+  private[graft] def ngramScaleAdvisory(capped: org.apache.spark.sql.DataFrame,
+      nDocs: Long, minDocs: Long = NgramAdvisoryMinDocs,
+      pairsPerDoc: Double = NgramAdvisoryPairsPerDoc)
+      : Option[graft.text.Dedup.NgramScaleStats] = {
+    if (nDocs < minDocs) None
+    else {
+      val st = graft.text.Dedup.ngramScaleStats(capped, "sh", nDocs)
+      if (st.pairsPerDoc > pairsPerDoc) {
+        System.err.println(f"[graft] dd_ngram_jaccard SCALE ADVISORY: " +
+          f"${st.candidatePairs}%.3g candidate pairs for ${st.nDocs}%d docs " +
+          f"(${st.pairsPerDoc}%.1f/doc over ${st.distinctShingles}%d distinct " +
+          f"shingles) — the corpus is large against its shingle space and " +
+          f"random single-shingle collisions dominate the candidate stream " +
+          f"(n²/|space| — grows a decade per decade of corpus). Use " +
+          f"dd_minhash for near-dup detection at this scale; the exact " +
+          f"n-gram path is the oracle and small-corpus tool.")
+        Some(st)
+      } else None
+    }
+  }
+
   val ddNgramJaccard: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     // Shingles come pre-hashed to 64-bit keys from the native one-pass
@@ -490,6 +534,10 @@ object Queries {
     // existing exchange and the join-backs touch only candidate pairs.
     // No broadcast hint: sizes is one row per document and grows with the
     // corpus — AQE picks broadcast exactly while it actually fits.
+    // once per dir per JVM: the scale hand-off advisory (see above). The
+    // doc count is metadata-cheap; the candidate-pair measurement only
+    // runs past MinDocs, so the oracle-gated SFs pay ~nothing.
+    if (ngramAdvisedDirs.add(dir)) ngramScaleAdvisory(capped, docs.count())
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val agged = capped.as("a").join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -758,7 +806,14 @@ object Queries {
     * per document) and hit an agg-spill cliff on realistic corpora:
     * ScaleProbe measured it 25.5× for the 10× 50k→500k step (22.1 s at
     * 500k), vs ~2.6× (2.2 s) for this shape on the same corpus.
-    * Result-identical: distinct pairs per doc = distinct tokens per doc.
+    * Result-identical: distinct pairs per doc = distinct tokens per doc
+    * — PROVIDED each documents row is one document, which holds here by
+    * table contract (doc_id is the documents table's primary key in the
+    * testdata, the ScaleProbe corpora, and any store this engine writes;
+    * the old global `distinct()` would additionally have collapsed
+    * duplicated doc_id ROWS, so a caller feeding a non-keyed frame — say
+    * an un-deduplicated union — must pre-dedup on doc_id or df
+    * double-counts those docs).
     */
   val txtIdf: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
@@ -918,6 +973,16 @@ object Queries {
   private def captureEmbLsh(dir: String, bits: Int, tables: Int): Unit = {
     embLshSizesByDir.put(dir, (bits, tables)); captureDir = dir
   }
+
+  /** Test-visible read of the captured dd_embed_lsh geometry for `dir` —
+    * RecallInvariantsSpec asserts the oracle's plane-literal count
+    * against THIS (the sizes the query actually ran with) instead of
+    * re-deriving bits/tables or grepping SQL formatting, so a future
+    * DOUBLE[] literal elsewhere in the oracle cannot silently skew the
+    * pin (ADVICE r15).
+    */
+  private[graft] def capturedEmbLshSizes(dir: String): Option[(Int, Int)] =
+    Option(embLshSizesByDir.get(dir))
 
   val annIvf: Q = (s, dir) => {
     val emb = Domain.embeddings(s, dir)

@@ -34,14 +34,17 @@ object ServeScale {
       gen.Fixtures.multiPulseBatches(spark, 3, 40, startPulse = start),
       base, collectDrops = false)
     // the pulses dimension at n rows, flushed exactly like the daemon:
-    // bucket-partitioned manifested append (flushBucketSpan pulse numbers
-    // per bucket), so reads resolve through the manifest path.
-    // GRAFT_SERVE_SPAN overrides the span — the curve's 5M point showed
-    // the fast path paying partition-count plan width (500 buckets), and
-    // the documented remedy is a coarser span for deep history; this
-    // knob measures that remedy instead of asserting it
+    // bucket-partitioned manifested append, so reads resolve through the
+    // manifest path. The span is the WRITE-SIDE DEFAULT — r15 measured
+    // the remedy behind an env knob (10× coarser buckets at 5M pulses:
+    // fast-warm 283→209 ms, the fast path pays partition-count plan
+    // width); r16 wires [[Ingest.spanForExtent]] as the default for bulk
+    // builds and the daemon's seed-time re-bucketing, so this probe now
+    // measures what a store actually gets with NO knob set.
+    // GRAFT_SERVE_SPAN still overrides for A/Bs.
     val span = sys.env.get("GRAFT_SERVE_SPAN").map(_.toLong)
-      .getOrElse(Ingest.Config().flushBucketSpan)
+      .getOrElse(Ingest.spanForExtent(start, start + 10L * n,
+        Ingest.Config().flushBucketSpan, Ingest.Config().maxPulseBuckets))
     val dim = spark.range(n.toLong).select(
       (lit(start) + col("id") * 10L).as("pulse_number"),
       (lit(start) + (col("id") - 1L) * 10L).as("prev_pulse_number"),

@@ -263,8 +263,29 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     val blobs = media.select(col("media_id"), col("modality"), col("payload"))
+    // Trusted-metadata contract, with a cheap spot check (ADVICE r15):
+    // the schema can carry a stale or wrong payload_bytes (a re-encoded
+    // store whose metadata column survived, a size recorded
+    // pre-compression), which would silently skew the shuffle/no-shuffle
+    // decision below — perf-only, but exactly the kind of quiet
+    // misplanning this pre-pass exists to avoid. Eight rows through a
+    // limit (one file's head, never a scan) compare the column against
+    // the blob's real length; any row off by more than 20% routes the
+    // decision to measured lengths for this call. Eight blobs is the
+    // whole cost — the metadata column's pruning saving on the full
+    // table stands.
+    val metaTrusted = media.schema.fieldNames.contains("payload_bytes") && {
+      try media.select(
+          coalesce(col("payload_bytes").cast("long"), lit(-1L)).as("m"),
+          coalesce(length(col("payload")).cast("long"), lit(-1L)).as("l"))
+        .limit(8).collect().forall { r =>
+          val (m, l) = (r.getLong(0), r.getLong(1))
+          m == l || (m >= 0 && l >= 0 && math.abs(m - l) <= math.max(m, l) / 5)
+        }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
     val sizeCol =
-      if (media.schema.fieldNames.contains("payload_bytes"))
+      if (metaTrusted)
         media.select(spark_partition_id().as("p"),
           coalesce(col("payload_bytes").cast("long"), lit(0L)).as("b"))
       else

@@ -206,6 +206,35 @@ object Dedup {
     rows.join(broadcast(hot.select(col(keyCol))), Seq(keyCol), "left_anti")
   }
 
+  /** Corpus-vs-shingle-space statistics for the exact n-gram Jaccard
+    * path — the measured basis of its scale advisory. The candidate
+    * stream out of the inverted-index self-join is EXACTLY
+    * Σ_sh C(df_sh, 2) rows; once the corpus is large against its
+    * distinct-shingle space, RANDOM single-shingle collisions make that
+    * sum grow ∝ n²/|space| (the r15 500k→5M-doc probe measured the step
+    * at 13.2× even after the lossless i=1 prefilter), and the honest
+    * at-scale near-dup path is MinHash ([[minhashPairs]]), whose band
+    * buckets hash a 2^64 domain and cannot saturate this way. This
+    * aggregate turns that documented advice into a measured, loggable
+    * verdict: one map-side-combined pass over the capped shingle rows
+    * (≤ distinct-shingle rows reach the reduce side).
+    */
+  final case class NgramScaleStats(nDocs: Long, distinctShingles: Long,
+      candidatePairs: Double) {
+    def pairsPerDoc: Double = candidatePairs / math.max(1L, nDocs).toDouble
+  }
+
+  def ngramScaleStats(capped: DataFrame, keyCol: String, nDocs: Long): NgramScaleStats = {
+    val r = capped.groupBy(col(keyCol)).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("d"),
+        sum(col("df").cast("double") * (col("df") - lit(1)).cast("double") / 2.0)
+          .as("pairs"))
+      .head()
+    NgramScaleStats(nDocs,
+      if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
   /** Pack an ordered candidate pair (a < b) into ONE long grouping key —
     * the candidate-count aggregate is the widest shuffle of the near-dup
     * pipelines (one row per co-occurring pair per shingle before the

@@ -78,17 +78,48 @@ object CosineDedup {
     * at scale, and a pipeline that can tolerate τ≈0.8 (ρ≈0.33) should.
     */
   def bitsFor(n: Long, threshold: Double, targetRecall: Double = 0.95,
-      dim: Int = 64): Int = {
+      dim: Int = 64, shuffleUnit: Double = 500.0, pairUnit: Double = 60.0): Int = {
     def cost(bits: Int): Double = {
-      val l = tablesFor(threshold, bits, targetRecall).toDouble
       // weighted terms, calibrated coarsely against the measured sf1
       // curve: a banded row costs its signature flops (bits×dim, native
-      // kernel) plus ~500 units of shuffle/row overhead; a candidate
-      // pair costs ~60 units through the join + distinct + verify
-      l * n * (bits.toDouble * dim + 500.0) +
-        l * n.toDouble * n.toDouble / math.pow(2.0, bits) * 60.0
+      // kernel) plus ~shuffleUnit units of row overhead through the
+      // shuffle; a candidate pair costs ~pairUnit units through the
+      // join + distinct + verify.
+      //
+      // SENSITIVITY of the argmin to that coarse calibration, computed
+      // over the full (500, 60) ±4× grid — every combination of
+      // shuffleUnit ∈ {125, 500, 2000} × pairUnit ∈ {15, 60, 240} — at
+      // τ=0.45, recall 0.97, dim 64 (pinned in CosineDedupIvfSpec):
+      //
+      //   n       argmin(baseline)   argmin range over the grid
+      //   5e3     7                  4..10
+      //   5e5     14                 11..16
+      //   5e7     20                 17..22
+      //   5e9     24                 24 (the search-ceiling clamp)
+      //
+      // The argmin moves at most ±3 bits under any ±4× mis-weighting,
+      // and — the claim that matters — the baseline-chosen bits, COSTED
+      // UNDER the perturbed weights, stays within 1.94× of that weight
+      // set's own optimum (worst case over the whole grid; same-
+      // direction miscalibration, the realistic kind when both constants
+      // were fitted on one box, stays under 1.3×). The model only has to
+      // rank 21 integer choices on a cost curve that is flat near its
+      // minimum, so being 4× wrong about either constant costs tens of
+      // percent, never the 10–140× cliff the sizing exists to avoid.
+      modeledCost(n, threshold, targetRecall, dim, bits, shuffleUnit, pairUnit)
     }
     (4 to 24).minBy(cost)
+  }
+
+  /** The modeled cost at `bits` — exposed so the sensitivity pin in
+    * CosineDedupIvfSpec asserts the comment's numbers against the code
+    * instead of restating the formula.
+    */
+  private[graft] def modeledCost(n: Long, threshold: Double, targetRecall: Double,
+      dim: Int, bits: Int, shuffleUnit: Double, pairUnit: Double): Double = {
+    val l = tablesFor(threshold, bits, targetRecall).toDouble
+    l * n * (bits.toDouble * dim + shuffleUnit) +
+      l * n.toDouble * n.toDouble / math.pow(2.0, bits) * pairUnit
   }
 
   /** [[lshPairs]] with corpus-sized parameters: one metadata-cheap

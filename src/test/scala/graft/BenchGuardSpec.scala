@@ -43,6 +43,67 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.signature(renamed, ref) == BenchGuard.NoSignature)
   }
 
+  test("focalSuspects names exactly the rows the reference says should " +
+      "be fast but measured inflated — the r15 gate-artifact shape the " +
+      "uniform detector is blind to") {
+    // reference: mostly 0.3s rows; current pass: 4 rows inflated 2-3x
+    // (focal), everything else inside noise — inflated_frac ~0.07 would
+    // never trip signature(), yet the total moved by the focal rows
+    val cur = (1 to 60).map { i =>
+      s"q$i" -> (if (i <= 4) 0.3 * (i + 1) else 0.31)
+    }
+    val suspects = BenchGuard.focalSuspects(cur, ref)
+    assert(suspects.map(_.name) == Seq("q4", "q3", "q2", "q1"),
+      s"slowest absolute inflation first: $suspects")
+    assert(!BenchGuard.signature(cur, ref).contended,
+      "the whole-pass referee must NOT own this shape — that is the point")
+  }
+
+  test("focalSuspects is bounded, skips sub-minRefSec reference rows, " +
+      "and abstains without a reference row") {
+    val manyInflated = (1 to 60).map(i => s"q$i" -> 0.9) // 3x everywhere
+    assert(BenchGuard.focalSuspects(manyInflated, ref).length == 16,
+      "the retry budget caps at maxRetries even when everything inflates")
+    val tinyRef = BenchGuard.PassRef(1.0, Map("q1" -> 0.01), "x")
+    assert(BenchGuard.focalSuspects(Seq("q1" -> 1.0), tinyRef).isEmpty,
+      "a sub-50ms reference row is noise in both directions")
+    assert(BenchGuard.focalSuspects(Seq("new_query" -> 9.0), ref).isEmpty,
+      "a query the reference never measured has no focal verdict")
+  }
+
+  test("min-merge over a focal retry publishes a genuine regression: " +
+      "slow on both executions stays slow") {
+    // the policy is min(first, retry) per suspect — simulate a real 4x
+    // regression (retry also slow) vs a burst (retry back to reference)
+    val regressedRetry = math.min(1.2, 1.19) // both executions ~4x of 0.3
+    assert(regressedRetry > 0.3 * 1.5, "the published number still shows it")
+    val burstRetry = math.min(1.2, 0.31)
+    assert(burstRetry < 0.3 * 1.5, "a one-off burst is repaired")
+  }
+
+  test("maybeUpdateBest is monotone per SF: only a strictly faster " +
+      "error-free run replaces the standing best, and another SF's run " +
+      "never clobbers it") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-best")
+    def art(total: Double, sf: String) =
+      s"""{"value":$total,"queries":{"a":$total},"failed":[],"sf":"$sf"}"""
+    assert(BenchGuard.maybeUpdateBest(dir, art(14.3, "/d/sf0.1"), 14.3,
+      eligible = true, sf = "/d/sf0.1"), "first clean run seeds the best")
+    assert(!BenchGuard.maybeUpdateBest(dir, art(23.9, "/d/sf0.1"), 23.9,
+      eligible = true, sf = "/d/sf0.1"), "a slower run never replaces it")
+    assert(!BenchGuard.maybeUpdateBest(dir, art(2.0, "/d/sf0.001"), 2.0,
+      eligible = true, sf = "/d/sf0.001"),
+      "an experiment at another SF must not evict the gate SF's baseline")
+    assert(!BenchGuard.maybeUpdateBest(dir, art(1.0, "/d/sf0.1"), 1.0,
+      eligible = false, sf = "/d/sf0.1"), "ineligible (errored/contended) never writes")
+    assert(BenchGuard.maybeUpdateBest(dir, art(12.0, "/d/sf0.1"), 12.0,
+      eligible = true, sf = "/d/sf0.1"), "a faster clean run replaces it")
+    val Some(best) = BenchGuard.reference(dir, "value", "queries",
+      sf = Some("/d/sf0.1"))
+    assert(best.artifact == BenchGuard.BestArtifactName && best.total == 12.0,
+      s"reference() must see the standing best: $best")
+  }
+
   private val sample =
     """{"metric":"total","value":18.366,"unit":"sec","queries":{"q1_agg":0.123,"dd_minhash":1.204},""" +
     """"failed":[],"load1_cold_before":1.2,"warm_total":14.674,""" +

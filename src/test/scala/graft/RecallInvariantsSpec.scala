@@ -55,16 +55,25 @@ class RecallInvariantsSpec extends SparkSpec {
     // generated replay must interpolate the same sizes — one plane row
     // per (table, bit), each a dim-64 DOUBLE[] literal
     Queries.catalog("dd_embed_lsh")(spark, dir).count()
+    // the CAPTURE is the truth about what the query ran with — assert
+    // the derivation against it, then count the oracle's plane rows by
+    // their full (table,bit,CAST([ shape so an unrelated DOUBLE[]
+    // literal added to this oracle later cannot inflate the count
+    // (ADVICE r15)
+    val (bits, tables) = Queries.capturedEmbLshSizes(dir)
+      .getOrElse(fail("dd_embed_lsh ran but captured no (bits, tables)"))
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    val bits = graft.vector.CosineDedup.bitsFor(
-      n, Queries.EmbLshThreshold, Queries.EmbLshTargetRecall, dim = 64)
-    val tables = graft.vector.CosineDedup.tablesFor(
-      Queries.EmbLshThreshold, bits, Queries.EmbLshTargetRecall)
+    assert(bits == graft.vector.CosineDedup.bitsFor(
+      n, Queries.EmbLshThreshold, Queries.EmbLshTargetRecall, dim = 64),
+      "captured bits must equal the deterministic corpus-sized choice")
+    assert(tables == graft.vector.CosineDedup.tablesFor(
+      Queries.EmbLshThreshold, bits, Queries.EmbLshTargetRecall),
+      "captured tables must equal the recall-holding choice")
     val sql = Queries.lshOracle.getOrElse("dd_embed_lsh",
       fail("dd_embed_lsh oracle absent after the query ran"))
-    val planeRows = "CAST\\(\\[".r.findAllIn(sql).length
+    val planeRows = "\\(\\d+,\\s*\\d+,\\s*CAST\\(\\[".r.findAllIn(sql).length
     assert(planeRows == tables * bits,
-      s"oracle has $planeRows plane literals, query ran ${tables}x$bits")
+      s"oracle has $planeRows plane rows, query ran ${tables}x$bits")
   }
 
   test("ev_sketch verdict frame: every sketch lands inside its error bound") {

@@ -292,6 +292,69 @@ class IngestServeSpec extends SparkSpec {
     }
   }
 
+  test("a pulses dimension that outgrew its bucket span re-buckets at the " +
+      "extent-sized span on seed — rows intact, flushes address the coarse " +
+      "dirs, and the full-read migration does not stay resident") {
+    val base = java.nio.file.Files.createTempDirectory("graft-daemon-rebucket").toString
+    // span 10 = one pulse per bucket; re-bucket past 4 dirs — unit-scale
+    // versions of the production (100000, 64)
+    val cfg = fastCfg.copy(flushBucketSpan = 10L, maxPulseBuckets = 4)
+    val nLife1 = 8
+    val nTotal = 10
+    val wire = Fixtures.multiPulseBatches(spark, nTotal, recordsPerPulse = 6,
+      startPulse = start)
+
+    // life 1: 8 pulses at the fine span → 8 bucket dirs (> maxPulseBuckets;
+    // coarsening happens only at seed, so a RUNNING daemon keeps its span)
+    val head8 = new ReplayExporter(wire.filter(col("pulse_number") < start + nLife1 * delta))
+    val s1 = bindOn(0, head8)
+    val h1 = Ingest.bootstrap(spark, base, "localhost", s1.getPort, start, cfg)
+    try assert(await()(h1.daemon.sequentialPulse == start + (nLife1 - 1) * delta))
+    finally { h1.stop(); s1.shutdownNow(); s1.awaitTermination(5, TimeUnit.SECONDS) }
+    def bucketDirs() = new java.io.File(s"$base/pulses").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pulse_bucket="))
+      .map(_.getName).sorted
+    assert(bucketDirs().length == nLife1, s"fixture needs $nLife1 fine dirs: ${bucketDirs().toSeq}")
+
+    // life 2: seed detects 8 > 4 dirs → staged re-bucket at
+    // spanForExtent (10 → 100 here), then the daemon extends the feed
+    val s2 = bindOn(0, new ReplayExporter(wire))
+    val h2 = Ingest.bootstrap(spark, base, "localhost", s2.getPort, start, cfg)
+    try {
+      assert(await()(h2.daemon.sequentialPulse == start + (nTotal - 1) * delta),
+        s"daemon never converged after re-bucketing: ${h2.daemon.snapshot.keySet}")
+      val dirs = bucketDirs()
+      assert(dirs.length <= cfg.maxPulseBuckets && dirs.length < nLife1,
+        s"re-bucketing must coarsen the layout: ${dirs.toSeq}")
+      val expectedSpan = Ingest.spanForExtent(start, start + (nLife1 - 1) * delta,
+        cfg.flushBucketSpan, cfg.maxPulseBuckets)
+      assert(dirs.toSeq == (start / expectedSpan to
+        (start + (nTotal - 1) * delta) / expectedSpan)
+        .map(b => s"pulse_bucket=$b"),
+        s"post-restart flushes must land in the SAME coarse dirs: ${dirs.toSeq}")
+      // the persisted summary carries the new span (the next restart's
+      // flushes must keep addressing these dirs)
+      val frontier = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$base/pulses/_frontier.json"))
+      assert(frontier.contains(s""""span":$expectedSpan"""),
+        s"frontier must persist the adopted span: $frontier")
+      // the re-bucketing full read was evicted back to the frontier
+      assert(h2.daemon.ingestedCount < nLife1,
+        s"closed history must not stay resident after the migration: " +
+          s"${h2.daemon.ingestedCount} entries")
+    } finally {
+      h2.stop(); s2.shutdownNow(); s2.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    // every row survived, chain and flags intact, under the coarse layout
+    val pulses = storeTable(base, "pulses").orderBy("pulse_number").collect()
+    assert(pulses.length == nTotal)
+    assert(pulses.forall(_.getAs[Boolean]("is_complete")))
+    assert(pulses.forall(_.getAs[Boolean]("is_sequential")))
+    assert(pulses.map(_.getAs[Long]("record_amount")).forall(_ == 6L))
+    val pns = pulses.map(_.getAs[Long]("pulse_number"))
+    assert(pns.toSeq == (0 until nTotal).map(start + _ * delta))
+  }
+
   test("an interrupted flat→bucketed migration recovers from either crash window on the next start") {
     val wire = Fixtures.multiPulseBatches(spark, nPulses = 2, recordsPerPulse = 6,
       startPulse = start)

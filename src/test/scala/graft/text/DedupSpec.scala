@@ -18,6 +18,33 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("ngramScaleStats measures the exact candidate-pair volume " +
+      "(sum of C(df,2)) and the advisory fires only when collisions " +
+      "dominate the corpus") {
+    import spark.implicits._
+    // hand-built capped shingle rows: shingle A in 3 docs, B in 2, C in 1
+    // → candidate pairs = C(3,2)+C(2,2)+C(1,2) = 3+1+0 = 4
+    val capped = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L),
+      (3L, 30L)).toDF("doc_id", "sh")
+    val st = Dedup.ngramScaleStats(capped, "sh", nDocs = 3L)
+    assert(st.distinctShingles == 3 && st.candidatePairs == 4.0)
+    assert(math.abs(st.pairsPerDoc - 4.0 / 3) < 1e-12)
+    // the catalog advisory (thresholds lowered to unit scale): a corpus
+    // whose shingle space is tiny against it fires; a diverse one and
+    // anything under minDocs stay silent
+    assert(graft.Queries.ngramScaleAdvisory(capped, nDocs = 3,
+      minDocs = 1, pairsPerDoc = 1.0).isDefined, "collision-dominated corpus must fire")
+    val diverse = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "sh")
+    assert(graft.Queries.ngramScaleAdvisory(diverse, nDocs = 3,
+      minDocs = 1, pairsPerDoc = 1.0).isEmpty, "no shared shingles → silent")
+    assert(graft.Queries.ngramScaleAdvisory(capped, nDocs = 3,
+      minDocs = 1000, pairsPerDoc = 1.0).isEmpty,
+      "below minDocs the advisory runs no measurement at all")
+    // an empty capped stream (everything df-capped away) must not throw
+    val none = Dedup.ngramScaleStats(capped.filter(col("doc_id") < 0), "sh", 0L)
+    assert(none.distinctShingles == 0 && none.candidatePairs == 0.0)
+  }
+
   test("exact dedup groups identical texts and keeps the smallest id") {
     val classes = Dedup.exact(docs)
     assert(classes.count() == 4)

@@ -53,6 +53,35 @@ class CosineDedupIvfSpec extends SparkSpec {
       s"bucket count must track the corpus: 2^$big buckets for 1e5 vectors")
   }
 
+  test("bitsFor's argmin is stable under ±4x mis-calibration of its two " +
+      "cost constants (the comment's sensitivity table, asserted)") {
+    // the (500, 60) units are coarsely fitted to one box; the sizing
+    // only has to RANK 21 integer choices, so the claim worth pinning is
+    // graceful degradation: across the whole ±4x grid the argmin moves
+    // at most 3 bits, and the baseline choice COSTED UNDER the perturbed
+    // weights stays within 2x of that weight set's own optimum
+    val grid = for {
+      su <- Seq(125.0, 500.0, 2000.0)
+      pu <- Seq(15.0, 60.0, 240.0)
+    } yield (su, pu)
+    for (n <- Seq(5000L, 500000L, 50000000L, 5000000000L)) {
+      val base = CosineDedup.bitsFor(n, 0.45, 0.97)
+      for ((su, pu) <- grid) {
+        val opt = CosineDedup.bitsFor(n, 0.45, 0.97, 64, su, pu)
+        assert(math.abs(opt - base) <= 3,
+          s"n=$n weights=($su,$pu): argmin $opt vs baseline $base moved >3 bits")
+        val degr = CosineDedup.modeledCost(n, 0.45, 0.97, 64, base, su, pu) /
+          CosineDedup.modeledCost(n, 0.45, 0.97, 64, opt, su, pu)
+        assert(degr <= 2.0,
+          s"n=$n weights=($su,$pu): baseline bits cost ${degr}x the optimum")
+      }
+    }
+    // the comment's spot values stay honest
+    assert(CosineDedup.bitsFor(5000L, 0.45, 0.97) == 7)
+    assert(CosineDedup.bitsFor(500000L, 0.45, 0.97) == 14)
+    assert(CosineDedup.bitsFor(5000000000L, 0.45, 0.97) == 24)
+  }
+
   test("IVF top-k agrees with brute force when probing all cells") {
     val q = Seq(1f, 0.1f, 0f, 0f)
     val brute = Similarity.bruteForceTopK(emb, q, 3)

@@ -33,9 +33,23 @@ sc, oc = sorted(spark.columns), sorted(ora.columns)
 # (same tolerance as tools/compare_oracle.py — a ULP of summation-order
 # drift across millions of rows must not read as a mismatch)
 import math
+def sort_key(row):
+    # Non-float cells lead verbatim; float cells join COARSELY rounded
+    # (7 significant digits) so a within-tolerance (rel 1e-9) engine
+    # difference cannot reorder ties and misalign the zip below (a
+    # stringified exact float in the key could sort two otherwise-equal
+    # rows to different positions on the spark vs oracle side and report
+    # a spurious MISMATCH on rows that match within tolerance). Floats
+    # still participate so rows identical in key columns but genuinely
+    # different in value columns order consistently; the residual risk —
+    # a pair within 1e-9 straddling a 7th-significant-digit rounding
+    # boundary — is a loud false MISMATCH, never a silent pass.
+    return tuple(
+        (1, "nan") if isinstance(x, float) and math.isnan(x)
+        else (1, f"{x:.6e}") if isinstance(x, float)
+        else (0, str(x)) for x in row)
 def rows_of(df, cols):
-    return sorted(df[cols].itertuples(index=False, name=None),
-                  key=lambda r: tuple(str(x) for x in r))
+    return sorted(df[cols].itertuples(index=False, name=None), key=sort_key)
 def eq(a, b):
     if a is None and b is None:
         return True
