@@ -6,7 +6,8 @@ object Explain {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    // GRAFT_EXPLAIN_DIR points the dump at any corpus (probe corpora too)
+    val dir = sys.env.getOrElse("GRAFT_EXPLAIN_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg", "be_records_page", "q3_topk")
     names.foreach { n =>
       println(s"\n=============== $n ===============")

@@ -478,20 +478,27 @@ object Queries {
   // map-side-combined aggregate over the capped shingle stream measures
   // the TRUE candidate-pair count Σ C(df,2); more than PairsPerDoc
   // candidates per document means the collision term (not the near-dup
-  // mass) dominates the join — measured 3.1 pairs/doc at the 5M-doc
-  // probe vs 0.3 at 500k, so the advisory fires exactly one decade after
-  // the last silent point.
+  // mass) dominates the join. Calibration, measured on the probe corpora
+  // (1% planted dups, ~100 shingles/doc): real near-dup mass contributes
+  // a corpus-size-INDEPENDENT ≈ dupRate × shinglesPerDoc ≈ 1.0 pairs/doc
+  // (measured 1.3/doc at 500k docs, where the query is healthy), while
+  // the collision term grows ∝ n (measured 4.1/doc at 5M — the decade
+  // the r15 probe clocked at 13.2× — and ∝ n beyond). The 2.0 threshold
+  // sits between the measured benign and flooding points: silent at
+  // 500k, fires at 5M.
   val NgramAdvisoryMinDocs = 200000L
-  val NgramAdvisoryPairsPerDoc = 1.0
+  val NgramAdvisoryPairsPerDoc = 2.0
   private val ngramAdvisedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Measure-and-log form of the advisory — also the ScaleProbe/spec
-    * entry point. Returns the stats when the advisory FIRED (corpus at
-    * or above `minDocs` and measured candidate pairs above
-    * `pairsPerDoc × nDocs`), None when silent.
+    * entry point (public: a pipeline owner deciding between the exact
+    * and MinHash paths for a new corpus can call it directly). Returns
+    * the stats when the advisory FIRED (corpus at or above `minDocs`
+    * and measured candidate pairs above `pairsPerDoc × nDocs`), None
+    * when silent.
     */
-  private[graft] def ngramScaleAdvisory(capped: org.apache.spark.sql.DataFrame,
+  def ngramScaleAdvisory(capped: org.apache.spark.sql.DataFrame,
       nDocs: Long, minDocs: Long = NgramAdvisoryMinDocs,
       pairsPerDoc: Double = NgramAdvisoryPairsPerDoc)
       : Option[graft.text.Dedup.NgramScaleStats] = {

@@ -57,13 +57,57 @@ object ScaleProbe {
       .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
   }
 
-  private def ensureCorpus(spark: SparkSession, root: String, n: Long): String = {
+  /** Synthetic event stream for the window-path probes (`ev_sessions`):
+    * `ts` is LongType epoch-NANOS (the drift adapter's identity form),
+    * hash-scattered across ~30 days so each user's stream has both
+    * in-session bursts and >30min gaps; ~50 events/user keeps the
+    * per-user window groups realistic while the user count scales with
+    * the corpus.
+    */
+  def genEvents(spark: SparkSession, n: Long): DataFrame = {
+    val users = math.max(10L, n / 50)
+    val baseNs = 1700000000000000000L // fixed epoch anchor (no wall clock)
+    spark.range(n).select(
+      col("id").as("event_id"),
+      (lit(baseNs) + pmod(xxhash64(col("id"), lit(7)), lit(30L * 86400) )
+        * 1000000000L).as("ts"),
+      pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"), lit("error")),
+        (pmod(xxhash64(col("id"), lit(3)), lit(4)) + 1).cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(10000)).cast("double") / 100.0).as("value"),
+      concat(lit("""{"k":"""), pmod(col("id"), lit(97)), lit("}")).as("props"))
+  }
+
+  /** Synthetic orders for the ranked-window probe (`w_topk_per_group`):
+    * ~20 orders/customer, price hash-derived.
+    */
+  def genOrders(spark: SparkSession, n: Long): DataFrame = {
+    val customers = math.max(10L, n / 20)
+    spark.range(n).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id")), lit(customers)).as("o_custkey"),
+      (pmod(xxhash64(col("id"), lit(11)), lit(1000000)).cast("double") / 100.0)
+        .as("o_totalprice"))
+  }
+
+  private def ensureCorpus(spark: SparkSession, root: String, n: Long,
+      withWindowTables: Boolean = false): String = {
     val dir = s"$root/n$n"
-    val done = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet/_SUCCESS")
-    if (!done.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(done)) {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def missing(table: String): Boolean =
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$table.parquet/_SUCCESS"))
+    if (missing("embeddings")) {
       genDocs(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       genEmbeddings(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
+    // the window-path tables arrived later and only their own probes need
+    // them — upgrade existing corpora in place (never regenerate the much
+    // larger text/vector tables), and skip them entirely for focused runs
+    if (withWindowTables && missing("events"))
+      genEvents(spark, n).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    if (withWindowTables && missing("orders"))
+      genOrders(spark, n).write.mode("overwrite").parquet(s"$dir/orders.parquet")
     dir
   }
 
@@ -87,7 +131,6 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val root = sys.env.getOrElse("GRAFT_SCALE_DIR", "/tmp/graft-scale")
-    val dirs = Seq(n1, n2).map(n => n -> ensureCorpus(spark, root, n)).toMap
 
     // catalog queries whose cost is dominated by the corpus (not by
     // fixed per-query overhead), plus direct calls where the scale knob
@@ -106,8 +149,15 @@ object ScaleProbe {
     val catalogOps: Seq[String] = Seq(
       "dd_exact", "dd_ngram_jaccard", "dd_minhash", "dd_simhash",
       "dd_decontam", "txt_repetition", "txt_stats", "emb_quant", "emb_kmeans",
-      "txt_filter", "txt_idf")
+      "txt_filter", "txt_idf",
+      // the window-path shapes (r15 verdict: the largest unprobed
+      // shuffles) — per-user sessionization and ranked top-k per group
+      // over the probe's own events/orders tables
+      "ev_sessions", "w_topk_per_group")
       .filter(opSelected)
+    val needWindowTables = Seq("ev_sessions", "w_topk_per_group").exists(opSelected)
+    val dirs = Seq(n1, n2).map(n =>
+      n -> ensureCorpus(spark, root, n, needWindowTables)).toMap
     def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq[(String, () => Long)](
       "dd_semdedup(k~sqrt n)" -> { () =>
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
