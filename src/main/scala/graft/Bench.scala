@@ -791,7 +791,13 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, json.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    try {
+    // A sections-skipped or probe-less run is a DIFFERENT methodology
+    // (session A's warmup/attacks leave JVM-wide JIT state the r8 notes
+    // measure in the cold pass): it must neither overwrite the round's
+    // committed adjudication artifact nor referee future full runs via
+    // BENCH_BEST — its numbers live in target/bench.json only.
+    val fullMethodology = !catalogOnly && runFirst
+    if (fullMethodology) try {
       val cwd = java.nio.file.Paths.get(".")
       val roundRe = "BENCH_r(\\d+)\\.json".r
       val listing = java.nio.file.Files.list(cwd)
@@ -808,7 +814,8 @@ object Bench {
     // BENCH_FULL_r* slot but never this file)
     try {
       if (BenchGuard.maybeUpdateBest(java.nio.file.Paths.get("."), json, total,
-          eligible = failed.isEmpty && !contendedUnresolved, sf = sfDir))
+          eligible = failed.isEmpty && !contendedUnresolved && fullMethodology,
+          sf = sfDir))
         System.err.println(f"[bench] ${BenchGuard.BestArtifactName} updated (total $total%.3f)")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] best-artifact update failed: ${e.getMessage}")

@@ -291,13 +291,13 @@ object Ingest {
       // knob. Growth between restarts is bounded by cadence (outgrowing
       // 64 base-span buckets takes ~74 days of 10 s pulses), so
       // seed-time is the right cadence for the rewrite.
-      val needCoarsen = {
-        val count = TableManifest.latest(fs, s"$basePath/pulses")
-          .map(_.partitions.keysIterator.count(_.startsWith("pulse_bucket=")))
-          .getOrElse(fs.listStatus(pulsesPath)
-            .count(st => st.isDirectory && st.getPath.getName.startsWith("pulse_bucket=")))
-        count > cfg.maxPulseBuckets
-      }
+      val bucketDirVals: Set[Long] = TableManifest.latest(fs, s"$basePath/pulses")
+        .map(_.partitions.keysIterator.filter(_.startsWith("pulse_bucket="))
+          .flatMap(_.stripPrefix("pulse_bucket=").toLongOption).toSet)
+        .getOrElse(fs.listStatus(pulsesPath).iterator
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("pulse_bucket="))
+          .flatMap(_.getPath.getName.stripPrefix("pulse_bucket=").toLongOption).toSet)
+      val needCoarsen = bucketDirVals.size > cfg.maxPulseBuckets
       // manifest-aware: a steady-state flush appends generations and the
       // snapshot manifest says which files are current — a raw directory
       // read here would double-count superseded buckets. Legacy stores
@@ -346,6 +346,36 @@ object Ingest {
             sequential = r.getAs[Boolean]("is_sequential"))
           entries.update(p, e)
           if (!(e.complete && e.sequential)) open += p
+        }
+      }
+      // Span RECOVERY when the summary is lost (writeFrontier's tiny
+      // delete→rename window, or a hand-pruned store): the span is a
+      // store property, and flushing a coarsened store at the config
+      // base span would append fine-span sibling dirs that the manifest
+      // then serves ALONGSIDE the live coarse partitions (duplicate
+      // rows), while the next summary would speak fine units and make
+      // the bounded seed prune every coarse dir. A lost summary forces
+      // the full read above (`bounded` = whole table), so the register
+      // holds every pulse and the true span is recoverable from the
+      // data: the on-disk dir values are exactly {p / span}, and among
+      // base×10^k candidates only the true span reproduces that set (a
+      // finer candidate maps some pulse outside the dirs, a coarser one
+      // leaves some dir value unreachable). No match (corrupt layout)
+      // keeps the config span and says so — the pre-r16 behavior.
+      if (summary.isEmpty && bucketDirVals.nonEmpty) lock.synchronized {
+        if (entries.nonEmpty) {
+          def buckets(sp: Long): Set[Long] = entries.keysIterator.map(_ / sp).toSet
+          var s = cfg.flushBucketSpan
+          while (buckets(s) != bucketDirVals && s <= Long.MaxValue / 10) s *= 10
+          if (buckets(s) == bucketDirVals) {
+            if (s != bucketSpan)
+              System.err.println(s"[ingest] recovered pulses bucket span $s " +
+                s"from the on-disk layout (frontier summary absent)")
+            bucketSpan = s
+          } else
+            System.err.println(s"[ingest] could not infer the pulses bucket " +
+              s"span from ${bucketDirVals.size} on-disk dirs; keeping the " +
+              s"config span ${cfg.flushBucketSpan}")
         }
       }
       val openSnap = lock.synchronized(open.toVector)
@@ -468,10 +498,13 @@ object Ingest {
         if (!fs.rename(migrating, pulsesPath))
           throw new java.io.IOException(
             s"migration rename failed: $migrating -> $pulsesPath")
-        // the old summary went with the old directory AND spoke old span
-        // units — it must not govern the next flush's lowering guard.
-        // The next steady-state flush rewrites it (with the new span).
-        summarized = None
+        // `summarized` is already correct here: the staged flushTo's
+        // post-commit raise wrote `_frontier.json` (in the NEW span
+        // units — bucketSpan was updated before the call) into the
+        // sibling and set `summarized` to it, and the rename carried
+        // the file along. Clearing it would disable the pre-write
+        // lowering guard for the first post-migration flush — exactly
+        // the gap-backfill crash window that guard exists to close.
         // the full read that fed a RE-BUCKETING rewrite must not stay
         // resident (the register's contract is open-frontier-bounded
         // memory; a 5M-pulse history would hold ~5M entries forever):

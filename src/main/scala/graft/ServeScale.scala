@@ -42,8 +42,11 @@ object ServeScale {
     // builds and the daemon's seed-time re-bucketing, so this probe now
     // measures what a store actually gets with NO knob set.
     // GRAFT_SERVE_SPAN still overrides for A/Bs.
+    // extent = the LAST pulse actually written (start + 10·(n−1)), not
+    // one past it — at boundary sizes the off-by-one would pick a 10×
+    // coarser span than the write path chooses for the identical store
     val span = sys.env.get("GRAFT_SERVE_SPAN").map(_.toLong)
-      .getOrElse(Ingest.spanForExtent(start, start + 10L * n,
+      .getOrElse(Ingest.spanForExtent(start, start + 10L * (n - 1),
         Ingest.Config().flushBucketSpan, Ingest.Config().maxPulseBuckets))
     val dim = spark.range(n.toLong).select(
       (lit(start) + col("id") * 10L).as("pulse_number"),

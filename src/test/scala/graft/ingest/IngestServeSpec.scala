@@ -353,6 +353,39 @@ class IngestServeSpec extends SparkSpec {
     assert(pulses.map(_.getAs[Long]("record_amount")).forall(_ == 6L))
     val pns = pulses.map(_.getAs[Long]("pulse_number"))
     assert(pns.toSeq == (0 until nTotal).map(start + _ * delta))
+
+    // ---- life 3: the summary is LOST (writeFrontier's delete→rename
+    // crash window). The seed must RECOVER the coarse span from the
+    // on-disk layout — a restart that fell back to the config base span
+    // would flush fine-span sibling dirs next to the live coarse
+    // partitions (duplicate rows) and record a fine-units frontier that
+    // makes the next bounded seed prune every coarse dir.
+    val frontierFile = java.nio.file.Paths.get(s"$base/pulses/_frontier.json")
+    val expectedSpan2 = Ingest.spanForExtent(start, start + (nLife1 - 1) * delta,
+      cfg.flushBucketSpan, cfg.maxPulseBuckets)
+    java.nio.file.Files.delete(frontierFile)
+    val nTotal3 = 12
+    val wire3 = Fixtures.multiPulseBatches(spark, nTotal3, recordsPerPulse = 6,
+      startPulse = start)
+    val s3 = bindOn(0, new ReplayExporter(wire3))
+    val h3 = Ingest.bootstrap(spark, base, "localhost", s3.getPort, start, cfg)
+    try {
+      assert(await()(h3.daemon.sequentialPulse == start + (nTotal3 - 1) * delta),
+        s"daemon never converged after summary loss: ${h3.daemon.snapshot.keySet}")
+      val dirs = bucketDirs()
+      assert(dirs.forall(_.stripPrefix("pulse_bucket=").toLong >=
+          start / expectedSpan2) && dirs.length <= cfg.maxPulseBuckets,
+        s"flushes after summary loss must keep addressing the coarse dirs: ${dirs.toSeq}")
+      assert(java.nio.file.Files.readString(frontierFile)
+        .contains(s""""span":$expectedSpan2"""),
+        "the recovered span must be re-persisted by the next flush")
+    } finally {
+      h3.stop(); s3.shutdownNow(); s3.awaitTermination(5, TimeUnit.SECONDS)
+    }
+    val pulses3 = storeTable(base, "pulses").collect()
+    assert(pulses3.length == nTotal3, s"duplicate or lost rows after span " +
+      s"recovery: ${pulses3.length} rows for $nTotal3 pulses")
+    assert(pulses3.map(_.getAs[Long]("pulse_number")).distinct.length == nTotal3)
   }
 
   test("an interrupted flat→bucketed migration recovers from either crash window on the next start") {

@@ -44,10 +44,16 @@ def sort_key(row):
     # different in value columns order consistently; the residual risk —
     # a pair within 1e-9 straddling a 7th-significant-digit rounding
     # boundary — is a loud false MISMATCH, never a silent pass.
+    # -0.0 normalizes to 0.0 (f-format keeps the sign, which would split
+    # a tolerance-equal pair across the two sides); the full-precision
+    # repr rides as a FINAL tie-break so rows equal to 7 digits but
+    # genuinely different (beyond tolerance) still order consistently on
+    # both sides — their exact values differ in the same direction on
+    # each side whenever the cross-side noise is << the in-group gap.
     return tuple(
-        (1, "nan") if isinstance(x, float) and math.isnan(x)
-        else (1, f"{x:.6e}") if isinstance(x, float)
-        else (0, str(x)) for x in row)
+        (1, "nan", "") if isinstance(x, float) and math.isnan(x)
+        else (1, f"{(x + 0.0) if x != 0 else 0.0:.6e}", repr(x)) if isinstance(x, float)
+        else (0, str(x), "") for x in row)
 def rows_of(df, cols):
     return sorted(df[cols].itertuples(index=False, name=None), key=sort_key)
 def eq(a, b):
