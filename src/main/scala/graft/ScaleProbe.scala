@@ -151,11 +151,13 @@ object ScaleProbe {
       "dd_decontam", "txt_repetition", "txt_stats", "emb_quant", "emb_kmeans",
       "txt_filter", "txt_idf",
       // the window-path shapes (r15 verdict: the largest unprobed
-      // shuffles) — per-user sessionization and ranked top-k per group
-      // over the probe's own events/orders tables
-      "ev_sessions", "w_topk_per_group")
+      // shuffles) — per-user sessionization, ranked top-k per group, the
+      // union+window as-of join, the funnel's chained user aggregates,
+      // and the cohort triangle, over the probe's own events/orders
+      "ev_sessions", "w_topk_per_group", "ev_asof", "ev_funnel", "ev_retention")
       .filter(opSelected)
-    val needWindowTables = Seq("ev_sessions", "w_topk_per_group").exists(opSelected)
+    val needWindowTables = Seq("ev_sessions", "w_topk_per_group", "ev_asof",
+      "ev_funnel", "ev_retention").exists(opSelected)
     val dirs = Seq(n1, n2).map(n =>
       n -> ensureCorpus(spark, root, n, needWindowTables)).toMap
     def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq[(String, () => Long)](
