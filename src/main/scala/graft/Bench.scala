@@ -796,7 +796,7 @@ object Bench {
     // measure in the cold pass): it must neither overwrite the round's
     // committed adjudication artifact nor referee future full runs via
     // BENCH_BEST — its numbers live in target/bench.json only.
-    val fullMethodology = !catalogOnly && runFirst
+    val fullMethodology = runFirst // runFirst already folds in catalogOnly
     if (fullMethodology) try {
       val cwd = java.nio.file.Paths.get(".")
       val roundRe = "BENCH_r(\\d+)\\.json".r

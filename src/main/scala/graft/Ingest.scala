@@ -505,22 +505,26 @@ object Ingest {
         // the file along. Clearing it would disable the pre-write
         // lowering guard for the first post-migration flush — exactly
         // the gap-backfill crash window that guard exists to close.
-        // the full read that fed a RE-BUCKETING rewrite must not stay
-        // resident (the register's contract is open-frontier-bounded
-        // memory; a 5M-pulse history would hold ~5M entries forever):
-        // evict entries strictly below the frontier bucket — all closed
-        // by the prefix property, their rows just rewritten to disk, and
-        // no flush can touch their buckets (dirty ⊆ register). The
-        // flat/legacy paths keep their historical keep-everything
-        // behavior (small stores by construction).
-        if (needCoarsen) lock.synchronized {
+      }
+      // Full-read EVICTION: both the re-bucketing migration and the
+      // summary-loss span recovery read the WHOLE dimension, and neither
+      // may leave it resident (the register's contract is
+      // open-frontier-bounded memory; a 5M-pulse history would hold ~5M
+      // entries forever). Evict entries strictly below the frontier
+      // bucket — all closed by the prefix property, their rows safely on
+      // disk, and no flush can touch their buckets (dirty ⊆ register).
+      // The flat/legacy migration paths keep their historical
+      // keep-everything behavior (small stores by construction —
+      // bucketDirVals is empty for a flat store, and a legacy store with
+      // an intact summary never takes either trigger).
+      if (needCoarsen || (summary.isEmpty && bucketDirVals.nonEmpty))
+        lock.synchronized {
           if (entries.nonEmpty) {
             val fb = open.headOption.getOrElse(entries.lastKey) / bucketSpan
             entries.keysIterator.takeWhile(_ < fb * bucketSpan).toVector
               .foreach(entries.remove)
           }
         }
-      }
     }
 
     // ---- commit ---------------------------------------------------------

@@ -254,6 +254,13 @@ object ScaleProbe {
       println(f"[scale] ${"artifact (per size)"}%-28s ${"build+serve"}%12s ${"probe"}%12s")
     artifactSizes.foreach { n =>
       val dir = ensureCorpus(spark, root, n)
+      // a third artifact size is a FRESH dir the advisory pre-fire above
+      // never covered — consume its once-per-dir advisory here, or
+      // dd_clusters' timed build column (ensureNgramPairs constructs
+      // ddNgramJaccard) pays the candidate-pair aggregate at the
+      // largest size only
+      try { Queries.catalog("dd_ngram_jaccard")(spark, dir); () }
+      catch { case e: Throwable => println(s"[scale] advisory pre-fire: ${e.getMessage}") }
       val idxRoot = graft.vector.AnnIndex.indexRoot(dir)
       def row(name: String, wipePaths: Seq[String], q: () => Long): Unit = {
         wipe(wipePaths: _*)

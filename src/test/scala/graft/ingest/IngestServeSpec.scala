@@ -373,9 +373,18 @@ class IngestServeSpec extends SparkSpec {
       assert(await()(h3.daemon.sequentialPulse == start + (nTotal3 - 1) * delta),
         s"daemon never converged after summary loss: ${h3.daemon.snapshot.keySet}")
       val dirs = bucketDirs()
-      assert(dirs.forall(_.stripPrefix("pulse_bucket=").toLong >=
-          start / expectedSpan2) && dirs.length <= cfg.maxPulseBuckets,
+      // UPPER bound: a span-recovery regression flushes the new pulses
+      // at the fine config span, whose bucket values are ~10x the
+      // coarse ones — a lower bound could never catch that
+      assert(dirs.forall(_.stripPrefix("pulse_bucket=").toLong <=
+          (start + (nTotal3 - 1) * delta) / expectedSpan2) &&
+          dirs.length <= cfg.maxPulseBuckets,
         s"flushes after summary loss must keep addressing the coarse dirs: ${dirs.toSeq}")
+      // the recovery full read must not stay resident either (the same
+      // open-frontier contract the re-bucketing migration honors)
+      assert(h3.daemon.ingestedCount < nLife1,
+        s"summary-loss recovery left closed history resident: " +
+          s"${h3.daemon.ingestedCount} entries")
       assert(java.nio.file.Files.readString(frontierFile)
         .contains(s""""span":$expectedSpan2"""),
         "the recovered span must be re-persisted by the next flush")

@@ -52,7 +52,7 @@ def sort_key(row):
     # each side whenever the cross-side noise is << the in-group gap.
     return tuple(
         (1, "nan", "") if isinstance(x, float) and math.isnan(x)
-        else (1, f"{(x + 0.0) if x != 0 else 0.0:.6e}", repr(x)) if isinstance(x, float)
+        else (1, f"{x if x != 0 else 0.0:.6e}", repr(x)) if isinstance(x, float)
         else (0, str(x), "") for x in row)
 def rows_of(df, cols):
     return sorted(df[cols].itertuples(index=False, name=None), key=sort_key)
