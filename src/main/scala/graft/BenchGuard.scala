@@ -39,14 +39,59 @@ import scala.jdk.CollectionConverters._
   */
 object BenchGuard {
 
-  /** The standing best-clean-artifact file (see [[reference]]). */
+  /** The legacy standing best-clean-artifact file (see [[reference]]).
+    * Kept as the GATE SF's slot: the judge and the round notes refer to
+    * it by name, and every committed round so far seeded it at the gate
+    * SF. Other SFs get their own [[bestArtifactNameFor]] slot.
+    */
   val BestArtifactName = "BENCH_BEST.json"
+
+  /** Per-SF standing-best file name: `BENCH_BEST_<leaf>.json` where
+    * `<leaf>` is the SF dir's last path segment, non-alphanumerics
+    * mapped to `_` (e.g. `/root/testdata/sf0.1` → `BENCH_BEST_sf0_1
+    * .json`). One best per SF (ADVICE r16): the legacy single file was
+    * SF-scoped only by REJECTION, so the first full-methodology run at
+    * an experiment SF would have permanently locked the gate SF out of
+    * ever establishing its standing best.
+    */
+  def bestArtifactNameFor(sf: String): String = {
+    val leaf = sf.replaceAll("/+$", "").split('/').lastOption.getOrElse(sf)
+    "BENCH_BEST_" + leaf.map(c => if (c.isLetterOrDigit) c else '_') + ".json"
+  }
 
   /** A committed pass to compare against: total + per-query seconds. */
   final case class PassRef(total: Double, perQuery: Map[String, Double], artifact: String)
 
-  /** Replace `BENCH_BEST.json` with this run's artifact when the run is
-    * eligible (error-free, no unresolved contention verdict) and
+  /** True when a standing-best file's content BLOCKS replacement by a
+    * run measuring `total` at `sf`: only a readable record of the SAME
+    * sf whose total is not strictly larger blocks. Another SF's record
+    * never constrains this sf (it merely isn't overwritten), and an
+    * unreadable or total-less file does not block — damage is replaced
+    * by a clean run.
+    */
+  private def blocksReplacement(standing: Option[String], total: Double, sf: String): Boolean =
+    standing match {
+      case Some(s) if s.contains(s""""sf":"$sf"""") =>
+        !parsePass(s, "value", "queries").forall(total < _._1)
+      case _ => false
+    }
+
+  /** Atomic artifact write: temp file in the same dir + ATOMIC_MOVE
+    * (the `_frontier.json` pattern — ADVICE r16: a crash mid-write with
+    * plain truncate-then-write leaves a file that either loses the
+    * monotone invariant via the parse-failure branch or, missing its
+    * `sf` field, permanently blocks all updates).
+    */
+  private def writeAtomically(target: java.nio.file.Path, json: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(target.getParent, target.getFileName.toString, ".tmp")
+    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Replace this SF's standing-best artifact with this run's when the
+    * run is eligible (error-free, no unresolved contention verdict) and
     * STRICTLY faster than the standing best at the same SF — monotone
     * improvement, so no amount of host contention can degrade the
     * baseline future passes referee against. A code change that
@@ -54,32 +99,41 @@ object BenchGuard {
     * per-query referee then retries the slowed rows once and publishes
     * their (still slow) minimum — a real regression is delayed one
     * duplicate execution of ≤ [[focalSuspects]]'s retry cap, never
-    * hidden. Returns true when the file was replaced.
+    * hidden.
+    *
+    * Two slots are maintained: the per-SF file ([[bestArtifactNameFor]])
+    * is written for EVERY sf, and the legacy [[BestArtifactName]] is
+    * additionally refreshed when it is absent or already records this
+    * sf — so the gate SF's known-by-name file stays current while an
+    * experiment SF seeds its own slot instead of being rejected against
+    * someone else's baseline (the r16 ADVICE lockout). Returns true
+    * when at least one slot was replaced.
     */
   def maybeUpdateBest(dir: java.nio.file.Path, json: String, total: Double,
       eligible: Boolean, sf: String): Boolean = {
     if (!eligible || total <= 0) return false
-    val p = dir.resolve(BestArtifactName)
-    val better =
-      if (!java.nio.file.Files.isRegularFile(p)) true
-      else {
-        val standing = try Some(java.nio.file.Files.readString(p))
-          catch { case _: Throwable => None }
-        standing match {
-          // a best recorded at ANOTHER sf is someone else's baseline —
-          // an sf0.001 experiment must never clobber the gate SF's best
-          case Some(s) if !s.contains(s""""sf":"$sf"""") => false
-          case Some(s) =>
-            parsePass(s, "value", "queries").forall(total < _._1)
-          case None => true // unreadable file: replace with a clean run
-        }
+    def readOpt(p: java.nio.file.Path): Option[Option[String]] =
+      if (!java.nio.file.Files.isRegularFile(p)) None
+      else Some(try Some(java.nio.file.Files.readString(p)) catch { case _: Throwable => None })
+    val perSf = dir.resolve(bestArtifactNameFor(sf))
+    val legacy = dir.resolve(BestArtifactName)
+    // the better-than test folds BOTH slots: a run must beat every
+    // same-SF standing record to write (else a slow run could "win" the
+    // per-SF slot while the legacy file still holds the faster one)
+    val standing = Seq(perSf, legacy).flatMap(readOpt)
+    val better = !standing.exists(blocksReplacement(_, total, sf))
+    if (!better) false
+    else try {
+      writeAtomically(perSf, json)
+      // refresh the legacy slot only when it is this sf's (or vacant)
+      val legacyOwned = readOpt(legacy) match {
+        case None => true
+        case Some(Some(s)) => s.contains(s""""sf":"$sf"""")
+        case Some(None) => true // unreadable: replace damage
       }
-    if (better)
-      try {
-        java.nio.file.Files.write(dir.resolve(BestArtifactName), json.getBytes("UTF-8"))
-        true
-      } catch { case _: Throwable => false }
-    else false
+      if (legacyOwned) writeAtomically(legacy, json)
+      true
+    } catch { case _: Throwable => false }
   }
 
   /** Verdict of one comparison. `compared` is how many queries were
@@ -125,6 +179,148 @@ object BenchGuard {
         .filter(r => r >= minRefSec && t > r * queryFactor)
         .map(r => Focal(n, r, t))
     }.sortBy(f => -(f.firstSec - f.refSec)).take(maxRetries)
+
+  /** Min-merge of one focal retry round over `base`: each suspect
+    * re-runs once via `exec` and the published per-query number is the
+    * MIN of the two executions (a genuine regression is slow on both
+    * and still publishes; a burst must land on the same row twice to
+    * survive). `exec` must be the SAME timed action the measured pass
+    * used — the bench passes its one `timedRun` helper, so the retry is
+    * like-for-like by construction. Returns the merged pass plus the
+    * disclosure JSON (every retried row's (ref, first, retry); a failed
+    * retry reads -1 and never lowers its row).
+    */
+  def focalMerge(base: Seq[(String, Double)], suspects: Seq[Focal],
+      exec: String => (Double, Boolean)): (Seq[(String, Double)], String) = {
+    if (suspects.isEmpty) (base, "{}")
+    else {
+      val retried = suspects.map { f =>
+        val (sec, ok) = exec(f.name)
+        (f, if (ok) sec else Double.MaxValue)
+      }
+      val bySec = retried.map { case (f, s) => f.name -> s }.toMap
+      val merged = base.map { case (n, t) => n -> math.min(t, bySec.getOrElse(n, t)) }
+      val json = retried.map { case (f, s) =>
+        f""""${f.name}":{"ref":${f.refSec}%.3f,"first":${f.firstSec}%.3f""" +
+          f""","retry":${if (s == Double.MaxValue) -1.0 else s}%.3f}"""
+      }.mkString("{", ",", "}")
+      (merged, json)
+    }
+  }
+
+  // ---- load/HTTP probe referee ---------------------------------------
+  //
+  // The serving-throughput axis of the exact blind spot the per-query
+  // focal referee closed for the catalog passes (r16's only `weak`): the
+  // r16 gate artifact published `load_http_min_qps` 4.43 (< the 5 rps
+  // baseline analog) and `be_jet_links_hash` 2.32 q/s while the
+  // same-code clean artifact measured those shapes at 44.1 and 13.6 —
+  // a contended window publishing a 6–10× serving "regression" the code
+  // never had, with no committed-reference comparison, no retry-and-
+  // publish-best, and no disclosure. These helpers are `focalSuspects`
+  // with the comparison INVERTED (q/s is a rate — bigger is better):
+  // the caller re-attacks each suspect shape once after load settles and
+  // publishes the per-shape MAX, keeping the first attempt in the
+  // artifact. A genuine serving regression is slow on both attacks, so
+  // the max still publishes it; a burst must sweep the same shape's
+  // both windows to survive.
+
+  /** One per-shape load suspect: a shape the committed reference says
+    * this code serves fast, measured slow this window.
+    */
+  final case class LoadFocal(name: String, refQps: Double, firstQps: Double)
+
+  /** Suspect shapes of `cur` (shape → measured q/s) against `ref`
+    * (shape → best committed q/s): reference at least `minRefQps` (a
+    * shape the reference itself served slowly carries no signal either
+    * way) and this window's rate more than `factor` under it. Bounded
+    * at `maxRetries`, largest absolute q/s deficit first — the deficit
+    * is what drags the published min-over-shapes headline.
+    */
+  def loadSuspects(cur: Seq[(String, Double)], ref: Map[String, Double],
+      minRefQps: Double = 1.0, factor: Double = 1.5,
+      maxRetries: Int = 8): Seq[LoadFocal] =
+    cur.flatMap { case (n, q) =>
+      ref.get(n).filter(r => r >= minRefQps && q * factor < r)
+        .map(r => LoadFocal(n, r, q))
+    }.sortBy(f => -(f.refQps - f.firstQps)).take(maxRetries)
+
+  /** Extract a per-shape q/s map from a bench artifact's `field` object.
+    * Hand-rolled for exactly the two shapes this repo's Bench emits
+    * (same discipline as [[parsePass]]): the FLAT form
+    * `{"shape":43.8,...}` (`load_per_shape_qps`) and the NESTED form
+    * `{"shape":{"qps":29.51,...},...}` (`load_http_per_shape`,
+    * `load_shape_stats` — the emitters always put `qps` first in the
+    * per-shape object). The object is brace-matched (nested entries mean
+    * the first `}` does NOT close it); nested `"qps"` entries win when
+    * present, else the body must be flat. Any shape surprise reads as
+    * None — the referee abstains, never guesses.
+    */
+  def parseShapeQps(json: String, field: String): Option[Map[String, Double]] = {
+    val open = json.indexOf("\"" + field + "\":{")
+    if (open < 0) return None
+    val start = json.indexOf('{', open)
+    var depth = 0
+    var i = start
+    var end = -1
+    while (i < json.length && end < 0) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) return None
+    val body = json.substring(start + 1, end)
+    val num = "(-?[0-9][0-9.eE+-]*)"
+    val nested = ("\"([A-Za-z0-9_]+)\":\\{\"qps\":" + num).r
+    val nestedPairs = nested.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    if (nestedPairs.nonEmpty) Some(nestedPairs)
+    else if (body.contains("{")) None // nested entries without a leading qps: unknown shape
+    else {
+      val flat = ("\"([A-Za-z0-9_]+)\":" + num).r
+      val pairs = flat.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (pairs.isEmpty) None else Some(pairs)
+    }
+  }
+
+  /** Per-shape reference rates for the load referee: the MAX q/s each
+    * shape has measured across the eligible committed artifacts (the
+    * newest three `BENCH_FULL_r*` plus the standing per-SF best), clean
+    * (`failed:[]`) and same-SF only. Max, not best-artifact, because
+    * the best is selected by CATALOG total — the r16 standing best was
+    * recorded under measured 10.8% hypervisor steal and its own HTTP
+    * windows ran at load1 ~10, so any single artifact can carry a few
+    * contended shape rows; the per-shape max across several runs is the
+    * honest "this code has served this shape at X" claim. An inflated
+    * reference costs at most one extra re-attack — publishing still
+    * takes OUR measured max. Empty map when nothing qualifies (the
+    * referee then abstains for the whole section).
+    */
+  def loadReference(dir: java.nio.file.Path, field: String,
+      sf: Option[String] = None): Map[String, Double] = {
+    val roundRe = "BENCH_FULL_r(\\d+)\\.json".r
+    val files =
+      try {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.flatMap { p =>
+          roundRe.findFirstMatchIn(p.getFileName.toString).map(m => (m.group(1).toInt, p))
+        }.toVector.sortBy(-_._1).take(3).map(_._2)
+        finally s.close()
+      } catch { case _: Throwable => Vector.empty }
+    val best = Seq(Some(BestArtifactName), sf.map(bestArtifactNameFor)).flatten
+      .distinct.map(dir.resolve).filter(java.nio.file.Files.isRegularFile(_))
+    (files ++ best).flatMap { p =>
+      try {
+        val json = java.nio.file.Files.readString(p)
+        val sfOk = sf.forall(want => json.contains(s""""sf":"$want""""))
+        if (!sfOk || !cleanFailed(json)) None
+        else parseShapeQps(json, field)
+      } catch { case _: Throwable => None }
+    }.flatten.groupMapReduce(_._1)(_._2)(math.max)
+  }
 
   /** Uniform-inflation test of `cur` against `ref` (see object doc). */
   def signature(
@@ -202,11 +398,10 @@ object BenchGuard {
         }.toVector.sortBy(-_._1).take(3)
         finally s.close()
       } catch { case _: Throwable => Vector.empty }
-    val best = {
-      val p = dir.resolve(BestArtifactName)
-      if (java.nio.file.Files.isRegularFile(p)) Vector((Int.MaxValue, p))
-      else Vector.empty
-    }
+    val best = Seq(Some(BestArtifactName), sf.map(bestArtifactNameFor)).flatten
+      .distinct.map(dir.resolve)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map((Int.MaxValue, _)).toVector
     val parsed = (files ++ best).flatMap { case (_, p) =>
       try {
         val json = java.nio.file.Files.readString(p)

@@ -90,26 +90,38 @@ object ScaleProbe {
         .as("o_totalprice"))
   }
 
+  /** Generate exactly the tables this run's selected ops read (and only
+    * the missing ones). Per-table selectivity matters past ~50M rows: a
+    * focused `GRAFT_SCALE_OPS=ev_sessions,ev_retention` probe at 500M
+    * events must not pay a 500M-row documents corpus (~200 GB) it will
+    * never scan — the old all-or-nothing generation capped the event
+    * family's probe-able decades at whatever the TEXT corpus could
+    * afford on local disk.
+    */
   private def ensureCorpus(spark: SparkSession, root: String, n: Long,
-      withWindowTables: Boolean = false): String = {
+      tables: Set[String] = Set("documents", "embeddings")): String = {
     val dir = s"$root/n$n"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def missing(table: String): Boolean =
       !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$table.parquet/_SUCCESS"))
-    if (missing("embeddings")) {
-      genDocs(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      genEmbeddings(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    }
-    // the window-path tables arrived later and only their own probes need
-    // them — upgrade existing corpora in place (never regenerate the much
-    // larger text/vector tables), and skip them entirely for focused runs
-    if (withWindowTables && missing("events"))
-      genEvents(spark, n).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    if (withWindowTables && missing("orders"))
-      genOrders(spark, n).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def gen(table: String, df: => DataFrame): Unit =
+      if (tables.contains(table) && missing(table))
+        df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    gen("documents", genDocs(spark, n))
+    gen("embeddings", genEmbeddings(spark, n))
+    gen("events", genEvents(spark, n))
+    gen("orders", genOrders(spark, n))
     dir
   }
+
+  /** Which probe tables an op reads — keeps [[ensureCorpus]] honest. */
+  private def tablesFor(op: String): Set[String] =
+    if (op.startsWith("ev_")) Set("events")
+    else if (op.startsWith("w_topk")) Set("orders")
+    else if (op.startsWith("emb_") || op.startsWith("ann_") ||
+      op.startsWith("dd_semdedup") || op.startsWith("dd_embed")) Set("embeddings")
+    else Set("documents")
 
   private def time(body: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
@@ -156,10 +168,14 @@ object ScaleProbe {
       // and the cohort triangle, over the probe's own events/orders
       "ev_sessions", "w_topk_per_group", "ev_asof", "ev_funnel", "ev_retention")
       .filter(opSelected)
-    val needWindowTables = Seq("ev_sessions", "w_topk_per_group", "ev_asof",
-      "ev_funnel", "ev_retention").exists(opSelected)
+    // generate exactly what the selected ops (catalog + direct) read; an
+    // unfiltered run needs everything the full list reads
+    val allOps = catalogOps ++ Seq("dd_semdedup", "dd_semdedup_fixed",
+      "ann_ivf_topk", "dd_incremental").filter(opSelected)
+    val neededTables = allOps.flatMap(tablesFor).toSet ++
+      (if (opFilter.isEmpty) Set("documents", "embeddings") else Set.empty[String])
     val dirs = Seq(n1, n2).map(n =>
-      n -> ensureCorpus(spark, root, n, needWindowTables)).toMap
+      n -> ensureCorpus(spark, root, n, neededTables)).toMap
     def directOps(dir: String, n: Long): Seq[(String, () => Long)] = Seq[(String, () => Long)](
       "dd_semdedup(k~sqrt n)" -> { () =>
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -221,6 +237,23 @@ object ScaleProbe {
       report(op,
         () => Queries.catalog(op)(spark, dirs(n1)).count(),
         () => Queries.catalog(op)(spark, dirs(n2)).count())
+      // surface the collision-mass number NEXT TO the ratio (r16 task 5:
+      // the advisory measures Σ C(df,2)/doc but the scale tables carried
+      // only the seconds) — measured outside the timed windows, on the
+      // same capped stream the query joins on, so a reader of the curve
+      // sees WHY a decade went quadratic without re-running the probe
+      if (op == "dd_ngram_jaccard") Seq(n1, n2).foreach { n =>
+        try {
+          val docs = spark.read.parquet(s"${dirs(n)}/documents.parquet")
+          val st = graft.text.Dedup.ngramScaleStats(
+            Queries.ngramCappedShingles(docs), "sh", docs.count())
+          println(f"[scale] dd_ngram_jaccard collision mass at n=$n%d: " +
+            f"${st.pairsPerDoc}%.2f candidate pairs/doc " +
+            f"(${st.candidatePairs}%.3g pairs, ${st.distinctShingles}%d distinct shingles)")
+        } catch { case e: Throwable =>
+          println(s"[scale] pairs/doc at n=$n failed: ${e.getMessage}")
+        }
+      }
     }
     val d1 = directOps(dirs(n1), n1).toMap
     val d2 = directOps(dirs(n2), n2).toMap

@@ -83,7 +83,8 @@ class BenchGuardSpec extends AnyFunSuite {
 
   test("maybeUpdateBest is monotone per SF: only a strictly faster " +
       "error-free run replaces the standing best, and another SF's run " +
-      "never clobbers it") {
+      "seeds its OWN slot instead of evicting (or being locked out by) " +
+      "the gate SF's baseline") {
     val dir = java.nio.file.Files.createTempDirectory("bench-best")
     def art(total: Double, sf: String) =
       s"""{"value":$total,"queries":{"a":$total},"failed":[],"sf":"$sf"}"""
@@ -91,17 +92,37 @@ class BenchGuardSpec extends AnyFunSuite {
       eligible = true, sf = "/d/sf0.1"), "first clean run seeds the best")
     assert(!BenchGuard.maybeUpdateBest(dir, art(23.9, "/d/sf0.1"), 23.9,
       eligible = true, sf = "/d/sf0.1"), "a slower run never replaces it")
-    assert(!BenchGuard.maybeUpdateBest(dir, art(2.0, "/d/sf0.001"), 2.0,
+    // ADVICE r16: an experiment SF seeds BENCH_BEST_<leaf>.json and
+    // leaves the legacy gate-SF file untouched — previously it was
+    // rejected outright, and had IT come first the gate SF would have
+    // been permanently locked out of a standing best
+    assert(BenchGuard.maybeUpdateBest(dir, art(2.0, "/d/sf0.001"), 2.0,
       eligible = true, sf = "/d/sf0.001"),
-      "an experiment at another SF must not evict the gate SF's baseline")
+      "another SF's clean run seeds its own per-SF slot")
+    assert(java.nio.file.Files.isRegularFile(
+      dir.resolve(BenchGuard.bestArtifactNameFor("/d/sf0.001"))))
+    assert(java.nio.file.Files.readString(dir.resolve(BenchGuard.BestArtifactName))
+      .contains("\"sf\":\"/d/sf0.1\""), "the gate SF's legacy slot is untouched")
     assert(!BenchGuard.maybeUpdateBest(dir, art(1.0, "/d/sf0.1"), 1.0,
       eligible = false, sf = "/d/sf0.1"), "ineligible (errored/contended) never writes")
     assert(BenchGuard.maybeUpdateBest(dir, art(12.0, "/d/sf0.1"), 12.0,
       eligible = true, sf = "/d/sf0.1"), "a faster clean run replaces it")
     val Some(best) = BenchGuard.reference(dir, "value", "queries",
       sf = Some("/d/sf0.1"))
-    assert(best.artifact == BenchGuard.BestArtifactName && best.total == 12.0,
-      s"reference() must see the standing best: $best")
+    assert(best.total == 12.0, s"reference() must see the standing best: $best")
+    // the per-SF slot referees its own SF through reference()
+    val Some(expBest) = BenchGuard.reference(dir, "value", "queries",
+      sf = Some("/d/sf0.001"))
+    assert(expBest.total == 2.0 &&
+      expBest.artifact == BenchGuard.bestArtifactNameFor("/d/sf0.001"),
+      s"the experiment SF referees against its own slot: $expBest")
+  }
+
+  test("bestArtifactNameFor sanitizes the SF leaf deterministically") {
+    assert(BenchGuard.bestArtifactNameFor("/root/testdata/sf0.1")
+      == "BENCH_BEST_sf0_1.json")
+    assert(BenchGuard.bestArtifactNameFor("/tmp/graft-scale/n500000/")
+      == "BENCH_BEST_n500000.json")
   }
 
   private val sample =
@@ -119,6 +140,125 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.cleanFailed(sample))
     assert(!BenchGuard.cleanFailed(sample.replace("\"failed\":[]", "\"failed\":[\"x\"]")))
     assert(BenchGuard.parsePass(sample, "nope", "queries").isEmpty)
+  }
+
+  test("focalMerge min-merges the retry round through the caller's ONE " +
+      "timed action: a genuine regression (slow on both) still publishes, " +
+      "a burst is repaired, a failed retry never lowers its row") {
+    val base = Seq("regressed" -> 1.2, "burst" -> 1.2, "broken" -> 1.2, "clean" -> 0.3)
+    val suspects = Seq(
+      BenchGuard.Focal("regressed", 0.3, 1.2),
+      BenchGuard.Focal("burst", 0.3, 1.2),
+      BenchGuard.Focal("broken", 0.3, 1.2))
+    val execs = scala.collection.mutable.ListBuffer.empty[String]
+    val (merged, json) = BenchGuard.focalMerge(base, suspects, {
+      case n @ "regressed" => execs += n; (1.19, true)
+      case n @ "burst" => execs += n; (0.31, true)
+      case n @ "broken" => execs += n; (0.05, false)
+      case n => execs += n; (9.9, true)
+    })
+    val m = merged.toMap
+    assert(m("regressed") == 1.19 && m("burst") == 0.31 && m("broken") == 1.2
+      && m("clean") == 0.3)
+    assert(execs.toSet == Set("regressed", "burst", "broken"),
+      "only the suspects re-run, each exactly once")
+    assert(json.contains("\"broken\":{\"ref\":0.300,\"first\":1.200,\"retry\":-1.000}"),
+      s"a failed retry is disclosed as -1: $json")
+    assert(BenchGuard.focalMerge(base, Seq.empty,
+      n => fail(s"no suspects must mean no executions, got $n")) == (base, "{}"))
+  }
+
+  // ---- load/HTTP probe referee (r17, closing r16's only `weak`) -------
+
+  test("loadSuspects inverts the comparison for rates: shapes serving " +
+      ">1.5x UNDER the committed reference are suspect, largest deficit " +
+      "first, bounded, abstaining on thin or missing references") {
+    val ref = Map("a" -> 44.1, "b" -> 13.6, "c" -> 20.0, "slowref" -> 0.5)
+    // a: 4.43 vs 44.1 (the r16 http_drop_point shape), b: 2.32 vs 13.6
+    // (be_jet_links_hash), c healthy, slowref has no signal
+    val cur = Seq("a" -> 4.43, "b" -> 2.32, "c" -> 18.0, "slowref" -> 0.1, "new" -> 0.2)
+    val sus = BenchGuard.loadSuspects(cur, ref)
+    assert(sus.map(_.name) == Seq("a", "b"),
+      s"deficit order (39.7 then 11.3), healthy/thin/unknown skipped: $sus")
+    assert(BenchGuard.loadSuspects(cur, Map.empty).isEmpty,
+      "no reference: the referee abstains (the SPARK_GRAFT_LOAD_FOCAL=0 arm)")
+    val many = (1 to 20).map(i => s"s$i" -> 1.0)
+    val bigRef = (1 to 20).map(i => s"s$i" -> 30.0).toMap
+    assert(BenchGuard.loadSuspects(many, bigRef).length == 8,
+      "re-attack budget caps at maxRetries")
+  }
+
+  test("parseShapeQps reads both emitter forms: the flat qps map and the " +
+      "nested per-shape stats object (brace-matched, qps-first)") {
+    val art =
+      """{"load_per_shape_qps":{"be_a":44.1,"be_b":13.6},""" +
+      """"load_http_per_shape":{"http_x":{"qps":29.51,"n":71,"p50_ms":246,""" +
+      """"attempts":[{"qps":29.51,"load1_before":1.0}]},"http_y":{"qps":4.43,"n":9}},""" +
+      """"other":{"nested":{"no_rate":1}}}"""
+    assert(BenchGuard.parseShapeQps(art, "load_per_shape_qps")
+      == Some(Map("be_a" -> 44.1, "be_b" -> 13.6)))
+    assert(BenchGuard.parseShapeQps(art, "load_http_per_shape")
+      == Some(Map("http_x" -> 29.51, "http_y" -> 4.43)),
+      "nested attempts arrays must not terminate the object early")
+    assert(BenchGuard.parseShapeQps(art, "other").isEmpty,
+      "nested entries without a leading qps are an unknown shape: abstain")
+    assert(BenchGuard.parseShapeQps(art, "missing").isEmpty)
+  }
+
+  test("loadReference takes the per-shape MAX across clean same-SF " +
+      "artifacts — one artifact's contended shape row cannot depress the " +
+      "reference, and a dirty or cross-SF artifact never contributes") {
+    val dir = java.nio.file.Files.createTempDirectory("load-ref")
+    def art(shapes: String, failed: String, sf: String) =
+      s"""{"value":9.9,"load_per_shape_qps":$shapes,"failed":$failed,"sf":"$sf"}"""
+    java.nio.file.Files.write(dir.resolve("BENCH_FULL_r15.json"),
+      art("""{"a":44.1,"b":2.3}""", "[]", "/d/sf0.1").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("BENCH_FULL_r16.json"),
+      art("""{"a":4.4,"b":13.6}""", "[]", "/d/sf0.1").getBytes("UTF-8"))
+    // dirty artifact with huge rates must not inflate the reference
+    java.nio.file.Files.write(dir.resolve("BENCH_FULL_r14.json"),
+      art("""{"a":999.0,"b":999.0}""", """["x"]""", "/d/sf0.1").getBytes("UTF-8"))
+    // other-SF artifact likewise
+    java.nio.file.Files.write(dir.resolve(BenchGuard.BestArtifactName),
+      art("""{"a":500.0}""", "[]", "/d/sf0.001").getBytes("UTF-8"))
+    val ref = BenchGuard.loadReference(dir, "load_per_shape_qps", sf = Some("/d/sf0.1"))
+    assert(ref == Map("a" -> 44.1, "b" -> 13.6), s"per-shape max of the clean rows: $ref")
+    assert(BenchGuard.loadReference(dir, "nope", sf = Some("/d/sf0.1")).isEmpty)
+  }
+
+  test("refereedShapes: deferred gate retries, then the focal referee " +
+      "round — a burst-swept shape recovers and publishes its max, a " +
+      "genuine serving regression is slow on every window and still " +
+      "publishes, a healthy shape attacks exactly once") {
+    val calls = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val script = Map(
+      "fast" -> Seq(30.0),
+      "burst" -> Seq(2.0, 3.0, 2.5, 38.0),
+      "regressed" -> Seq(2.0, 2.1, 2.2, 2.3))
+    def attack(name: String): LoadProbe.ShapeAttempt = {
+      val i = calls(name); calls(name) = i + 1
+      val qps = script(name).lift(i).getOrElse(script(name).last)
+      LoadProbe.ShapeAttempt(LoadProbe.AttackStats(qps, 10, 1, 2, 3), 0.5, 0.6)
+    }
+    val ref = Map("fast" -> 33.0, "burst" -> 40.0, "regressed" -> 14.0)
+    var settled = 0
+    val (rs, focal) = LoadProbe.refereedShapes(
+      Seq("fast", "burst", "regressed"), attack, ref, () => settled += 1)
+    val byName = rs.map(r => r.name -> r).toMap
+    assert(byName("fast").attempts.length == 1 && !byName("fast").refereed)
+    assert(byName("burst").attempts.length == 4 && byName("burst").refereed)
+    assert(byName("burst").best.stats.qps == 38.0, "the referee retry publishes")
+    assert(byName("regressed").attempts.length == 4)
+    assert(byName("regressed").best.stats.qps == 2.3,
+      "slow on all four windows: the regression publishes")
+    assert(settled == 1, "load settles ONCE before the referee round, not per shape")
+    assert(focal.contains("\"burst\"") && focal.contains("\"regressed\"")
+      && !focal.contains("\"fast\""), s"disclosure names the refereed shapes: $focal")
+    // no reference: gate rounds still run, referee abstains, no settling
+    calls.clear()
+    val (rs2, focal2) = LoadProbe.refereedShapes(
+      Seq("regressed"), attack, Map.empty, () => fail("must not settle"))
+    assert(rs2.head.attempts.length == 3 && focal2 == "{}")
   }
 
   test("reference picks the best error-free committed artifact among the " +
