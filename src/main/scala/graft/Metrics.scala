@@ -28,9 +28,14 @@ final class QueryMetricsListener extends SparkListener {
   private val stageToName = new ConcurrentHashMap[Int, String]()
   private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
   private val totals = new ConcurrentHashMap[String, Array[LongAdder]]()
+  // per-(name, stageId) totals — the stage split is what locates a
+  // scale regression inside a query (scan vs shuffle-write vs reduce):
+  // per-query totals alone said "ev_sessions is CPU-bound at 500M"
+  // without saying WHERE. Bounded: stages of measured queries only.
+  private val stageTotals = new ConcurrentHashMap[(String, Int), Array[LongAdder]]()
 
   private def slots(name: String): Array[LongAdder] =
-    totals.computeIfAbsent(name, _ => Array.fill(8)(new LongAdder))
+    totals.computeIfAbsent(name, _ => Array.fill(10)(new LongAdder))
 
   override def onJobStart(js: SparkListenerJobStart): Unit = {
     val group = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
@@ -54,7 +59,14 @@ final class QueryMetricsListener extends SparkListener {
     val name = stageToName.get(te.stageId)
     val m = te.taskMetrics
     if (name != null && m != null) {
-      val s = slots(name)
+      credit(slots(name), m)
+      credit(stageTotals.computeIfAbsent((name, te.stageId),
+        _ => Array.fill(10)(new LongAdder)), m)
+    }
+  }
+
+  private def credit(s: Array[LongAdder],
+      m: org.apache.spark.executor.TaskMetrics): Unit = {
       s(0).add(m.executorRunTime)
       s(1).add(1L)
       s(2).add(m.inputMetrics.bytesRead)
@@ -63,16 +75,37 @@ final class QueryMetricsListener extends SparkListener {
       s(5).add(m.shuffleWriteMetrics.bytesWritten)
       s(6).add(m.memoryBytesSpilled + m.diskBytesSpilled)
       s(7).add(m.resultSize)
-    }
+      // GC and on-CPU time split "task time" into its honest parts:
+      // runTime ≈ cpu + gc + blocked(IO/lock) — the three have entirely
+      // different remedies, and a run can read as "97% utilization"
+      // while most of that is pause or blocked time (the r17 ev_sessions
+      // 500M diagnosis needed exactly this split)
+      s(8).add(m.jvmGCTime)
+      s(9).add(m.executorCpuTime / 1000000L) // ns → ms
   }
+
+  private def toSnapshot(s: Array[LongAdder]): Snapshot =
+    Snapshot(taskTimeMs = s(0).sum, tasks = s(1).sum, inputBytes = s(2).sum,
+      inputRecords = s(3).sum, shuffleReadBytes = s(4).sum,
+      shuffleWriteBytes = s(5).sum, spilledBytes = s(6).sum, resultBytes = s(7).sum,
+      gcTimeMs = s(8).sum, cpuTimeMs = s(9).sum)
 
   /** Totals credited to `name` so far (absent = no finished tasks). */
   def snapshot(name: String): Option[Snapshot] =
-    Option(totals.get(name)).map { s =>
-      Snapshot(taskTimeMs = s(0).sum, tasks = s(1).sum, inputBytes = s(2).sum,
-        inputRecords = s(3).sum, shuffleReadBytes = s(4).sum,
-        shuffleWriteBytes = s(5).sum, spilledBytes = s(6).sum, resultBytes = s(7).sum)
+    Option(totals.get(name)).map(toSnapshot)
+
+  /** Per-stage totals credited to `name`, stageId-ascending (execution
+    * order for a straight-line query) — the scan/shuffle/reduce split.
+    */
+  def stageSnapshots(name: String): Seq[(Int, Snapshot)] = {
+    val it = stageTotals.entrySet().iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Snapshot)]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == name) out += ((e.getKey._2, toSnapshot(e.getValue)))
     }
+    out.sortBy(_._1).toSeq
+  }
 
   def names: Seq[String] = {
     val it = totals.keys()
@@ -93,7 +126,9 @@ object QueryMetrics {
       shuffleReadBytes: Long,
       shuffleWriteBytes: Long,
       spilledBytes: Long,
-      resultBytes: Long)
+      resultBytes: Long,
+      gcTimeMs: Long = 0L,
+      cpuTimeMs: Long = 0L)
 
   /** Register a fresh listener on the session's bus. */
   def install(spark: SparkSession): QueryMetricsListener = {

@@ -15,6 +15,10 @@ object QTime {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // match the serving posture (Sessions.ServiceConfs): reducer
+      // counts from data size, so isolated re-measures see the same
+      // plans the bench and the servers run
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false"))
     // ad-hoc knob experiments: SPARK_GRAFT_CONF="k=v;k=v" overlays the
     // defaults above, so A/B runs don't need a recompile
@@ -33,12 +37,35 @@ object QTime {
       graft.ingest.LifelineLayout.ensure(graft.model.Domain.records(spark, sfDir),
         graft.vector.AnnIndex.indexRoot(sfDir) + "/lifeline")
     } catch { case e: Throwable => println(s"index prebuild: ${e.getMessage}") }
-    names.foreach { n =>
+    // task-level metrics ride every timed run (spill/shuffle/GC are what
+    // separate "CPU-bound at scale" from "working set fell out of
+    // execution memory" — the ev_sessions 500M diagnosis, r17)
+    val qm = QueryMetrics.install(spark)
+    names.zipWithIndex.foreach { case (n, i) =>
       try { Queries.catalog(n)(spark, "/root/testdata/sf0.001").count() }
       catch { case e: Throwable => println(s"warmup $n: ${e.getMessage}") }
+      val tag = s"$n#$i"
       val t0 = System.nanoTime()
-      val rows = Queries.catalog(n)(spark, sfDir).count()
-      println(f"$n%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$rows")
+      val rows = QueryMetrics.measure(spark, tag) {
+        Queries.catalog(n)(spark, sfDir).count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      QueryMetrics.settledAll(qm)
+      val m = qm.snapshot(tag).map(s =>
+        f"task_s=${s.taskTimeMs / 1e3}%.0f cpu_s=${s.cpuTimeMs / 1e3}%.0f " +
+        f"gc_s=${s.gcTimeMs / 1e3}%.0f spill_gb=${s.spilledBytes / 1e9}%.1f " +
+        f"shuf_w_gb=${s.shuffleWriteBytes / 1e9}%.2f tasks=${s.tasks}")
+        .getOrElse("")
+      println(f"$n%-22s $sec%8.3f s   rows=$rows   $m")
+      // SPARK_GRAFT_STAGES=1: the per-stage split (scan vs shuffle-write
+      // vs reduce) — where inside the query a scale regression lives
+      if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+        qm.stageSnapshots(tag).foreach { case (sid, s) =>
+          println(f"  stage $sid%-5d task_s=${s.taskTimeMs / 1e3}%7.0f cpu_s=${s.cpuTimeMs / 1e3}%7.0f " +
+            f"gc_s=${s.gcTimeMs / 1e3}%5.0f in_gb=${s.inputBytes / 1e9}%6.2f " +
+            f"sh_r_gb=${s.shuffleReadBytes / 1e9}%6.2f sh_w_gb=${s.shuffleWriteBytes / 1e9}%6.2f " +
+            f"spill_gb=${s.spilledBytes / 1e9}%5.1f tasks=${s.tasks}%d")
+        }
     }
     spark.stop()
   }

@@ -58,13 +58,34 @@ object Sessions {
     "spark.scheduler.mode" -> "FAIR",
     "spark.ui.enabled" -> "false")
 
+  /** Reducer counts come from DATA SIZE, not the static partition knob:
+    * AQE starts every exchange at `8 × cores` partitions and coalesces
+    * down to its 64 MB advisory target, so a sub-MB shuffle still runs a
+    * handful of reducers while a 9 GB shuffle keeps hundreds — the one
+    * configuration that survives five orders of magnitude of input
+    * (AQE can only coalesce DOWN; nothing splits an oversized sort/agg
+    * partition at runtime, so the static `partitions = cores` start is
+    * a scale ceiling). Measured (r17, ev_sessions at the 50M→500M-event
+    * decade): the static 32 sorts 15.6M rows/reducer and measures
+    * 552 s; 512 initial measures 246–363 s with zero spill. The
+    * small-SF cost of the extra map-side shuffle buckets is ~4–6% on
+    * the sf0.1 catalog (A/B in SCALE.md r17) — the accepted price of
+    * not owning a 17× cliff one decade up. Derived from the core count
+    * so a real cluster's posture scales the same way.
+    */
+  def initialPartitions(cpus: String): String =
+    (cpus.toIntOption.getOrElse(32) * 8).toString
+
   /** The COMPLETE conf set [[serviceBuilder]] applies — drift defenses,
     * service configs, and shuffle parallelism matched to the core count.
     * Exposed as data so SessionsSpec can pin it without reflecting into
     * the builder.
     */
   def serviceConfPairs(cpus: String): Seq[(String, String)] =
-    DriftConfs ++ ServiceConfs :+ ("spark.sql.shuffle.partitions" -> cpus)
+    DriftConfs ++ ServiceConfs ++ Seq(
+      "spark.sql.shuffle.partitions" -> cpus,
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+        initialPartitions(cpus))
 
   /** Session builder for every serving entry point: drift defenses plus
     * the benched service configs, `local[cpus]` with shuffle parallelism
@@ -72,10 +93,23 @@ object Sessions {
     * master URL and scale `shuffle.partitions` with the cluster; nothing
     * else here is local-mode-specific).
     */
-  def serviceBuilder(cpus: String, appName: String): SparkSession.Builder =
-    serviceConfPairs(cpus).foldLeft(
+  def serviceBuilder(cpus: String, appName: String): SparkSession.Builder = {
+    val base = serviceConfPairs(cpus).foldLeft(
       SparkSession.builder().master(s"local[$cpus]").appName(appName)
     ) { case (acc, (k, v)) => acc.config(k, v) }
+    // SPARK_GRAFT_CONF="k=v;k=v" overlays the benched defaults — the
+    // no-recompile A/B switch QTime has had since r15, now uniform
+    // across entry points (r17: used to isolate initialPartitionNum's
+    // small-SF cost with everything else identical). Production runs
+    // leave it unset; the pinned defaults stand.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).foldLeft(base) { (acc, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => acc.config(k.trim, v.trim)
+          case _ => acc
+        }
+      }
+  }
 
   /** Assert (never set) the drift-defense configs on a live session —
     * called by the [[graft.model.Domain]] accessors before the events

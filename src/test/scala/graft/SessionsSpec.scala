@@ -17,6 +17,16 @@ class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "concurrent requests must share the pool, not FIFO-starve")
   }
 
+  test("reducer counts come from data size: AQE starts at 8x cores and " +
+      "coalesces down (the r17 500M-event decade measured the static " +
+      "knob sorting 15.6M rows/reducer: 552s vs 246-363s)") {
+    assert(Sessions.initialPartitions("32") == "256")
+    assert(Sessions.initialPartitions("8") == "64")
+    val m = Sessions.serviceConfPairs("32").toMap
+    assert(m.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .contains("256"), "the posture must reach every serving session")
+  }
+
   test("serviceConfPairs (what serviceBuilder applies) covers drift + service + parallelism") {
     val m = Sessions.serviceConfPairs("32").toMap
     Sessions.DriftConfs.foreach { case (k, v) =>
