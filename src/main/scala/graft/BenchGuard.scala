@@ -62,19 +62,31 @@ object BenchGuard {
   /** A committed pass to compare against: total + per-query seconds. */
   final case class PassRef(total: Double, perQuery: Map[String, Double], artifact: String)
 
-  /** True when a standing-best file's content BLOCKS replacement by a
-    * run measuring `total` at `sf`: only a readable record of the SAME
-    * sf whose total is not strictly larger blocks. Another SF's record
-    * never constrains this sf (it merely isn't overwritten), and an
-    * unreadable or total-less file does not block — damage is replaced
-    * by a clean run.
+  /** Verdict on one standing-best file for a run measuring `total` at
+    * `sf`: may this run overwrite it, and does it veto the update?
+    *
+    *  - same sf, strictly slower record → replace;
+    *  - same sf, not strictly slower → VETO (monotone invariant);
+    *  - ANOTHER sf's readable record → never replace, and in the
+    *    per-SF slot it also vetoes: two distinct SF strings can share a
+    *    filename leaf (`/a/sf0.1` vs `/b/sf0.1`, or a trailing slash),
+    *    and silently clobbering someone else's baseline is exactly the
+    *    failure this file exists to prevent (review r17 — the first
+    *    rewrite dropped the old code's other-SF rejection);
+    *  - unreadable file → replace (damage yields to a clean run), no
+    *    veto.
     */
-  private def blocksReplacement(standing: Option[String], total: Double, sf: String): Boolean =
-    standing match {
-      case Some(s) if s.contains(s""""sf":"$sf"""") =>
-        !parsePass(s, "value", "queries").forall(total < _._1)
-      case _ => false
-    }
+  private sealed trait SlotVerdict
+  private case object Replace extends SlotVerdict
+  private case object Keep extends SlotVerdict
+  private case object Veto extends SlotVerdict
+
+  private def slotVerdict(content: String, total: Double, sf: String,
+      otherSfVetoes: Boolean): SlotVerdict =
+    if (content.contains(s""""sf":"$sf""""))
+      if (parsePass(content, "value", "queries").forall(total < _._1)) Replace else Veto
+    else if (otherSfVetoes) Veto
+    else Keep
 
   /** Atomic artifact write: temp file in the same dir + ATOMIC_MOVE
     * (the `_frontier.json` pattern — ADVICE r16: a crash mid-write with
@@ -102,36 +114,48 @@ object BenchGuard {
     * hidden.
     *
     * Two slots are maintained: the per-SF file ([[bestArtifactNameFor]])
-    * is written for EVERY sf, and the legacy [[BestArtifactName]] is
-    * additionally refreshed when it is absent or already records this
-    * sf — so the gate SF's known-by-name file stays current while an
-    * experiment SF seeds its own slot instead of being rejected against
-    * someone else's baseline (the r16 ADVICE lockout). Returns true
-    * when at least one slot was replaced.
+    * is written for every sf (vetoed if its filename already holds a
+    * DIFFERENT sf's record — two SF strings can share a leaf), and the
+    * legacy [[BestArtifactName]] is additionally refreshed only while
+    * it RECORDS this sf — so the gate SF's known-by-name file stays
+    * current while an experiment SF seeds its own slot instead of being
+    * rejected against (or claiming) someone else's baseline (the r16
+    * ADVICE lockout and its mirror image). Returns true when at least
+    * one slot was replaced.
     */
   def maybeUpdateBest(dir: java.nio.file.Path, json: String, total: Double,
       eligible: Boolean, sf: String): Boolean = {
     if (!eligible || total <= 0) return false
-    def readOpt(p: java.nio.file.Path): Option[Option[String]] =
+    def read(p: java.nio.file.Path): Option[Option[String]] =
       if (!java.nio.file.Files.isRegularFile(p)) None
       else Some(try Some(java.nio.file.Files.readString(p)) catch { case _: Throwable => None })
     val perSf = dir.resolve(bestArtifactNameFor(sf))
     val legacy = dir.resolve(BestArtifactName)
-    // the better-than test folds BOTH slots: a run must beat every
-    // same-SF standing record to write (else a slow run could "win" the
-    // per-SF slot while the legacy file still holds the faster one)
-    val standing = Seq(perSf, legacy).flatMap(readOpt)
-    val better = !standing.exists(blocksReplacement(_, total, sf))
-    if (!better) false
+    // Per-SF slot: another SF's record in OUR filename (leaf collision,
+    // e.g. trailing slash or a second tree whose dir shares the leaf)
+    // VETOES — never clobber someone else's baseline. An absent file or
+    // unreadable damage yields to a clean run.
+    val perSfVerdict = read(perSf) match {
+      case None => Replace // absent: seed
+      case Some(None) => Replace // unreadable damage: yield to a clean run
+      case Some(Some(s)) => slotVerdict(s, total, sf, otherSfVetoes = true)
+    }
+    // Legacy slot: refreshed only while it RECORDS this sf — an absent
+    // or other-SF legacy is left alone (review r17: letting the first
+    // eligible run of ANY sf claim a vacant legacy file is the mirror
+    // image of the r16 lockout; the per-SF slots are authoritative, the
+    // legacy file persists in git for its recorded sf). A same-sf
+    // legacy that is FASTER than this run vetoes the whole update.
+    val legacyContent = read(legacy)
+    val legacyVerdict = legacyContent match {
+      case None => Keep // vacant: per-SF slots carry the baseline
+      case Some(None) => Keep // unreadable: unknown owner, leave alone
+      case Some(Some(s)) => slotVerdict(s, total, sf, otherSfVetoes = false)
+    }
+    if (perSfVerdict == Veto || legacyVerdict == Veto) false
     else try {
       writeAtomically(perSf, json)
-      // refresh the legacy slot only when it is this sf's (or vacant)
-      val legacyOwned = readOpt(legacy) match {
-        case None => true
-        case Some(Some(s)) => s.contains(s""""sf":"$sf"""")
-        case Some(None) => true // unreadable: replace damage
-      }
-      if (legacyOwned) writeAtomically(legacy, json)
+      if (legacyVerdict == Replace) writeAtomically(legacy, json)
       true
     } catch { case _: Throwable => false }
   }

@@ -231,9 +231,16 @@ object LoadProbe {
       ShapeResult(n, refereeAttempts.get(n).fold(atts)(atts :+ _),
         ref.get(n), refereeAttempts.contains(n))
     }
+    // disclosure carries BOTH pre-referee numbers: `first` is literally
+    // the first attack window (matching the load_*_first_attempt
+    // floors), `pre` the best the gate rounds reached — the referee's
+    // suspect criterion (review r17: labeling the gate-round best
+    // "first" contradicted the attempts array one key over)
+    val firstByName = rescued.map { case (n, atts) => n -> atts.head.stats.qps }.toMap
     val focalJson = suspects.map { f =>
       val retryQps = refereeAttempts(f.name).stats.qps
-      f""""${f.name}":{"ref":${f.refQps}%.2f,"first":${f.firstQps}%.2f,"retry":$retryQps%.2f}"""
+      f""""${f.name}":{"ref":${f.refQps}%.2f,"first":${firstByName(f.name)}%.2f""" +
+        f""","pre":${f.firstQps}%.2f,"retry":$retryQps%.2f}"""
     }.mkString("{", ",", "}")
     (results, focalJson)
   }

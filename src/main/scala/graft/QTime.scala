@@ -15,10 +15,12 @@ object QTime {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // match the serving posture (Sessions.ServiceConfs): reducer
+      // match the serving posture (Sessions.serviceConfPairs): reducer
       // counts from data size, so isolated re-measures see the same
-      // plans the bench and the servers run
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // plans the bench and the servers run — through the SAME helper,
+      // so a non-default SPARK_GRAFT_CPUS still mirrors the servers
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Sessions.initialPartitions(cpus))
       .config("spark.ui.enabled", "false"))
     // ad-hoc knob experiments: SPARK_GRAFT_CONF="k=v;k=v" overlays the
     // defaults above, so A/B runs don't need a recompile
@@ -41,6 +43,17 @@ object QTime {
     // separate "CPU-bound at scale" from "working set fell out of
     // execution memory" — the ev_sessions 500M diagnosis, r17)
     val qm = QueryMetrics.install(spark)
+    // pre-fire each query's CONSTRUCTION at sfDir once (Set semantics:
+    // once per name) before any timed window — construction-time jobs
+    // (the once-per-dir ngram advisory, mm_features' memoized spot
+    // check) otherwise land inside the FIRST timed execution only,
+    // the exact one-sided charge Bench.ensureIndexes and ScaleProbe
+    // pre-fire away; an instrument used for cross-tool comparisons
+    // must exclude them the same way (review r17)
+    names.distinct.foreach { n =>
+      try { Queries.catalog(n)(spark, sfDir); () }
+      catch { case e: Throwable => println(s"prefire $n: ${e.getMessage}") }
+    }
     names.zipWithIndex.foreach { case (n, i) =>
       try { Queries.catalog(n)(spark, "/root/testdata/sf0.001").count() }
       catch { case e: Throwable => println(s"warmup $n: ${e.getMessage}") }

@@ -1450,13 +1450,16 @@ object Queries {
     // judge nit — it was new per-query overhead on the hottest
     // multimodal row)
     val docsPath = s"$dir/documents.parquet"
+    // an unreadable mtime means no stable identity — skip memoization
+    // for the call rather than share a "<path>@-1" key across store
+    // generations (review r17)
     val mtime = try {
       val hp = new org.apache.hadoop.fs.Path(docsPath)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getFileStatus(hp).getModificationTime
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+      Some(hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).getModificationTime)
+    } catch { case scala.util.control.NonFatal(_) => None }
     graft.multimodal.Multimodal.extractFeatures(media,
-        metaTrustKey = Some(s"$docsPath@$mtime")).toDF()
+        metaTrustKey = mtime.map(t => s"$docsPath@$t")).toDF()
       .select(col("media_id"), col("modality"), col("n_samples"),
         col("width"), col("height"), col("sample_sum"))
       .orderBy(col("media_id"))

@@ -138,10 +138,11 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // the service posture's size-adaptive reducer count (see
-      // Sessions.ServiceConfs) — the probes must measure the same engine
-      // configuration the serving entry points run
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // the service posture's size-adaptive reducer count, through the
+      // same helper the serving entry points use — the probes must
+      // measure the engine configuration the servers run at ANY cpus
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Sessions.initialPartitions(cpus))
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .config("spark.ui.enabled", "false"))
       .getOrCreate()

@@ -106,18 +106,28 @@ object TableManifest {
     * TWO commits (v+1 and v+2) to land finds v's file gone at open time.
     * Re-resolving picks up whatever is newest now; each retry can in
     * principle lose the same microseconds-vs-seconds race again under
-    * sustained commit churn, so a small bounded loop (3 resolutions)
-    * drives the residual odds to negligible before propagating — a
-    * failure past that means external damage (the zero-500 serving
-    * contract rests on this path never throwing for protocol-internal
-    * reasons).
+    * sustained commit churn. Three immediate re-resolutions proved NOT
+    * enough on a saturated box (r17: the StoreServeSpec churn race pin
+    * failed once under the full parallel suite — a multi-hundred-ms GC
+    * or scheduler stall straddled all three back-to-back attempts while
+    * the writer kept committing), so later attempts back off briefly:
+    * the loser of a timing race must stop re-entering it at the same
+    * cadence that lost. Six attempts with 10/20/40/80 ms pauses bounds
+    * the path at ~150 ms worst case — still request-scale — before
+    * propagating; a failure past that means external damage (the
+    * zero-500 serving contract rests on this path never throwing for
+    * protocol-internal reasons).
     */
   def latest(fs: FileSystem, tablePath: String): Option[Snapshot] = {
     var attempt = 0
     while (true) {
       attempt += 1
       try return latestOnce(fs, tablePath)
-      catch { case e: java.io.FileNotFoundException => if (attempt >= 3) throw e }
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= 6) throw e
+          if (attempt >= 2) Thread.sleep(10L << (attempt - 2))
+      }
     }
     None // unreachable
   }

@@ -288,19 +288,29 @@ object Multimodal {
     // decision to measured lengths. Eight blobs is the whole cost —
     // memoized per source identity when the caller supplies one — and
     // the metadata column's pruning saving on the full table stands.
-    def spotCheck(): Boolean =
-      try media.select(
+    // None = the check itself failed (transient IO, store mid-rewrite):
+    // distrust for THIS call but never memoize it — a cached transient
+    // failure would pin the slower measured-length plan for the JVM's
+    // lifetime on a healthy store (review r17)
+    def spotCheck(): Option[Boolean] =
+      try Some(media.select(
           coalesce(col("payload_bytes").cast("long"), lit(-1L)).as("m"),
           coalesce(length(col("payload")).cast("long"), lit(-1L)).as("l"))
         .limit(8).collect().forall { r =>
           val (m, l) = (r.getLong(0), r.getLong(1))
           m == l || (m >= 0 && l >= 0 && math.abs(m - l) <= math.max(m, l) / 5)
-        }
-      catch { case scala.util.control.NonFatal(_) => false }
+        })
+      catch { case scala.util.control.NonFatal(_) => None }
     val metaTrusted = media.schema.fieldNames.contains("payload_bytes") && {
       metaTrustKey match {
-        case Some(k) => metaTrustCache.computeIfAbsent(k, _ => spotCheck()).booleanValue()
-        case None => spotCheck()
+        case Some(k) =>
+          val cached = metaTrustCache.get(k)
+          if (cached != null) cached.booleanValue()
+          else spotCheck() match {
+            case Some(v) => metaTrustCache.put(k, v); v
+            case None => false
+          }
+        case None => spotCheck().getOrElse(false)
       }
     }
     val sizeCol =

@@ -89,7 +89,15 @@ class BenchGuardSpec extends AnyFunSuite {
     def art(total: Double, sf: String) =
       s"""{"value":$total,"queries":{"a":$total},"failed":[],"sf":"$sf"}"""
     assert(BenchGuard.maybeUpdateBest(dir, art(14.3, "/d/sf0.1"), 14.3,
-      eligible = true, sf = "/d/sf0.1"), "first clean run seeds the best")
+      eligible = true, sf = "/d/sf0.1"), "first clean run seeds the per-SF slot")
+    assert(java.nio.file.Files.isRegularFile(
+      dir.resolve(BenchGuard.bestArtifactNameFor("/d/sf0.1"))))
+    assert(!java.nio.file.Files.isRegularFile(dir.resolve(BenchGuard.BestArtifactName)),
+      "a VACANT legacy slot is left vacant — any-SF claiming would be the " +
+        "mirror image of the r16 lockout (review r17)")
+    // seed the legacy as the gate SF's record — the committed-repo state
+    java.nio.file.Files.write(dir.resolve(BenchGuard.BestArtifactName),
+      art(14.3, "/d/sf0.1").getBytes("UTF-8"))
     assert(!BenchGuard.maybeUpdateBest(dir, art(23.9, "/d/sf0.1"), 23.9,
       eligible = true, sf = "/d/sf0.1"), "a slower run never replaces it")
     // ADVICE r16: an experiment SF seeds BENCH_BEST_<leaf>.json and
@@ -105,6 +113,15 @@ class BenchGuardSpec extends AnyFunSuite {
       .contains("\"sf\":\"/d/sf0.1\""), "the gate SF's legacy slot is untouched")
     assert(!BenchGuard.maybeUpdateBest(dir, art(1.0, "/d/sf0.1"), 1.0,
       eligible = false, sf = "/d/sf0.1"), "ineligible (errored/contended) never writes")
+    // leaf collision: a DIFFERENT SF string whose dir leaf matches the
+    // gate SF's resolves to the same per-SF filename — it must be
+    // vetoed, never silently clobber the gate baseline (review r17)
+    assert(!BenchGuard.maybeUpdateBest(dir, art(1.0, "/elsewhere/sf0.1"), 1.0,
+      eligible = true, sf = "/elsewhere/sf0.1"),
+      "two SF strings sharing a filename leaf must never clobber each other")
+    assert(java.nio.file.Files.readString(
+      dir.resolve(BenchGuard.bestArtifactNameFor("/d/sf0.1")))
+      .contains("\"sf\":\"/d/sf0.1\""))
     assert(BenchGuard.maybeUpdateBest(dir, art(12.0, "/d/sf0.1"), 12.0,
       eligible = true, sf = "/d/sf0.1"), "a faster clean run replaces it")
     val Some(best) = BenchGuard.reference(dir, "value", "queries",
@@ -254,6 +271,11 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(settled == 1, "load settles ONCE before the referee round, not per shape")
     assert(focal.contains("\"burst\"") && focal.contains("\"regressed\"")
       && !focal.contains("\"fast\""), s"disclosure names the refereed shapes: $focal")
+    // disclosure semantics (review r17): `first` is literally attempt 1
+    // (matching the first-attempt floors), `pre` the gate-round best the
+    // suspect criterion used
+    assert(focal.contains("\"burst\":{\"ref\":40.00,\"first\":2.00,\"pre\":3.00,\"retry\":38.00}"),
+      s"first=attempt1, pre=gate-round best: $focal")
     // no reference: gate rounds still run, referee abstains, no settling
     calls.clear()
     val (rs2, focal2) = LoadProbe.refereedShapes(

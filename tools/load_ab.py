@@ -42,10 +42,18 @@ def run_arm(name, extra_env):
     env["SPARK_GRAFT_SECTIONS"] = "load"
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.update(extra_env)
+    # remove the previous arm's artifact FIRST: a crashed arm must fail
+    # loudly here, not silently republish the other arm's numbers as its
+    # own (review r17)
+    art_path = os.path.join(REPO, "target/bench.json")
+    if os.path.exists(art_path):
+        os.remove(art_path)
     t0 = time.time()
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, check=False)
-    with open(os.path.join(REPO, "target/bench.json")) as f:
+    if not os.path.exists(art_path):
+        raise RuntimeError(f"arm {name}: bench produced no artifact (crashed?)")
+    with open(art_path) as f:
         art = json.load(f)
     keep = ["load_min_shape_qps", "load_min_shape_qps_first_attempt",
             "load_min_shape_qps_prefocal", "load_per_shape_qps", "load_errors",
