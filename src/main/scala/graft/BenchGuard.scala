@@ -96,10 +96,17 @@ object BenchGuard {
     */
   private def writeAtomically(target: java.nio.file.Path, json: String): Unit = {
     val tmp = java.nio.file.Files.createTempFile(target.getParent, target.getFileName.toString, ".tmp")
-    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      // no-op after a successful move; prevents .tmp orphans piling up
+      // in the repo root on failed attempts (review r17)
+      java.nio.file.Files.deleteIfExists(tmp)
+      ()
+    }
   }
 
   /** Replace this SF's standing-best artifact with this run's when the
@@ -153,11 +160,17 @@ object BenchGuard {
       case Some(Some(s)) => slotVerdict(s, total, sf, otherSfVetoes = false)
     }
     if (perSfVerdict == Veto || legacyVerdict == Veto) false
-    else try {
-      writeAtomically(perSf, json)
-      if (legacyVerdict == Replace) writeAtomically(legacy, json)
-      true
-    } catch { case _: Throwable => false }
+    else {
+      // each slot's write failure is its own: a legacy-slot IO error
+      // must not suppress the true "per-SF slot replaced" report
+      // (review r17 — the documented contract is "true when at least
+      // one slot was replaced")
+      def tryWrite(p: java.nio.file.Path): Boolean =
+        try { writeAtomically(p, json); true } catch { case _: Throwable => false }
+      val wrotePerSf = tryWrite(perSf)
+      val wroteLegacy = legacyVerdict == Replace && tryWrite(legacy)
+      wrotePerSf || wroteLegacy
+    }
   }
 
   /** Verdict of one comparison. `compared` is how many queries were

@@ -182,13 +182,27 @@ object LoadProbe {
       refQps: Option[Double], refereed: Boolean) {
     def best: ShapeAttempt = attempts.maxBy(_.stats.qps)
     def first: ShapeAttempt = attempts.head
+    /** Gate-round windows only — the referee attempt, when one ran, is
+      * always last. ONE definition (review r17: the floor expression was
+      * duplicated at two Bench call sites and inside the suspect
+      * criterion, three places to diverge).
+      */
+    def gateAttempts: Vector[ShapeAttempt] =
+      attempts.dropRight(if (refereed) 1 else 0)
+    /** The pre-referee floor: best the gate rounds reached — exactly the
+      * number the referee's suspect criterion judged.
+      */
+    def preQps: Double = gateAttempts.map(_.stats.qps).max
   }
 
   /** Attack every shape with contention-proof retries AND the committed-
     * reference focal referee — ONE implementation for the DataFrame and
-    * HTTP sections (Bench's last-position/first-position probes, the
-    * HTTP gate, and this standalone main), so the publish-best/disclose-
-    * first policy cannot drift between them.
+    * HTTP sections (Bench's last-position/first-position probes and the
+    * HTTP gate), so the publish-best/disclose-first policy cannot drift
+    * between them. The standalone [[main]] above deliberately stays RAW
+    * (single attack per shape per round, no retries, no referee): it is
+    * the session-age bisect tool, and a bisect needs the un-refereed
+    * observation — its output must not be read as a gate number.
     *
     * Rounds, every attempt kept in the artifact with its load1 bracket:
     *

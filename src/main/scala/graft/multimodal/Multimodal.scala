@@ -260,16 +260,19 @@ object Multimodal {
     */
   /** Memoized spot-check verdicts per caller-supplied source identity
     * (r16 judge nit 2: the 8-row check is one tiny job, but it ran per
-    * CALL on the hottest multimodal row). Keyed by whatever names the
-    * source's current content — the catalog passes
+    * CALL on the hottest multimodal row). The identity key is
+    * `<source>@<generation>` (the catalog passes
     * `<table path>@<source mtime>`, the raw-parquet analog of
-    * TableManifest's (path, version) memo key — so a rewritten store
-    * re-checks while an unchanged one pays the job once per JVM. One
-    * entry per live media source; a key-less call (ad-hoc frame, no
-    * stable identity) checks every time, as before.
+    * TableManifest's (path, version) memo key); the MAP key is the
+    * source part alone with the full identity stored in the value, so a
+    * rewritten store replaces its single entry instead of accumulating
+    * one per generation for the JVM's lifetime (review r17 — the
+    * long-lived-service posture must not leak per re-ingest). A
+    * key-less call (ad-hoc frame, no stable identity) checks every
+    * time, as before.
     */
   private val metaTrustCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
 
   def extractFeatures(media: DataFrame,
       skewThresholdBytes: Long = 64L << 20,
@@ -304,10 +307,14 @@ object Multimodal {
     val metaTrusted = media.schema.fieldNames.contains("payload_bytes") && {
       metaTrustKey match {
         case Some(k) =>
-          val cached = metaTrustCache.get(k)
-          if (cached != null) cached.booleanValue()
+          // one entry per SOURCE: everything before the last '@' (the
+          // generation suffix is the caller's; the path may itself
+          // contain '@', hence lastIndexOf)
+          val src = { val i = k.lastIndexOf('@'); if (i < 0) k else k.substring(0, i) }
+          val cached = metaTrustCache.get(src)
+          if (cached != null && cached._1 == k) cached._2
           else spotCheck() match {
-            case Some(v) => metaTrustCache.put(k, v); v
+            case Some(v) => metaTrustCache.put(src, (k, v)); v
             case None => false
           }
         case None => spotCheck().getOrElse(false)
