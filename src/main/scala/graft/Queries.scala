@@ -101,11 +101,39 @@ object Queries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** W-family anchor — top-3 orders per customer via ranked window. */
+  /** W-family anchor — top-3 orders per customer via ranked window.
+    *
+    * Planner note (measured at the 500M-order decade, r17): Spark's
+    * rank-limit pushdown (`InsertWindowGroupLimit`) rewrites the rn<=3
+    * filter into a map-side Sort + partial WindowGroupLimit below the
+    * exchange. For THIS data model the partial side can never filter:
+    * a customer's ~10–20 orders arrive scattered uniformly across map
+    * partitions (per-partition group size ≈ 1, so nearly every row is
+    * its partition's rank ≤ 3) — measured 8.80 vs 8.98 GB shuffled at
+    * 500M rows, a 2% cut — while the Sort it rides on is a FULL local
+    * sort of the input: the only spill anywhere in the scale probes
+    * (10.4–17.5 GB at 500M) and, on memory-tight executors, an extra
+    * disk round-trip of the whole dataset before the exchange even
+    * writes. The reduce side sorts either way. So the pushdown is
+    * suppressed for this query alone via a conf-scoped child session
+    * ([[Sessions.confScoped]]): the map stage becomes stateless
+    * scan→exchange, zero spill — same-JVM steady-state A/B at 500M:
+    * 116.6 s with the pushdown (map 3363 task-s, 17.5 GB spill) vs
+    * 63.8 s suppressed (map 1186 task-s; the extra reduce-side window
+    * pass over unfiltered groups costs 234→759 task-s, 6x smaller
+    * than the map-side sort it replaces). The session DEFAULT stays
+    * 1000 because
+    * the ANN top-k paths ([[graft.vector.Similarity]]) are the opposite
+    * shape — exploded per-query candidate lists co-locate LARGE groups
+    * inside each map partition, where the partial limit cuts the
+    * shuffle by orders of magnitude. Plan-pinned in PlanAssertionsSpec.
+    */
   val wTopKPerGroup: Q = (s, dir) => {
+    val iso = Sessions.confScoped(s,
+      "spark.sql.optimizer.windowGroupLimitThreshold" -> "-1")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    t(s, dir, "orders")
+    t(iso, dir, "orders")
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))

@@ -127,4 +127,47 @@ object Sessions {
           "config keeps the wrong schema for the session's lifetime). Build the session " +
           "with graft.Sessions.withDriftDefaults(SparkSession.builder()...).")
     }
+
+  /** Conf-scoped child sessions: [[SparkSession.newSession]] shares the
+    * SparkContext, shared state, and extensions but carries an ISOLATED
+    * SQLConf — Spark's public mechanism for a per-query planner toggle
+    * that must not leak into the calling session (the serving layer runs
+    * every catalog query on one long-lived session; a `conf.set` there
+    * would flip the knob for unrelated queries racing on other threads).
+    * The child inherits the parent's runtime confs as of its FIRST use
+    * (entries that reject a runtime set are static and context-inherited
+    * already), then applies `overrides` — an override that itself rejects
+    * propagates, that is a caller error. Memoized per (parent, override
+    * set): derived caches key by session OBJECT ([[graft.sources
+    * .RelationCache]]), so a fresh child per construction would
+    * re-resolve every relation on every call. Weak parent keys — the memo
+    * never outlives the parent. Later runtime-conf changes on the parent
+    * are NOT re-propagated to an existing child; the one current caller
+    * overrides a planner toggle whose surrounding confs are fixed at
+    * session build.
+    */
+  private val confScopedChildren = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, SparkSession]]())
+
+  def confScoped(parent: SparkSession, overrides: (String, String)*): SparkSession = {
+    val key = overrides.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+    val perParent = confScopedChildren.synchronized {
+      var m = confScopedChildren.get(parent)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+        confScopedChildren.put(parent, m)
+      }
+      m
+    }
+    perParent.computeIfAbsent(key, _ => {
+      val child = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try child.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      overrides.foreach { case (k, v) => child.conf.set(k, v) }
+      child
+    })
+  }
 }

@@ -400,4 +400,39 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(s"pulse_number#\\d+L = $pn".r.findFirstIn(p3).nonEmpty,
       s"pulse point lookup must filter on its key:\n$p3")
   }
+
+  test("w_topk: rank-limit pushdown suppressed for scattered small groups; " +
+      "ann_knn keeps it for co-located large ones; parent conf untouched") {
+    // Small-group shape (~10-20 orders/customer scattered across map
+    // partitions): the partial WindowGroupLimit cannot filter (8.80 vs
+    // 8.98 GB shuffled measured at 500M rows) while its map-side Sort
+    // was the only spill in any scale probe (10.4-17.5 GB). Suppressed
+    // via a conf-scoped child session — the map side must be a stateless
+    // scan -> exchange.
+    val p = plan("w_topk_per_group")
+    assert(!p.contains("WindowGroupLimit"),
+      s"w_topk must not pay the map-side rank-pushdown sort:\n$p")
+    // The suppression must not leak: the SHARED session keeps the
+    // default, and the opposite shape (broadcast-exploded candidate
+    // lists: every query_id group is partition-local and large) still
+    // gets the pushdown that cuts its shuffle by ~k/corpus.
+    assert(!spark.conf.getOption("spark.sql.optimizer.windowGroupLimitThreshold")
+      .contains("-1"), "parent session's planner default must be untouched")
+    val pAnn = plan("ann_knn")
+    assert(pAnn.contains("WindowGroupLimit"),
+      s"ann_knn's per-query top-k must keep the rank-limit pushdown:\n$pAnn")
+    // Scoped children are memoized per (parent, overrides): repeated
+    // catalog constructions must reuse one child, or RelationCache
+    // (keyed by session object) re-resolves every relation per call.
+    val c1 = Sessions.confScoped(spark, "spark.sql.optimizer.windowGroupLimitThreshold" -> "-1")
+    val c2 = Sessions.confScoped(spark, "spark.sql.optimizer.windowGroupLimitThreshold" -> "-1")
+    assert(c1 eq c2, "conf-scoped child sessions must be memoized")
+    assert(c1 ne spark)
+    assert(c1.conf.get("spark.sql.optimizer.windowGroupLimitThreshold") == "-1")
+    // and the child inherits the parent's runtime confs (drift defenses
+    // included — a child that lost nanosAsLong would mis-read events)
+    Sessions.DriftConfs.foreach { case (k, v) =>
+      assert(c1.conf.getOption(k).contains(v), s"child must inherit $k=$v")
+    }
+  }
 }
