@@ -69,6 +69,12 @@ final class QueryMetricsListener extends SparkListener {
       m: org.apache.spark.executor.TaskMetrics): Unit = {
       s(0).add(m.executorRunTime)
       s(1).add(1L)
+      // caveat: on local-fs parquet, bytesRead captures footer I/O only
+      // (measured 17 KB credited for an 11 MB scan — the vectorized
+      // reader's column reads bypass the Hadoop FS thread statistics
+      // this counter rides). recordsRead is credited by the scan itself
+      // and is the reliable scan-size signal; consumers (QTime's stage
+      // split) report rows for input, bytes for shuffle.
       s(2).add(m.inputMetrics.bytesRead)
       s(3).add(m.inputMetrics.recordsRead)
       s(4).add(m.shuffleReadMetrics.totalBytesRead)

@@ -71,11 +71,19 @@ object QTime {
         .getOrElse("")
       println(f"$n%-22s $sec%8.3f s   rows=$rows   $m")
       // SPARK_GRAFT_STAGES=1: the per-stage split (scan vs shuffle-write
-      // vs reduce) — where inside the query a scale regression lives
+      // vs reduce) — where inside the query a scale regression lives.
+      // Input is reported in ROWS, not bytes: on local-fs parquet the
+      // task inputMetrics.bytesRead captures only footer I/O (measured
+      // 17 KB credited for an 11 MB scan — the vectorized reader's
+      // column-chunk reads bypass the Hadoop FS thread statistics the
+      // byte counter rides), so a byte column would print 0.00 under a
+      // multi-GB scan and misattribute the stage as input-free. Row
+      // counts are credited directly by the scan and identify the scan
+      // stage just as well.
       if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
         qm.stageSnapshots(tag).foreach { case (sid, s) =>
           println(f"  stage $sid%-5d task_s=${s.taskTimeMs / 1e3}%7.0f cpu_s=${s.cpuTimeMs / 1e3}%7.0f " +
-            f"gc_s=${s.gcTimeMs / 1e3}%5.0f in_gb=${s.inputBytes / 1e9}%6.2f " +
+            f"gc_s=${s.gcTimeMs / 1e3}%5.0f in_mrows=${s.inputRecords / 1e6}%7.1f " +
             f"sh_r_gb=${s.shuffleReadBytes / 1e9}%6.2f sh_w_gb=${s.shuffleWriteBytes / 1e9}%6.2f " +
             f"spill_gb=${s.spilledBytes / 1e9}%5.1f tasks=${s.tasks}%d")
         }
