@@ -555,7 +555,11 @@ object Bench {
       qMetrics.snapshot(n).fold("\"" + n + "\":{}") { s =>
         "\"" + n + "\":" +
           f"""{"task_ms":${s.taskTimeMs},"tasks":${s.tasks}""" +
-          f""","input_mb":${s.inputBytes / 1e6}%.1f,"input_rows":${s.inputRecords}""" +
+          // input is rows-only: on local-fs parquet, bytesRead credits
+          // footer I/O alone (~17 KB for an 11 MB scan — see the caveat
+          // at the Metrics.scala credit site), so an input_mb field
+          // would read as "input-free" under a multi-GB scan
+          f""","input_rows":${s.inputRecords}""" +
           f""","shuffle_r_mb":${s.shuffleReadBytes / 1e6}%.2f""" +
           f""","shuffle_w_mb":${s.shuffleWriteBytes / 1e6}%.2f""" +
           f""","spill_mb":${s.spilledBytes / 1e6}%.1f}"""

@@ -148,14 +148,17 @@ object Sessions {
     */
   private val confScopedChildren = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, SparkSession]]())
+      java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], SparkSession]]())
 
   def confScoped(parent: SparkSession, overrides: (String, String)*): SparkSession = {
-    val key = overrides.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+    // key by the sorted pair sequence itself (value equality), not a
+    // string join — "a" -> "1;b=2" and ("a" -> "1", "b" -> "2") must not
+    // collide into one child (review r17)
+    val key = overrides.sortBy(_._1).toSeq
     val perParent = confScopedChildren.synchronized {
       var m = confScopedChildren.get(parent)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+        m = new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], SparkSession]()
         confScopedChildren.put(parent, m)
       }
       m

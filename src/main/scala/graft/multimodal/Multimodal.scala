@@ -264,15 +264,25 @@ object Multimodal {
     * `<source>@<generation>` (the catalog passes
     * `<table path>@<source mtime>`, the raw-parquet analog of
     * TableManifest's (path, version) memo key); the MAP key is the
-    * source part alone with the full identity stored in the value, so a
-    * rewritten store replaces its single entry instead of accumulating
-    * one per generation for the JVM's lifetime (review r17 — the
-    * long-lived-service posture must not leak per re-ingest). A
+    * source part alone with a BOUNDED list of recent generations in the
+    * value, so a rewritten store cycles within its slot instead of
+    * accumulating one entry per generation for the JVM's lifetime
+    * (review r17 — the long-lived-service posture must not leak per
+    * re-ingest), while callers holding TWO live snapshots of one path
+    * (pre/post re-ingest comparisons) don't thrash a single-entry slot
+    * back into a per-call spot-check job (second review r17). A
     * key-less call (ad-hoc frame, no stable identity) checks every
     * time, as before.
     */
+  private val MetaTrustGenerations = 4
   private val metaTrustCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Boolean)]]()
+
+  /** Test window into the memo (MultimodalSpec pins the bounded
+    * per-source generation policy).
+    */
+  private[multimodal] def metaTrustSnapshot(src: String): Vector[(String, Boolean)] =
+    Option(metaTrustCache.get(src)).getOrElse(Vector.empty)
 
   def extractFeatures(media: DataFrame,
       skewThresholdBytes: Long = 64L << 20,
@@ -312,11 +322,20 @@ object Multimodal {
           // contain '@', hence lastIndexOf)
           val src = { val i = k.lastIndexOf('@'); if (i < 0) k else k.substring(0, i) }
           val cached = metaTrustCache.get(src)
-          if (cached != null && cached._1 == k) cached._2
-          else spotCheck() match {
-            case Some(v) => metaTrustCache.put(src, (k, v)); v
+          val hit = if (cached == null) None else cached.find(_._1 == k).map(_._2)
+          hit.getOrElse(spotCheck() match {
+            case Some(v) =>
+              // atomic append-newest with same-generation replacement and
+              // oldest-first eviction past the bound — a concurrent racer
+              // costs at most one redundant check, never a lost entry
+              metaTrustCache.compute(src, (_, old) => {
+                val base = if (old == null) Vector.empty[(String, Boolean)]
+                           else old.filterNot(_._1 == k)
+                (base :+ (k -> v)).takeRight(MetaTrustGenerations)
+              })
+              v
             case None => false
-          }
+          })
         case None => spotCheck().getOrElse(false)
       }
     }

@@ -168,4 +168,27 @@ class MultimodalSpec extends SparkSpec {
     assert(vf.length == 1 &&
       vf.head._3.map(_.toLong).sum == payload("gamma").map(_ & 0xff).map(_.toLong).sum)
   }
+
+  test("metaTrust memo: bounded per-source generations — two live snapshots " +
+      "coexist (no thrash) and the slot never grows past the bound") {
+    val withMeta = media.withColumn("payload_bytes", length(col("payload")))
+    val src = s"memo-src-${System.nanoTime()}" // unique: the memo is JVM-global
+    def call(gen: String): Unit = {
+      Multimodal.extractFeatures(withMeta, metaTrustKey = Some(s"$src@$gen")).collect()
+      ()
+    }
+    call("g1"); call("g2")
+    // both generations cached under ONE source slot — a pre/post
+    // re-ingest comparison alternating snapshots must hit, not thrash
+    // the slot back into a per-call spot-check job (review r17)
+    val both = Multimodal.metaTrustSnapshot(src)
+    assert(both.map(_._1).toSet == Set(s"$src@g1", s"$src@g2"), s"got $both")
+    assert(both.forall(_._2), "correct payload_bytes must be trusted")
+    // cycling generations stays bounded, evicting oldest-first
+    (3 to 7).foreach(i => call(s"g$i"))
+    val after = Multimodal.metaTrustSnapshot(src)
+    assert(after.length == 4, s"slot must stay bounded: $after")
+    assert(after.last._1 == s"$src@g7" && !after.exists(_._1 == s"$src@g1"),
+      s"newest kept, oldest evicted: $after")
+  }
 }
