@@ -271,8 +271,14 @@ object BenchGuard {
     * (shape → best committed q/s): reference at least `minRefQps` (a
     * shape the reference itself served slowly carries no signal either
     * way) and this window's rate more than `factor` under it. Bounded
-    * at `maxRetries`, largest absolute q/s deficit first — the deficit
-    * is what drags the published min-over-shapes headline.
+    * at `maxRetries`, LOWEST measured q/s first: the published headline
+    * is min-over-shapes, so the binding shapes are the slowest-measured
+    * ones — an absolute-deficit order (right for the query bench, whose
+    * headline is a SUM) would spend the whole budget on fast shapes
+    * whose retries cannot move a min pinned by a slow one (r17 ratchet
+    * run: be_jet_links_hash at 8.49 vs ref 13.6 set the headline but
+    * ranked 9th by deficit and went un-refereed while 129.8→40.7-class
+    * shapes took all 8 slots).
     */
   def loadSuspects(cur: Seq[(String, Double)], ref: Map[String, Double],
       minRefQps: Double = 1.0, factor: Double = 1.5,
@@ -280,7 +286,7 @@ object BenchGuard {
     cur.flatMap { case (n, q) =>
       ref.get(n).filter(r => r >= minRefQps && q * factor < r)
         .map(r => LoadFocal(n, r, q))
-    }.sortBy(f => -(f.refQps - f.firstQps)).take(maxRetries)
+    }.sortBy(_.firstQps).take(maxRetries)
 
   /** Extract a per-shape q/s map from a bench artifact's `field` object.
     * Hand-rolled for exactly the two shapes this repo's Bench emits

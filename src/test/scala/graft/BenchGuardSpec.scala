@@ -188,21 +188,32 @@ class BenchGuardSpec extends AnyFunSuite {
   // ---- load/HTTP probe referee (r17, closing r16's only `weak`) -------
 
   test("loadSuspects inverts the comparison for rates: shapes serving " +
-      ">1.5x UNDER the committed reference are suspect, largest deficit " +
-      "first, bounded, abstaining on thin or missing references") {
+      ">1.5x UNDER the committed reference are suspect, LOWEST measured " +
+      "q/s first (the min-over-shapes headline's binding order), bounded, " +
+      "abstaining on thin or missing references") {
     val ref = Map("a" -> 44.1, "b" -> 13.6, "c" -> 20.0, "slowref" -> 0.5)
     // a: 4.43 vs 44.1 (the r16 http_drop_point shape), b: 2.32 vs 13.6
     // (be_jet_links_hash), c healthy, slowref has no signal
     val cur = Seq("a" -> 4.43, "b" -> 2.32, "c" -> 18.0, "slowref" -> 0.1, "new" -> 0.2)
     val sus = BenchGuard.loadSuspects(cur, ref)
-    assert(sus.map(_.name) == Seq("a", "b"),
-      s"deficit order (39.7 then 11.3), healthy/thin/unknown skipped: $sus")
+    assert(sus.map(_.name) == Seq("b", "a"),
+      s"measured-ascending order (2.32 then 4.43), healthy/thin/unknown skipped: $sus")
     assert(BenchGuard.loadSuspects(cur, Map.empty).isEmpty,
       "no reference: the referee abstains (the SPARK_GRAFT_LOAD_FOCAL=0 arm)")
     val many = (1 to 20).map(i => s"s$i" -> 1.0)
     val bigRef = (1 to 20).map(i => s"s$i" -> 30.0).toMap
     assert(BenchGuard.loadSuspects(many, bigRef).length == 8,
       "re-attack budget caps at maxRetries")
+    // the headline-binding shape must make the cut even when its
+    // ABSOLUTE deficit is the smallest on the board (the r17 ratchet
+    // run published 8.49 q/s un-refereed exactly this way): 8 fast
+    // shapes with huge deficits + the slow arg-min shape with a small
+    // one — the slow shape ranks FIRST, not ninth
+    val fast = (1 to 8).map(i => s"fast$i" -> 40.0)
+    val mixedRef = (fast.map { case (n, _) => n -> 130.0 } :+ ("argmin" -> 13.6)).toMap
+    val mixed = BenchGuard.loadSuspects(fast :+ ("argmin" -> 8.49), mixedRef)
+    assert(mixed.head.name == "argmin" && mixed.length == 8,
+      s"arg-min shape must take the first slot: $mixed")
   }
 
   test("parseShapeQps reads both emitter forms: the flat qps map and the " +
