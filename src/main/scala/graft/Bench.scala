@@ -130,7 +130,9 @@ object Bench {
   private[graft] def timedRun(spark: SparkSession, name: String, sfDir: String,
       metered: Boolean = false): (Double, Boolean) = {
     val t0 = System.nanoTime()
-    def run(): Unit = { SparkEntry.queries(name)(spark, sfDir).count(); () }
+    // timingAction, not a bare count(): 12 rows' real work is droppable
+    // under count (Queries.ForcedActionRows — the r17 audit; action_rev 2)
+    def run(): Unit = { Queries.timingAction(name, SparkEntry.queries(name)(spark, sfDir)); () }
     val ok =
       try { if (metered) QueryMetrics.measure(spark, name)(run()) else run(); true }
       catch { case e: Throwable =>
@@ -251,7 +253,8 @@ object Bench {
     val byName = loadShapes.toMap
     def attack(name: String): LoadProbe.ShapeAttempt = {
       val l0 = loadavg1()
-      val s = LoadProbe.attackStats(spark, sfDir, byName(name), attackers = 8, millisPerShape, errors)
+      val s = LoadProbe.attackStats(spark, sfDir, byName(name), attackers = 8, millisPerShape, errors,
+        forceAction = Queries.ForcedActionRows(name))
       LoadProbe.ShapeAttempt(s, l0, loadavg1())
     }
     val (results, focalJson) = LoadProbe.refereedShapes(
@@ -410,8 +413,9 @@ object Bench {
       System.err.println(s"[bench] WARNING: no warmup dirs under $sfParent — cold pass includes JIT")
     for (warmDir <- if (loadOnly) Seq.empty[String] else warmDirs) {
       var errs = 0
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => errs += 1 }
+      SparkEntry.queries.foreach { case (n, fn) =>
+        try { Queries.timingAction(n, fn(spark, warmDir)); () }
+        catch { case _: Throwable => errs += 1 }
       }
       if (errs == SparkEntry.queries.size)
         System.err.println(s"[bench] WARNING: every warmup query failed at $warmDir")
@@ -831,6 +835,7 @@ object Bench {
       f""","load_http_min_qps":$httpMin%.2f,"load_http_min_qps_prefocal":$httpMinPre%.2f""" +
       f""","load_http_per_shape":$httpFlat,"focal_http":$httpFocal,"load_http_errors":$httpErrs""" +
       s""","query_task_metrics":$taskMetricsJson""" +
+      s""","action_rev":${BenchGuard.ActionRev}""" +
       s""","telemetry":${telemetry.mkString("[", ",", "]")},"sf":"$sfDir"}"""
 
     // File copy FIRST: the stdout capture has truncated this line two
@@ -901,7 +906,7 @@ object Bench {
       f""","ingest_daemon_per_pulse_sec":${if (ingestDaemonSec > 0) ingestDaemonSec / daemonNPulses else -1.0}%.3f""" +
       f""","load_min_shape_qps":$loadMin%.2f,"load_first_min_qps":$firstMin%.2f""" +
       f""","load_http_min_qps":$httpMin%.2f,"load_http_errors":$httpErrs""" +
-      s""","failed":$failedJson,"sf":"$sfDir"}""")
+      s""","failed":$failedJson,"action_rev":${BenchGuard.ActionRev},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

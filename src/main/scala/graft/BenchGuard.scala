@@ -59,6 +59,27 @@ object BenchGuard {
     "BENCH_BEST_" + leaf.map(c => if (c.isLetterOrDigit) c else '_') + ".json"
   }
 
+  /** Timing-methodology revision, stamped into every artifact as
+    * `"action_rev"`. Bumped when the TIMED ACTION changes so that
+    * cross-methodology numbers are never compared: rev 2 (r17) routes
+    * the 12 catalog rows whose work `count()` let Catalyst prune
+    * ([[Queries.ForcedActionRows]]) through the forced-materialization
+    * action — their honest numbers are LARGER than every committed
+    * rev-1 artifact's, so rev-1 references would flag them as suspects
+    * forever and a rev-1 standing best would never be beaten. Artifacts
+    * without the field are rev 1. Policy: [[reference]]/[[loadReference]]
+    * only read same-rev artifacts, and the standing-best slot RESETS on
+    * a rev upgrade (a newer-rev clean eligible run replaces regardless
+    * of totals; an older-rev run never replaces a newer-rev best).
+    */
+  val ActionRev = 2
+
+  /** The artifact's stamped methodology revision (absent = rev 1). */
+  def artifactRev(json: String): Int = {
+    val m = "\"action_rev\":\\s*(\\d+)".r.findFirstMatchIn(json)
+    m.map(_.group(1).toInt).getOrElse(1)
+  }
+
   /** A committed pass to compare against: total + per-query seconds. */
   final case class PassRef(total: Double, perQuery: Map[String, Double], artifact: String)
 
@@ -84,7 +105,13 @@ object BenchGuard {
   private def slotVerdict(content: String, total: Double, sf: String,
       otherSfVetoes: Boolean): SlotVerdict =
     if (content.contains(s""""sf":"$sf""""))
-      if (parsePass(content, "value", "queries").forall(total < _._1)) Replace else Veto
+      // methodology boundary first: an upgrade RESETS the slot (rev-1
+      // totals are not comparable to rev-2 ones — the forced action's
+      // honest numbers are larger by construction), and a downgraded
+      // run never replaces a newer-rev best
+      if (artifactRev(content) < ActionRev) Replace
+      else if (artifactRev(content) > ActionRev) Veto
+      else if (parsePass(content, "value", "queries").forall(total < _._1)) Replace else Veto
     else if (otherSfVetoes) Veto
     else Keep
 
@@ -359,7 +386,11 @@ object BenchGuard {
       try {
         val json = java.nio.file.Files.readString(p)
         val sfOk = sf.forall(want => json.contains(s""""sf":"$want""""))
-        if (!sfOk || !cleanFailed(json)) None
+        // same-methodology only: dd_incremental is both a forced row
+        // and a load shape — a rev-1 artifact's count()-fast q/s would
+        // stand as its per-shape MAX forever and flag every honest
+        // rev-2 attack as a suspect
+        if (!sfOk || !cleanFailed(json) || artifactRev(json) != ActionRev) None
         else parseShapeQps(json, field)
       } catch { case _: Throwable => None }
     }.flatten.groupMapReduce(_._1)(_._2)(math.max)
@@ -449,7 +480,9 @@ object BenchGuard {
       try {
         val json = java.nio.file.Files.readString(p)
         val sfOk = sf.forall(want => json.contains(s""""sf":"$want""""))
-        if (!sfOk) None
+        // same-methodology artifacts only: a rev-1 reference would
+        // read the forced rows' honest rev-2 times as inflation
+        if (!sfOk || artifactRev(json) != ActionRev) None
         else parsePass(json, totalField, queriesField).map { case (t, qs) =>
           (PassRef(t, qs, p.getFileName.toString), cleanFailed(json))
         }

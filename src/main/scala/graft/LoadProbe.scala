@@ -87,7 +87,8 @@ object LoadProbe {
           name -> LoadProbe.attackHttp(url, attackers, seconds * 1000L, errors)
         }
         case None => shapes.map { case (name, fn) =>
-          name -> LoadProbe.attackStats(spark, sfDir, fn, attackers, seconds * 1000L, errors)
+          name -> LoadProbe.attackStats(spark, sfDir, fn, attackers, seconds * 1000L, errors,
+            forceAction = Queries.ForcedActionRows(name))
         }
       }
       val perShapeJson = perShape
@@ -268,7 +269,8 @@ object LoadProbe {
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       attackers: Int,
       millis: Long,
-      errors: AtomicLong
+      errors: AtomicLong,
+      forceAction: Boolean = false
   ): AttackStats = {
     val done = new AtomicBoolean(false)
     val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -276,7 +278,13 @@ object LoadProbe {
       new Thread(() => {
         while (!done.get()) {
           val q0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); lat.add(System.nanoTime() - q0) }
+          // forceAction for shapes whose work count() would prune
+          // (Queries.ForcedActionRows — dd_incremental is a load shape)
+          try {
+            val df = fn(spark, sfDir)
+            if (forceAction) Queries.forceAll(df) else df.count()
+            lat.add(System.nanoTime() - q0)
+          }
           catch { case _: Throwable => errors.incrementAndGet() }
         }
       })

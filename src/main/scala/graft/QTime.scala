@@ -55,12 +55,12 @@ object QTime {
       catch { case e: Throwable => println(s"prefire $n: ${e.getMessage}") }
     }
     names.zipWithIndex.foreach { case (n, i) =>
-      try { Queries.catalog(n)(spark, "/root/testdata/sf0.001").count() }
+      try { Queries.timingAction(n, Queries.catalog(n)(spark, "/root/testdata/sf0.001")); () }
       catch { case e: Throwable => println(s"warmup $n: ${e.getMessage}") }
       val tag = s"$n#$i"
       val t0 = System.nanoTime()
       val rows = QueryMetrics.measure(spark, tag) {
-        Queries.catalog(n)(spark, sfDir).count()
+        Queries.timingAction(n, Queries.catalog(n)(spark, sfDir))
       }
       val sec = (System.nanoTime() - t0) / 1e9
       QueryMetrics.settledAll(qm)

@@ -87,7 +87,11 @@ object ScaleProbe {
       col("id").as("o_orderkey"),
       pmod(xxhash64(col("id")), lit(customers)).as("o_custkey"),
       (pmod(xxhash64(col("id"), lit(11)), lit(1000000)).cast("double") / 100.0)
-        .as("o_totalprice"))
+        .as("o_totalprice"),
+      // TIMESTAMP like the driver's table (w_cume orders by it):
+      // hash-scattered over ~6 years, deterministic from the id
+      timestamp_seconds(lit(800000000L) +
+        pmod(xxhash64(col("id"), lit(7)), lit(200000000L))).as("o_orderdate"))
   }
 
   /** Generate exactly the tables this run's selected ops read (and only
@@ -118,7 +122,7 @@ object ScaleProbe {
   /** Which probe tables an op reads — keeps [[ensureCorpus]] honest. */
   private def tablesFor(op: String): Set[String] =
     if (op.startsWith("ev_")) Set("events")
-    else if (op.startsWith("w_topk")) Set("orders")
+    else if (op.startsWith("w_")) Set("orders") // w_topk_per_group, w_cume
     else if (op.startsWith("emb_") || op.startsWith("ann_") ||
       op.startsWith("dd_semdedup") || op.startsWith("dd_embed")) Set("embeddings")
     else Set("documents")
@@ -171,7 +175,8 @@ object ScaleProbe {
       // shuffles) — per-user sessionization, ranked top-k per group, the
       // union+window as-of join, the funnel's chained user aggregates,
       // and the cohort triangle, over the probe's own events/orders
-      "ev_sessions", "w_topk_per_group", "ev_asof", "ev_funnel", "ev_retention")
+      "ev_sessions", "w_topk_per_group", "w_cume", "ev_asof", "ev_funnel",
+      "ev_retention")
       .filter(opSelected)
     // generate exactly what the selected ops (catalog + direct) read; an
     // unfiltered run needs everything the full list reads
@@ -209,7 +214,7 @@ object ScaleProbe {
 
     // warm the code paths once at the small size so JIT/codegen is out of
     // both measured columns equally
-    catalogOps.foreach(op => try Queries.catalog(op)(spark, dirs(n1)).count()
+    catalogOps.foreach(op => try Queries.timingAction(op, Queries.catalog(op)(spark, dirs(n1)))
       catch { case e: Throwable => println(s"[scale] warm $op: ${e.getMessage}") })
     // the once-per-dir ngram scale advisory fires at CONSTRUCTION time:
     // the n1 warmup above already consumed n1's advisory, so without
@@ -240,8 +245,8 @@ object ScaleProbe {
     }
     catalogOps.foreach { op =>
       report(op,
-        () => Queries.catalog(op)(spark, dirs(n1)).count(),
-        () => Queries.catalog(op)(spark, dirs(n2)).count())
+        () => Queries.timingAction(op, Queries.catalog(op)(spark, dirs(n1))),
+        () => Queries.timingAction(op, Queries.catalog(op)(spark, dirs(n2))))
       // surface the collision-mass number NEXT TO the ratio (r16 task 5:
       // the advisory measures Σ C(df,2)/doc but the scale tables carried
       // only the seconds) — measured outside the timed windows, on the
@@ -309,7 +314,8 @@ object ScaleProbe {
       row("ann_ivf_knn(idx)", Seq(graft.vector.AnnIndex.ivfPath(dir)),
         () => Queries.catalog("ann_ivf_knn")(spark, dir).count())
       row("dd_incremental(idx)", Seq(Queries.hashIndexPath(dir)),
-        () => Queries.catalog("dd_incremental")(spark, dir).count())
+        () => Queries.timingAction("dd_incremental",
+          Queries.catalog("dd_incremental")(spark, dir)))
       // wipe through the catalog's own path constructors (a local-FS
       // directory listing would silently no-op on hdfs/s3 roots and on
       // any artifact-tag rename, turning the "build" column into a probe)

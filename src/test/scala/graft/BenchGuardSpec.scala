@@ -87,7 +87,8 @@ class BenchGuardSpec extends AnyFunSuite {
       "the gate SF's baseline") {
     val dir = java.nio.file.Files.createTempDirectory("bench-best")
     def art(total: Double, sf: String) =
-      s"""{"value":$total,"queries":{"a":$total},"failed":[],"sf":"$sf"}"""
+      s"""{"value":$total,"queries":{"a":$total},"failed":[],""" +
+        s""""action_rev":${BenchGuard.ActionRev},"sf":"$sf"}"""
     assert(BenchGuard.maybeUpdateBest(dir, art(14.3, "/d/sf0.1"), 14.3,
       eligible = true, sf = "/d/sf0.1"), "first clean run seeds the per-SF slot")
     assert(java.nio.file.Files.isRegularFile(
@@ -133,6 +134,44 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(expBest.total == 2.0 &&
       expBest.artifact == BenchGuard.bestArtifactNameFor("/d/sf0.001"),
       s"the experiment SF referees against its own slot: $expBest")
+  }
+
+  test("action_rev methodology boundary: a rev upgrade RESETS the standing-" +
+      "best slot (slower-but-honest replaces), a newer-rev slot is never " +
+      "downgraded, and references read same-rev artifacts only") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-rev")
+    val sf = "/d/sf0.1"
+    def art(total: Double, rev: Int, sfv: String = sf) =
+      s"""{"value":$total,"queries":{"a":$total},"failed":[],""" +
+        (if (rev > 0) s""""action_rev":$rev,""" else "") + s""""sf":"$sfv"}"""
+    val slot = dir.resolve(BenchGuard.bestArtifactNameFor(sf))
+    // a rev-1 best (no field — every pre-r17 artifact) yields to a
+    // SLOWER current-rev run: the forced action's numbers are larger by
+    // construction, so the old total would otherwise stand forever
+    java.nio.file.Files.write(slot, art(10.0, rev = 0).getBytes("UTF-8"))
+    assert(BenchGuard.maybeUpdateBest(dir, art(25.0, BenchGuard.ActionRev), 25.0,
+      eligible = true, sf = sf), "methodology upgrade must reset the slot")
+    assert(java.nio.file.Files.readString(slot)
+      .contains(s""""action_rev":${BenchGuard.ActionRev}"""))
+    // once current-rev, the monotone rule applies again
+    assert(!BenchGuard.maybeUpdateBest(dir, art(30.0, BenchGuard.ActionRev), 30.0,
+      eligible = true, sf = sf), "same-rev slower run never replaces")
+    // a FUTURE-rev slot vetoes this binary's runs outright
+    java.nio.file.Files.write(slot,
+      art(99.0, BenchGuard.ActionRev + 1).getBytes("UTF-8"))
+    assert(!BenchGuard.maybeUpdateBest(dir, art(1.0, BenchGuard.ActionRev), 1.0,
+      eligible = true, sf = sf), "an older-rev run never replaces a newer-rev best")
+    // references: a rev-1 artifact is invisible to the current referee
+    // (its count()-era per-query rows would read honest rev-2 times as
+    // inflation), for the load maps too
+    java.nio.file.Files.delete(slot)
+    java.nio.file.Files.write(dir.resolve("BENCH_FULL_r20.json"),
+      (s"""{"value":5.0,"queries":{"a":5.0},"failed":[],""" +
+        s""""load_per_shape_qps":{"a":44.0},"sf":"$sf"}""").getBytes("UTF-8"))
+    assert(BenchGuard.reference(dir, "value", "queries", sf = Some(sf)).isEmpty,
+      "a rev-1 committed artifact must not referee rev-2 runs")
+    assert(BenchGuard.loadReference(dir, "load_per_shape_qps", sf = Some(sf)).isEmpty,
+      "rev-1 per-shape rates must not stand as load references")
   }
 
   test("bestArtifactNameFor sanitizes the SF leaf deterministically") {
@@ -238,7 +277,8 @@ class BenchGuardSpec extends AnyFunSuite {
       "reference, and a dirty or cross-SF artifact never contributes") {
     val dir = java.nio.file.Files.createTempDirectory("load-ref")
     def art(shapes: String, failed: String, sf: String) =
-      s"""{"value":9.9,"load_per_shape_qps":$shapes,"failed":$failed,"sf":"$sf"}"""
+      s"""{"value":9.9,"load_per_shape_qps":$shapes,"failed":$failed,""" +
+        s""""action_rev":${BenchGuard.ActionRev},"sf":"$sf"}"""
     java.nio.file.Files.write(dir.resolve("BENCH_FULL_r15.json"),
       art("""{"a":44.1,"b":2.3}""", "[]", "/d/sf0.1").getBytes("UTF-8"))
     java.nio.file.Files.write(dir.resolve("BENCH_FULL_r16.json"),
@@ -300,7 +340,7 @@ class BenchGuardSpec extends AnyFunSuite {
     def write(r: Int, total: Double, failed: String): Unit =
       java.nio.file.Files.write(dir.resolve(s"BENCH_FULL_r$r.json"),
         (s"""{"value":$total,"queries":{"a":${total / 2},"b":${total / 2}},""" +
-          s""""failed":$failed}""").getBytes("UTF-8"))
+          s""""failed":$failed,"action_rev":${BenchGuard.ActionRev}}""").getBytes("UTF-8"))
     write(10, 5.0, "[]")    // old — outside the newest-3 window
     write(11, 17.0, "[]")
     write(12, 16.8, "[]")
@@ -314,8 +354,8 @@ class BenchGuardSpec extends AnyFunSuite {
     // SF-mismatched artifacts never referee (a 10x SF inflates every
     // query uniformly — exactly the contention signature)
     java.nio.file.Files.write(dir.resolve("BENCH_FULL_r15.json"),
-      """{"value":2.0,"queries":{"a":1.0,"b":1.0},"failed":[],"sf":"/d/sf0.001"}"""
-        .getBytes("UTF-8"))
+      (s"""{"value":2.0,"queries":{"a":1.0,"b":1.0},"failed":[],""" +
+        s""""action_rev":${BenchGuard.ActionRev},"sf":"/d/sf0.001"}""").getBytes("UTF-8"))
     val ref3 = BenchGuard.reference(dir, "value", "queries", sf = Some("/d/sf0.1"))
     assert(ref3.isEmpty, s"newest-3 window holds r15/r14/r13; only the " +
       s"sf-matched may referee and none of those three are: $ref3")
