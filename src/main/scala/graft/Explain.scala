@@ -1,17 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan dumper: `runMain graft.Explain [query ...|all]` prints
+  * `explain("formatted")` for each named catalog query under the SAME
+  * session posture the bench and the servers run ([[Sessions
+  * .serviceBuilder]] — AQE, initialPartitionNum, drift confs), so the
+  * committed plan files reflect the plans the timed runs execute.
+  * GRAFT_EXPLAIN_DIR points the dump at any corpus (default sf0.01).
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.withDriftDefaults(SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.serviceBuilder(cpus, "graft-explain").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // GRAFT_EXPLAIN_DIR points the dump at any corpus (probe corpora too)
     val dir = sys.env.getOrElse("GRAFT_EXPLAIN_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg", "be_records_page", "q3_topk")
+    val names =
+      if (args.sameElements(Array("all"))) Queries.catalog.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "be_records_page", "q3_topk")
     names.foreach { n =>
       println(s"\n=============== $n ===============")
-      Queries.catalog(n)(spark, dir).explain("formatted")
+      try Queries.catalog(n)(spark, dir).explain("formatted")
+      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()
   }

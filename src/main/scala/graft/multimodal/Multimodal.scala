@@ -106,19 +106,54 @@ object Multimodal {
     // executor threads would serialize on it and pay a file
     // create/delete each. Scoping beats ImageIO.setUseCache(false),
     // which is a process-global flip a host application may not want.
+    // The writer itself is per-thread for the same reason the reader is
+    // ([[pngReaderTL]]): `ImageIO.write` re-scans the provider registry
+    // per call.
     val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = pngWriterTL.get()
     try {
-      if (!javax.imageio.ImageIO.write(img, "png", out))
-        throw new java.io.IOException("no PNG writer available")
-    } finally out.close()
+      writer.setOutput(out)
+      writer.write(img)
+    } finally {
+      writer.setOutput(null)
+      out.close()
+    }
     bos.toByteArray
+  }
+
+  /** One PNG ImageWriter per thread — see [[pngReaderTL]]. */
+  private val pngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
+  /** One PNG ImageReader per thread, reused across rows. `ImageIO.read`
+    * performs an IIORegistry service scan per CALL (synchronized provider
+    * iteration + per-stream format sniffing); with 32 executor threads
+    * decoding ~10k frames the scan lock serializes the stage — measured
+    * r17: 11 task-s of blocked (non-CPU) time against 1 CPU-s of actual
+    * codec work. The reader instance is NOT thread-safe but is reusable
+    * via setInput; a ThreadLocal gives each executor thread its own.
+    */
+  private val pngReaderTL: ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
+  private def readPng(png: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = pngReaderTL.get()
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    try {
+      reader.setInput(in, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      in.close()
+    }
   }
 
   /** Decode a PNG through ImageIO: (width, height, sum of gray samples). */
   def decodeImage(png: Array[Byte]): (Int, Int, Long) = {
-    val img = javax.imageio.ImageIO.read(
-      new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(png)))
+    val img = readPng(png)
     if (img == null) throw new java.io.IOException("undecodable image payload")
     val raster = img.getRaster
     var sum = 0L
@@ -142,15 +177,67 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // direct provider call — AudioSystem.write re-scans the writer SPI
+    // registry (synchronized) per call; see [[audioFileReaders]]
+    audioWavWriter match {
+      case Some(w) => w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
-  /** Decode a WAV through AudioSystem: (frames, sum of 8-bit samples). */
+  /** The JDK's WAVE `AudioFileWriter` provider, loaded once — the write
+    * twin of [[audioFileReaders]].
+    */
+  private lazy val audioWavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+    while (found.isEmpty && it.hasNext) {
+      try {
+        val w = it.next()
+        if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+          found = Some(w)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    found
+  }
+
+  /** The JDK's WAV `AudioFileReader` providers, loaded ONCE through the
+    * public SPI. `AudioSystem.getAudioInputStream` re-runs the provider
+    * scan (JDK13Services — a synchronized static registry) on every
+    * call; like the PNG reader scan it serializes concurrent decode
+    * tasks. The reader instances themselves are stateless parsers. An
+    * empty list (exotic JVM) falls back to AudioSystem per call.
+    */
+  private lazy val audioFileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ListBuffer.empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) {
+      try buf += it.next() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    buf.toList
+  }
+
+  private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    var readers = audioFileReaders
+    while (readers.nonEmpty) {
+      try return readers.head.getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          in.reset(); readers = readers.tail
+      }
+    }
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Decode a WAV through the JDK audio SPI: (frames, sum of samples). */
   def decodeAudio(wav: Array[Byte]): (Long, Long) = {
-    val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(wav))
+    val dec = openAudio(wav)
     try {
       val frames = dec.readAllBytes()
       var sum = 0L
@@ -278,6 +365,15 @@ object Multimodal {
   private val metaTrustCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Boolean)]]()
 
+  /** Memoized shuffle/no-shuffle decisions per source generation — the
+    * rebalance pre-pass ([[extractFeatures]]) is one Spark job per
+    * construction otherwise, and against an in-flight source it costs a
+    * full encode pass. Same bounded per-source shape as
+    * [[metaTrustCache]].
+    */
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Boolean)]]()
+
   /** Test window into the memo (MultimodalSpec pins the bounded
     * per-source generation policy).
     */
@@ -339,25 +435,59 @@ object Multimodal {
         case None => spotCheck().getOrElse(false)
       }
     }
-    val sizeCol =
-      if (metaTrusted)
-        media.select(spark_partition_id().as("p"),
-          coalesce(col("payload_bytes").cast("long"), lit(0L)).as("b"))
-      else
-        blobs.select(spark_partition_id().as("p"),
-          coalesce(length(col("payload")).cast("long"), lit(0L)).as("b"))
-    val perPartition = sizeCol
-      .groupBy(col("p")).agg(sum(col("b")).as("bytes"))
-      .agg(max(col("bytes")).as("mx"), sum(col("bytes")).as("total"))
-      .head()
-    val skewed = if (perPartition.isNullAt(0)) false else {
-      val mx = perPartition.getLong(0)
-      val fairShare = math.max(1L,
-        perPartition.getLong(1) / math.max(1, spark.sparkContext.defaultParallelism))
-      mx > skewThresholdBytes && mx > 2L * fairShare
+    // The shuffle/no-shuffle decision itself is a property of the store
+    // GENERATION (partition layout + byte distribution), so it is
+    // memoized under the same key discipline as the spot check: without
+    // the memo every construction re-ran the per-partition byte-sum job
+    // — against an in-flight source (syntheticMedia derives
+    // payload_bytes from the payload) that job ENCODES the whole corpus,
+    // a full untimed-cost pass charged to every serving call (r17).
+    def decideSpread(): Boolean = {
+      val sizeCol =
+        if (metaTrusted)
+          media.select(spark_partition_id().as("p"),
+            coalesce(col("payload_bytes").cast("long"), lit(0L)).as("b"))
+        else
+          blobs.select(spark_partition_id().as("p"),
+            coalesce(length(col("payload")).cast("long"), lit(0L)).as("b"))
+      val perPartition = sizeCol
+        .groupBy(col("p")).agg(sum(col("b")).as("bytes"))
+        .agg(max(col("bytes")).as("mx"), sum(col("bytes")).as("total"))
+        .head()
+      val skewed = if (perPartition.isNullAt(0)) false else {
+        val mx = perPartition.getLong(0)
+        val fairShare = math.max(1L,
+          perPartition.getLong(1) / math.max(1, spark.sparkContext.defaultParallelism))
+        mx > skewThresholdBytes && mx > 2L * fairShare
+      }
+      // A NARROW input is the other way decode starves: the sf-scale
+      // corpus arrives in 1-4 parquet splits, so without this the
+      // compute-dense decode runs on as many tasks (measured r17: 2
+      // CPU-s of codec work on 5 tasks = the whole query's wall). Same
+      // policy as [[graft.vector.Similarity.widen]]: only inputs BELOW
+      // core-count parallelism are spread, so at 100 TB (thousands of
+      // splits) this branch is never taken and no blob bytes move.
+      val narrow = blobs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
+      skewed || narrow
+    }
+    val doSpread = metaTrustKey match {
+      case Some(k) =>
+        val src = { val i = k.lastIndexOf('@'); if (i < 0) k else k.substring(0, i) }
+        val cached = spreadCache.get(src)
+        val hit = if (cached == null) None else cached.find(_._1 == k).map(_._2)
+        hit.getOrElse {
+          val v = decideSpread()
+          spreadCache.compute(src, (_, old) => {
+            val base = if (old == null) Vector.empty[(String, Boolean)]
+                       else old.filterNot(_._1 == k)
+            (base :+ (k -> v)).takeRight(MetaTrustGenerations)
+          })
+          v
+        }
+      case None => decideSpread()
     }
     val spread =
-      if (skewed) blobs.repartition(spark.sparkContext.defaultParallelism)
+      if (doSpread) blobs.repartition(spark.sparkContext.defaultParallelism)
       else blobs
     spread
       .as[(Long, String, Array[Byte])]
@@ -403,11 +533,12 @@ object Multimodal {
       }
   }
 
-  /** One ImageIO decode: (width, height, gray samples row-major). */
+  /** One ImageIO decode: (width, height, gray samples row-major) —
+    * through the per-thread reader ([[readPng]]): the registry scan
+    * inside `ImageIO.read` serializes concurrent decode tasks.
+    */
   private def decodedImageSamples(png: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(
-      new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(png)))
+    val img = readPng(png)
     if (img == null) throw new java.io.IOException("undecodable image payload")
     val raster = img.getRaster
     val out = new Array[Int](img.getWidth * img.getHeight)
@@ -420,8 +551,7 @@ object Multimodal {
   }
 
   private def decodedAudioSamples(wav: Array[Byte]): Array[Int] = {
-    val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(wav))
+    val dec = openAudio(wav)
     try dec.readAllBytes().map(_ & 0xff)
     finally dec.close()
   }
@@ -497,7 +627,18 @@ object Multimodal {
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val encoded = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // Widen BEFORE encoding (same policy as Similarity.widen): the
+    // documents scan arrives in 1-3 splits, which single-threads the
+    // codec-dense encode pass — the critical path of every downstream
+    // timed run (measured r17: ~1 task-s on one task ahead of a 32-way
+    // decode). Moving (doc_id, text) rows here is also strictly fewer
+    // bytes than moving the encoded payloads after, so the downstream
+    // extractFeatures rebalance sees ≥core-count partitions and skips
+    // its own shuffle entirely.
+    val src = docs.select(col("doc_id"), col("text"))
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = if (src.rdd.getNumPartitions < cores) src.repartition(cores) else src
+    val encoded = wide.as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

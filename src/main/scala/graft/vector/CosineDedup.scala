@@ -163,7 +163,8 @@ object CosineDedup {
       vecCol: String = "embedding"
   ): DataFrame = {
     val base = eligible(embeddings, idCol, vecCol)
-    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    // static width, not numShufflePartitions: see the note in [[lshPairs]]
+    val parts = embeddings.sparkSession.sessionState.conf.defaultNumShufflePartitions
     val banded = base.select(
       col("id"),
       posexplode(graft.vector.expressions.VectorExpressions
@@ -244,8 +245,12 @@ object CosineDedup {
     // of pair CPU. An explicit partition count on the bucket key pins the
     // join's width to the session's shuffle parallelism (explicit counts
     // are exempt from AQE coalescing) and co-partitions both aliases, so
-    // the self-join adds no further shuffle.
-    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    // the self-join adds no further shuffle. The count is the STATIC
+    // `spark.sql.shuffle.partitions` (scales with the core count), NOT
+    // `numShufflePartitions`: under AQE coalescing that getter reports
+    // `initialPartitionNum` (8× cores, r17 posture) and an explicit
+    // count at that width pins 8 uncoalescible ~ms tasks per core here.
+    val parts = embeddings.sparkSession.sessionState.conf.defaultNumShufflePartitions
     val banded = base.select(
       col("id"),
       explode(array((0 until tables).map { t =>

@@ -28,9 +28,17 @@ object Similarity {
     * arrives in 1-4 splits, single-threading compute-dense per-row kernels.
     * A frame already at or above session width keeps its layout:
     * re-shuffling 100 TB to "parallelize" it would BE the bottleneck.
+    *
+    * Width = the STATIC `spark.sql.shuffle.partitions` (the core count),
+    * not `numShufflePartitions`: under the r17 AQE posture the latter
+    * reports `initialPartitionNum` (8× cores), and an explicit
+    * REPARTITION_BY_NUM at that width is exempt from AQE coalescing —
+    * the 8× headroom exists to be coalesced DOWN, never to pin 8 fixed
+    * tasks per core onto a compute-dense kernel (measured r17: 256
+    * one-ms tasks per stage across the discovery loop at sf0.1).
     */
   private[vector] def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.sparkSession.sessionState.conf.defaultNumShufflePartitions
     if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
   }
 

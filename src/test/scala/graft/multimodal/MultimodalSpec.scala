@@ -107,14 +107,27 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3).decode_ok && rows(3).n_samples == 4L)
   }
 
-  test("size-aware rebalance: uniform blobs decode with NO shuffle of the " +
-      "media bytes; a skewed partition triggers the spread") {
+  test("size-aware rebalance: uniform blobs at full parallelism decode with " +
+      "NO extra shuffle of the media bytes; a narrow or skewed input spreads") {
     import spark.implicits._
-    val uniform = media
-    val planUniform = Multimodal.extractFeatures(uniform)
+    // uniform AND already at core-count parallelism: the input's own
+    // repartition is the only Exchange — extractFeatures adds none (the
+    // 100 TB property: a corpus arriving in >= cores splits never moves)
+    val wide = media.repartition(spark.sparkContext.defaultParallelism)
+    val planUniform = Multimodal.extractFeatures(wide)
       .queryExecution.executedPlan.toString
-    assert(!planUniform.contains("Exchange"),
-      s"uniform blobs must not shuffle payload bytes:\n$planUniform")
+    val exchanges = "Exchange".r.findAllIn(planUniform).length
+    assert(exchanges == 1,
+      s"uniform at-parallelism blobs must not shuffle payload bytes " +
+      s"(only the fixture's own repartition may appear):\n$planUniform")
+    // NARROW input (fewer partitions than cores): the compute-dense
+    // decode must spread — r17, the sf-scale corpus arrives in 1-4
+    // splits and single-threaded every codec otherwise
+    val narrow = Multimodal.extractFeatures(media.coalesce(1))
+    assert(narrow.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a narrow input must rebalance to core-count parallelism")
+    assert(narrow.collect().length == media.count(),
+      "the narrow spread preserves every row")
     // skew fixture: everything on one partition, threshold forced low
     val skewed = Seq.tabulate(8)(i =>
       (i.toLong, "image", Multimodal.encodePng(payload("p" * 2000))))
