@@ -287,7 +287,9 @@ object Clustering {
     // block manager (the serving path asserts cache-neutrality), so the
     // unpersists run on EVERY exit path, not just success
     try {
-      base.count()
+      // no separate materialization action: the first level's window job
+      // fills base's cache as it runs (one fewer sequential job in a
+      // loop whose wall is driver round-trips, r17)
       while (!done && depth < maxDepth) {
         // ONE job per level: cell size and the xxhash64-ordered sample rank
         // share a window pass, and the adaptive fanout cut (~4× the
