@@ -57,6 +57,23 @@ object QTime {
     names.zipWithIndex.foreach { case (n, i) =>
       try { Queries.timingAction(n, Queries.catalog(n)(spark, "/root/testdata/sf0.001")); () }
       catch { case e: Throwable => println(s"warmup $n: ${e.getMessage}") }
+      // SPARK_GRAFT_PHASES=1: split the DRIVER share of a timed run —
+      // construction (expression building + any construction-time jobs)
+      // and analyze→optimize→physical-plan, measured on a separate
+      // instance so the timed run below is untouched. For sub-second
+      // catalog rows this is the number that says whether the wall is
+      // planning or AQE stage rounds (r17).
+      if (sys.env.get("SPARK_GRAFT_PHASES").contains("1")) {
+        try {
+          val tC0 = System.nanoTime()
+          val dfp = Queries.catalog(n)(spark, sfDir)
+          val tC1 = System.nanoTime()
+          dfp.queryExecution.executedPlan
+          val tC2 = System.nanoTime()
+          println(f"  phases $n%-18s construct=${(tC1 - tC0) / 1e9}%.3f " +
+            f"plan=${(tC2 - tC1) / 1e9}%.3f")
+        } catch { case e: Throwable => println(s"  phases $n: ${e.getMessage}") }
+      }
       val tag = s"$n#$i"
       val t0 = System.nanoTime()
       val rows = QueryMetrics.measure(spark, tag) {
