@@ -410,8 +410,28 @@ object Clustering {
       softP: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    semdedupPairsFixedWith(embeddings,
+      centroids(embeddings, k, iterations, idCol, vecCol),
+      dim, threshold, maxCell, k, p, softP, idCol, vecCol)
+
+  /** [[semdedupPairsFixed]] with the coarse centroid set hoisted to the
+    * caller — the catalog row passes its memoized capture so repeated
+    * constructions skip the three sequential centroid jobs (the values
+    * are deterministic in the corpus, so hoisted == recomputed).
+    */
+  def semdedupPairsFixedWith(
+      embeddings: DataFrame,
+      cents: Array[Seq[Float]],
+      dim: Int,
+      threshold: Double = 0.45,
+      maxCell: Int = 512,
+      k: Int = 16,
+      p: Int = 2,
+      softP: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
-    val cents = centroids(embeddings, k, iterations, idCol, vecCol)
     val soft = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.normFixed(col(vecCol), dim).as("nrm"),
         explode(Ivf.topCells(col(vecCol), cents, p)).as("cell0"))
