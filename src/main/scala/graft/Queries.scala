@@ -669,11 +669,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The vec_id=0 probe vector, one point-read job per dataset dir per
+    * JVM (deterministic in the dir — the same memo class as
+    * [[capturedCentroids]]/[[embLshSizesByDir]]): three ANN rows each
+    * paid this job on every construction otherwise.
+    */
+  private val qVecByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Float]]()
+  private def queryVec(s: SparkSession, emb: DataFrame, dir: String): Seq[Float] =
+    qVecByDir.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+    })
+
   /** Brute-force cosine top-10 against the vec_id=0 embedding. */
   val annTopK: Q = (s, dir) => {
     val emb = Domain.embeddings(s, dir)
-    import s.implicits._
-    val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+    val q = queryVec(s, emb, dir)
     graft.vector.Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0L), q, 10)
       .withColumn("cosine", round(col("cosine"), 6))
   }
@@ -1030,8 +1042,7 @@ object Queries {
 
   val annIvf: Q = (s, dir) => {
     val emb = Domain.embeddings(s, dir)
-    import s.implicits._
-    val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+    val q = queryVec(s, emb, dir)
     val path = graft.vector.AnnIndex.ivfPath(dir)
     captureIvf(dir, graft.vector.AnnIndex.ensureIvf(emb, path))
     // nProbe=6 of 16 cells: measured recall@10 ≈ 0.8 reading ~a third of
@@ -1438,8 +1449,7 @@ object Queries {
 
   val annLsh: Q = (s, dir) => {
     val emb = Domain.embeddings(s, dir)
-    import s.implicits._
-    val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+    val q = queryVec(s, emb, dir)
     // 6-bit signatures, margin-ranked 16 of 64 buckets: reads ~25% of the
     // corpus. On this testdata's weak-signal neighbors that buys ~0.6
     // recall@10 — hyperplane LSH cannot reach 0.8 here without giving up
