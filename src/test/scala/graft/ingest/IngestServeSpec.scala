@@ -30,7 +30,11 @@ class IngestServeSpec extends SparkSpec {
     NettyServerBuilder.forPort(port)
       .addService(GrpcTransport.recordService(stream)).build().start()
 
-  private def await(deadlineMs: Long = 30000L)(cond: => Boolean): Boolean = {
+  // 90 s, not 30: under a FULL-SUITE run on a contended box the live
+  // daemon's first two pulses were observed to need >30 s once (r17 —
+  // the same test passes in isolation in seconds); the poll returns the
+  // moment the condition holds, so a healthy run never waits longer.
+  private def await(deadlineMs: Long = 90000L)(cond: => Boolean): Boolean = {
     val t0 = System.nanoTime()
     while (!cond && (System.nanoTime() - t0) / 1e6 < deadlineMs) Thread.sleep(50)
     cond
