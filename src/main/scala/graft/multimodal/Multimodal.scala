@@ -222,13 +222,17 @@ object Multimodal {
   }
 
   private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-    val in = new java.io.ByteArrayInputStream(bytes)
+    // fresh stream per provider attempt: a rejecting reader is REQUIRED
+    // to leave the stream positioned where it found it, but a fresh
+    // ByteArrayInputStream costs nothing and removes the dependency on
+    // every provider honoring that contract
     var readers = audioFileReaders
     while (readers.nonEmpty) {
-      try return readers.head.getAudioInputStream(in)
+      try return readers.head.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException =>
-          in.reset(); readers = readers.tail
+          readers = readers.tail
       }
     }
     javax.sound.sampled.AudioSystem.getAudioInputStream(
