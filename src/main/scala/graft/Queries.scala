@@ -676,11 +676,21 @@ object Queries {
     */
   private val qVecByDir =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Float]]()
-  private def queryVec(s: SparkSession, emb: DataFrame, dir: String): Seq[Float] =
-    qVecByDir.computeIfAbsent(dir, _ => {
+  private def queryVec(s: SparkSession, emb: DataFrame, dir: String): Seq[Float] = {
+    // load OUTSIDE the map (the AnnIndex.readCentroids discipline):
+    // computeIfAbsent holds the bin lock for the mapping function's
+    // duration, and this one is a whole Spark job — an unrelated dir
+    // hashing to the same bin would block behind it. A racing double
+    // load costs one redundant point read; putIfAbsent keeps the first.
+    val hit = qVecByDir.get(dir)
+    if (hit != null) hit
+    else {
       import s.implicits._
-      emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
-    })
+      val v = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
+      val prev = qVecByDir.putIfAbsent(dir, v)
+      if (prev != null) prev else v
+    }
+  }
 
   /** Brute-force cosine top-10 against the vec_id=0 embedding. */
   val annTopK: Q = (s, dir) => {
@@ -976,14 +986,19 @@ object Queries {
     // DataFrame-construction time and keys the whole oracle registry to
     // this dir — the registry's same-dir-per-dump contract (see the
     // capture-registry note above) already covers that.
+    val n: Long = Option(embCorpusRowsByDir.get(dir)).map(_.longValue()).getOrElse {
+      val c = math.max(1L, emb.count())
+      embCorpusRowsByDir.put(dir, c)
+      c
+    }
     val (bits, tables) = Option(embLshSizesByDir.get(dir)).getOrElse {
-      val n = math.max(1L, emb.count())
       val b = graft.vector.CosineDedup.bitsFor(n, EmbLshThreshold, EmbLshTargetRecall, dim = 64)
       (b, graft.vector.CosineDedup.tablesFor(EmbLshThreshold, b, EmbLshTargetRecall))
     }
     captureEmbLsh(dir, bits, tables)
     graft.vector.CosineDedup.lshPairsSized(emb, dim = 64,
-        threshold = EmbLshThreshold, bits = bits, tables = tables)
+        threshold = EmbLshThreshold, bits = bits, tables = tables,
+        expectedBandedRows = Some(n * tables))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1029,6 +1044,43 @@ object Queries {
   private def captureEmbLsh(dir: String, bits: Int, tables: Int): Unit = {
     embLshSizesByDir.put(dir, (bits, tables)); captureDir = dir
   }
+  /** Eligible-embedding count per dir (the sizing count dd_embed_lsh
+    * already pays once) — reused to derive the banding join's reducer
+    * width from DATA SIZE rather than a fixed core multiple.
+    */
+  private val embCorpusRowsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  // The dir-keyed memos above (probe vector, k-means centroids, LSH
+  // sizes/corpus count, the once-per-dir ngram advisory) serve values
+  // derived from a dataset generation; they evict on the same
+  // writer-rewrote-the-path signal every other derived cache rides
+  // (AnnIndex.centroidCache / DriftAdapters discipline) — without this a
+  // re-ingested corpus would be probed with the PREVIOUS generation's
+  // vector and clustered on its centroids for the JVM's lifetime.
+  // Registered at object init, which precedes the first memoized entry.
+  graft.sources.RelationCache.onInvalidate { p =>
+    if (p == null) {
+      qVecByDir.clear(); kmeansCentsByDir.clear(); embLshSizesByDir.clear()
+      embCorpusRowsByDir.clear(); ngramAdvisedDirs.clear()
+    } else {
+      val under: java.util.function.Predicate[String] = dir =>
+        p == dir || p.startsWith(if (dir.endsWith("/")) dir else dir + "/")
+      qVecByDir.keySet().removeIf(under)
+      kmeansCentsByDir.keySet().removeIf(under)
+      embLshSizesByDir.keySet().removeIf(under)
+      embCorpusRowsByDir.keySet().removeIf(under)
+      ngramAdvisedDirs.removeIf(under)
+    }
+  }
+
+  /** Test window into the dir-keyed memos (DirMemoEvictionSpec pins the
+    * invalidation eviction): presence of (probe vector, k-means
+    * centroids, LSH sizes, corpus count) for `dir`.
+    */
+  private[graft] def dirMemoSnapshot(dir: String): (Boolean, Boolean, Boolean, Boolean) =
+    (qVecByDir.containsKey(dir), kmeansCentsByDir.containsKey(dir),
+      embLshSizesByDir.containsKey(dir), embCorpusRowsByDir.containsKey(dir))
 
   /** Test-visible read of the captured dd_embed_lsh geometry for `dir` —
     * RecallInvariantsSpec asserts the oracle's plane-literal count

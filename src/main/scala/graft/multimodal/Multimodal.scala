@@ -178,9 +178,22 @@ object Multimodal {
       new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     // direct provider call — AudioSystem.write re-scans the writer SPI
-    // registry (synchronized) per call; see [[audioFileReaders]]
+    // registry (synchronized) per call; see [[audioFileReaders]]. A
+    // provider that supports WAVE generally but rejects THIS stream's
+    // format falls back to the full AudioSystem path (which checks
+    // per-stream support across all providers), preserving the old
+    // behavior on exotic classpaths.
     audioWavWriter match {
-      case Some(w) => w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case Some(w) =>
+        try w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            bos.reset()
+            val retry = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong)
+            javax.sound.sampled.AudioSystem.write(retry,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        }
       case None => javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     }
@@ -235,6 +248,13 @@ object Multimodal {
           readers = readers.tail
       }
     }
+    if (audioFileReaders.nonEmpty)
+      // every SPI provider rejected: AudioSystem consults the same list,
+      // so re-scanning its synchronized registry per corrupt row would
+      // re-create the very contention this path removes — throw the
+      // exception AudioSystem would (contained per-row by the caller)
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no audio provider accepted the payload")
     javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
   }
@@ -378,6 +398,39 @@ object Multimodal {
   private val spreadCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Boolean)]]()
 
+  /** Bounded per-source memo of Option[Boolean] verdicts. Entry keys are
+    * `<source>@<generation[...]>`; the map key is the source part alone
+    * (everything before the LAST '@' — the path may itself contain '@')
+    * with the most recent [[MetaTrustGenerations]] entries in the value:
+    * same-key replacement, oldest-first eviction, atomic compute — a
+    * concurrent racer costs at most one redundant verdict, never a lost
+    * entry. A None verdict (transient failure) is returned but never
+    * memoized. ONE implementation for the spot-check and rebalance
+    * memos so the bound/eviction/key policy cannot drift between them
+    * (review r17).
+    */
+  private def memoizedBool(
+      cache: java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Boolean)]],
+      entryKey: String)(compute: => Option[Boolean]): Option[Boolean] = {
+    val i = entryKey.lastIndexOf('@')
+    val src = if (i < 0) entryKey else entryKey.substring(0, i)
+    val cached = cache.get(src)
+    val hit = if (cached == null) None else cached.find(_._1 == entryKey).map(_._2)
+    hit match {
+      case Some(v) => Some(v)
+      case None =>
+        val v = compute
+        v.foreach { b =>
+          cache.compute(src, (_, old) => {
+            val base = if (old == null) Vector.empty[(String, Boolean)]
+                       else old.filterNot(_._1 == entryKey)
+            (base :+ (entryKey -> b)).takeRight(MetaTrustGenerations)
+          })
+        }
+        v
+    }
+  }
+
   /** Test window into the memo (MultimodalSpec pins the bounded
     * per-source generation policy).
     */
@@ -417,36 +470,20 @@ object Multimodal {
     val metaTrusted = media.schema.fieldNames.contains("payload_bytes") && {
       metaTrustKey match {
         case Some(k) =>
-          // one entry per SOURCE: everything before the last '@' (the
-          // generation suffix is the caller's; the path may itself
-          // contain '@', hence lastIndexOf)
-          val src = { val i = k.lastIndexOf('@'); if (i < 0) k else k.substring(0, i) }
-          val cached = metaTrustCache.get(src)
-          val hit = if (cached == null) None else cached.find(_._1 == k).map(_._2)
-          hit.getOrElse(spotCheck() match {
-            case Some(v) =>
-              // atomic append-newest with same-generation replacement and
-              // oldest-first eviction past the bound — a concurrent racer
-              // costs at most one redundant check, never a lost entry
-              metaTrustCache.compute(src, (_, old) => {
-                val base = if (old == null) Vector.empty[(String, Boolean)]
-                           else old.filterNot(_._1 == k)
-                (base :+ (k -> v)).takeRight(MetaTrustGenerations)
-              })
-              v
-            case None => false
-          })
+          memoizedBool(metaTrustCache, k)(spotCheck()).getOrElse(false)
         case None => spotCheck().getOrElse(false)
       }
     }
-    // The shuffle/no-shuffle decision itself is a property of the store
-    // GENERATION (partition layout + byte distribution), so it is
-    // memoized under the same key discipline as the spot check: without
-    // the memo every construction re-ran the per-partition byte-sum job
-    // — against an in-flight source (syntheticMedia derives
-    // payload_bytes from the payload) that job ENCODES the whole corpus,
-    // a full untimed-cost pass charged to every serving call (r17).
-    def decideSpread(): Boolean = {
+    // The SKEW half of the shuffle/no-shuffle decision is a property of
+    // (store generation, threshold, parallelism), so it is memoized
+    // under the same bounded key discipline as the spot check — the
+    // threshold and parallelism are IN the key because they are
+    // arguments, not store properties (review r17). Without the memo
+    // every construction re-ran the per-partition byte-sum job; against
+    // an in-flight source (syntheticMedia derives payload_bytes from
+    // the payload) that job ENCODES the whole corpus, a full
+    // untimed-cost pass charged to every serving call (r17).
+    def decideSkew(): Boolean = {
       val sizeCol =
         if (metaTrusted)
           media.select(spark_partition_id().as("p"),
@@ -458,40 +495,32 @@ object Multimodal {
         .groupBy(col("p")).agg(sum(col("b")).as("bytes"))
         .agg(max(col("bytes")).as("mx"), sum(col("bytes")).as("total"))
         .head()
-      val skewed = if (perPartition.isNullAt(0)) false else {
+      if (perPartition.isNullAt(0)) false else {
         val mx = perPartition.getLong(0)
         val fairShare = math.max(1L,
           perPartition.getLong(1) / math.max(1, spark.sparkContext.defaultParallelism))
         mx > skewThresholdBytes && mx > 2L * fairShare
       }
-      // A NARROW input is the other way decode starves: the sf-scale
-      // corpus arrives in 1-4 parquet splits, so without this the
-      // compute-dense decode runs on as many tasks (measured r17: 2
-      // CPU-s of codec work on 5 tasks = the whole query's wall). Same
-      // policy as [[graft.vector.Similarity.widen]]: only inputs BELOW
-      // core-count parallelism are spread, so at 100 TB (thousands of
-      // splits) this branch is never taken and no blob bytes move.
-      val narrow = blobs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
-      skewed || narrow
     }
-    val doSpread = metaTrustKey match {
+    val skewed = metaTrustKey match {
       case Some(k) =>
-        val src = { val i = k.lastIndexOf('@'); if (i < 0) k else k.substring(0, i) }
-        val cached = spreadCache.get(src)
-        val hit = if (cached == null) None else cached.find(_._1 == k).map(_._2)
-        hit.getOrElse {
-          val v = decideSpread()
-          spreadCache.compute(src, (_, old) => {
-            val base = if (old == null) Vector.empty[(String, Boolean)]
-                       else old.filterNot(_._1 == k)
-            (base :+ (k -> v)).takeRight(MetaTrustGenerations)
-          })
-          v
-        }
-      case None => decideSpread()
+        memoizedBool(spreadCache,
+          s"$k#t$skewThresholdBytes#p${spark.sparkContext.defaultParallelism}")(
+          Some(decideSkew())).getOrElse(false)
+      case None => decideSkew()
     }
+    // A NARROW input is the other way decode starves: the sf-scale
+    // corpus arrives in 1-4 parquet splits, so without this the
+    // compute-dense decode runs on as many tasks (measured r17: 2 CPU-s
+    // of codec work on 5 tasks = the whole query's wall). Same policy as
+    // [[graft.vector.Similarity.widen]]: only inputs BELOW core-count
+    // parallelism are spread, so at 100 TB (thousands of splits) this
+    // branch is never taken and no blob bytes move. Checked FRESH per
+    // call (never memoized): it is a property of the caller's frame, and
+    // the check is plan-conversion only — no job.
+    val narrow = blobs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
     val spread =
-      if (doSpread) blobs.repartition(spark.sparkContext.defaultParallelism)
+      if (skewed || narrow) blobs.repartition(spark.sparkContext.defaultParallelism)
       else blobs
     spread
       .as[(Long, String, Array[Byte])]

@@ -145,7 +145,8 @@ object CosineDedup {
     val n = math.max(1L, embeddings.count())
     val bits = bitsFor(n, threshold, targetRecall, dim)
     val tables = tablesFor(threshold, bits, targetRecall)
-    lshPairsSized(embeddings, dim, threshold, bits, tables, idCol, vecCol)
+    lshPairsSized(embeddings, dim, threshold, bits, tables, idCol, vecCol,
+      expectedBandedRows = Some(n * tables))
   }
 
   /** The auto path's banding with the (bits, tables) decision hoisted to
@@ -153,6 +154,13 @@ object CosineDedup {
     * it ran with for the replay oracle (the decision itself stays
     * deterministic: [[bitsFor]]/[[tablesFor]] of the corpus count).
     */
+  /** Banded rows per reducer for the data-derived join width below: with
+    * cost-model-sized bits the in-bucket occupancy is bounded, so pair
+    * work is ~linear per banded row and rows/task is the right sizing
+    * proxy; ~1M rows is seconds of compute-dense work per task.
+    */
+  private val TargetBandedRowsPerTask = 1L << 20
+
   def lshPairsSized(
       embeddings: DataFrame,
       dim: Int,
@@ -160,11 +168,22 @@ object CosineDedup {
       bits: Int,
       tables: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      expectedBandedRows: Option[Long] = None
   ): DataFrame = {
     val base = eligible(embeddings, idCol, vecCol)
-    // static width, not numShufflePartitions: see the note in [[lshPairs]]
-    val parts = embeddings.sparkSession.sessionState.conf.defaultNumShufflePartitions
+    // Width from DATA SIZE when the caller knows it (dd_embed_lsh pays a
+    // sizing count anyway), clamped to [cores, 64×cores]: the static
+    // core count is right at the gate SFs (explicit counts are exempt
+    // from AQE coalescing — see [[lshPairs]]) but is a per-task-state
+    // ceiling once n×L outgrows it, exactly the oversized-sort hazard
+    // the r17 posture note documents; the 64× cap keeps task counts sane
+    // while the core count itself scales with the cluster.
+    val cores = embeddings.sparkSession.sessionState.conf.defaultNumShufflePartitions
+    val parts = expectedBandedRows.fold(cores) { rows =>
+      math.min(64L * cores,
+        math.max(cores.toLong, rows / TargetBandedRowsPerTask)).toInt
+    }
     val banded = base.select(
       col("id"),
       posexplode(graft.vector.expressions.VectorExpressions
