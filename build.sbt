@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses `sbt "runMain graft.Bench"` stdout for the bench's
+// one-line JSON (it has read `parsed: null` since r11): route the forked
+// JVM's output STRAIGHT to stdout instead of through sbt's logger (which
+// prefixes every line with "[info] "), and drop the trailing
+// "[success] Total time..." banner so the JSON line is the final stdout
+// line with no prefix and nothing after it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

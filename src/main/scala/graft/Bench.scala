@@ -357,11 +357,16 @@ object Bench {
     // SPARK_GRAFT_SECTIONS=load is the mirror switch for the LOAD
     // referee's A/B: only the session-B load + HTTP sections run (after
     // index build and concurrent warmup; no catalog passes, no
-    // ingest/daemon). Neither partial methodology writes BENCH_FULL_r*
-    // or the standing best. Skipped sections publish their absent
+    // ingest/daemon). SPARK_GRAFT_SECTIONS=ingest runs ONLY the three
+    // ingest scenarios (single-pulse, gRPC, daemon) — the A/B switch for
+    // attributing daemon per-pulse drift to a session-posture change
+    // without paying the catalog/load sections per experiment arm (r17
+    // verdict task 4). No partial methodology writes BENCH_FULL_r* or
+    // the standing best. Skipped sections publish their absent
     // markers (-1 / {}), never fabricated numbers.
     val catalogOnly = sys.env.get("SPARK_GRAFT_SECTIONS").contains("catalog")
     val loadOnly = sys.env.get("SPARK_GRAFT_SECTIONS").contains("load")
+    val ingestOnly = sys.env.get("SPARK_GRAFT_SECTIONS").contains("ingest")
     // the committed per-shape serving references for the load referee
     // (max q/s per shape across clean same-SF artifacts — see
     // BenchGuard.loadReference). SPARK_GRAFT_LOAD_FOCAL=0 empties them:
@@ -371,7 +376,7 @@ object Bench {
     def loadRef(field: String): Map[String, Double] =
       if (!loadFocalEnabled) Map.empty
       else BenchGuard.loadReference(java.nio.file.Paths.get("."), field, sf = Some(sfDir))
-    val runFirst = !catalogOnly && !loadOnly &&
+    val runFirst = !catalogOnly && !loadOnly && !ingestOnly &&
       !sys.env.get("SPARK_GRAFT_FIRST_PROBE").contains("0")
     val (firstMin, firstMinRaw, firstMinPre, firstFlat, firstStats, firstFocal, firstErrs) =
       if (!runFirst) {
@@ -411,7 +416,7 @@ object Bench {
         new java.io.File(sfDir).getCanonicalPath)
     if (warmDirs.isEmpty)
       System.err.println(s"[bench] WARNING: no warmup dirs under $sfParent — cold pass includes JIT")
-    for (warmDir <- if (loadOnly) Seq.empty[String] else warmDirs) {
+    for (warmDir <- if (loadOnly || ingestOnly) Seq.empty[String] else warmDirs) {
       var errs = 0
       SparkEntry.queries.foreach { case (n, fn) =>
         try { Queries.timingAction(n, fn(spark, warmDir)); () }
@@ -423,7 +428,8 @@ object Bench {
     telemetry += snap("b_warmup_done", spark)
     // Standing indexes (write-path cost, reported separately by the
     // ingest bench) so indexed query numbers measure the read path.
-    ensureIndexes(spark, sfDir)
+    // ingestOnly needs none of them (the daemon writes its own store).
+    if (!ingestOnly) ensureIndexes(spark, sfDir)
     telemetry += snap("b_indexes_done", spark)
     // let the compile queue from session A + the warmups drain so the
     // cold pass below times the engine, not background C2 compilation
@@ -488,7 +494,8 @@ object Bench {
     // carry total 0, NoSignature (the referee abstains on an empty
     // comparison set), and every derived loop below no-ops
     val (results0, coldErrs0) =
-      if (loadOnly) (Seq.empty[(String, Double)], 0) else timedPass(recordFailures = true)
+      if (loadOnly || ingestOnly) (Seq.empty[(String, Double)], 0)
+      else timedPass(recordFailures = true)
     var coldAttempts = Vector(ColdAttempt(results0, coldErrs0,
       load1ColdBefore, loadavg1(), coldSig(results0)))
     telemetry += snap("b_cold_done", spark)
@@ -547,7 +554,7 @@ object Bench {
       .mkString("[", ",", "]")
     val load1WarmBefore = loadavg1()
     val (warm, warmErrs) =
-      if (loadOnly) (Seq.empty[(String, Double)], 0)
+      if (loadOnly || ingestOnly) (Seq.empty[(String, Double)], 0)
       else timedPass(recordFailures = false, metered = true)
     val load1WarmAfter = loadavg1()
     telemetry += snap("b_warm_done", spark)
@@ -714,7 +721,7 @@ object Bench {
     // executions, the state a long-lived service degrades into if
     // anything session-lifetime leaks. Gate number = MINIMUM per-shape q/s.
     val (loadMin, loadMinRaw, loadMinPre, loadFlat, loadStats, loadFocal, loadErrs) =
-      if (catalogOnly) (-1.0, -1.0, -1.0, "{}", "{}", "{}", 0L) else try {
+      if (catalogOnly || ingestOnly) (-1.0, -1.0, -1.0, "{}", "{}", "{}", 0L) else try {
       warmConcurrently(spark, sfDir)
       loadSection(spark, sfDir, millisPerShape = lastMs,
         ref = loadRef("load_per_shape_qps"))
@@ -727,7 +734,7 @@ object Bench {
     // HTTP mode: the same gate through the full serving stack.
     val httpMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_HTTP_MS", "2000").toLong
     val (httpMin, httpMinPre, httpFlat, httpFocal, httpErrs) =
-      if (catalogOnly) (-1.0, -1.0, "{}", "{}", 0L) else try {
+      if (catalogOnly || ingestOnly) (-1.0, -1.0, "{}", "{}", 0L) else try {
       httpLoadSection(spark, sfDir, millisPerShape = httpMs,
         ref = loadRef("load_http_per_shape"))
     } catch { case e: Throwable =>
@@ -756,12 +763,25 @@ object Bench {
     }
     def warmSig(res: Seq[(String, Double)]): BenchGuard.Signature =
       warmRef.fold(BenchGuard.NoSignature)(BenchGuard.signature(res, _))
-    // Deferred daemon-cadence retry (same outlive-the-burst rationale):
-    // only when the first attempt missed the 10 s/pulse gate, re-run the
-    // daemon scenario once here, after the load sections.
+    // Deferred daemon retry (same outlive-the-burst rationale), two
+    // triggers: (a) the first attempt missed the 10 s/pulse cadence
+    // gate; (b) the FOCAL referee — the committed same-SF artifacts say
+    // this code sustains a faster pulse and this attempt measured >1.5×
+    // over that record (r17 verdict task 4: the daemon was the one gate
+    // section with no committed-reference re-check, so a contended
+    // window's 8.18 s/pulse published with nothing contradicting it).
+    // The retry runs once, after the load sections and a load settle;
+    // the published number is the best attempt and EVERY attempt stays
+    // in the artifact with its load1 bracket, plus the reference that
+    // triggered the referee.
+    val daemonRef = BenchGuard.scalarReference(java.nio.file.Paths.get("."),
+      "ingest_daemon_per_pulse_sec", sf = Some(sfDir))
+    def daemonSuspect(a: DaemonAttempt): Boolean =
+      a.sec > 0 && daemonRef.exists(r => a.sec / daemonNPulses > 1.5 * r)
     val daemonAttempts =
-      if (skipIngest || daemonUnderCadence(daemonFirst)) Vector(daemonFirst)
-      else Vector(daemonFirst, daemonRun())
+      if (skipIngest || (daemonUnderCadence(daemonFirst) && !daemonSuspect(daemonFirst)))
+        Vector(daemonFirst)
+      else { settleLoad(); Vector(daemonFirst, daemonRun()) }
     val ingestDaemonSec = daemonAttempts.filter(_.sec > 0)
       .map(_.sec).minOption.getOrElse(-1.0)
     if (!skipIngest && !daemonAttempts.exists(daemonUnderCadence))
@@ -769,6 +789,8 @@ object Bench {
     val daemonAttemptsJson = daemonAttempts.map(a =>
       f"""{"sec":${a.sec}%.3f,"load1_before":${a.load1Before}%.1f,"load1_after":${a.load1After}%.1f}""")
       .mkString("[", ",", "]")
+    val daemonRefJson =
+      daemonRef.map(r => f"$r%.3f").getOrElse("null")
 
     var warmAttempts = Vector(WarmAttempt(warm, load1WarmBefore, load1WarmAfter,
       warmErrs, warmSig(warm)))
@@ -824,6 +846,7 @@ object Bench {
       f""","ingest_daemon_n_pulses":$daemonNPulses,"ingest_daemon_records_per_pulse":$daemonRecordsPerPulse""" +
       f""","ingest_daemon_per_pulse_sec":${if (ingestDaemonSec > 0) ingestDaemonSec / daemonNPulses else -1.0}%.3f""" +
       s""","ingest_daemon_attempts":$daemonAttemptsJson""" +
+      s""","ingest_daemon_ref_per_pulse_sec":$daemonRefJson""" +
       f""","load_min_shape_qps":$loadMin%.2f,"load_min_shape_qps_first_attempt":$loadMinRaw%.2f""" +
       f""","load_min_shape_qps_prefocal":$loadMinPre%.2f""" +
       f""","load_per_shape_qps":$loadFlat,"load_errors":$loadErrs""" +
@@ -885,28 +908,39 @@ object Bench {
     }
     println(json)
     // The driver's stdout capture keeps only a ~2000-char tail, which the
-    // full line above (telemetry + task metrics) always overflows — its
-    // `parsed` field has been null every round. Emit a compact summary as
-    // the LAST line so a tail-bounded parser finds one complete JSON
-    // object; target/bench.json above stays the lossless artifact. The
-    // per-query dict is capped to the slowest 12 (the full 67-query dict
-    // was ~1.6k chars — one 3-digit timing away from re-breaking the
-    // tail parser; ADVICE r7).
-    val qsCompact = results.sortBy(-_._2).take(12)
-      .map { case (n, t) => s""""$n":${f"$t%.2f"}""" }.mkString("{", ",", "}")
-    println(
+    // full line above (telemetry + task metrics) always overflows — and
+    // its parser has read `parsed: null` every round since r11 (the r17
+    // verdict's task 2: the measurement contract was silently broken for
+    // seven rounds). Two fixes, both here:
+    //  - the EXACT one-line summary JSON — with the FULL per-query dict,
+    //    which the per-query/geomean comparison needs — is written to a
+    //    fixed file (`BENCH_LINE.json` on the full methodology,
+    //    `target/bench_line.json` for partial-section runs so a stale
+    //    partial line can never shadow a committed full one);
+    //  - the same line prints as the FINAL stdout line, un-prefixed
+    //    (build.sbt routes forked run output straight to stdout and
+    //    suppresses sbt's trailing [success] banner), so a tail-bounded
+    //    line parser sees one complete JSON object and nothing after it.
+    // The full 67-row dict at %.3f is ~1.6k chars; everything else here
+    // is kept lean so the line stays inside a 2000-char tail window.
+    val qsLine = results.sortBy(-_._2)
+      .map { case (n, t) => s""""$n":${f"$t%.3f"}""" }.mkString("{", ",", "}")
+    val benchLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_n":${results.length}""" +
-      f""","queries":$qsCompact""" +
-      f""","load1_cold":${bestCold.l0}%.1f,"warm_total":$warmTotal%.3f""" +
-      f""","cold_passes":${coldAttempts.length}""" +
-      f""","contended_rejected":${contendedRejected + warmRejected}""" +
-      f""","load1_warm":${bestWarm.l0}%.1f,"warm_passes":${warmAttempts.length}""" +
-      f""","ingest_sec":$ingestSec%.3f,"ingest_grpc_sec":$ingestGrpcSec%.3f""" +
-      f""","ingest_daemon_pulses_sec":$ingestDaemonSec%.3f""" +
+      f""","queries":$qsLine""" +
+      f""","warm_total":$warmTotal%.3f,"load1_cold":${bestCold.l0}%.1f""" +
       f""","ingest_daemon_per_pulse_sec":${if (ingestDaemonSec > 0) ingestDaemonSec / daemonNPulses else -1.0}%.3f""" +
-      f""","load_min_shape_qps":$loadMin%.2f,"load_first_min_qps":$firstMin%.2f""" +
-      f""","load_http_min_qps":$httpMin%.2f,"load_http_errors":$httpErrs""" +
-      s""","failed":$failedJson,"action_rev":${BenchGuard.ActionRev},"sf":"$sfDir"}""")
+      f""","load_min_shape_qps":$loadMin%.2f,"load_http_min_qps":$httpMin%.2f""" +
+      f""","load_http_errors":$httpErrs""" +
+      s""","failed":$failedJson,"action_rev":${BenchGuard.ActionRev},"sf":"$sfDir"}"""
+    try {
+      val target = if (fullMethodology) java.nio.file.Paths.get("BENCH_LINE.json")
+                   else java.nio.file.Paths.get("target/bench_line.json")
+      if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.write(target, (benchLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] line write failed: ${e.getMessage}") }
     spark.stop()
+    // LAST line, after spark.stop(): nothing may print below it
+    println(benchLine)
   }
 }

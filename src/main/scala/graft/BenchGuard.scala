@@ -60,19 +60,26 @@ object BenchGuard {
   }
 
   /** Timing-methodology revision, stamped into every artifact as
-    * `"action_rev"`. Bumped when the TIMED ACTION changes so that
-    * cross-methodology numbers are never compared: rev 2 (r17) routes
-    * the 12 catalog rows whose work `count()` let Catalyst prune
+    * `"action_rev"`. Bumped when WHAT THE TIMED REGION EXECUTES changes
+    * so that cross-methodology numbers are never compared: rev 2 (r17)
+    * routes the 12 catalog rows whose work `count()` let Catalyst prune
     * ([[Queries.ForcedActionRows]]) through the forced-materialization
     * action — their honest numbers are LARGER than every committed
     * rev-1 artifact's, so rev-1 references would flag them as suspects
-    * forever and a rev-1 standing best would never be beaten. Artifacts
-    * without the field are rev 1. Policy: [[reference]]/[[loadReference]]
-    * only read same-rev artifacts, and the standing-best slot RESETS on
-    * a rev upgrade (a newer-rev clean eligible run replaces regardless
-    * of totals; an older-rev run never replaces a newer-rev best).
+    * forever and a rev-1 standing best would never be beaten. Rev 3
+    * (r18) removes the r17 dir-keyed centroid and probe-vector memos:
+    * emb_kmeans/dd_semdedup/dd_semdedup_fixed now run their Lloyd scans
+    * inside the timed region every construction (the r17 verdict flagged
+    * the memoed form as bench accounting) and the ann_* rows re-read
+    * their probe vector per construction — rev-2 numbers for those rows
+    * are smaller by construction and must not referee rev-3 passes.
+    * Artifacts without the field are rev 1. Policy:
+    * [[reference]]/[[loadReference]] only read same-rev artifacts, and
+    * the standing-best slot RESETS on a rev upgrade (a newer-rev clean
+    * eligible run replaces regardless of totals; an older-rev run never
+    * replaces a newer-rev best).
     */
-  val ActionRev = 2
+  val ActionRev = 3
 
   /** The artifact's stamped methodology revision (absent = rev 1). */
   def artifactRev(json: String): Int = {
@@ -394,6 +401,41 @@ object BenchGuard {
         else parseShapeQps(json, field)
       } catch { case _: Throwable => None }
     }.flatten.groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  /** Best (smallest positive) committed value of a scalar lower-is-
+    * better field — e.g. `ingest_daemon_per_pulse_sec` — across the
+    * newest three `BENCH_FULL_r*` plus the standing bests, clean
+    * (`failed:[]`), same-SF, same-rev only. The daemon referee reads it
+    * (r17 verdict task 4: the daemon section was the one gate with no
+    * committed-reference retry — a contended window published
+    * 8.18 s/pulse against a 1.47–3.46 s committed record with nothing
+    * re-checking it). None when nothing qualifies — the referee then
+    * abstains, never guesses.
+    */
+  def scalarReference(dir: java.nio.file.Path, field: String,
+      sf: Option[String] = None): Option[Double] = {
+    val roundRe = "BENCH_FULL_r(\\d+)\\.json".r
+    val files =
+      try {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.flatMap { p =>
+          roundRe.findFirstMatchIn(p.getFileName.toString).map(m => (m.group(1).toInt, p))
+        }.toVector.sortBy(-_._1).take(3).map(_._2)
+        finally s.close()
+      } catch { case _: Throwable => Vector.empty }
+    val best = Seq(Some(BestArtifactName), sf.map(bestArtifactNameFor)).flatten
+      .distinct.map(dir.resolve).filter(java.nio.file.Files.isRegularFile(_))
+    val re = ("\"" + java.util.regex.Pattern.quote(field) +
+      "\":(-?[0-9][0-9.eE+-]*)").r
+    (files ++ best).flatMap { p =>
+      try {
+        val json = java.nio.file.Files.readString(p)
+        val sfOk = sf.forall(want => json.contains(s""""sf":"$want""""))
+        if (!sfOk || !cleanFailed(json) || artifactRev(json) != ActionRev) None
+        else re.findFirstMatchIn(json).map(_.group(1).toDouble).filter(_ > 0)
+      } catch { case _: Throwable => None }
+    }.minOption
   }
 
   /** Uniform-inflation test of `cur` against `ref` (see object doc). */

@@ -669,27 +669,16 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** The vec_id=0 probe vector, one point-read job per dataset dir per
-    * JVM (deterministic in the dir — the same memo class as
-    * [[capturedCentroids]]/[[embLshSizesByDir]]): three ANN rows each
-    * paid this job on every construction otherwise.
+  /** The vec_id=0 probe vector: one point-read job per CONSTRUCTION.
+    * Deliberately NOT memoized per dir (r17 tried that; the r17 verdict
+    * flagged it): the bench's fixed vec_id=0 parameter is an artifact of
+    * the harness — a real serving workload carries a fresh query vector
+    * per request, so a memo could never fire in production and its
+    * ~50 ms/row saving was measurement-shaping, not optimization.
     */
-  private val qVecByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Float]]()
   private def queryVec(s: SparkSession, emb: DataFrame, dir: String): Seq[Float] = {
-    // load OUTSIDE the map (the AnnIndex.readCentroids discipline):
-    // computeIfAbsent holds the bin lock for the mapping function's
-    // duration, and this one is a whole Spark job — an unrelated dir
-    // hashing to the same bin would block behind it. A racing double
-    // load costs one redundant point read; putIfAbsent keeps the first.
-    val hit = qVecByDir.get(dir)
-    if (hit != null) hit
-    else {
-      import s.implicits._
-      val v = emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
-      val prev = qVecByDir.putIfAbsent(dir, v)
-      if (prev != null) prev else v
-    }
+    import s.implicits._
+    emb.filter(col("vec_id") === 0L).select(col("embedding")).as[Seq[Float]].head()
   }
 
   /** Brute-force cosine top-10 against the vec_id=0 embedding. */
@@ -1051,36 +1040,51 @@ object Queries {
   private val embCorpusRowsByDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  // The dir-keyed memos above (probe vector, k-means centroids, LSH
-  // sizes/corpus count, the once-per-dir ngram advisory) serve values
-  // derived from a dataset generation; they evict on the same
+  // The dir-keyed registries/memos above (captured k-means centroids,
+  // LSH sizes/corpus count, the once-per-dir ngram advisory) serve
+  // values derived from a dataset generation; they evict on the same
   // writer-rewrote-the-path signal every other derived cache rides
   // (AnnIndex.centroidCache / DriftAdapters discipline) — without this a
-  // re-ingested corpus would be probed with the PREVIOUS generation's
-  // vector and clustered on its centroids for the JVM's lifetime.
+  // re-ingested corpus's ORACLE would replay the previous generation's
+  // centroid literals and the LSH geometry would stay sized to the old
+  // corpus for the JVM's lifetime. Both subtree directions evict
+  // (ADVICE r17): an invalidation UNDER the dir (a table rewrite) and an
+  // invalidation of an ANCESTOR of the dir (a wipe-and-rebuild harness
+  // invalidating the root above its dataset dirs) each stale the memo.
   // Registered at object init, which precedes the first memoized entry.
   graft.sources.RelationCache.onInvalidate { p =>
     if (p == null) {
-      qVecByDir.clear(); kmeansCentsByDir.clear(); embLshSizesByDir.clear()
+      kmeansCentsByDir.clear(); embLshSizesByDir.clear()
       embCorpusRowsByDir.clear(); ngramAdvisedDirs.clear()
     } else {
-      val under: java.util.function.Predicate[String] = dir =>
-        p == dir || p.startsWith(if (dir.endsWith("/")) dir else dir + "/")
-      qVecByDir.keySet().removeIf(under)
-      kmeansCentsByDir.keySet().removeIf(under)
-      embLshSizesByDir.keySet().removeIf(under)
-      embCorpusRowsByDir.keySet().removeIf(under)
-      ngramAdvisedDirs.removeIf(under)
+      def underOrOver(dir: String): Boolean = {
+        def slashed(x: String) = if (x.endsWith("/")) x else x + "/"
+        p == dir || p.startsWith(slashed(dir)) || dir.startsWith(slashed(p))
+      }
+      val pred: java.util.function.Predicate[String] = underOrOver(_)
+      kmeansCentsByDir.keySet().removeIf(pred)
+      embLshSizesByDir.keySet().removeIf(pred)
+      embCorpusRowsByDir.keySet().removeIf(pred)
+      ngramAdvisedDirs.removeIf(pred)
     }
   }
 
-  /** Test window into the dir-keyed memos (DirMemoEvictionSpec pins the
-    * invalidation eviction): presence of (probe vector, k-means
-    * centroids, LSH sizes, corpus count) for `dir`.
+  /** Test window into the dir-keyed registries (DirMemoEvictionSpec pins
+    * the invalidation eviction): presence of (k-means centroid capture,
+    * LSH sizes, corpus count) for `dir`.
     */
-  private[graft] def dirMemoSnapshot(dir: String): (Boolean, Boolean, Boolean, Boolean) =
-    (qVecByDir.containsKey(dir), kmeansCentsByDir.containsKey(dir),
+  private[graft] def dirMemoSnapshot(dir: String): (Boolean, Boolean, Boolean) =
+    (kmeansCentsByDir.containsKey(dir),
       embLshSizesByDir.containsKey(dir), embCorpusRowsByDir.containsKey(dir))
+
+  /** Test-visible read of the captured centroid ARRAY INSTANCE for `dir`
+    * — TimingActionSpec pins the action_rev-3 de-gaming with it: two
+    * constructions of emb_kmeans must register two DISTINCT instances
+    * (reference inequality proves the Lloyd scans re-ran; a memo would
+    * hand back the same array).
+    */
+  private[graft] def capturedKmeansInstance(dir: String): Option[Array[Seq[Float]]] =
+    Option(kmeansCentsByDir.get(dir))
 
   /** Test-visible read of the captured dd_embed_lsh geometry for `dir` —
     * RecallInvariantsSpec asserts the oracle's plane-literal count
@@ -1376,14 +1380,16 @@ object Queries {
     * failed) the dynamic oracle entries are simply omitted → rows-only.
     */
   private def capturedCentroids(emb: DataFrame, dir: String): Array[Seq[Float]] = {
-    // the capture registry doubles as the memo (the embLshSizesByDir
-    // discipline): the seeded sample + 2 Lloyd scans are deterministic
-    // in the dir, so only the FIRST construction per dir per JVM pays
-    // their three sequential driver jobs — Bench.ensureIndexes populates
-    // this untimed via ensureSemdedupArtifacts, the same write-path
-    // accounting the persisted IVF centroids already get (r17)
-    val cs = Option(kmeansCentsByDir.get(dir)).getOrElse(
-      graft.vector.Clustering.centroids(emb, KmeansK, KmeansIters))
+    // ALWAYS recomputed: the seeded sample + 2 Lloyd scans ARE the work
+    // the clustering rows claim to measure, so every construction pays
+    // them in full. r17 let the capture registry double as a per-dir
+    // memo (populated untimed via Bench.ensureIndexes), which moved the
+    // clustering out of emb_kmeans/dd_semdedup*'s timed region — the
+    // r17 verdict flagged that as bench accounting, not optimization
+    // (action_rev 3 reverts it). The registry below is WRITE-only from
+    // here: it exists so the replay oracle dumps the exact centroid
+    // literals the queries ran with, never to skip the computation.
+    val cs = graft.vector.Clustering.centroids(emb, KmeansK, KmeansIters)
     kmeansCentsByDir.put(dir, cs); captureDir = dir
     cs
   }
@@ -1427,9 +1433,9 @@ object Queries {
   val SemDedupMaxCell = 64
   val SemDedupSplitProbe = 3
   val ddSemdedupFixed: Q = (s, dir) => {
-    // coarse centroids through the memoizing capture ([[capturedCentroids]])
-    // — identical values to the in-place recompute (deterministic in the
-    // dir), minus its three sequential driver jobs per construction
+    // coarse centroids through the capture ([[capturedCentroids]]) so the
+    // replay oracle sees the exact literals; computed fresh per
+    // construction (action_rev 3 — the Lloyd scans are timed work)
     val emb = Domain.embeddings(s, dir)
     graft.vector.Clustering.semdedupPairsFixedWith(emb,
         capturedCentroids(emb, dir),

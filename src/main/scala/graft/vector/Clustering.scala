@@ -416,9 +416,10 @@ object Clustering {
       dim, threshold, maxCell, k, p, softP, idCol, vecCol)
 
   /** [[semdedupPairsFixed]] with the coarse centroid set hoisted to the
-    * caller — the catalog row passes its memoized capture so repeated
-    * constructions skip the three sequential centroid jobs (the values
-    * are deterministic in the corpus, so hoisted == recomputed).
+    * caller — the catalog row passes the centroid set it just computed
+    * (and captured for the replay oracle), so the coarse seeding runs
+    * exactly once per construction instead of once here and once in the
+    * caller's capture.
     */
   def semdedupPairsFixedWith(
       embeddings: DataFrame,

@@ -55,4 +55,25 @@ class TimingActionSpec extends SparkSpec {
     val w = Queries.catalog("w_cume")(spark, dir)
     assert(Queries.timingAction("w_cume", w) == w.count())
   }
+
+  test("action_rev 3: emb_kmeans recomputes its centroids on EVERY " +
+      "construction — the capture registry is write-only, never a memo") {
+    // r17 let Bench.ensureIndexes pre-populate the centroid registry
+    // untimed, after which the timed row measured a map lookup (the r17
+    // verdict's gaming flag). Two constructions must register two
+    // DISTINCT array instances: reference inequality proves the seeded
+    // sample + Lloyd scans re-ran inside each construction.
+    Queries.catalog("emb_kmeans")(spark, dir)
+    val first = Queries.capturedKmeansInstance(dir)
+    assert(first.nonEmpty, "construction must capture centroids for the oracle")
+    Queries.catalog("emb_kmeans")(spark, dir)
+    val second = Queries.capturedKmeansInstance(dir)
+    assert(second.nonEmpty)
+    assert(!(first.get eq second.get),
+      "second construction handed back the SAME centroid array instance — " +
+      "a memo is short-circuiting the Lloyd scans the row claims to time")
+    // values stay deterministic in the dir (the replay-oracle contract)
+    assert(first.get.toSeq == second.get.toSeq,
+      "recomputed centroids must be deterministic in the dataset dir")
+  }
 }
