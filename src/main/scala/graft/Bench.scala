@@ -76,13 +76,15 @@ object Bench {
       f""","load1":${loadavg1()}%.1f}"""
   }
 
-  private def newSession(cpus: String): SparkSession = {
+  private def newSession(cpus: String, sfDir: String): SparkSession = {
     // the shared serving configuration (Sessions.ServiceConfs) so this
-    // bench measures exactly what Serve/LoadProbe run
+    // bench measures exactly what Serve/LoadProbe run; the data dir
+    // sizes the AQE initial partition count to the input
+    // (Sessions.initialPartitionsSized — r18)
     // NOTE: driver heap is the forked JVM's -Xmx (build.sbt derives it
     // from SPARK_DRIVER_MEM) — spark.driver.memory set here would be
     // inert (it is a spark-submit launcher option, not a live-JVM one)
-    val s = Sessions.serviceBuilder(cpus, "graft-bench")
+    val s = Sessions.serviceBuilder(cpus, "graft-bench", Some(sfDir))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -382,7 +384,7 @@ object Bench {
       if (!runFirst) {
         (-1.0, -1.0, -1.0, "{}", "{}", "{}", 0L)
       } else {
-        val sA = newSession(cpus)
+        val sA = newSession(cpus, sfDir)
         telemetry += snap("a_start", sA)
         ensureIndexes(sA, sfDir)
         warmConcurrently(sA, sfDir)
@@ -395,7 +397,7 @@ object Bench {
       }
 
     // ---- session B: the full historical bench, probe in LAST position.
-    val spark = newSession(cpus)
+    val spark = newSession(cpus, sfDir)
 
     // Warmup: run the whole catalog once against the two small SFs so
     // JIT, codegen, and classloading are out of the timed numbers

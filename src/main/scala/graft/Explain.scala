@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.serviceBuilder(cpus, "graft-explain").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("GRAFT_EXPLAIN_DIR", "/root/testdata/sf0.01")
+    // the dumped plans must be the plans the timed runs execute: the
+    // size-derived AQE posture keys on the SAME dir the queries run on
+    val spark = Sessions.serviceBuilder(cpus, "graft-explain", Some(dir)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.sameElements(Array("all"))) Queries.catalog.keys.toSeq.sorted
       else if (args.nonEmpty) args.toSeq

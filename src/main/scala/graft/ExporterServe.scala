@@ -48,7 +48,7 @@ object ExporterServe {
     val port = sys.env.getOrElse("SPARK_GRAFT_GRPC_PORT", "8090").toInt
     val periodMs = sys.env.getOrElse("SPARK_GRAFT_PULSE_PERIOD_MS", "10000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.serviceBuilder(cpus, "graft-exporter-api").getOrCreate()
+    val spark = Sessions.serviceBuilder(cpus, "graft-exporter-api", Some(sfDir)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val handle = bootstrap(spark, sfDir, port, periodMs)
     println(s"""{"metric":"exporter_serving","port":${handle.port},"sf":"$sfDir"}""")

@@ -1151,7 +1151,7 @@ object Ingest {
     val from = sys.env.getOrElse("SPARK_GRAFT_FROM_PULSE",
       (Canonicalize.MinTimePulse + 10L).toString).toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.serviceBuilder(cpus, "graft-ingest").getOrCreate()
+    val spark = Sessions.serviceBuilder(cpus, "graft-ingest", Some(base)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val handle = bootstrap(spark, base, host, port, from)
     // the reference binds its ops mux unconditionally on :8000

@@ -33,7 +33,7 @@ object LoadProbe {
     val seconds = sys.env.getOrElse("SPARK_GRAFT_SECONDS", "10").toInt
     // the shared serving configuration — FAIR keeps one heavy shape from
     // starving the others' jobs, the way an API server's pool schedules
-    val spark = Sessions.serviceBuilder(cpus, "graft-load").getOrCreate()
+    val spark = Sessions.serviceBuilder(cpus, "graft-load", Some(sfDir)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_SHAPES: comma-separated shape names to attack (default:

@@ -17,10 +17,11 @@ object QTime {
       .config("spark.sql.adaptive.enabled", "true")
       // match the serving posture (Sessions.serviceConfPairs): reducer
       // counts from data size, so isolated re-measures see the same
-      // plans the bench and the servers run — through the SAME helper,
-      // so a non-default SPARK_GRAFT_CPUS still mirrors the servers
+      // plans the bench and the servers run — through the SAME helper
+      // (size-derived initial, r18), so a non-default SPARK_GRAFT_CPUS
+      // or a different-sized dir still mirrors the servers
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Sessions.initialPartitions(cpus))
+        Sessions.initialPartitionsSized(cpus, Sessions.dirBytes(sfDir)))
       .config("spark.ui.enabled", "false"))
     // ad-hoc knob experiments: SPARK_GRAFT_CONF="k=v;k=v" overlays the
     // defaults above, so A/B runs don't need a recompile

@@ -50,7 +50,7 @@ object Serve {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "8080").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.serviceBuilder(cpus, "graft-api").getOrCreate()
+    val spark = Sessions.serviceBuilder(cpus, "graft-api", Some(sfDir)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val handle = bootstrap(spark, sfDir, port)
     println(s"""{"metric":"serving","port":${handle.port},"sf":"$sfDir"}""")

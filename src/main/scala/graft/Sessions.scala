@@ -59,42 +59,92 @@ object Sessions {
     "spark.ui.enabled" -> "false")
 
   /** Reducer counts come from DATA SIZE, not the static partition knob:
-    * AQE starts every exchange at `8 × cores` partitions and coalesces
-    * down to its 64 MB advisory target, so a sub-MB shuffle still runs a
-    * handful of reducers while a 9 GB shuffle keeps hundreds — the one
-    * configuration that survives five orders of magnitude of input
-    * (AQE can only coalesce DOWN; nothing splits an oversized sort/agg
-    * partition at runtime, so the static `partitions = cores` start is
-    * a scale ceiling). Measured (r17, ev_sessions at the 50M→500M-event
-    * decade): the static 32 sorts 15.6M rows/reducer and measures
-    * 552 s; 512 initial measures 246–363 s with zero spill. The
-    * small-SF cost of the extra map-side shuffle buckets is ~4–6% on
-    * the sf0.1 catalog (A/B in SCALE.md r17) — the accepted price of
-    * not owning a 17× cliff one decade up. Derived from the core count
-    * so a real cluster's posture scales the same way.
+    * AQE starts every exchange at up to `8 × cores` partitions and
+    * coalesces down to its 64 MB advisory target, so a sub-MB shuffle
+    * still runs a handful of reducers while a 9 GB shuffle keeps
+    * hundreds — the one configuration that survives five orders of
+    * magnitude of input (AQE can only coalesce DOWN; nothing splits an
+    * oversized sort/agg partition at runtime, so the static
+    * `partitions = cores` start is a scale ceiling). Measured (r17,
+    * ev_sessions at the 50M→500M-event decade): the static 32 sorts
+    * 15.6M rows/reducer and measures 552 s; 512 initial measures
+    * 246–363 s with zero spill. Derived from the core count so a real
+    * cluster's posture scales the same way.
     */
   def initialPartitions(cpus: String): String =
     (cpus.toIntOption.getOrElse(32) * 8).toString
 
+  /** The r17 flat `8 × cores` start taxed SMALL inputs: every exchange
+    * of a 17 MB dataset opened 256 map-side buckets and paid extra AQE
+    * coalescing rounds for reducers that could never carry 64 MB — a
+    * measured 4–6% catalog-wide cost at sf0.1, concentrating in the
+    * multi-exchange shapes (q5_region regressed 1.42×, the r17
+    * verdict's one real regression). The start is therefore derived
+    * from the INPUT SIZE when the entry point knows its data dir:
+    * estimated shuffle bytes (on-disk bytes × [[ShuffleExpansion]],
+    * parquet-compressed → in-flight row format) over the 64 MB
+    * advisory, clamped to [cores, 8 × cores]. A 17 MB dir starts at
+    * `cores` (the pre-r17 posture that measured fastest there), a
+    * multi-GB store keeps the full 8 × cores headroom (the 500M-event
+    * decade posture), and an unsizable dir (remote fs, missing path)
+    * falls back to the scale-safe flat start — never to the small one.
+    */
+  val ShuffleExpansion = 4L
+  private val AdvisoryBytes = 64L << 20
+
+  def initialPartitionsSized(cpus: String, dataBytes: Long): String = {
+    val cores = cpus.toIntOption.getOrElse(32)
+    if (dataBytes < 0) initialPartitions(cpus)
+    else {
+      val est = (dataBytes * ShuffleExpansion + AdvisoryBytes - 1) / AdvisoryBytes
+      math.min(8L * cores, math.max(cores.toLong, est)).toString
+    }
+  }
+
+  /** Recursive on-disk byte count of a local data dir; -1 when the path
+    * is missing or unwalkable (callers then keep the scale-safe flat
+    * posture). One bounded walk at session build — cheap next to a
+    * single Spark job, and never on a per-query path.
+    */
+  def dirBytes(dir: String): Long =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) -1L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+          .sum()
+        finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** The COMPLETE conf set [[serviceBuilder]] applies — drift defenses,
-    * service configs, and shuffle parallelism matched to the core count.
+    * service configs, and shuffle parallelism matched to the core count
+    * and (when the entry point knows its data dir) the input size.
     * Exposed as data so SessionsSpec can pin it without reflecting into
     * the builder.
     */
-  def serviceConfPairs(cpus: String): Seq[(String, String)] =
+  def serviceConfPairs(cpus: String, dataDir: Option[String] = None): Seq[(String, String)] =
     DriftConfs ++ ServiceConfs ++ Seq(
       "spark.sql.shuffle.partitions" -> cpus,
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
-        initialPartitions(cpus))
+        dataDir.fold(initialPartitions(cpus))(d =>
+          initialPartitionsSized(cpus, dirBytes(d))))
 
   /** Session builder for every serving entry point: drift defenses plus
     * the benched service configs, `local[cpus]` with shuffle parallelism
     * matched to the core count (a 1000-executor deployment would swap the
     * master URL and scale `shuffle.partitions` with the cluster; nothing
-    * else here is local-mode-specific).
+    * else here is local-mode-specific). `dataDir` (the dir the entry
+    * point serves) sizes the AQE initial partition count to the input —
+    * see [[initialPartitionsSized]]; entry points with no single data
+    * dir (scale probes over generated decades) pass None and keep the
+    * flat scale posture.
     */
-  def serviceBuilder(cpus: String, appName: String): SparkSession.Builder = {
-    val base = serviceConfPairs(cpus).foldLeft(
+  def serviceBuilder(cpus: String, appName: String,
+      dataDir: Option[String] = None): SparkSession.Builder = {
+    val base = serviceConfPairs(cpus, dataDir).foldLeft(
       SparkSession.builder().master(s"local[$cpus]").appName(appName)
     ) { case (acc, (k, v)) => acc.config(k, v) }
     // SPARK_GRAFT_CONF="k=v;k=v" overlays the benched defaults — the

@@ -27,6 +27,35 @@ class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .contains("256"), "the posture must reach every serving session")
   }
 
+  test("the AQE start is sized to the input when the entry point knows " +
+      "its data dir: tiny dirs start at cores (the flat 8x start taxed " +
+      "q5_region 1.42x and the ingest daemon 1.7x at sf0.1 — r18 A/B), " +
+      "multi-GB dirs keep the full scale headroom, unsizable dirs fall " +
+      "back to the scale-safe flat start") {
+    // 17 MB (sf0.1-shaped): est shuffle 68 MB -> 2 reducers -> clamp to cores
+    assert(Sessions.initialPartitionsSized("32", 17L << 20) == "32")
+    // 4 GB: est shuffle 16 GB -> 256 reducers == the 8x cores ceiling
+    assert(Sessions.initialPartitionsSized("32", 4L << 30) == "256")
+    // mid-size: 800 MB -> est 3.2 GB / 64 MB = 50 reducers, inside the clamp
+    assert(Sessions.initialPartitionsSized("32", 800L << 20) == "50")
+    // unsizable input NEVER degrades to the small posture
+    assert(Sessions.initialPartitionsSized("32", -1L) ==
+      Sessions.initialPartitions("32"))
+    assert(Sessions.dirBytes("/nonexistent/path/xyz") == -1L)
+    // and the sized posture reaches the session confs when a dir is given
+    val tiny = java.nio.file.Files.createTempDirectory("sessions-spec").toString
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(tiny, "x.parquet"),
+        Array.fill[Byte](1024)(0))
+      val m = Sessions.serviceConfPairs("32", Some(tiny)).toMap
+      assert(m.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .contains("32"), "a KB-scale dir must start at cores, not 8x cores")
+    } finally {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tiny, "x.parquet"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tiny))
+    }
+  }
+
   test("serviceConfPairs (what serviceBuilder applies) covers drift + service + parallelism") {
     val m = Sessions.serviceConfPairs("32").toMap
     Sessions.DriftConfs.foreach { case (k, v) =>
