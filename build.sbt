@@ -44,3 +44,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // one catalog pass' stage count, so every pass recompiles every stage.
   "-Dspark.sql.codegen.cache.maxEntries=3000",
 )
+// Ad-hoc JVM flags for the forked runs (diagnostics: -Xlog:safepoint,
+// GC logging, JFR) — the JVM-level twin of the SPARK_GRAFT_CONF overlay,
+// so measurement experiments never need a build edit.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -133,37 +133,163 @@ object Multimodal {
     * r17: 11 task-s of blocked (non-CPU) time against 1 CPU-s of actual
     * codec work. The reader instance is NOT thread-safe but is reusable
     * via setInput; a ThreadLocal gives each executor thread its own.
+    * None on a JVM with no PNG SPI provider (exotic classpath) — the
+    * format-sniffing fallback below then owns every decode (ADVICE r17:
+    * the bare `.next()` initializer threw NoSuchElementException there).
     */
-  private val pngReaderTL: ThreadLocal[javax.imageio.ImageReader] =
-    ThreadLocal.withInitial(() =>
-      javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
-
-  private def readPng(png: Array[Byte]): java.awt.image.BufferedImage = {
-    val reader = pngReaderTL.get()
-    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(png))
-    try {
-      reader.setInput(in, true, true)
-      reader.read(0)
-    } finally {
-      reader.setInput(null)
-      in.close()
+  private val pngReaderTL: ThreadLocal[Option[javax.imageio.ImageReader]] =
+    ThreadLocal.withInitial { () =>
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (it.hasNext) Some(it.next()) else None
     }
+
+  /** Decode an image payload: the per-thread PNG reader on the hot path
+    * (every fixture/GVF1 frame is PNG), falling back to format-sniffing
+    * `ImageIO.read` when the PNG reader rejects the stream or is absent —
+    * a non-PNG payload (e.g. JPEG) a caller hands the public
+    * [[decodeImage]]/[[extractFeatures]] API still decodes, as it did
+    * before the per-thread reader existed (ADVICE r17). The fallback is
+    * per-call-registry-scanning and thus slow, but it only runs for
+    * non-PNG or undecodable payloads — never on the fixture path.
+    */
+  private def readPng(png: Array[Byte]): java.awt.image.BufferedImage = {
+    def sniff(): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    pngReaderTL.get() match {
+      case Some(reader) =>
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(png))
+        val direct =
+          try {
+            reader.setInput(in, true, true)
+            Some(reader.read(0))
+          } catch {
+            // not a PNG (or torn): let the sniffing path decide — it
+            // returns null for genuinely undecodable bytes, which the
+            // callers turn into their IOException contract
+            case scala.util.control.NonFatal(_) => None
+          } finally {
+            reader.setInput(null)
+            in.close()
+          }
+        direct.getOrElse(sniff())
+      case None => sniff()
+    }
+  }
+
+  /** One-pass accumulator for decoded-sample statistics — count, exact
+    * sum, and the (unnormalized) 8-bin profile — fed straight from
+    * decoder output buffers. Replaces the per-row `Array[Int]`
+    * materialization + `Array.concat` + two more full passes (sum, bin
+    * profile) the feature path used to make: the decode stage carried
+    * ~0.3 s/task of non-CPU (allocator/safepoint) time with ~13 task-s
+    * against 1 CPU-s of codec work (r17 "not yet optimized"). Bin
+    * assignment follows the GLOBAL sample index across feed calls (video
+    * frames feed in container order), and the float additions happen in
+    * the same order as the array form it replaces, so the served profile
+    * is bit-identical.
+    */
+  private final class SampleAcc {
+    private var n = 0L
+    private var sum = 0L
+    private val bins = new Array[Float](8)
+    def count: Long = n
+    def total: Long = sum
+    def feedSample(v: Int): Unit = {
+      sum += v
+      bins((n % 8).toInt) += v / 255.0f
+      n += 1
+    }
+    /** Bulk feed of unsigned-byte samples (decoded gray raster rows,
+      * PCM frames): one bounds-checked array walk, no per-sample
+      * virtual calls.
+      */
+    def feedUnsignedBytes(data: Array[Byte], from: Int, len: Int): Unit = {
+      var i = from
+      val end = from + len
+      var b = (n % 8).toInt
+      while (i < end) {
+        val v = data(i) & 0xff
+        sum += v
+        bins(b) += v / 255.0f
+        b += 1
+        if (b == 8) b = 0
+        i += 1
+      }
+      n += len
+    }
+    /** The normalized profile: per-bin mean over `max(1, n/8)` slots,
+      * zeros when nothing fed (the 8-bin mean-profile semantics the
+      * array-based form served since the operator landed).
+      */
+    def profile(): Array[Float] = {
+      val f = new Array[Float](8)
+      if (n > 0) {
+        val perBin = math.max(1L, n / 8).toFloat
+        var j = 0
+        while (j < 8) { f(j) = bins(j) / perBin; j += 1 }
+      }
+      f
+    }
+  }
+
+  /** Feed a decoded raster's band-0 samples into `acc` row-major.
+    * TYPE_BYTE_GRAY rasters (every fixture image and GVF1 frame) expose
+    * their samples as one byte bank, so the hot path walks the backing
+    * array directly — per-pixel `raster.getSample` is two virtual calls
+    * and a bounds computation per SAMPLE, the dominant term of the
+    * decode stage once the codec itself is amortized. Exotic rasters (a
+    * sniffed non-gray image) keep the per-pixel path. Returns (w, h).
+    */
+  private def feedRaster(img: java.awt.image.BufferedImage, acc: SampleAcc): (Int, Int) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = img.getRaster
+    val fast = r.getSampleModel match {
+      case sm: java.awt.image.ComponentSampleModel
+          if sm.getNumBands == 1 && sm.getPixelStride == 1 &&
+            r.getMinX == 0 && r.getMinY == 0 &&
+            r.getSampleModelTranslateX == 0 && r.getSampleModelTranslateY == 0 =>
+        r.getDataBuffer match {
+          case db: java.awt.image.DataBufferByte if db.getNumBanks == 1 =>
+            // getSample(x,y,0) for this shape is
+            // data[dbOffset + y*scanline + x*1 + bandOffset(0)] & 0xff
+            val data = db.getData
+            val scan = sm.getScanlineStride
+            val base = db.getOffset + sm.getBandOffsets()(0)
+            var y = 0
+            while (y < h) {
+              acc.feedUnsignedBytes(data, base + y * scan, w)
+              y += 1
+            }
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!fast) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { acc.feedSample(r.getSample(x, y, 0)); x += 1 }
+        y += 1
+      }
+    }
+    (w, h)
+  }
+
+  /** Decode an image payload straight into `acc`: (width, height). */
+  private def feedImagePayload(png: Array[Byte], acc: SampleAcc): (Int, Int) = {
+    val img = readPng(png)
+    if (img == null) throw new java.io.IOException("undecodable image payload")
+    feedRaster(img, acc)
   }
 
   /** Decode a PNG through ImageIO: (width, height, sum of gray samples). */
   def decodeImage(png: Array[Byte]): (Int, Int, Long) = {
-    val img = readPng(png)
-    if (img == null) throw new java.io.IOException("undecodable image payload")
-    val raster = img.getRaster
-    var sum = 0L
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
-      y += 1
-    }
-    (img.getWidth, img.getHeight, sum)
+    val acc = new SampleAcc
+    val (w, h) = feedImagePayload(png, acc)
+    (w, h, acc.total)
   }
 
   /** Encode raw bytes as a WAV container (8 kHz 8-bit unsigned mono PCM,
@@ -234,16 +360,40 @@ object Multimodal {
     buf.toList
   }
 
+  /** The provider that accepted the LAST payload, tried first on the
+    * next one. The preloaded [[audioFileReaders]] keep ServiceLoader
+    * order, and on stock JDKs `SoftMidiAudioFileReader` precedes
+    * `WaveFileReader` — its reject path calls `MidiSystem.getSequence`,
+    * which re-scans the synchronized JDK13Services MIDI registry PER
+    * CALL: with 32 decode threads that lock serialized the stage
+    * (measured r18, in-task sampling: ~0.47 s/task blocked vs 0.027 s
+    * CPU — every thread parked on the MIDI provider lock). A
+    * homogeneous corpus (any real media table) pays the full provider
+    * walk once per JVM and then goes straight to its codec; a mixed
+    * corpus falls back to the ordered walk exactly when the hot
+    * provider rejects.
+    */
+  private val hotAudioReader =
+    new java.util.concurrent.atomic.AtomicReference[javax.sound.sampled.spi.AudioFileReader](null)
+
   private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     // fresh stream per provider attempt: a rejecting reader is REQUIRED
     // to leave the stream positioned where it found it, but a fresh
     // ByteArrayInputStream costs nothing and removes the dependency on
     // every provider honoring that contract
+    val hot = hotAudioReader.get()
+    if (hot != null) {
+      try return hot.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
     var readers = audioFileReaders
     while (readers.nonEmpty) {
-      try return readers.head.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch {
+      try {
+        val s = readers.head.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        hotAudioReader.set(readers.head)
+        return s
+      } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException =>
           readers = readers.tail
       }
@@ -311,11 +461,10 @@ object Multimodal {
     payload != null && payload.length >= 8 &&
       payload(0) == 'G' && payload(1) == 'V' && payload(2) == 'F' && payload(3) == '1'
 
-  /** Decode a GVF1 container: per-frame (width, height, gray samples),
-    * via the same ImageIO path images take. Throws on a torn container
-    * (callers contain that per row).
+  /** Per-frame byte slices of a GVF1 container, validated. Throws on a
+    * torn container (callers contain that per row).
     */
-  def decodeVideo(container: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+  private def gvf1FrameBlobs(container: Array[Byte]): Seq[Array[Byte]] = {
     if (!isGvf1(container))
       throw new java.io.IOException("not a GVF1 container")
     val buf = java.nio.ByteBuffer.wrap(container)
@@ -330,9 +479,22 @@ object Multimodal {
         throw new java.io.IOException("torn GVF1 frame index")
       val frame = java.util.Arrays.copyOfRange(container, off, off + len)
       off += len
-      decodedImageSamples(frame)
+      frame
     }
   }
+
+  /** Decode a GVF1 container: per-frame (width, height, gray samples),
+    * via the same ImageIO path images take. Throws on a torn container
+    * (callers contain that per row).
+    */
+  def decodeVideo(container: Array[Byte]): Seq[(Int, Int, Array[Int])] =
+    gvf1FrameBlobs(container).map(decodedImageSamples)
+
+  /** Feature-path variant of [[decodeVideo]]: frames decode in container
+    * order straight into `acc` — no per-frame sample arrays, no concat.
+    */
+  private def feedVideoPayload(container: Array[Byte], acc: SampleAcc): Unit =
+    gvf1FrameBlobs(container).foreach(frame => feedImagePayload(frame, acc))
 
   /** Feature extraction over a media frame: batch-shaped `mapPartitions`
     * (the Scala analog of `mapInPandas` — one iterator per partition, so
@@ -398,6 +560,23 @@ object Multimodal {
   private val spreadCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Boolean)]]()
 
+  // The trust/skew memos ride the caller's `<source>@<generation>` key
+  // (generation = source mtime in the catalog), which a SAME-MILLISECOND
+  // rewrite defeats: evict on the writer-rewrote-the-path signal too,
+  // both subtree directions, like every other source-derived cache
+  // (ADVICE r17 — the AnnIndex/Queries dir-memo discipline).
+  graft.sources.RelationCache.onInvalidate { p =>
+    if (p == null) {
+      metaTrustCache.clear(); spreadCache.clear()
+    } else {
+      def slashed(x: String) = if (x.endsWith("/")) x else x + "/"
+      val pred: java.util.function.Predicate[String] = src =>
+        src == p || src.startsWith(slashed(p)) || p.startsWith(slashed(src))
+      metaTrustCache.keySet().removeIf(pred)
+      spreadCache.keySet().removeIf(pred)
+    }
+  }
+
   /** Bounded per-source memo of Option[Boolean] verdicts. Entry keys are
     * `<source>@<generation[...]>`; the map key is the source part alone
     * (everything before the LAST '@' — the path may itself contain '@')
@@ -437,6 +616,13 @@ object Multimodal {
   private[multimodal] def metaTrustSnapshot(src: String): Vector[(String, Boolean)] =
     Option(metaTrustCache.get(src)).getOrElse(Vector.empty)
 
+  /** `metaTrustKey` contract (ADVICE r17): supplying `Some(key)` asserts
+    * `media` IS the store-backed scan for that `<source>@<generation>` —
+    * the memoized skew verdict is computed over the frame's partition
+    * layout, which is a pure function of the key only for that scan. A
+    * caller passing a re-partitioned/filtered frame must pass None (fresh
+    * verdict per call) or a key of its own.
+    */
   def extractFeatures(media: DataFrame,
       skewThresholdBytes: Long = 64L << 20,
       metaTrustKey: Option[String] = None): Dataset[MediaFeature] = {
@@ -527,7 +713,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init would go here (decoder/model handles); each
         // payload is decoded ONCE and every served statistic derives
-        // from the same decoded sample array
+        // from the same decoded samples
         it.map { case (id, mod, payload) =>
           try {
             mod match {
@@ -537,18 +723,20 @@ object Multimodal {
                 MediaFeature(id, mod, 0L, None, None, None,
                   new Array[Float](8), decode_ok = true)
               case "image" =>
-                val (w, h, samples) = decodedImageSamples(payload)
+                val acc = new SampleAcc
+                val (w, h) = feedImagePayload(payload, acc)
                 MediaFeature(id, mod, w.toLong * h, Some(w.toLong), Some(h.toLong),
-                  Some(sampleSum(samples)), binProfile(samples), decode_ok = true)
+                  Some(acc.total), acc.profile(), decode_ok = true)
               case "audio" =>
-                val samples = decodedAudioSamples(payload)
-                MediaFeature(id, mod, samples.length.toLong, None, None,
-                  Some(sampleSum(samples)), binProfile(samples), decode_ok = true)
+                val acc = new SampleAcc
+                feedAudioPayload(payload, acc)
+                MediaFeature(id, mod, acc.count, None, None,
+                  Some(acc.total), acc.profile(), decode_ok = true)
               case "video" if isGvf1(payload) =>
-                val frames = decodeVideo(payload)
-                val samples = Array.concat(frames.map(_._3): _*)
-                MediaFeature(id, mod, samples.length.toLong, None, None,
-                  Some(sampleSum(samples)), binProfile(samples), decode_ok = true)
+                val acc = new SampleAcc
+                feedVideoPayload(payload, acc)
+                MediaFeature(id, mod, acc.count, None, None,
+                  Some(acc.total), acc.profile(), decode_ok = true)
               case _ =>
                 MediaFeature(id, mod, payload.length.toLong, None, None, None,
                   new Array[Float](8), decode_ok = true)
@@ -583,30 +771,15 @@ object Multimodal {
     (img.getWidth, img.getHeight, out)
   }
 
-  private def decodedAudioSamples(wav: Array[Byte]): Array[Int] = {
+  /** Decode a WAV straight into `acc`: the decoded PCM buffer feeds the
+    * accumulator in one walk — no intermediate `Array[Int]`.
+    */
+  private def feedAudioPayload(wav: Array[Byte], acc: SampleAcc): Unit = {
     val dec = openAudio(wav)
-    try dec.readAllBytes().map(_ & 0xff)
-    finally dec.close()
-  }
-
-  private def sampleSum(samples: Array[Int]): Long = {
-    var sum = 0L
-    var i = 0
-    while (i < samples.length) { sum += samples(i); i += 1 }
-    sum
-  }
-
-  /** 8-bin mean profile of decoded samples, normalized to [0,1]. */
-  private def binProfile(samples: Array[Int]): Array[Float] = {
-    val f = new Array[Float](8)
-    if (samples.nonEmpty) {
-      var i = 0
-      while (i < samples.length) { f(i % 8) += samples(i) / 255.0f; i += 1 }
-      val perBin = math.max(1, samples.length / 8)
-      var j = 0
-      while (j < 8) { f(j) /= perBin; j += 1 }
-    }
-    f
+    try {
+      val frames = dec.readAllBytes()
+      acc.feedUnsignedBytes(frames, 0, frames.length)
+    } finally dec.close()
   }
 
   /** Frame sampling over GVF1 video containers: every `stride`-th frame,
