@@ -21,7 +21,8 @@ object QTime {
       // (size-derived initial, r18), so a non-default SPARK_GRAFT_CPUS
       // or a different-sized dir still mirrors the servers
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Sessions.initialPartitionsSized(cpus, Sessions.dirBytes(sfDir)))
+        Sessions.initialPartitionsSized(cpus,
+          Sessions.dirBytes(sfDir, Sessions.posturesSaturatedAt(cpus))))
       .config("spark.ui.enabled", "false"))
     // ad-hoc knob experiments: SPARK_GRAFT_CONF="k=v;k=v" overlays the
     // defaults above, so A/B runs don't need a recompile

@@ -560,12 +560,48 @@ object Queries {
     * distinct; the DuckDB oracle keeps strings, so the correctness gate
     * would surface one).
     */
+  /** Upper bound on the hot-shingle set resolved into an `InSet` literal
+    * at construction (r18, verdict task 7). The df-cap's hot side is a
+    * tiny aggregate (stop-shingles — the head of the shingle Zipf), but
+    * as an anti-join subtree it was INLINED into all six `capped`
+    * occurrences of the pair query's plan: 158 operators, ~55 of them
+    * six copies of this aggregate plus their broadcast exchanges, and
+    * the sf0.1 wall is AQE re-optimizing that tree per stage (r17
+    * phase split: construct 0.17 + initial plan 0.28 s; the rest is
+    * re-planning). Resolving the hot set once at construction deletes
+    * the subtree from every occurrence; at scale the same aggregation
+    * ran exactly once anyway (AQE stage cache dedups the six copies),
+    * so this moves one linear pass from execution to construction and
+    * drops six broadcast exchanges. A corpus whose hot set outgrows
+    * the bound falls back to the anti-join form — both forms produce
+    * the SAME capped set (oracle-checked), so the choice is plan-only.
+    */
+  val NgramHotSetMaxInline = 4096
+
   def ngramCappedShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    graft.text.Dedup.capDf(
-      graft.text.Dedup.shingleHashRows(docs, "doc_id", "text", ShingleK)
-        .select(col("id").as("doc_id"), col("h").as("sh"))
-        .distinct(),
-      "sh", NgramMaxDf)
+    cappedShinglesWith(docs, NgramMaxDf, NgramHotSetMaxInline)
+
+  /** Parameterized form — NgramCapEquivalenceSpec pins that the inlined
+    * InSet form and the anti-join fallback produce the identical capped
+    * set on the same corpus.
+    */
+  private[graft] def cappedShinglesWith(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int, maxInline: Int): org.apache.spark.sql.DataFrame = {
+    val d = graft.text.Dedup.shingleHashRows(docs, "doc_id", "text", ShingleK)
+      .select(col("id").as("doc_id"), col("h").as("sh"))
+      .distinct()
+    import docs.sparkSession.implicits._
+    // one eager construction-time job (limit-bounded); sh is an xxhash64
+    // output and never null, so NOT-IN semantics equal the anti-join's
+    val hot = d.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(col("sh")).as[Long]
+      .take(maxInline + 1)
+    if (hot.isEmpty) d
+    else if (hot.length <= maxInline)
+      d.filter(!col("sh").isInCollection(hot.toSeq))
+    else graft.text.Dedup.capDf(d, "sh", maxDf)
+  }
 
   val ddNgramJaccard: Q = (s, dir) => {
     val docs = t(s, dir, "documents")

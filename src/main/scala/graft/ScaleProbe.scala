@@ -137,7 +137,7 @@ object ScaleProbe {
     val n1 = args.headOption.map(_.toLong).getOrElse(5000L)
     val n2 = args.drop(1).headOption.map(_.toLong).getOrElse(n1 * 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.withDriftDefaults(SparkSession.builder()
+    val spark = Sessions.overlayConfs(Sessions.withDriftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -148,7 +148,7 @@ object ScaleProbe {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Sessions.initialPartitions(cpus))
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val root = sys.env.getOrElse("GRAFT_SCALE_DIR", "/tmp/graft-scale")

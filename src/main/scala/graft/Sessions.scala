@@ -101,23 +101,40 @@ object Sessions {
     }
   }
 
-  /** Recursive on-disk byte count of a local data dir; -1 when the path
-    * is missing or unwalkable (callers then keep the scale-safe flat
-    * posture). One bounded walk at session build — cheap next to a
-    * single Spark job, and never on a per-query path.
+  /** Recursive on-disk byte count of a local data dir, short-circuited
+    * at `stopAt` — the walk is GENUINELY bounded: once the running sum
+    * already saturates the posture clamp there is nothing left to
+    * learn, so a 100 TB store pays for the first few GB of directory
+    * listing, never a full-tree walk. -1 when the path is missing or
+    * unwalkable (callers then keep the scale-safe flat posture). Runs
+    * once at session build, never on a per-query path.
     */
-  def dirBytes(dir: String): Long =
+  def dirBytes(dir: String, stopAt: Long = Long.MaxValue): Long =
     try {
       val root = java.nio.file.Paths.get(dir)
       if (!java.nio.file.Files.isDirectory(root)) -1L
       else {
         val s = java.nio.file.Files.walk(root)
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
-          .sum()
-        finally s.close()
+        try {
+          val it = s.iterator()
+          var sum = 0L
+          while (sum < stopAt && it.hasNext) {
+            val p = it.next()
+            if (java.nio.file.Files.isRegularFile(p))
+              sum += (try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+          }
+          sum
+        } finally s.close()
       }
     } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** The byte sum at which [[initialPartitionsSized]] reaches its
+    * 8×cores ceiling — the walk above never needs to count past it.
+    */
+  def posturesSaturatedAt(cpus: String): Long = {
+    val cores = cpus.toIntOption.getOrElse(32)
+    8L * cores * AdvisoryBytes / ShuffleExpansion + 1
+  }
 
   /** The COMPLETE conf set [[serviceBuilder]] applies — drift defenses,
     * service configs, and shuffle parallelism matched to the core count
@@ -130,7 +147,7 @@ object Sessions {
       "spark.sql.shuffle.partitions" -> cpus,
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
         dataDir.fold(initialPartitions(cpus))(d =>
-          initialPartitionsSized(cpus, dirBytes(d))))
+          initialPartitionsSized(cpus, dirBytes(d, posturesSaturatedAt(cpus)))))
 
   /** Session builder for every serving entry point: drift defenses plus
     * the benched service configs, `local[cpus]` with shuffle parallelism
@@ -152,6 +169,15 @@ object Sessions {
     // across entry points (r17: used to isolate initialPartitionNum's
     // small-SF cost with everything else identical). Production runs
     // leave it unset; the pinned defaults stand.
+    overlayConfs(base)
+  }
+
+  /** Apply the `SPARK_GRAFT_CONF="k=v;k=v"` overlay to any builder —
+    * shared by the serving builder and the probes so context-level A/B
+    * knobs (shuffle codec, file buffers) land before the SparkContext
+    * exists; SQLConf-level keys work the same way.
+    */
+  def overlayConfs(base: SparkSession.Builder): SparkSession.Builder =
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).foldLeft(base) { (acc, kv) =>
         kv.split("=", 2) match {
@@ -159,7 +185,6 @@ object Sessions {
           case _ => acc
         }
       }
-  }
 
   /** Assert (never set) the drift-defense configs on a live session —
     * called by the [[graft.model.Domain]] accessors before the events

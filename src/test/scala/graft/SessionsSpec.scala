@@ -47,11 +47,22 @@ class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(tiny, "x.parquet"),
         Array.fill[Byte](1024)(0))
+      java.nio.file.Files.write(java.nio.file.Paths.get(tiny, "y.parquet"),
+        Array.fill[Byte](1024)(0))
       val m = Sessions.serviceConfPairs("32", Some(tiny)).toMap
       assert(m.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
         .contains("32"), "a KB-scale dir must start at cores, not 8x cores")
+      // the walk is genuinely bounded: it stops as soon as the running
+      // sum saturates the clamp (a 100 TB store pays a few GB of
+      // listing, never a full-tree walk)
+      assert(Sessions.dirBytes(tiny) == 2048L)
+      assert(Sessions.dirBytes(tiny, stopAt = 1L) == 1024L,
+        "the walk must stop at the first file once stopAt is reached")
+      // 8 x 32 reducers x 64 MB advisory / 4x expansion, +1 to cross it
+      assert(Sessions.posturesSaturatedAt("32") == (4L << 30) + 1)
     } finally {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tiny, "x.parquet"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tiny, "y.parquet"))
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tiny))
     }
   }
