@@ -142,12 +142,26 @@ object Sessions {
     * Exposed as data so SessionsSpec can pin it without reflecting into
     * the builder.
     */
-  def serviceConfPairs(cpus: String, dataDir: Option[String] = None): Seq[(String, String)] =
+  def serviceConfPairs(cpus: String, dataDir: Option[String] = None): Seq[(String, String)] = {
+    val sizedBytes = dataDir.map(d => dirBytes(d, posturesSaturatedAt(cpus)))
     DriftConfs ++ ServiceConfs ++ Seq(
       "spark.sql.shuffle.partitions" -> cpus,
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
-        dataDir.fold(initialPartitions(cpus))(d =>
-          initialPartitionsSized(cpus, dirBytes(d, posturesSaturatedAt(cpus)))))
+        sizedBytes.fold(initialPartitions(cpus))(initialPartitionsSized(cpus, _))) ++
+    // Shuffle codec follows the same size signal (r18 A/B at the
+    // 500M-event decade, SCALE.md): once shuffles outgrow the page
+    // cache and round-trip the disk, zstd's byte cut wins the IO-bound
+    // term (ev_sessions steady 115 -> 75 s, 1.54x) while the smaller
+    // distinct-agg shuffle was codec-neutral within the box's
+    // run-to-run spread (lz4 35.7-52.5 vs zstd 44.1-45.3). Below the
+    // threshold everything fits in page cache and lz4's cheaper CPU is
+    // the right default (Spark's own), so the codec flips exactly where
+    // the posture saturates — data-derived, never a local-mode constant;
+    // SPARK_GRAFT_CONF overrides either way.
+    (if (sizedBytes.exists(_ >= posturesSaturatedAt(cpus)))
+      Seq("spark.io.compression.codec" -> "zstd")
+    else Seq.empty)
+  }
 
   /** Session builder for every serving entry point: drift defenses plus
     * the benched service configs, `local[cpus]` with shuffle parallelism

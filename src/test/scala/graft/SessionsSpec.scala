@@ -52,6 +52,11 @@ class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val m = Sessions.serviceConfPairs("32", Some(tiny)).toMap
       assert(m.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
         .contains("32"), "a KB-scale dir must start at cores, not 8x cores")
+      // the shuffle codec rides the same size signal: page-cache-scale
+      // inputs keep Spark's lz4 default, posture-saturating inputs get
+      // zstd (the r18 500M A/B — SCALE.md)
+      assert(!m.contains("spark.io.compression.codec"),
+        "small inputs must keep the default codec")
       // the walk is genuinely bounded: it stops as soon as the running
       // sum saturates the clamp (a 100 TB store pays a few GB of
       // listing, never a full-tree walk)
@@ -60,6 +65,22 @@ class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         "the walk must stop at the first file once stopAt is reached")
       // 8 x 32 reducers x 64 MB advisory / 4x expansion, +1 to cross it
       assert(Sessions.posturesSaturatedAt("32") == (4L << 30) + 1)
+      // the positive codec branch, via a sparse file (logical size is
+      // what a store reports; no 5 GB actually written)
+      val bigDir = java.nio.file.Files.createTempDirectory("sessions-spec-big")
+      val big = new java.io.RandomAccessFile(bigDir.resolve("big.parquet").toFile, "rw")
+      try {
+        big.setLength(5L << 30)
+        big.close()
+        val mb = Sessions.serviceConfPairs("32", Some(bigDir.toString)).toMap
+        assert(mb.get("spark.io.compression.codec").contains("zstd"),
+          "posture-saturating inputs must shuffle zstd")
+        assert(mb.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+          .contains("256"), "and keep the full 8x cores start")
+      } finally {
+        java.nio.file.Files.deleteIfExists(bigDir.resolve("big.parquet"))
+        java.nio.file.Files.deleteIfExists(bigDir)
+      }
     } finally {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tiny, "x.parquet"))
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tiny, "y.parquet"))
